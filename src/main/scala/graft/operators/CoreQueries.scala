@@ -1,0 +1,549 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Reference-parity relational operators (SURVEY.md §2), re-expressed
+  * Spark-first over the driver corpus (TESTDATA.md).
+  *
+  * Every entry is deterministic (explicit ORDER BY, exact decimal
+  * arithmetic for money sums so results are independent of partial-agg
+  * order) and has a matching DuckDB oracle in [[oracles]].
+  *
+  * Scale notes baked in:
+  *  - money/quantity sums go through DECIMAL(18,2) — exact, so the
+  *    result is identical no matter how Spark splits partial aggregates
+  *    across 1000 executors;
+  *  - joins against dimension tables are broadcast;
+  *  - filters/projections stay at the top of the scan so Catalyst
+  *    pushes them into the parquet reader.
+  */
+object CoreQueries {
+
+  /** Exact sum of a double money column: cast per-row to DECIMAL(18,2),
+    * sum (exact), surface as double. Matches DuckDB bit-for-bit.
+    * ONLY safe on raw stored 2-decimal columns — a double that *is* the
+    * representation of an exact 2-decimal value casts identically in
+    * both engines. Computed products do NOT (Spark HALF_UPs the exact
+    * binary expansion, DuckDB rounds the shortest decimal repr) — use
+    * [[centsRevenue]] for those. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private def davg(c: Column): Column = (sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1)))
+
+  /** Exact revenue sum for price*(1-discount): recover integer cents
+    * (both columns are exact 2-decimal values), multiply in integer
+    * space (10^-4 units), sum as BIGINT (exact, order-independent at
+    * any parallelism), then surface as double. */
+  private def centsRevenue(price: Column, discount: Column): Column =
+    (sum(round(price * 100).cast("long") * (lit(100L) - round(discount * 100).cast("long")))
+      / lit(10000.0))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── S1/P1: projection pushed into the parquet scan (ReadSchema pruning)
+    "s1_scan_project" -> { (s, d) =>
+      Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ── P2: equality predicate (PushedFilters into parquet)
+    "p2_filter_eq" -> { (s, d) =>
+      Tables.load(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // ── P3: LIKE + conjunctive AND (monitoring.ps1:966 shape)
+    "p3_filter_like" -> { (s, d) =>
+      Tables.load(s, d, "part")
+        .filter(col("p_type").like("%ECO%") && col("p_size") >= 10)
+        .select("p_partkey", "p_type", "p_size")
+        .orderBy("p_partkey")
+    },
+
+    // ── P4: regex extraction from semi-structured text (insert.ps1:99 / monitoring.ps1:1085)
+    "p4_regex_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", regexp_extract(col("props"), "(\\d+)", 1).cast("int"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+
+    // ── P5: constant probe (SELECT 1, insert.ps1:63)
+    "p5_const_probe" -> { (s, _) =>
+      s.range(1).select(lit(1).as("ok"))
+    },
+
+    // ── P6: empty-guard fallback scan (insert.ps1:103–111)
+    "p6_empty_fallback" -> { (s, d) =>
+      val primary = Tables.load(s, d, "customer")
+        .filter(col("c_mktsegment") === "NO_SUCH_SEGMENT")
+        .select(col("c_custkey").as("id"))
+      val fallback = Tables.load(s, d, "orders")
+        .select(col("o_custkey").as("id")).distinct()
+      val chosen = if (primary.isEmpty) fallback else primary
+      chosen.orderBy("id")
+    },
+
+    // ── A1: ungrouped COUNT(*)
+    "a1_count_star" -> { (s, d) =>
+      Tables.load(s, d, "lineitem").agg(count(lit(1)).as("n"))
+    },
+
+    // ── A2: next-key allocation MAX(id)+1 with null→1 (insert.ps1:147–158)
+    "a2_next_key" -> { (s, d) =>
+      Tables.load(s, d, "orders")
+        .agg(coalesce((max("o_orderkey") + 1).cast("long"), lit(1L)).as("next_id"))
+    },
+
+    // ── A3: COUNT GROUP BY (monitoring.ps1:887)
+    "a3_group_count" -> { (s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ── A4: DISTINCT + LIMIT (insert.ps1:106; ordered for determinism)
+    "a4_distinct_limit" -> { (s, d) =>
+      Tables.load(s, d, "customer")
+        .select("c_nationkey").distinct()
+        .orderBy("c_nationkey").limit(10)
+    },
+
+    // ── A5: min/avg/max stats (insert.ps1:321–323)
+    "a5_latency_stats" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          min("l_quantity").as("min_q"),
+          max("l_quantity").as("max_q"),
+          davg(col("l_quantity")).as("avg_q"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── A6: per-group totals + grand total via ROLLUP (monitoring.ps1:530–552).
+    //    Expressed through the spark.sql channel (S2 parity,
+    //    monitoring.ps1:218–231) — the DataFrame rollup() spelling trips
+    //    Spark's ambiguous-self-join check on the Expand node.
+    "a6_rollup_totals" -> { (s, d) =>
+      Tables.load(s, d, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation")
+      s.sql("""SELECT n_name,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+                 COUNT(*) AS n_customers
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY ROLLUP(n_name)
+               ORDER BY n_name ASC NULLS FIRST""")
+    },
+
+    // ── A7+F6: ratio-of-aggregates % + threshold classification
+    //    (replication-efficiency bands, monitoring.ps1:621,626–637)
+    "a7_ratio_pct" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"))
+        .withColumn("pct", round(lit(100.0) * col("n_disc") / col("n"), 1))
+        .withColumn("band",
+          when(col("pct") >= 95, "near real-time")
+            .when(col("pct") >= 80, "acceptable")
+            .otherwise("significant lag"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── A8: throughput = count / duration (insert.ps1:355–358)
+    "a8_throughput" -> { (s, d) =>
+      Tables.events(s, d)
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max(expr("ts_ns div 1000000000")) - min(expr("ts_ns div 1000000000"))).as("duration_s"))
+        .withColumn("events_per_s", round(col("n_events") / col("duration_s"), 4))
+    },
+
+    // ── J1: cross join against a scalar aggregate (monitoring.ps1:887)
+    "j1_cross_join" -> { (s, d) =>
+      val region = Tables.load(s, d, "region")
+      val mx = Tables.load(s, d, "orders").agg(max("o_orderkey").as("max_orderkey"))
+      region.crossJoin(mx).select("r_name", "max_orderkey").orderBy("r_name")
+    },
+
+    // ── J2+A1+F6: THE reference signature query — replication-lag /
+    //    sync-status report (monitoring.ps1:576–637). source vs target
+    //    per-group counts, full-outer join, lag, classification,
+    //    efficiency %. Target simulated as a lagging snapshot.
+    "j2_lag_sync_report" -> { (s, d) => lagReport(s, d, "1998-01-01") },
+
+    // same report when the target has fully caught up → SYNCED rows
+    "j2_lag_synced" -> { (s, d) => lagReport(s, d, "2002-01-01") },
+
+    // ── J3: FK-respecting broadcast dim join (insert.ps1:272–273 shape)
+    "j3_fk_broadcast_join" -> { (s, d) =>
+      val orders = Tables.load(s, d, "orders")
+      val customer = Tables.load(s, d, "customer").select("c_custkey", "c_mktsegment")
+      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ── flagship 3-way join-agg (SURVEY §7.3): revenue per nation
+    "j4_revenue_per_nation" -> { (s, d) =>
+      val li = Tables.load(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+      val orders = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey")
+      val customer = Tables.load(s, d, "customer").select("c_custkey", "c_nationkey")
+      val nation = Tables.load(s, d, "nation")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(centsRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // ── J5: left-semi (EXISTS)
+    "j5_semi_join" -> { (s, d) =>
+      val customer = Tables.load(s, d, "customer")
+      val bigOrders = Tables.load(s, d, "orders").filter(col("o_totalprice") > 400000)
+      customer.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // ── J6/U2: left-anti (NOT EXISTS; monitoring.ps1:392 `-notcontains`)
+    "j6_anti_join" -> { (s, d) =>
+      val customer = Tables.load(s, d, "customer")
+      val orders = Tables.load(s, d, "orders")
+      customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // ── W1: top-1 per group by metric (monitoring.ps1:1121–1122)
+    "w1_top1_per_group" -> { (s, d) =>
+      val orders = Tables.load(s, d, "orders")
+      val spend = orders.groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spent"))
+      spend
+        .withColumn("bucket", (col("o_custkey") % 10).cast("int"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("bucket").orderBy(col("spent").desc, col("o_custkey").asc)))
+        .filter(col("rn") === 1)
+        .select(col("bucket"), col("o_custkey"), col("spent").cast("double").as("spent"))
+        .orderBy("bucket")
+    },
+
+    // ── W3: first-third vs last-third tiling (monitoring.ps1:1133–1139)
+    "w3_ntile_thirds" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("tile", ntile(3).over(Window.orderBy("event_id")))
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+        .orderBy("tile")
+    },
+
+    // ── W4: trend delta = late-third avg − early-third avg (monitoring.ps1:1137–1142)
+    "w4_trend_delta" -> { (s, d) =>
+      val tiled = Tables.events(s, d)
+        .withColumn("tile", ntile(3).over(Window.orderBy("event_id")))
+      tiled.agg(
+          (sum(when(col("tile") === 1, col("value")).cast("decimal(18,2)")).cast("double") /
+            count(when(col("tile") === 1, lit(1)))).as("early_avg_raw"),
+          (sum(when(col("tile") === 3, col("value")).cast("decimal(18,2)")).cast("double") /
+            count(when(col("tile") === 3, lit(1)))).as("late_avg_raw"))
+        .select(
+          round(col("early_avg_raw"), 6).as("early_avg"),
+          round(col("late_avg_raw"), 6).as("late_avg"),
+          round(col("late_avg_raw") - col("early_avg_raw"), 6).as("delta"))
+    },
+
+    // ── W5: ordered top-k LIMIT pushdown
+    "w5_topk_orders" -> { (s, d) =>
+      Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+
+    // ── W6: every-Nth sampling (insert.ps1:319 `% 5 == 0`)
+    "w6_mod_sampling" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") % 100 === 0)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    // ── U1: union of two sources (monitoring.ps1:64–69)
+    "u1_union" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+      val errors = ev.filter(col("event_type") === "error")
+      clicks.unionByName(errors)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    // ── U2: multi-column dedup (dropDuplicates)
+    "u2_distinct_pairs" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .dropDuplicates("l_returnflag", "l_linestatus")
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ── F3: string function suite (monitoring.ps1:524, insert.ps1:98)
+    "f3_strings" -> { (s, d) =>
+      Tables.load(s, d, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          concat_ws("-", col("c_mktsegment"), col("c_nationkey").cast("string")).as("seg_nat"),
+          regexp_replace(col("c_name"), "[aeiou]", "").as("novowels"),
+          length(col("c_name")).as("name_len"))
+        .orderBy("c_custkey")
+    },
+
+    // ── F4: date/time bucketing + arithmetic (insert.ps1:275, monitoring.ps1:439)
+    "f4_date_buckets" -> { (s, d) =>
+      Tables.load(s, d, "orders")
+        .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("month")
+    },
+
+    // ── F5: math suite — ceil/abs/unit-ladder (monitoring.ps1:544–549)
+    "f5_math" -> { (s, d) =>
+      Tables.load(s, d, "part")
+        .filter(col("p_partkey") <= 200)
+        .select(
+          col("p_partkey"),
+          ceil(col("p_retailprice")).cast("long").as("price_ceil"),
+          abs(col("p_size") - 25).as("size_dist"),
+          (col("p_retailprice") * 2).as("price_x2"),
+          when(col("p_retailprice") >= 1500, "high")
+            .when(col("p_retailprice") >= 1000, "mid")
+            .otherwise("low").as("price_band"))
+        .orderBy("p_partkey")
+    },
+
+    // ── F6: health-band classification (monitoring.ps1:807–808)
+    "f6_health_bands" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") > 100, 1L).otherwise(0L)).as("n_high"))
+        .withColumn("pct_high", round(lit(100.0) * col("n_high") / col("n"), 1))
+        .withColumn("health",
+          when(col("pct_high") >= 80, "green")
+            .when(col("pct_high") >= 50, "yellow")
+            .otherwise("red"))
+        .orderBy("event_type")
+    },
+
+    // ── F9: null handling / coalesce-with-default (insert.ps1:151–153)
+    "f9_null_default" -> { (s, d) =>
+      val nation = Tables.load(s, d, "nation")
+      val supCounts = Tables.load(s, d, "supplier")
+        .groupBy("s_nationkey").agg(count(lit(1)).as("cnt"))
+      nation.join(supCounts, col("n_nationkey") === col("s_nationkey"), "left")
+        .select(col("n_name"), coalesce(col("cnt"), lit(0L)).as("n_suppliers"))
+        .orderBy("n_name")
+    }
+  )
+
+  /** The reference's signature lag/sync analytics (monitoring.ps1
+    * §"REPLICATION LAG ANALYSIS", lines 576–637): per-group source vs
+    * target row counts, full-outer joined, classified with the exact
+    * reference thresholds (SYNCED=0, NEAR_SYNC ≤5 rows, efficiency
+    * bands 95/80). Target is simulated as the orders table cut off at
+    * `cutoff` (a lagging snapshot). */
+  private def lagReport(s: SparkSession, d: String, cutoff: String): DataFrame = {
+    val orders = Tables.load(s, d, "orders")
+    val src = orders.groupBy(col("o_orderstatus").as("grp"))
+      .agg(count(lit(1)).as("src_rows"))
+    val tgt = orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .groupBy(col("o_orderstatus").as("grp"))
+      .agg(count(lit(1)).as("tgt_rows_raw"))
+    src.join(tgt, Seq("grp"), "full_outer")
+      .select(
+        col("grp").as("o_orderstatus"),
+        coalesce(col("src_rows"), lit(0L)).as("src_rows"),
+        coalesce(col("tgt_rows_raw"), lit(0L)).as("tgt_rows"))
+      .withColumn("lag", col("src_rows") - col("tgt_rows"))
+      .withColumn("sync_status",
+        when(col("lag") === 0, "SYNCED")
+          .when(abs(col("lag")) <= 5, "NEAR_SYNC")
+          .otherwise("LAG"))
+      .withColumn("efficiency_pct",
+        round(lit(100.0) * col("tgt_rows") / col("src_rows"), 1))
+      .withColumn("efficiency_band",
+        when(col("efficiency_pct") >= 95, "near real-time")
+          .when(col("efficiency_pct") >= 80, "acceptable")
+          .otherwise("significant lag"))
+      .orderBy("o_orderstatus")
+  }
+
+  def oracles: Map[String, String] = Map(
+    "s1_scan_project" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",
+    "p2_filter_eq" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey",
+    "p3_filter_like" ->
+      "SELECT p_partkey, p_type, p_size FROM part WHERE p_type LIKE '%ECO%' AND p_size >= 10 ORDER BY p_partkey",
+    "p4_regex_extract" ->
+      "SELECT CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY k",
+    "p5_const_probe" ->
+      "SELECT 1 AS ok",
+    "p6_empty_fallback" ->
+      "SELECT DISTINCT o_custkey AS id FROM orders ORDER BY id",
+    "a1_count_star" ->
+      "SELECT COUNT(*) AS n FROM lineitem",
+    "a2_next_key" ->
+      "SELECT COALESCE(CAST(MAX(o_orderkey) + 1 AS BIGINT), 1) AS next_id FROM orders",
+    "a3_group_count" ->
+      "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY o_orderpriority",
+    "a4_distinct_limit" ->
+      "SELECT DISTINCT c_nationkey FROM customer ORDER BY c_nationkey LIMIT 10",
+    "a5_latency_stats" ->
+      """SELECT l_returnflag, MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_q,
+         COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "a6_rollup_totals" ->
+      """SELECT n_name, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+         COUNT(*) AS n_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP(n_name) ORDER BY n_name NULLS FIRST""",
+    "a7_ratio_pct" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_disc,
+         ROUND(100.0 * SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / COUNT(*), 1) AS pct,
+         CASE WHEN ROUND(100.0 * SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / COUNT(*), 1) >= 95 THEN 'near real-time'
+              WHEN ROUND(100.0 * SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / COUNT(*), 1) >= 80 THEN 'acceptable'
+              ELSE 'significant lag' END AS band
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "a8_throughput" ->
+      """SELECT COUNT(*) AS n_events,
+         MAX(epoch_ns(ts) // 1000000000) - MIN(epoch_ns(ts) // 1000000000) AS duration_s,
+         ROUND(COUNT(*) / (MAX(epoch_ns(ts) // 1000000000) - MIN(epoch_ns(ts) // 1000000000)), 4) AS events_per_s
+         FROM events""",
+    "j1_cross_join" ->
+      """SELECT r_name, max_orderkey FROM region
+         CROSS JOIN (SELECT MAX(o_orderkey) AS max_orderkey FROM orders) ORDER BY r_name""",
+    "j2_lag_sync_report" -> lagOracle("1998-01-01"),
+    "j2_lag_synced" -> lagOracle("2002-01-01"),
+    "j3_fk_broadcast_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
+    "j4_revenue_per_nation" ->
+      """SELECT n_name,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY n_name""",
+    "j5_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "j6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         ORDER BY c_custkey""",
+    "w1_top1_per_group" ->
+      """SELECT CAST(o_custkey % 10 AS INT) AS bucket, o_custkey, CAST(spent AS DOUBLE) AS spent FROM (
+           SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spent
+           FROM orders GROUP BY 1)
+         QUALIFY row_number() OVER (PARTITION BY o_custkey % 10 ORDER BY spent DESC, o_custkey ASC) = 1
+         ORDER BY bucket""",
+    "w3_ntile_thirds" ->
+      """SELECT tile, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value FROM (
+           SELECT value, ntile(3) OVER (ORDER BY event_id) AS tile FROM events)
+         GROUP BY 1 ORDER BY tile""",
+    "w4_trend_delta" ->
+      """WITH tiled AS (SELECT value, ntile(3) OVER (ORDER BY event_id) AS tile FROM events),
+         s AS (SELECT
+           CAST(SUM(CASE WHEN tile = 1 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / COUNT(CASE WHEN tile = 1 THEN 1 END) AS early_raw,
+           CAST(SUM(CASE WHEN tile = 3 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / COUNT(CASE WHEN tile = 3 THEN 1 END) AS late_raw
+         FROM tiled)
+         SELECT ROUND(early_raw, 6) AS early_avg, ROUND(late_raw, 6) AS late_avg,
+                ROUND(late_raw - early_raw, 6) AS delta FROM s""",
+    "w5_topk_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "w6_mod_sampling" ->
+      "SELECT event_id, event_type, value FROM events WHERE event_id % 100 = 0 ORDER BY event_id",
+    "u1_union" ->
+      """SELECT event_id, event_type, value FROM (
+           SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT event_id, event_type, value FROM events WHERE event_type = 'error')
+         ORDER BY event_id""",
+    "u2_distinct_pairs" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+    "f3_strings" ->
+      """SELECT c_custkey, UPPER(c_name) AS uname,
+         LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+         CONCAT_WS('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+         REGEXP_REPLACE(c_name, '[aeiou]', '', 'g') AS novowels,
+         LENGTH(c_name) AS name_len
+         FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""",
+    "f4_date_buckets" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1 ORDER BY month""",
+    "f5_math" ->
+      """SELECT p_partkey, CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+         ABS(p_size - 25) AS size_dist, p_retailprice * 2 AS price_x2,
+         CASE WHEN p_retailprice >= 1500 THEN 'high'
+              WHEN p_retailprice >= 1000 THEN 'mid' ELSE 'low' END AS price_band
+         FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""",
+    "f6_health_bands" ->
+      """SELECT event_type, COUNT(*) AS n,
+         SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high,
+         ROUND(100.0 * SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) / COUNT(*), 1) AS pct_high,
+         CASE WHEN ROUND(100.0 * SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) / COUNT(*), 1) >= 80 THEN 'green'
+              WHEN ROUND(100.0 * SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) / COUNT(*), 1) >= 50 THEN 'yellow'
+              ELSE 'red' END AS health
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "f9_null_default" ->
+      """SELECT n_name, COALESCE(cnt, 0) AS n_suppliers FROM nation
+         LEFT JOIN (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier GROUP BY 1) sc
+           ON n_nationkey = s_nationkey
+         ORDER BY n_name"""
+  )
+
+  private def lagOracle(cutoff: String): String =
+    s"""WITH src AS (SELECT o_orderstatus AS grp, COUNT(*) AS src_rows FROM orders GROUP BY 1),
+        tgt AS (SELECT o_orderstatus AS grp, COUNT(*) AS tgt_rows_raw FROM orders
+                WHERE o_orderdate < TIMESTAMP '$cutoff' GROUP BY 1),
+        j AS (SELECT COALESCE(src.grp, tgt.grp) AS o_orderstatus,
+                     COALESCE(src_rows, 0) AS src_rows,
+                     COALESCE(tgt_rows_raw, 0) AS tgt_rows
+              FROM src FULL OUTER JOIN tgt ON src.grp = tgt.grp)
+        SELECT o_orderstatus, src_rows, tgt_rows,
+               src_rows - tgt_rows AS lag,
+               CASE WHEN src_rows - tgt_rows = 0 THEN 'SYNCED'
+                    WHEN ABS(src_rows - tgt_rows) <= 5 THEN 'NEAR_SYNC'
+                    ELSE 'LAG' END AS sync_status,
+               ROUND(100.0 * tgt_rows / src_rows, 1) AS efficiency_pct,
+               CASE WHEN ROUND(100.0 * tgt_rows / src_rows, 1) >= 95 THEN 'near real-time'
+                    WHEN ROUND(100.0 * tgt_rows / src_rows, 1) >= 80 THEN 'acceptable'
+                    ELSE 'significant lag' END AS efficiency_band
+        FROM j ORDER BY o_orderstatus"""
+}

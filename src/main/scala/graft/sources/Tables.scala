@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch table layer over the driver-generated parquet corpus
+  * (see /root/repo/TESTDATA.md). Mirrors the reference's two-store
+  * relational model (source/target databases,
+  * reference quickstart_prepare_peers.sh:16–19) as parquet-backed
+  * namespaces: a table is loaded from `<dir>/<name>.parquet`.
+  *
+  * Scale note: loaders are plain `spark.read.parquet` so Catalyst
+  * retains full predicate-pushdown / column-pruning / partition-
+  * pruning freedom — no eager caching, no collect.
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") return events(spark, dir)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects by default; read nanos as a long (`ts_ns`) and
+    * derive a micros-truncated `ts` TimestampType column. Oracle-side
+    * (DuckDB) equivalents: `epoch_ns(ts)` and `ts` itself. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+  }
+
+  /** Register every corpus table as a temp view so `spark.sql` text
+    * matches the DuckDB oracle's table names 1:1. Idempotent. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class CoreQueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+    test(s"$name runs at sf0.001") {
+      val df = SparkEntry.queries(name)(spark, sf)
+      assert(df.columns.nonEmpty)
+      df.count() // materialize — throws on bad plans
+    }
+  }
+
+  test("lag report classifies with reference thresholds") {
+    val rows = SparkEntry.queries("j2_lag_synced")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("sync_status") == "SYNCED"))
+    assert(rows.forall(_.getAs[String]("efficiency_band") == "near real-time"))
+  }
+
+  test("next-key allocation null→1 on empty input") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("o_orderkey")
+    val next = empty.agg(coalesce((max("o_orderkey") + 1).cast("long"), lit(1L)).as("next_id"))
+      .collect().head.getLong(0)
+    assert(next == 1L)
+  }
+}
