@@ -20,10 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.CoreQueries.queries
+    operators.CoreQueries.queries ++
+      operators.CdcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.CoreQueries.oracles
+    operators.CoreQueries.oracles ++
+      operators.CdcQueries.oracles
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Batch-expressible projections of the CDC apply semantics
+  * (SURVEY.md §2.8), oracle-checked over the `events` table treated as
+  * a change feed: `event_id` ≈ LSN (total order), `user_id` ≈ primary
+  * key, `event_type='error'` ≈ delete, everything else ≈ upsert.
+  *
+  * The streaming pipeline itself ([[graft.streaming.CdcPipeline]])
+  * applies exactly this logic per micro-batch; these queries pin the
+  * semantics against DuckDB.
+  */
+object CdcQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C1/C3: last-write-wins dedup per key on max(lsn)
+    "cdc_last_per_key" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    },
+
+    // C3: full upsert/delete apply — final converged target state
+    "cdc_apply_state" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id")
+    },
+
+    // C4: rows-behind lag metric between the converged state and a
+    // stale prefix of the feed (target applied only events with
+    // event_id < 5000)
+    "cdc_prefix_lag" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def stateOf(feed: DataFrame): DataFrame = feed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select("user_id")
+      val src = stateOf(ev).agg(count(lit(1)).as("src_rows"))
+      val tgt = stateOf(ev.filter(col("event_id") < 5000))
+        .agg(count(lit(1)).as("tgt_rows"))
+      src.crossJoin(tgt)
+        .withColumn("lag", col("src_rows") - col("tgt_rows"))
+        .withColumn("sync_status",
+          when(col("lag") === 0, "SYNCED")
+            .when(abs(col("lag")) <= 5, "NEAR_SYNC")
+            .otherwise("LAG"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "cdc_last_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+         ORDER BY user_id""",
+    "cdc_apply_state" ->
+      """SELECT user_id, event_id, value FROM (
+           SELECT user_id, event_id, value, event_type FROM events
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+         WHERE event_type <> 'error'
+         ORDER BY user_id""",
+    "cdc_prefix_lag" ->
+      """WITH src AS (
+           SELECT COUNT(*) AS src_rows FROM (
+             SELECT user_id, event_type FROM events
+             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+           WHERE event_type <> 'error'),
+         tgt AS (
+           SELECT COUNT(*) AS tgt_rows FROM (
+             SELECT user_id, event_type FROM events WHERE event_id < 5000
+             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+           WHERE event_type <> 'error')
+         SELECT src_rows, tgt_rows, src_rows - tgt_rows AS lag,
+                CASE WHEN src_rows - tgt_rows = 0 THEN 'SYNCED'
+                     WHEN ABS(src_rows - tgt_rows) <= 5 THEN 'NEAR_SYNC'
+                     ELSE 'LAG' END AS sync_status
+         FROM src CROSS JOIN tgt"""
+  )
+}

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** The CDC replication pipeline re-expressed on Structured Streaming —
+  * the reference's core capability (PeerDB mirror: snapshot + WAL tail
+  * + ordered per-table apply, README.md:99–106, 231–238).
+  *
+  * A "mirror" = one named StreamingQuery replicating a set of tables
+  * from a [[ChangeEvent]] stream into a [[KeyedParquetStore]]:
+  *
+  *  1. snapshot: bulk copy of each source table (flow-snapshot-worker
+  *     analogue, docker-compose.yml:133–141);
+  *  2. stream: foreachBatch micro-batches (Temporal-durable batches
+  *     analogue; checkpointLocation supplies the durability);
+  *  3. apply: per table — last-write-wins dedup on max(lsn) per key,
+  *     then idempotent bucketed merge (commit order preserved per key,
+  *     SURVEY.md §2.8 C1/C3).
+  *
+  * Delivery: Spark's foreachBatch is at-least-once per sink batch; the
+  * merge is idempotent, so the pipeline is effectively exactly-once
+  * (C5) — the same guarantee the reference gets from Temporal retries
+  * + PeerDB idempotent apply.
+  */
+object CdcPipeline {
+
+  /** Envelope columns expected on the change stream. */
+  val envelope: Seq[String] = Seq("lsn", "commitTs", "op", "table", "key", "after")
+
+  /** Bulk snapshot of source tables into the target store (step 1). */
+  def snapshot(
+      spark: SparkSession,
+      store: KeyedParquetStore,
+      sources: Map[String, DataFrame],
+      keyCols: Map[String, String]): Unit =
+    sources.foreach { case (table, df) =>
+      store.snapshot(spark, table, df, keyCols(table))
+    }
+
+  /** Start the continuous replication stream (steps 2–3).
+    *
+    * @param changes   streaming Dataset/DataFrame with the
+    *                  [[ChangeEvent]] envelope columns
+    * @param schemas   per-table row-image schema used to parse `after`
+    * @param keyCols   per-table primary-key column name
+    * @param mirrorName names the StreamingQuery (the reference's
+    *                  Temporal MirrorName search attribute,
+    *                  scripts/mirror-name-search.sh:6–9)
+    */
+  def start(
+      changes: DataFrame,
+      store: KeyedParquetStore,
+      schemas: Map[String, StructType],
+      keyCols: Map[String, String],
+      mirrorName: String,
+      checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .queryName(mirrorName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch, store, schemas, keyCols)
+      }
+      .start()
+
+  /** Apply one micro-batch: multi-table fan-out (C6), last-per-key
+    * dedup (C1/C3), idempotent merge. Also usable directly for batch
+    * backfill. */
+  def applyBatch(
+      batch: DataFrame,
+      store: KeyedParquetStore,
+      schemas: Map[String, StructType],
+      keyCols: Map[String, String]): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    // One pass over the batch per table; tables not in this batch are
+    // skipped via the metadata-only distinct below.
+    val present = batch.select("table").distinct().collect().map(_.getString(0))
+    present.foreach { table =>
+      val schema = schemas(table)
+      val keyCol = keyCols(table)
+      val events = batch.filter(col("table") === table)
+      // Last-write-wins per key: max(lsn) wins; window partitions by
+      // key so the shuffle is on the merge key — co-located with the
+      // downstream bucket layout.
+      val lastPerKey = events
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("key").orderBy(col("lsn").desc)))
+        .filter(col("_rn") === 1)
+        .drop("_rn")
+      val changes = lastPerKey
+        .withColumn("_row", from_json(col("after"), schema))
+        .select(col("op") +: schema.fieldNames.toSeq.map { f =>
+          if (f == keyCol) col("key").cast(schema(f).dataType).as(f)
+          else col("_row").getField(f).as(f)
+        }: _*)
+      store.merge(spark, table, changes, keyCol)
+    }
+  }
+
+  /** The reference's signature monitoring query over a live mirror:
+    * per-table replication lag source vs target (monitoring.ps1:576–
+    * 614) with the exact classification thresholds. */
+  def lagReport(
+      spark: SparkSession,
+      store: KeyedParquetStore,
+      sources: Map[String, DataFrame]): DataFrame = {
+    import spark.implicits._
+    val rows = sources.toSeq.sortBy(_._1).map { case (table, src) =>
+      val srcRows = src.count()
+      val tgtRows = if (store.exists(spark, table)) store.read(spark, table).count() else 0L
+      (table, srcRows, tgtRows)
+    }
+    rows.toDF("table_name", "src_rows", "tgt_rows")
+      .withColumn("lag", col("src_rows") - col("tgt_rows"))
+      .withColumn("sync_status",
+        when(col("lag") === 0, "SYNCED")
+          .when(abs(col("lag")) <= 5, "NEAR_SYNC")
+          .otherwise("LAG"))
+      .withColumn("efficiency_pct",
+        round(lit(100.0) * col("tgt_rows") / col("src_rows"), 1))
+  }
+}

@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Keyed, bucketed parquet table store with idempotent merge — the
+  * CDC target (reference: PeerDB's ordered apply to target tables,
+  * README.md:231–238) without requiring a transactional table format.
+  *
+  * Layout: `<root>/<table>/bucket=<b>/part-*.parquet` where
+  * `b = pmod(hash(key), nBuckets)`, plus a `_graft_schema.json`
+  * sidecar carrying the row schema (schema propagation: target schema
+  * derives from source, never hand-declared —
+  * quickstart_prepare_peers.sh:80, SURVEY.md §1.3 — and reads never
+  * pay parquet-footer schema inference).
+  *
+  * Scale design (the point of bucketing): a merge only reads and
+  * rewrites the buckets that contain changed keys — cost is
+  * O(touched buckets), not O(table size). At 100 TB you'd set
+  * nBuckets so one bucket ≈ a few GB; a CDC micro-batch touching k
+  * keys rewrites ≤ k buckets via dynamic partition overwrite, while
+  * the other buckets are never opened (partition pruning on the
+  * `bucket` directory column). Reads prune the same way.
+  */
+class KeyedParquetStore(root: String, val nBuckets: Int = 16) {
+
+  private def path(table: String) = s"$root/$table"
+  private def schemaPath(table: String) = new Path(s"${path(table)}/_graft_schema.json")
+
+  private def bucketOf(key: org.apache.spark.sql.Column) =
+    pmod(hash(key), lit(nBuckets))
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, table: String): Boolean =
+    fs(spark).exists(schemaPath(table))
+
+  private def writeSchema(spark: SparkSession, table: String, schema: StructType): Unit = {
+    val out = fs(spark).create(schemaPath(table), true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The persisted row schema (without the bucket partition column). */
+  def schemaOf(spark: SparkSession, table: String): StructType = {
+    val in = fs(spark).open(schemaPath(table))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    DataType.fromJson(json).asInstanceOf[StructType]
+  }
+
+  /** Current bucket ids present on disk. */
+  private def bucketsOnDisk(spark: SparkSession, table: String): Seq[Int] =
+    fs(spark).listStatus(new Path(path(table)))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(_.getPath.getName.stripPrefix("bucket=").toInt).toSeq
+
+  /** Read the current state of a table. Schema comes from the sidecar
+    * — an emptied table reads as an empty DataFrame, and no parquet
+    * footers are opened for inference. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val schema = schemaOf(spark, table)
+    if (bucketsOnDisk(spark, table).isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      spark.read.schema(schema).parquet(path(table)).drop("bucket")
+    }
+  }
+
+  /** Initial snapshot load (CDC snapshot-then-stream handoff,
+    * flow-snapshot-worker docker-compose.yml:133–141): bulk-write the
+    * source image partitioned by key bucket. */
+  def snapshot(spark: SparkSession, table: String, source: DataFrame, keyCol: String): Unit = {
+    source
+      .withColumn("bucket", bucketOf(col(keyCol)))
+      .repartition(col("bucket"))
+      .write
+      .partitionBy("bucket")
+      .mode(SaveMode.Overwrite)
+      .parquet(path(table))
+    writeSchema(spark, table, source.schema)
+  }
+
+  /** Idempotent merge of a deduped change set into the table.
+    *
+    * `changes` must carry exactly one row per key (last-write-wins
+    * already applied upstream — see [[CdcPipeline.applyBatch]]) with
+    * columns: `op` ("I"|"U"|"D"), the key column, and the full row
+    * image for upserts.
+    *
+    * Only buckets containing changed keys are read + rewritten
+    * (dynamic partition overwrite). Re-applying the same change set
+    * is a no-op — effective exactly-once on top of Spark's
+    * at-least-once foreachBatch (SURVEY.md §2.8 C5).
+    */
+  def merge(spark: SparkSession, table: String, changes: DataFrame, keyCol: String): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val keyed = changes.withColumn("bucket", bucketOf(col(keyCol)))
+    val dataSchema = StructType(changes.schema.filterNot(_.name == "op"))
+
+    if (!exists(spark, table) || bucketsOnDisk(spark, table).isEmpty) {
+      keyed.filter(col("op") =!= "D").drop("op")
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path(table))
+      writeSchema(spark, table, dataSchema)
+      return
+    }
+
+    // Buckets touched by this batch. Key-set per micro-batch is small
+    // relative to the table (CDC batches, insert.ps1:11–13) — collect
+    // is bounded by nBuckets, never by table size.
+    val touched = keyed.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+
+    val schema = schemaOf(spark, table)
+    val current = spark.read.schema(schema).parquet(path(table))
+      .filter(col("bucket").isin(touched: _*))
+
+    val changedKeys = keyed.select(col(keyCol), col("bucket")).distinct()
+    val survivors = current.join(
+      changedKeys.select(keyCol), Seq(keyCol), "left_anti")
+    val upserts = keyed.filter(col("op") =!= "D").drop("op")
+
+    val merged = survivors.select(upserts.columns.map(col).toSeq: _*)
+      .unionByName(upserts)
+      // Break lineage from the files about to be overwritten (Spark
+      // refuses to overwrite a path it is also reading from) and
+      // materialize exactly once. Bounded by the touched buckets.
+      .localCheckpoint(true)
+
+    // Dynamic overwrite replaces only the bucket=... dirs present in
+    // `merged`. A touched bucket whose rows were ALL deleted is absent
+    // from `merged` — clear it explicitly or deletes would resurface.
+    val remaining = merged.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    val emptied = touched.filterNot(remaining)
+    if (emptied.nonEmpty) {
+      val f = fs(spark)
+      emptied.foreach { b =>
+        f.delete(new Path(s"${path(table)}/bucket=$b"), true)
+      }
+    }
+
+    if (remaining.nonEmpty) {
+      merged
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path(table))
+    }
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{CdcPipeline, ChangeEvent, KeyedParquetStore}
+
+/** End-to-end CDC mirror test reproducing the reference's count-
+  * reconciliation oracle (insert.ps1:426–431): snapshot + I/U/D stream
+  * → target converges to source; idempotent re-apply; delete-emptied
+  * buckets are cleared. */
+class CdcPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val customersSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("first_name", StringType),
+    StructField("last_name", StringType),
+    StructField("email", StringType)))
+  private val ordersSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("purchaser", IntegerType),
+    StructField("quantity", IntegerType)))
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  test("snapshot + I/U/D stream converges, merge is idempotent") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cdc_store").toString
+    val ckpt = Files.createTempDirectory("cdc_ckpt").toString
+    val store = new KeyedParquetStore(root, nBuckets = 4)
+
+    // reference seed rows (quickstart_prepare_peers.sh:54–58,72–77)
+    val customers = Seq(
+      (1001L, "Sally", "Thomas", "sally.thomas@acme.com"),
+      (1002L, "George", "Bailey", "gbailey@foobar.com"),
+      (1003L, "Edward", "Walker", "ed@walker.com"),
+      (1004L, "Anne", "Kretchmar", "annek@noanswer.org")
+    ).toDF("id", "first_name", "last_name", "email")
+    val orders = Seq(
+      (10001L, 1001, 1), (10002L, 1002, 2), (10003L, 1002, 2)
+    ).toDF("id", "purchaser", "quantity")
+
+    CdcPipeline.snapshot(spark, store,
+      Map("customers" -> customers, "orders" -> orders),
+      Map("customers" -> "id", "orders" -> "id"))
+
+    assert(store.read(spark, "customers").count() == 4)
+    assert(store.read(spark, "orders").count() == 3)
+
+    // stream: insert 2 customers, update 1, delete 1; insert 1 order
+    val stream = MemoryStream[ChangeEvent](spark)
+    stream.addData(
+      ChangeEvent(1, ts(1), "I", "customers", 1005,
+        """{"id":1005,"first_name":"New","last_name":"Person","email":"n@p.com"}"""),
+      ChangeEvent(2, ts(2), "U", "customers", 1001,
+        """{"id":1001,"first_name":"Sally","last_name":"Updated","email":"s@u.com"}"""),
+      ChangeEvent(3, ts(3), "U", "customers", 1001,
+        """{"id":1001,"first_name":"Sally","last_name":"Final","email":"s@f.com"}"""),
+      ChangeEvent(4, ts(4), "D", "customers", 1002, null),
+      ChangeEvent(5, ts(5), "I", "customers", 1006,
+        """{"id":1006,"first_name":"Other","last_name":"Person","email":"o@p.com"}"""),
+      ChangeEvent(6, ts(6), "I", "orders", 10004,
+        """{"id":10004,"purchaser":1005,"quantity":7}"""))
+
+    val q = CdcPipeline.start(
+      stream.toDF(),
+      store,
+      Map("customers" -> customersSchema, "orders" -> ordersSchema),
+      Map("customers" -> "id", "orders" -> "id"),
+      mirrorName = "test_mirror",
+      checkpointDir = ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = store.read(spark, "customers")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    // 1001 updated twice → last-write-wins "Final"; 1002 deleted;
+    // 1005/1006 inserted
+    assert(got == Seq(
+      (1001L, "Final"), (1003L, "Walker"), (1004L, "Kretchmar"),
+      (1005L, "Person"), (1006L, "Person")))
+    assert(store.read(spark, "orders").count() == 4)
+
+    // idempotency: re-applying the identical change set is a no-op
+    val batch = Seq(
+      ChangeEvent(3, ts(3), "U", "customers", 1001,
+        """{"id":1001,"first_name":"Sally","last_name":"Final","email":"s@f.com"}"""),
+      ChangeEvent(4, ts(4), "D", "customers", 1002, null)
+    ).toDF()
+    CdcPipeline.applyBatch(batch, store,
+      Map("customers" -> customersSchema), Map("customers" -> "id"))
+    val again = store.read(spark, "customers")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(again == got)
+
+    // lag report: converged → SYNCED with 100% efficiency
+    val expectedCustomers = Seq(
+      (1001L, "Sally", "Final", "s@f.com"),
+      (1003L, "Edward", "Walker", "ed@walker.com"),
+      (1004L, "Anne", "Kretchmar", "annek@noanswer.org"),
+      (1005L, "New", "Person", "n@p.com"),
+      (1006L, "Other", "Person", "o@p.com")
+    ).toDF("id", "first_name", "last_name", "email")
+    val report = CdcPipeline.lagReport(spark, store,
+      Map("customers" -> expectedCustomers)).collect()
+    assert(report.length == 1)
+    assert(report.head.getAs[String]("sync_status") == "SYNCED")
+    assert(report.head.getAs[Double]("efficiency_pct") == 100.0)
+  }
+
+  test("deleting every row in a bucket clears it") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cdc_store2").toString
+    val store = new KeyedParquetStore(root, nBuckets = 2)
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    store.snapshot(spark, "t", src, "id")
+
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val deletes = Seq(
+      ChangeEvent(1, ts(1), "D", "t", 1, null),
+      ChangeEvent(2, ts(2), "D", "t", 2, null),
+      ChangeEvent(3, ts(3), "D", "t", 3, null)).toDF()
+    CdcPipeline.applyBatch(deletes, store, Map("t" -> schema), Map("t" -> "id"))
+    assert(store.read(spark, "t").count() == 0)
+  }
+
+  test("bucketed layout prunes: merge touches only affected buckets") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cdc_store3").toString
+    val store = new KeyedParquetStore(root, nBuckets = 8)
+    val src = spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v"))
+    store.snapshot(spark, "t", src, "id")
+
+    val buckets = new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(f => f.getName -> f.lastModified()).toMap
+    assert(buckets.size == 8)
+
+    Thread.sleep(1100)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", LongType)))
+    val one = Seq(ChangeEvent(1, ts(1), "U", "t", 42, """{"id":42,"v":-1}""")).toDF()
+    CdcPipeline.applyBatch(one, store, Map("t" -> schema), Map("t" -> "id"))
+
+    val after = new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(f => f.getName -> f.lastModified()).toMap
+    val changed = after.filter { case (k, m) => buckets(k) != m }
+    assert(changed.size == 1, s"expected exactly 1 rewritten bucket, got ${changed.keys}")
+    assert(store.read(spark, "t").filter(col("id") === 42).collect().head.getLong(1) == -1L)
+    assert(store.read(spark, "t").count() == 1000)
+  }
+}
