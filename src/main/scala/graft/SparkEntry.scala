@@ -25,7 +25,8 @@ object SparkEntry {
       operators.TextQueries.queries ++
       operators.DedupQueries.queries ++
       operators.SimilarityQueries.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.WindowQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.TextQueries.oracles ++
       operators.DedupQueries.oracles ++
       operators.SimilarityQueries.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++
+      operators.WindowQueries.oracles
 }

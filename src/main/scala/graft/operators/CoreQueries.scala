@@ -349,6 +349,26 @@ object CoreQueries {
         .orderBy("event_type")
     },
 
+    // ── F2: pg_size_pretty parity via the custom Catalyst Expression
+    //    graft.functions.FormatBytes (monitoring.ps1:515–516; codegen'd,
+    //    exact integer rounding — no floats). Cents totals stand in for
+    //    byte sizes and hit the B/KiB/MiB/GiB branches.
+    "f2_format_bytes" -> { (s, d) =>
+      import graft.functions.FormatBytes.format_bytes
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+          max(round(col("o_totalprice") * 100).cast("long")).as("max_cents"))
+        .select(
+          col("o_orderpriority"),
+          format_bytes(col("n")).as("n_fmt"),
+          format_bytes(col("cents")).as("total_fmt"),
+          format_bytes(col("max_cents")).as("max_fmt"))
+        .orderBy("o_orderpriority")
+    },
+
     // ── F9: null handling / coalesce-with-default (insert.ps1:151–153)
     "f9_null_default" -> { (s, d) =>
       val nation = Tables.load(s, d, "nation")
@@ -521,6 +541,30 @@ object CoreQueries {
               WHEN ROUND(100.0 * SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) / COUNT(*), 1) >= 50 THEN 'yellow'
               ELSE 'red' END AS health
          FROM events GROUP BY 1 ORDER BY event_type""",
+    "f2_format_bytes" -> {
+      def fmt(c: String): String =
+        s"""CASE WHEN $c < 1024 THEN CAST($c AS VARCHAR) || ' B'
+            WHEN $c < 1048576 THEN
+              CAST((($c * 10 + 512) // 1024) // 10 AS VARCHAR) || '.' ||
+              CAST((($c * 10 + 512) // 1024) % 10 AS VARCHAR) || ' KiB'
+            WHEN $c < 1073741824 THEN
+              CAST((($c * 10 + 524288) // 1048576) // 10 AS VARCHAR) || '.' ||
+              CAST((($c * 10 + 524288) // 1048576) % 10 AS VARCHAR) || ' MiB'
+            ELSE
+              CAST((($c * 10 + 536870912) // 1073741824) // 10 AS VARCHAR) || '.' ||
+              CAST((($c * 10 + 536870912) // 1073741824) % 10 AS VARCHAR) || ' GiB'
+            END"""
+      s"""WITH t AS (
+            SELECT o_orderpriority, COUNT(*) AS n,
+              SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+              MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_cents
+            FROM orders GROUP BY 1)
+          SELECT o_orderpriority,
+            ${fmt("n")} AS n_fmt,
+            ${fmt("cents")} AS total_fmt,
+            ${fmt("max_cents")} AS max_fmt
+          FROM t ORDER BY o_orderpriority"""
+    },
     "f9_null_default" ->
       """SELECT n_name, COALESCE(cnt, 0) AS n_suppliers FROM nation
          LEFT JOIN (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier GROUP BY 1) sc

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.EventWindows
+
+/** Batch projections of the event-time windowing transforms
+  * ([[graft.streaming.EventWindows]]) — same code, oracle-checked.
+  * Window starts surface as epoch seconds (BIGINT) so nano- vs
+  * micro-timestamp representations can't skew the comparison. */
+object WindowQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sw1_tumbling_1h" -> { (s, d) =>
+      EventWindows.tumbling(Tables.events(s, d))
+        .orderBy("window_start", "event_type")
+    },
+    "sw2_sliding_1h_30m" -> { (s, d) =>
+      EventWindows.sliding(Tables.events(s, d))
+        .orderBy("window_start")
+    },
+    "sw3_session_30m" -> { (s, d) =>
+      EventWindows.sessions(Tables.events(s, d))
+        .orderBy("user_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sw1_tumbling_1h" ->
+      """SELECT epoch_ns(time_bucket(INTERVAL '1 hour', ts)) // 1000000000 AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "sw2_sliding_1h_30m" ->
+      """WITH phases AS (
+           SELECT epoch_ns(time_bucket(INTERVAL '1 hour', ts)) // 1000000000 AS window_start, value
+           FROM events
+           UNION ALL
+           SELECT epoch_ns(time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')) // 1000000000
+                    AS window_start, value
+           FROM events)
+         SELECT window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM phases GROUP BY 1 ORDER BY window_start""",
+    "sw3_session_30m" ->
+      """WITH ordered AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         sess AS (
+           SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM ordered),
+         per_session AS (
+           SELECT user_id, session_id, COUNT(*) AS n_events
+           FROM sess GROUP BY 1, 2)
+         SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+           MAX(n_events) AS max_session_events
+         FROM per_session GROUP BY 1 ORDER BY user_id"""
+  )
+}

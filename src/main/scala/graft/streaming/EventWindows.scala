@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregations over the event stream (north-star
+  * extension ops — the reference's CDC path is processing-time only,
+  * SURVEY.md §2.8; watermarks/windows are required for the 100 TB
+  * streaming-analytics surface).
+  *
+  * Each transform is defined on a plain DataFrame so the SAME code
+  * runs in batch (oracle-checked via SparkEntry) and streaming
+  * (spec-checked via MemoryStream): Structured Streaming's
+  * batch/stream unification.
+  *
+  * Exactness: value sums go through DECIMAL(18,2) — identical results
+  * at any parallelism and in the DuckDB oracle.
+  */
+object EventWindows {
+
+  /** Tumbling 1-hour windows per event_type. Streaming use: watermark
+    * bounds state; late events beyond 10 min are dropped. */
+  def tumbling(events: DataFrame, withWatermarkCol: Boolean = false): DataFrame = {
+    val src = if (withWatermarkCol) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(
+        expr("unix_timestamp(w.start)").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+  }
+
+  /** Sliding 1-hour windows every 30 minutes (each event lands in 2
+    * windows). */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(expr("unix_timestamp(w.start)").as("window_start"), col("n"), col("total"))
+
+  /** Session windows per user with a 30-minute inactivity gap —
+    * Spark's native session_window (gaps-and-islands in the oracle). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"))
+}
