@@ -1,0 +1,87 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.KeyedParquetStore
+
+/** The reference's monitoring suite (monitoring.ps1's 10 sections)
+  * re-expressed as DataFrame reports over a source namespace and a CDC
+  * target store. Sections that interrogate PostgreSQL/Docker
+  * internals (containers, WAL config) map to engine-side equivalents
+  * (stream state, store stats); the relational analytics are 1:1.
+  */
+object Monitor {
+
+  /** §"DATABASE OVERVIEW" (monitoring.ps1:500–560): per-table rows +
+    * bytes + pretty size, with grand totals. */
+  def tableStats(spark: SparkSession, store: KeyedParquetStore, tables: Seq[String]): DataFrame = {
+    import spark.implicits._
+    import graft.functions.FormatBytes.format_bytes
+    val rows = tables.sorted.map { t =>
+      val n = if (store.exists(spark, t)) store.read(spark, t).count() else 0L
+      val bytes = storeBytes(spark, store, t)
+      (t, n, bytes)
+    }
+    rows.toDF("table_name", "n_rows", "bytes")
+      .withColumn("pretty_size", format_bytes(col("bytes")))
+  }
+
+  private def storeBytes(spark: SparkSession, store: KeyedParquetStore, table: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"${store.root}/$table")
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** §"REPLICATION LAG ANALYSIS" (monitoring.ps1:576–637): the
+    * signature source-vs-target report with the exact reference
+    * thresholds. */
+  def lagReport(
+      spark: SparkSession,
+      store: KeyedParquetStore,
+      sources: Map[String, DataFrame]): DataFrame =
+    graft.streaming.CdcPipeline.lagReport(spark, store, sources)
+      .withColumn("efficiency_band",
+        when(col("efficiency_pct") >= 95, "near real-time")
+          .when(col("efficiency_pct") >= 80, "acceptable")
+          .otherwise("significant lag"))
+
+  /** §"SYNC STATUS" rollup (monitoring.ps1:614–637): totals across
+    * tables + overall efficiency. */
+  def syncSummary(lag: DataFrame): DataFrame =
+    lag.agg(
+        sum("src_rows").as("total_src"),
+        sum("tgt_rows").as("total_tgt"),
+        sum(when(col("sync_status") === "SYNCED", 1).otherwise(0)).as("n_synced"),
+        count(lit(1)).as("n_tables"))
+      .withColumn("overall_efficiency_pct",
+        round(lit(100.0) * col("total_tgt") / col("total_src"), 1))
+      .withColumn("health",
+        when(lit(100.0) * col("n_synced") / col("n_tables") >= 80, "green")
+          .when(lit(100.0) * col("n_synced") / col("n_tables") >= 50, "yellow")
+          .otherwise("red"))
+
+  /** §"ACTIVE STREAMS" (≈ container/connection health,
+    * monitoring.ps1:704–831): live StreamingQuery states. */
+  def streamHealth(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.streams.active.toSeq
+      .map(q => (q.name, q.id.toString, q.isActive,
+        Option(q.lastProgress).map(_.batchId).getOrElse(-1L)))
+      .toDF("mirror_name", "query_id", "active", "last_batch_id")
+  }
+
+  /** Full report bundle (the monitoring.ps1 main, 1180–1239). */
+  def report(
+      spark: SparkSession,
+      store: KeyedParquetStore,
+      sources: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val lag = lagReport(spark, store, sources)
+    Map(
+      "table_stats" -> tableStats(spark, store, sources.keys.toSeq),
+      "lag" -> lag,
+      "sync_summary" -> syncSummary(lag),
+      "streams" -> streamHealth(spark))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.gen
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CdcPipeline, KeyedParquetStore}
+
+/** Seeded, deterministic stress-test workload generator — the Spark
+  * re-expression of the reference's insert.ps1 batched INSERT driver
+  * (defaults 5000 records / batch 500, insert.ps1:11–13; row recipe
+  * insert.ps1:271–277: FK ids sampled from existing dimension rows,
+  * quantity uniform 1..99, order_date = asOf − uniform 0..29 days).
+  *
+  * Fully distributed: `spark.range(n)` drives generation; FK sampling
+  * is a broadcast join against row_number-indexed dimension keys (the
+  * PS script's in-memory array pick, insert.ps1:272–273, re-expressed
+  * without a collect); `rand(seed)` makes every run reproducible.
+  */
+object Workload {
+
+  /** Generate `n` order rows with ids `startId..startId+n-1`.
+    *
+    * @param customers dimension DF with an `id` column (FK domain)
+    * @param products  dimension DF with an `id` column (FK domain)
+    * @param asOf      generation date (insert.ps1 uses "today"; fixed
+    *                  here for reproducibility)
+    */
+  def generateOrders(
+      customers: DataFrame,
+      products: DataFrame,
+      n: Long,
+      startId: Long,
+      seed: Long,
+      asOf: Date): DataFrame = {
+    val custIdx = indexed(customers, "customer_idx", "purchaser")
+    val prodIdx = indexed(products, "product_idx", "product_id")
+    val nCust = custIdx.count()
+    val nProd = prodIdx.count()
+    require(nCust > 0 && nProd > 0, "dimension tables must be non-empty")
+
+    customers.sparkSession.range(n)
+      .select(
+        (col("id") + startId).as("id"),
+        floor(rand(seed) * nCust).as("customer_idx"),
+        floor(rand(seed + 1) * nProd).as("product_idx"),
+        (floor(rand(seed + 2) * 99) + 1).cast("int").as("quantity"),
+        date_sub(lit(asOf), floor(rand(seed + 3) * 30).cast("int")).as("order_date"))
+      .join(broadcast(custIdx), Seq("customer_idx"))
+      .join(broadcast(prodIdx), Seq("product_idx"))
+      .select("id", "order_date", "purchaser", "quantity", "product_id")
+  }
+
+  /** (idx → key) lookup: dense 0-based index over a dimension's ids.
+    * Window over a single ordered column — dimension-sized, broadcast
+    * downstream; never applied to fact tables. */
+  private def indexed(dim: DataFrame, idxName: String, keyName: String): DataFrame =
+    dim.select(col("id").as(keyName))
+      .withColumn(idxName, row_number().over(Window.orderBy(keyName)) - 1)
+
+  /** Result metrics of one stress run (insert.ps1:336–381's summary). */
+  case class RunMetrics(
+      totalRows: Long,
+      nBatches: Int,
+      durationMs: Long,
+      avgBatchMs: Double,
+      minBatchMs: Long,
+      maxBatchMs: Long,
+      throughputRowsPerSec: Double,
+      logLines: Seq[String])
+
+  /** Run the generated workload as batched CDC inserts against a
+    * target store (insert.ps1's batch loop, 250–334): rows are split
+    * into ceil(n/batchSize) batches, each applied as one change-set
+    * merge, with per-batch latency accounting and stress-log lines in
+    * the reference's log format (for LogAnalytics). */
+  def runBatchedInsert(
+      spark: SparkSession,
+      store: KeyedParquetStore,
+      table: String,
+      orders: DataFrame,
+      batchSize: Int,
+      lsnStart: Long = 1L): RunMetrics = {
+    import org.apache.spark.sql.types._
+    val schema = orders.schema
+    val (total, minId) = {
+      val r = orders.agg(count(lit(1)), min("id")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val nBatches = math.ceil(total.toDouble / batchSize).toInt
+    val t0 = System.currentTimeMillis()
+    val latencies = (0 until nBatches).map { b =>
+      val lo = minId + b.toLong * batchSize
+      val batch = orders.filter(col("id") >= lo && col("id") < lo + batchSize)
+      val changes = batch
+        .select(
+          (col("id") + lsnStart).as("lsn"),
+          lit(new Timestamp(0)).as("commitTs"),
+          lit("I").as("op"),
+          lit(table).as("table"),
+          col("id").cast("long").as("key"),
+          to_json(struct(schema.fieldNames.map(col).toSeq: _*)).as("after"))
+      val s = System.currentTimeMillis()
+      CdcPipeline.applyBatch(changes, store, Map(table -> schema), Map(table -> "id"))
+      System.currentTimeMillis() - s
+    }
+    val durationMs = System.currentTimeMillis() - t0
+    val throughput = total * 1000.0 / math.max(durationMs, 1)
+    val log = latencies.zipWithIndex.map { case (ms, i) =>
+      f"[${i + 1}%05d] INSERT-BATCH-${i + 1} rows=${math.min(batchSize, total - i.toLong * batchSize)} latency_ms=$ms"
+    } ++ Seq(
+      s"Successful Operations: $total",
+      f"Throughput: $throughput%.2f operations/second")
+    RunMetrics(total, nBatches, durationMs,
+      if (latencies.nonEmpty) latencies.sum.toDouble / latencies.length else 0.0,
+      if (latencies.nonEmpty) latencies.min else 0L,
+      if (latencies.nonEmpty) latencies.max else 0L,
+      throughput, log)
+  }
+}

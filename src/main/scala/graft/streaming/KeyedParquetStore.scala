@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * the other buckets are never opened (partition pruning on the
   * `bucket` directory column). Reads prune the same way.
   */
-class KeyedParquetStore(root: String, val nBuckets: Int = 16) {
+class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
 
   private def path(table: String) = s"$root/$table"
   private def schemaPath(table: String) = new Path(s"${path(table)}/_graft_schema.json")
