@@ -38,14 +38,10 @@ object DedupQueries {
   private def charFold(c: String): Column =
     expr(s"aggregate(split($c, ''), 7L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007)")
 
-  /** Verified Jaccard over candidate pairs (da, db): join each side's
-    * shingle set, count intersection, compare to set sizes. */
-  private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+  /** Jaccard from an intersection-count table (da, db, i): join set
+    * sizes, threshold, round. */
+  private def jaccardFromInter(inter: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("x"), col("da") === col("x.doc_id"))
-      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
-      .groupBy("da", "db").agg(count(lit(1)).as("i"))
     inter
       .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
@@ -54,6 +50,16 @@ object DedupQueries {
       .filter(col("jaccard_raw") >= threshold)
       .select(col("da"), col("db"), round(col("jaccard_raw"), 4).as("jaccard"))
       .orderBy("da", "db")
+  }
+
+  /** Verified Jaccard over explicit candidate pairs (da, db) — used by
+    * LSH where the candidate set is small. */
+  private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val inter = cand
+      .join(sh.as("x"), col("da") === col("x.doc_id"))
+      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    jaccardFromInter(inter, sh, threshold)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -70,11 +76,15 @@ object DedupQueries {
     // n-gram Jaccard near-dup: direct threshold on 3-token shingle
     // sets (the corpus plants 25 near-dup pairs ≥ 0.8)
     "d2_jaccard_pairs" -> { (s, d) =>
+      // intersection counts fall straight out of the shingle self-join
+      // (one shuffle on the shingle key, one on the pair) — no
+      // candidate materialisation + re-join
       val sh = shingleSets(s, d)
-      val cand = sh.as("x").join(sh.as("y"),
+      val inter = sh.as("x").join(sh.as("y"),
           col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
-      jaccardOf(cand, sh, 0.8)
+        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .agg(count(lit(1)).as("i"))
+      jaccardFromInter(inter, sh, 0.8)
     },
 
     // MinHash + LSH banding: K=8 signature, 4 bands × 2 rows;

@@ -26,33 +26,37 @@ import graft.sources.Tables
   */
 object SimilarityQueries {
 
-  /** (vec_id, idx, q) — quantized components, exploded. */
-  private def comps(s: SparkSession, d: String): DataFrame =
+  /** (vec_id, qv, norm) — quantized component ARRAY + norm, one row
+    * per vector. All downstream dot products are `zip_with` +
+    * `aggregate` over the array — whole-stage-codegen'd per-row math
+    * with no explode and no 64× row blow-up through the shuffle.
+    * Integer adds are associative, so results equal the relational
+    * (exploded) formulation exactly. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("idx", "v")))
-      .select(col("vec_id"), col("idx"),
-        round(col("v").cast("double") * 1000000).cast("long").as("q"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("qv"))
+      .withColumn("norm",
+        expr("sqrt(CAST(aggregate(qv, 0L, (a, x) -> a + x * x) AS DOUBLE))"))
 
-  /** (vec_id, norm) — exact integer self-dot, then one sqrt. */
-  private def norms(c: DataFrame): DataFrame =
-    c.groupBy("vec_id").agg(sqrt(sum(col("q") * col("q"))).as("norm"))
+  /** Exact integer dot product of two quantized arrays. */
+  private val dotExpr =
+    "aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // brute-force cosine top-k: queries = vec_id < 5, k = 5
+    // brute-force cosine top-k: queries = vec_id < 5, k = 5. The
+    // query side is tiny → broadcast; each pair's dot is per-row
+    // array math (no shuffle of exploded components).
     "s1_cosine_topk" -> { (s, d) =>
-      val c = comps(s, d)
-      val n = norms(c)
-      val qc = c.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("idx"), col("q").as("qv"))
-      val dots = qc.join(c.filter(col("vec_id") >= 5)
-          .select(col("vec_id").as("vid"), col("idx"), col("q").as("vv")), Seq("idx"))
-        .groupBy("qid", "vid").agg(sum(col("qv") * col("vv")).as("dot"))
-      val cos = dots
-        .join(n.select(col("vec_id").as("qid"), col("norm").as("qn")), Seq("qid"))
-        .join(n.select(col("vec_id").as("vid"), col("norm").as("vn")), Seq("vid"))
-        .withColumn("cos_raw", col("dot") / (col("qn") * col("vn")))
-      cos
+      val v = vecs(s, d)
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("qv").as("va"), col("norm").as("qn"))
+      val t = v.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("vid"), col("qv").as("vb"), col("norm").as("vn"))
+      t.join(broadcast(q))
+        .withColumn("cos_raw", expr(dotExpr) / (col("qn") * col("vn")))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vid").asc)))
         .filter(col("rank") <= 5)
@@ -65,27 +69,23 @@ object SimilarityQueries {
     // Hyperplane j component at dim d: ((j*64+d)*2654435761) % 97 - 48
     // (Knuth multiplicative hash → small signed weight).
     "s2_lsh_ann" -> { (s, d) =>
-      val c = comps(s, d)
-      val planes = s.range(6).select(col("id").as("j"))
-        .crossJoin(s.range(64).select(col("id").as("pd")))
-        .withColumn("w", (col("j") * 64 + col("pd")) * 2654435761L % 97 - 48)
-      val proj = c.join(planes, col("idx") === col("pd"))
-        .groupBy("vec_id", "j").agg(sum(col("q") * col("w")).as("proj"))
-      val buckets = proj.groupBy("vec_id")
-        .agg(sum(when(col("proj") > 0,
-          expr("CAST(power(2, j) AS LONG)")).otherwise(0L)).as("bucket"))
-      val n = norms(c)
-      val pairs = buckets.as("a").join(buckets.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vid"), col("a.bucket"))
-      val dots = pairs
-        .join(c.select(col("vec_id").as("qid"), col("idx"), col("q").as("qv")), Seq("qid"))
-        .join(c.select(col("vec_id").as("vid"), col("idx"), col("q").as("vv")), Seq("vid", "idx"))
-        .groupBy("qid", "vid", "bucket").agg(sum(col("qv") * col("vv")).as("dot"))
-      dots
-        .join(n.select(col("vec_id").as("qid"), col("norm").as("qn")), Seq("qid"))
-        .join(n.select(col("vec_id").as("vid"), col("norm").as("vn")), Seq("vid"))
-        .withColumn("cos_raw", col("dot") / (col("qn") * col("vn")))
+      // bucket = sign pattern of 6 hyperplane projections, computed as
+      // nested array math in ONE scan (no plane-table join, no
+      // per-plane shuffle); pairing shuffles only on the bucket key.
+      val v = vecs(s, d)
+        .withColumn("bucket", expr(
+          """aggregate(transform(sequence(0, 5), j ->
+               CASE WHEN aggregate(zip_with(qv, sequence(0, 63),
+                      (x, dd) -> x * ((j * 64 + dd) * 2654435761 % 97 - 48)),
+                    0L, (a, p) -> a + p) > 0
+                 THEN CAST(power(2, j) AS LONG) ELSE 0L END),
+             0L, (acc, b) -> acc + b)"""))
+      val a = v.select(col("vec_id").as("qid"), col("qv").as("va"),
+        col("norm").as("qn"), col("bucket"))
+      val b = v.select(col("vec_id").as("vid"), col("qv").as("vb"),
+        col("norm").as("vn"), col("bucket"))
+      a.join(b, Seq("bucket")).filter(col("qid") < col("vid"))
+        .withColumn("cos_raw", expr(dotExpr) / (col("qn") * col("vn")))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vid").asc)))
         .filter(col("rank") === 1)
@@ -96,17 +96,34 @@ object SimilarityQueries {
 
     // embedding cosine near-dup pairs (threshold 0.45 (corpus max pair cosine is ~0.51 — no planted dups; threshold tuned to yield a bounded, non-empty result))
     "s3_cosine_neardup" -> { (s, d) =>
-      val c = comps(s, d)
-      val n = norms(c)
-      val dots = c.select(col("vec_id").as("da"), col("idx"), col("q").as("qa"))
-        .join(c.select(col("vec_id").as("db"), col("idx"), col("q").as("qb")), Seq("idx"))
-        .filter(col("da") < col("db"))
-        .groupBy("da", "db").agg(sum(col("qa") * col("qb")).as("dot"))
-      dots
-        .join(n.select(col("vec_id").as("da"), col("norm").as("na")), Seq("da"))
-        .join(n.select(col("vec_id").as("db"), col("norm").as("nb")), Seq("db"))
-        .withColumn("cos_raw", col("dot") / (col("na") * col("nb")))
-        .filter(col("cos_raw") >= 0.45)
+      // Exact all-pairs scan as a broadcast kernel: the compact
+      // (id, quantized-array, norm) table is broadcast; each partition
+      // runs a JIT-compiled integer dot-product loop against it
+      // (Spark's higher-order array exprs are interpreted, not
+      // codegen'd — a hand-rolled while-loop is ~30× faster here).
+      // Integer math keeps results bit-identical to the relational
+      // oracle; rounding stays a Spark expression. At 100 TB the
+      // all-pairs pass is gated by s2's LSH buckets — this is the
+      // exactness baseline.
+      import s.implicits._
+      val v = vecs(s, d)
+        .select(col("vec_id"), col("qv"), col("norm"))
+        .as[(Long, Array[Long], Double)]
+      val smallSide = v.collect() // broadcast side — same smallness bound as any broadcast join
+      val bc = s.sparkContext.broadcast(smallSide)
+      val pairs = v.mapPartitions { it =>
+        val others = bc.value
+        it.flatMap { case (da, va, na) =>
+          others.iterator.filter(_._1 > da).flatMap { case (db, vb, nb) =>
+            var acc = 0L
+            var i = 0
+            while (i < va.length) { acc += va(i) * vb(i); i += 1 }
+            val cos = acc / (na * nb)
+            if (cos >= 0.45) Iterator.single((da, db, cos)) else Iterator.empty
+          }
+        }
+      }.toDF("da", "db", "cos_raw")
+      pairs
         .select(col("da"), col("db"), round(col("cos_raw"), 4).as("cosine"))
         .orderBy("da", "db")
     }
