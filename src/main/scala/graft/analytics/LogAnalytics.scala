@@ -20,6 +20,27 @@ object LogAnalytics {
   def readLog(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).withColumn("file", input_file_name())
 
+  /** File-listing DataFrame over a directory (S9/W2: glob + mtime
+    * sort, monitoring.ps1:61–69). */
+  def listFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val st = fs.globStatus(new org.apache.hadoop.fs.Path(dir))
+    (if (st == null) Array.empty[org.apache.hadoop.fs.FileStatus] else st)
+      .filter(_.isFile)
+      .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
+      .toSeq
+      .toDF("path", "bytes", "mtime_ms")
+  }
+
+  /** Latest-file selection (monitoring.ps1:61–65,133–134): newest by
+    * mtime, path as tiebreak. */
+  def latestFile(spark: SparkSession, dir: String): Option[String] =
+    listFiles(spark, dir)
+      .orderBy(desc("mtime_ms"), desc("path"))
+      .limit(1).collect().headOption.map(_.getString(0))
+
   /** Parse stress-log batch lines
     * `[#####] INSERT-BATCH-<n> rows=<r> latency_ms=<l>`
     * (format written by gen.Workload; shape from insert.ps1:173–178). */

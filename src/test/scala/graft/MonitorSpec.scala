@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{LogAnalytics, Monitor}
+import graft.streaming.{CdcPipeline, KeyedParquetStore}
+
+class MonitorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("monitoring report bundle over a live store") {
+    import spark.implicits._
+    val store = new KeyedParquetStore(
+      Files.createTempDirectory("mon_store").toString, nBuckets = 4)
+    val customers = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val orders = Seq((10L, 1L), (11L, 2L)).toDF("id", "cust")
+    CdcPipeline.snapshot(spark, store,
+      Map("customers" -> customers, "orders" -> orders),
+      Map("customers" -> "id", "orders" -> "id"))
+
+    // source has drifted ahead: one extra order not yet replicated
+    val sources = Map(
+      "customers" -> customers,
+      "orders" -> orders.unionByName(Seq((12L, 3L)).toDF("id", "cust")))
+    val reports = Monitor.report(spark, store, sources)
+
+    val lag = reports("lag").orderBy("table_name").collect()
+    assert(lag.map(_.getString(0)).toSeq == Seq("customers", "orders"))
+    val byTable = lag.map(r => r.getString(0) -> r.getAs[String]("sync_status")).toMap
+    assert(byTable("customers") == "SYNCED")
+    assert(byTable("orders") == "NEAR_SYNC") // lag 1 ≤ 5
+
+    val summary = reports("sync_summary").collect().head
+    assert(summary.getAs[Long]("total_src") == 6L)
+    assert(summary.getAs[Long]("total_tgt") == 5L)
+    assert(summary.getAs[String]("health") == "yellow") // 1 of 2 synced
+
+    val stats = reports("table_stats").orderBy("table_name").collect()
+    assert(stats.map(_.getAs[Long]("n_rows")).toSeq == Seq(3L, 2L))
+    assert(stats.forall(_.getAs[String]("pretty_size").nonEmpty))
+
+    assert(reports("streams").columns.contains("mirror_name"))
+  }
+
+  test("latest-file selection picks newest mtime (monitoring.ps1:61–65)") {
+    val dir = Files.createTempDirectory("files")
+    Files.write(dir.resolve("old.log"), "x".getBytes)
+    Files.write(dir.resolve("new.log"), "y".getBytes)
+    dir.resolve("old.log").toFile.setLastModified(1000000L)
+    dir.resolve("new.log").toFile.setLastModified(2000000L)
+    val latest = LogAnalytics.latestFile(spark, dir.toString + "/*.log")
+    assert(latest.exists(_.endsWith("new.log")), latest)
+    val listing = LogAnalytics.listFiles(spark, dir.toString + "/*.log")
+    assert(listing.count() == 2)
+    assert(listing.columns.toSet == Set("path", "bytes", "mtime_ms"))
+  }
+}

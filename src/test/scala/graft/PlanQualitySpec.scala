@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-readiness checks on the physical plans: filters and column
+  * pruning must reach the parquet scan, dimension joins must
+  * broadcast, and hot paths must sit inside whole-stage codegen. A
+  * plan regression here is a 100×-at-scale regression even when the
+  * result stays correct. */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("equality predicate is pushed into the parquet scan") {
+    val plan = planOf("p2_filter_eq")
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+  }
+
+  test("projection prunes the scan schema to selected columns") {
+    val plan = planOf("s1_scan_project")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice"), plan)
+    assert(!readSchema.contains("o_orderdate") && !readSchema.contains("o_custkey"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("LIKE + range predicates push down") {
+    val plan = planOf("p3_filter_like")
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThanOrEqual(p_size,10)"), plan)
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side for the dim key)") {
+    val plan = planOf("j3_fk_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val flagship = planOf("j4_revenue_per_nation")
+    assert(flagship.contains("BroadcastHashJoin"), flagship)
+  }
+
+  test("limit+sort becomes TakeOrderedAndProject (no global sort)") {
+    val plan = planOf("w5_topk_orders")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("aggregations run partial (map-side) before the shuffle") {
+    val plan = planOf("a3_group_count")
+    // HashAggregate appears twice: partial + final
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("core agg pipeline sits inside whole-stage codegen") {
+    // AQE finalizes (and codegens) stages only at execution time
+    val df = SparkEntry.queries("a5_latency_stats")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")), plan)
+  }
+}
