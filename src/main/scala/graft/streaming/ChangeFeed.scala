@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-based change-feed source — the production shape of S5: the
+  * capture side (PeerDB's WAL decoder in the reference,
+  * docker-compose.yml:143–153) lands change batches as JSON-lines
+  * files in a feed directory; the engine tails the directory with a
+  * file `readStream`.
+  *
+  * Backpressure maps to the reference's batch pacing
+  * (insert.ps1:11–13, 327–329): `maxFilesPerTrigger` bounds each
+  * micro-batch (batch-size analogue) and the processing-time trigger
+  * is the inter-batch delay analogue — both surfaced on
+  * [[CdcPipeline]] callers via [[stream]] options.
+  */
+object ChangeFeed {
+
+  /** The on-feed JSON schema of one change event. */
+  val schema: StructType = StructType(Seq(
+    StructField("lsn", LongType),
+    StructField("commitTs", TimestampType),
+    StructField("op", StringType),
+    StructField("table", StringType),
+    StructField("key", LongType),
+    StructField("after", StringType)))
+
+  /** Open the feed directory as a streaming DataFrame of ChangeEvents.
+    *
+    * @param maxFilesPerTrigger micro-batch size bound (backpressure;
+    *                           0 = unbounded)
+    */
+  def stream(spark: SparkSession, feedDir: String, maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val tuned = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    tuned.json(feedDir)
+  }
+
+  /** Batch view of a feed directory (replay / backfill). */
+  def readAll(spark: SparkSession, feedDir: String): DataFrame =
+    spark.read.schema(schema).json(feedDir)
+
+  /** Land a batch of change events on the feed (the capture side;
+    * test/demo helper — a real deployment's decoder writes here). */
+  def publish(events: DataFrame, feedDir: String): Unit =
+    events.select(schema.fieldNames.map(col).toSeq: _*)
+      .write.mode("append").json(feedDir)
+}
