@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for 100 TB-scale joins.
+  *
+  * AQE's skew-join splitting (on by default) handles most cases at
+  * runtime; explicit salting is for the pathological ones AQE can't
+  * fix — a single hot key whose matching build-side row must be
+  * replicated (e.g. the null-key / default-tenant / "unknown" row that
+  * holds half a fact table).
+  */
+object Skew {
+
+  /** Salted equi-join of a skewed `facts` table against a (small-ish)
+    * `dim` table on `key`.
+    *
+    * Mechanics: each fact row gets a random salt in [0, saltFactor);
+    * the dim side is exploded ×saltFactor so every (key, salt) bucket
+    * finds its match. The hot key's rows spread over `saltFactor`
+    * shuffle partitions instead of one. Result is row-identical to
+    * `facts.join(dim, key)` — only the physical distribution changes.
+    */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String, saltFactor: Int): DataFrame = {
+    require(saltFactor > 0)
+    val salted = facts.withColumn("_salt",
+      (rand() * saltFactor).cast("int"))
+    val explodedDim = dim.withColumn("_salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted
+      .join(explodedDim, Seq(key, "_salt"))
+      .drop("_salt")
+  }
+
+  /** Top-N heavy-hitter keys with their frequency share — the
+    * diagnostic that decides whether salting is warranted. */
+  def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val total = df.count()
+    df.groupBy(key).agg(count(lit(1)).as("n"))
+      .withColumn("share_pct", round(lit(100.0) * col("n") / total, 2))
+      .orderBy(col("n").desc)
+      .limit(topN)
+  }
+}
