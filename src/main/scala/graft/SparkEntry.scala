@@ -26,7 +26,8 @@ object SparkEntry {
       operators.DedupQueries.queries ++
       operators.SimilarityQueries.queries ++
       operators.Multimodal.queries ++
-      operators.WindowQueries.queries
+      operators.WindowQueries.queries ++
+      operators.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       operators.DedupQueries.oracles ++
       operators.SimilarityQueries.oracles ++
       operators.Multimodal.oracles ++
-      operators.WindowQueries.oracles
+      operators.WindowQueries.oracles ++
+      operators.AnalyticsQueries.oracles
 }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Classic analytics shapes rounding out the SQL surface: HAVING,
+  * scalar subqueries, UNION DISTINCT, PIVOT, the full TPC-H-Q1-style
+  * multi-aggregate, grouped top-k. All decimal/integer-exact where
+  * aggregation order could otherwise leak in. */
+object AnalyticsQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // HAVING: post-aggregation filter
+    "x1_having" -> { (s, d) =>
+      Tables.load(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+        .filter(col("n") >= 70)
+        .orderBy("c_nationkey")
+    },
+
+    // scalar subquery in a predicate: orders above the global mean
+    "x2_scalar_subquery" -> { (s, d) =>
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_totalprice > (
+                 SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                 FROM orders) * 1.5
+               ORDER BY o_orderkey""")
+    },
+
+    // UNION DISTINCT (set union, not bag)
+    "x3_union_distinct" -> { (s, d) =>
+      val o = Tables.load(s, d, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        .union(o.filter(col("o_totalprice") > 400000).select("o_custkey"))
+        .distinct()
+        .orderBy("o_custkey")
+    },
+
+    // PIVOT: order counts per priority × status
+    "x4_pivot" -> { (s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    },
+
+    // full TPC-H-Q1-style multi-aggregate with exact integer-cents
+    // arithmetic (charge = price*(1-disc)*(1+tax) in 1e-6 units)
+    "x5_pricing_summary" -> { (s, d) =>
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val disc = round(col("l_discount") * 100).cast("long")
+      val tax = round(col("l_tax") * 100).cast("long")
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          (sum((cents * (lit(100L) - disc)).cast("decimal(38,0)")) / 10000.0).as("sum_disc_price"),
+          (sum((cents * (lit(100L) - disc) * (lit(100L) + tax)).cast("decimal(38,0)")) / 1000000.0)
+            .as("sum_charge"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // grouped top-k with deterministic tie-break: 20 most frequent
+    // tokens over the corpus
+    "x6_top_tokens" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(explode(expr("filter(split(text, '\\\\s+'), x -> x != '')")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "x1_having" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer GROUP BY 1 HAVING COUNT(*) >= 70 ORDER BY c_nationkey""",
+    "x2_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (
+           SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           FROM orders) * 1.5
+         ORDER BY o_orderkey""",
+    "x3_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         UNION
+         SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+         ORDER BY o_custkey""",
+    "x4_pivot" ->
+      """SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    "x5_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0))) / 10000.0
+             AS sum_disc_price,
+           SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+               * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)) AS DECIMAL(38,0))) / 1000000.0
+             AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "x6_top_tokens" ->
+      """SELECT token, COUNT(*) AS n FROM (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+           FROM documents)
+         GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20"""
+  )
+}
