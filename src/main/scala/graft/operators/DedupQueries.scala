@@ -152,7 +152,9 @@ object DedupQueries {
       // this corpus's tiny shared vocabulary makes 16-bit signatures
       // collide broadly — keep pair semantics but bound the report to
       // the closest 1000 pairs (deterministic order)
-      sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      // explicit broadcast: localCheckpoint hides size stats and the
+      // planner would otherwise fall back to a partitioned cartesian
+      sims.as("a").join(broadcast(sims.as("b")), col("a.doc_id") < col("b.doc_id"))
         .select(
           col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))

@@ -65,6 +65,28 @@ class EventWindowsSpec extends AnyFunSuite {
     assert(firstWindow == 6.0, s"late event leaked into closed window: $firstWindow")
   }
 
+  test("session windows run in streaming mode with watermark") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(
+      Ev(t(0), "u1", 1.0), Ev(t(10), "u1", 1.0),  // one session
+      Ev(t(60), "u1", 1.0),                        // gap 50m → new session
+      Ev(t(0), "u2", 1.0))
+    val sess = stream.toDF()
+      .withColumn("user_id", $"event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val q = sess.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_out")
+      .groupBy("user_id").count().orderBy("user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("u1", 2L), ("u2", 1L)))
+  }
+
   test("sessions merge within gap and split beyond it") {
     import spark.implicits._
     val evs = Seq(
