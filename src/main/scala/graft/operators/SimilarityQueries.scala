@@ -126,6 +126,36 @@ object SimilarityQueries {
       pairs
         .select(col("da"), col("db"), round(col("cos_raw"), 4).as("cosine"))
         .orderBy("da", "db")
+    },
+
+    // IVF ANN: coarse quantizer cells + in-cell search. Centroids are
+    // the first 8 vectors (deterministic stand-in for an offline
+    // k-means); every vector is assigned to its nearest centroid by
+    // exact integer L2; queries probe ONLY their own cell. At 100 TB
+    // the cell assignment is the partition key — a probe touches one
+    // partition, not the corpus.
+    "s4_ivf_ann" -> { (s, d) =>
+      val v = vecs(s, d)
+      val cents = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("dist2", expr(
+          "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, p) -> a + p)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("qv"), col("norm"), col("cid").as("cell"))
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("qv").as("va"), col("norm").as("qn"), col("cell"))
+      val t = assigned.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("vid"), col("qv").as("vb"), col("norm").as("vn"), col("cell"))
+      t.join(broadcast(q), Seq("cell"))
+        .withColumn("cos_raw", expr(dotExpr) / (col("qn") * col("vn")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vid").asc)))
+        .filter(col("rank") === 1)
+        .select(col("qid"), col("cell"), col("vid"), round(col("cos_raw"), 4).as("cosine"))
+        .orderBy("qid")
     }
   )
 
@@ -192,6 +222,35 @@ object SimilarityQueries {
           SELECT da, db, ROUND(cos_raw, 4) AS cosine FROM (
             SELECT da, db, dot / (na.norm * nb.norm) AS cos_raw
             FROM dots JOIN n na ON da = na.vec_id JOIN n nb ON db = nb.vec_id)
-          WHERE cos_raw >= 0.45 ORDER BY da, db"""
+          WHERE cos_raw >= 0.45 ORDER BY da, db""",
+    "s4_ivf_ann" ->
+      s"""WITH $compsSql,
+          dist AS (
+            SELECT v.vec_id, cent.vec_id AS cid,
+              SUM((v.q - cent.q) * (v.q - cent.q)) AS dist2
+            FROM c v JOIN c cent ON v.idx = cent.idx AND cent.vec_id < 8
+            GROUP BY 1, 2),
+          assigned AS (
+            SELECT vec_id, cid AS cell FROM (
+              SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+              FROM dist)
+            WHERE rn = 1),
+          dots AS (
+            SELECT qa.vec_id AS qid, va.vec_id AS vid, qa.cell,
+              SUM(qc.q * vc.q) AS dot
+            FROM assigned qa
+            JOIN assigned va ON qa.cell = va.cell AND qa.vec_id < 5 AND va.vec_id >= 5
+            JOIN c qc ON qc.vec_id = qa.vec_id
+            JOIN c vc ON vc.vec_id = va.vec_id AND vc.idx = qc.idx
+            GROUP BY 1, 2, 3),
+          cos AS (
+            SELECT qid, vid, cell, dot / (qn.norm * vn.norm) AS cos_raw
+            FROM dots JOIN n qn ON qid = qn.vec_id JOIN n vn ON vid = vn.vec_id)
+          SELECT qid, cell, vid, ROUND(cos_raw, 4) AS cosine FROM (
+            SELECT qid, vid, cell, cos_raw,
+              row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vid ASC) AS rank
+            FROM cos)
+          WHERE rank = 1 ORDER BY qid"""
   )
 }
