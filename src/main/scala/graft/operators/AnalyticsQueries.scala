@@ -72,6 +72,43 @@ object AnalyticsQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // CUBE: all grouping-set combinations (A6's rollup, completed)
+    "x7_cube" -> { (s, d) =>
+      Tables.load(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+               FROM lineitem
+               GROUP BY CUBE(l_returnflag, l_linestatus)
+               ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    },
+
+    // stddev/corr via exact integer moments: the aggregation itself is
+    // order-independent (integer/decimal sums); the floating formula
+    // runs once on exact inputs → deterministic at any parallelism
+    "x8_corr_stats" -> { (s, d) =>
+      val qc = round(col("l_quantity") * 100).cast("long")
+      val pc = round(col("l_extendedprice") * 100).cast("long")
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(qc).as("sq"),
+          sum(pc).as("sp"),
+          sum((qc * qc).cast("decimal(38,0)")).as("sqq"),
+          sum((pc * pc).cast("decimal(38,0)")).as("spp"),
+          sum((qc * pc).cast("decimal(38,0)")).as("sqp"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round(col("sq").cast("double") / col("n") / 100.0, 6).as("mean_qty"),
+          round(sqrt((col("sqq").cast("double") * col("n") - col("sq").cast("double") * col("sq").cast("double"))
+            / (col("n").cast("double") * (col("n") - 1))) / 100.0, 6).as("stddev_qty"),
+          round(((col("sqp").cast("double") * col("n") - col("sq").cast("double") * col("sp").cast("double"))
+            / sqrt((col("sqq").cast("double") * col("n") - col("sq").cast("double") * col("sq").cast("double"))
+              * (col("spp").cast("double") * col("n") - col("sp").cast("double") * col("sp").cast("double")))), 6)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
     // grouped top-k with deterministic tie-break: 20 most frequent
     // tokens over the corpus
     "x6_top_tokens" -> { (s, d) =>
@@ -121,6 +158,33 @@ object AnalyticsQueries {
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "x7_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "x8_corr_stats" ->
+      """WITH m AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sq,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sp,
+             SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                 * CAST(ROUND(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))) AS sqq,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS spp,
+             SUM(CAST(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS sqp
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           ROUND(CAST(sq AS DOUBLE) / n / 100.0, 6) AS mean_qty,
+           ROUND(sqrt((CAST(sqq AS DOUBLE) * n - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (n - 1))) / 100.0, 6) AS stddev_qty,
+           ROUND((CAST(sqp AS DOUBLE) * n - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             / sqrt((CAST(sqq AS DOUBLE) * n - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+               * (CAST(spp AS DOUBLE) * n - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6)
+             AS corr_qty_price
+         FROM m ORDER BY l_returnflag""",
     "x6_top_tokens" ->
       """SELECT token, COUNT(*) AS n FROM (
            SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
