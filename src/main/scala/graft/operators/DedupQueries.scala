@@ -102,7 +102,10 @@ object DedupQueries {
     // n-gram Jaccard near-dup: direct threshold on 3-token shingle
     // sets (the corpus plants 25 near-dup pairs ≥ 0.8)
     "d2_jaccard_pairs" -> { (s, d) =>
-      val sh = shingleSets(s, d)
+      // the shingle set feeds the self-join AND both size lookups —
+      // materialize once (stats hidden → joins below are shuffle
+      // joins on explicit keys, no broadcast decision to lose)
+      val sh = shingleSets(s, d).localCheckpoint(true)
       val inter = sh.as("x").join(sh.as("y"),
           col("x.shash") === col("y.shash") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
@@ -113,7 +116,8 @@ object DedupQueries {
     // MinHash + LSH banding: K=8 signature, 4 bands × 2 rows;
     // candidates = band-bucket collisions; verified at 0.8
     "d3_minhash_lsh" -> { (s, d) =>
-      val sh = shingleSets(s, d)
+      // computed once, consumed by minhash + verification + sizes
+      val sh = shingleSets(s, d).localCheckpoint(true)
       val idx = s.range(8).select(col("id").as("i"))
       val minhash = sh.crossJoin(idx)
         .withColumn("hv",
