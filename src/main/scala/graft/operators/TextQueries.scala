@@ -77,6 +77,37 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // bigram frequency profile: top-25 token bigrams corpus-wide
+    // (LEAD over the positioned token stream — content scanned once)
+    "t5_bigram_freq" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("idx")
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), posexplode(expr(toks)).as(Seq("idx", "token")))
+        .withColumn("next", lead("token", 1).over(w))
+        .filter(col("next").isNotNull)
+        .select(concat_ws(" ", col("token"), col("next")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(25)
+    },
+
+    // character-class composition per document (quality signal:
+    // alpha/digit/space/punct ratios)
+    "t6_charclass" -> { (s, d) =>
+      val len = length(col("text"))
+      def ratio(pattern: String) =
+        round(length(regexp_replace(col("text"), pattern, "")) / len.cast("double"), 4)
+      Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"),
+          len.as("n_chars"),
+          ratio("[^a-zA-Z]").as("alpha_ratio"),
+          ratio("[^0-9]").as("digit_ratio"),
+          ratio("[^ ]").as("space_ratio"))
+        .orderBy("doc_id")
+    },
+
     // document fingerprinting: char-fold rolling hash of the full
     // text, mod 1e9+7 (cross-engine exact)
     "t4_fingerprint" -> { (s, d) =>
@@ -129,6 +160,28 @@ object TextQueries {
                 WHEN s_es >= s_de THEN 'es'
                 ELSE 'de' END AS lang_guess
          FROM s ORDER BY doc_id""",
+    "t5_bigram_freq" ->
+      """WITH tokens AS (
+           SELECT doc_id, generate_subscripts(ts, 1) AS idx, unnest(ts) AS token
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+                 FROM documents)),
+         bi AS (
+           SELECT token || ' ' || next AS bigram FROM (
+             SELECT token, LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS next
+             FROM tokens)
+           WHERE next IS NOT NULL)
+         SELECT bigram, COUNT(*) AS n FROM bi
+         GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 25""",
+    "t6_charclass" ->
+      """SELECT doc_id, LENGTH(text) AS n_chars,
+           ROUND(LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             * 1.0 / LENGTH(text), 4) AS alpha_ratio,
+           ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))
+             * 1.0 / LENGTH(text), 4) AS digit_ratio,
+           ROUND(LENGTH(regexp_replace(text, '[^ ]', '', 'g'))
+             * 1.0 / LENGTH(text), 4) AS space_ratio
+         FROM documents ORDER BY doc_id""",
     "t4_fingerprint" ->
       """SELECT doc_id,
            list_reduce(
