@@ -60,6 +60,51 @@ object Workload {
     dim.select(col("id").as(keyName))
       .withColumn(idxName, row_number().over(Window.orderBy(keyName)) - 1)
 
+  /** Seeded mixed I/U/D change stream — extends the reference's
+    * insert-only stress surface (insert.ps1) to full CDC churn.
+    * Insert keys are fresh (maxKey+1+i); update/delete keys are
+    * sampled from the existing key domain via the same broadcast
+    * indexed-dim pattern. `after` images are built by `afterJson`
+    * from (key, lsn); null for deletes.
+    *
+    * @param existingKeys one-column DF `id` of current keys
+    * @param mix          (pInsert, pDelete) — remainder is updates
+    */
+  def generateChanges(
+      existingKeys: DataFrame,
+      table: String,
+      n: Long,
+      startLsn: Long,
+      seed: Long,
+      afterJson: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      mix: (Double, Double) = (0.4, 0.2)): DataFrame = {
+    val (pI, pD) = mix
+    val keyIdx = existingKeys.select(col("id").cast("long").as("existing_key"))
+      .withColumn("key_idx", row_number().over(Window.orderBy("existing_key")) - 1)
+    val nKeys = keyIdx.count()
+    val maxKey = existingKeys.agg(max(col("id").cast("long"))).collect().head.getLong(0)
+    require(nKeys > 0, "change generation needs a non-empty key domain")
+
+    existingKeys.sparkSession.range(n)
+      .select(
+        (col("id") + startLsn).as("lsn"),
+        col("id").as("i"),
+        rand(seed).as("r"),
+        floor(rand(seed + 1) * nKeys).as("key_idx"))
+      .withColumn("op",
+        when(col("r") < pI, "I").when(col("r") < pI + pD, "D").otherwise("U"))
+      .join(broadcast(keyIdx), Seq("key_idx"))
+      .withColumn("key",
+        when(col("op") === "I", lit(maxKey) + 1 + col("i")).otherwise(col("existing_key")))
+      .select(
+        col("lsn"),
+        lit(new Timestamp(0)).as("commitTs"),
+        col("op"),
+        lit(table).as("table"),
+        col("key"),
+        when(col("op") =!= "D", afterJson(col("key"), col("lsn"))).as("after"))
+  }
+
   /** Result metrics of one stress run (insert.ps1:336–381's summary). */
   case class RunMetrics(
       totalRows: Long,

@@ -72,6 +72,8 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     * flow-snapshot-worker docker-compose.yml:133–141): bulk-write the
     * source image partitioned by key bucket. */
   def snapshot(spark: SparkSession, table: String, source: DataFrame, keyCol: String): Unit = {
+    require(!source.columns.contains("bucket"),
+      s"table '$table' has a 'bucket' column — it collides with the store's partition column")
     source
       .withColumn("bucket", bucketOf(col(keyCol)))
       .repartition(col("bucket"))
@@ -95,6 +97,8 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     * at-least-once foreachBatch (SURVEY.md §2.8 C5).
     */
   def merge(spark: SparkSession, table: String, changes: DataFrame, keyCol: String): Unit = {
+    require(!changes.columns.contains("bucket"),
+      s"table '$table' has a 'bucket' column — it collides with the store's partition column")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val keyed = changes.withColumn("bucket", bucketOf(col(keyCol)))
     val dataSchema = StructType(changes.schema.filterNot(_.name == "op"))
@@ -147,5 +151,33 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
         .repartition(col("bucket"))
         .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path(table))
     }
+  }
+
+  /** Per-bucket file statistics — drives compaction decisions and the
+    * monitoring table-stats report. */
+  def bucketStats(spark: SparkSession, table: String): Seq[(Int, Int, Long)] = {
+    val f = fs(spark)
+    bucketsOnDisk(spark, table).sorted.map { b =>
+      val files = f.listStatus(new Path(s"${path(table)}/bucket=$b"))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      (b, files.length, files.map(_.getLen).sum)
+    }
+  }
+
+  /** Compact every bucket to one file per bucket. Continuous CDC
+    * merging accretes small files (each dynamic overwrite writes at
+    * least one file per touched bucket); at scale a periodic compactor
+    * keeps scan task counts proportional to data volume, not merge
+    * history. Contents are untouched — only file layout changes. */
+  def compact(spark: SparkSession, table: String): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val schema = schemaOf(spark, table)
+    if (bucketsOnDisk(spark, table).isEmpty) return
+    val current = spark.read.schema(schema).parquet(path(table))
+      .localCheckpoint(true) // break lineage from the files being replaced
+    current
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path(table))
   }
 }

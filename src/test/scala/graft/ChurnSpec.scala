@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.Workload
+import graft.streaming.{CdcPipeline, KeyedParquetStore}
+
+/** Differential CDC churn test: a seeded mixed I/U/D stream applied
+  * through the distributed bucketed merge must land exactly the state
+  * an in-memory reference replay computes. Also exercises compaction
+  * after merge-accreted small files. */
+class ChurnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("mixed I/U/D churn: distributed merge == in-memory replay; compaction preserves state") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("churn_store").toString
+    val store = new KeyedParquetStore(root, nBuckets = 8)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+
+    val seedRows = (1L to 50L).map(k => (k, s"seed_$k"))
+    store.snapshot(spark, "t", seedRows.toDF("id", "v"), "id")
+
+    val changes = Workload.generateChanges(
+      existingKeys = (1L to 50L).toDF("id"),
+      table = "t", n = 400, startLsn = 1000, seed = 7,
+      afterJson = (key, lsn) => to_json(struct(
+        key.as("id"), concat(lit("v"), lsn).as("v"))))
+      .localCheckpoint(true)
+
+    // apply in 4 micro-batches through the distributed path
+    (0 until 4).foreach { b =>
+      val batch = changes.filter(col("lsn") >= 1000 + b * 100 && col("lsn") < 1100 + b * 100)
+      CdcPipeline.applyBatch(batch, store, Map("t" -> schema), Map("t" -> "id"))
+    }
+
+    // in-memory reference replay: fold the full change log in lsn order
+    val log = changes.orderBy("lsn")
+      .select("lsn", "op", "key", "after").collect()
+    val state = scala.collection.mutable.Map[Long, String](seedRows.map {
+      case (k, v) => k -> v }: _*)
+    log.foreach { r =>
+      val key = r.getLong(2)
+      r.getString(1) match {
+        case "D" => state.remove(key)
+        case _ =>
+          val v = "\"v\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(r.getString(3)).get.group(1)
+          state.put(key, v)
+      }
+    }
+
+    val got = store.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == state.toMap,
+      s"divergence: extra=${got.keySet -- state.keySet} missing=${state.keySet -- got.keySet}")
+
+    // merges accrete files; compaction collapses to 1/bucket, same data
+    val before = store.bucketStats(spark, "t").map(_._2).sum
+    store.compact(spark, "t")
+    val after = store.bucketStats(spark, "t").map(_._2).sum
+    assert(after <= before)
+    assert(store.bucketStats(spark, "t").forall(_._2 == 1),
+      s"expected 1 file/bucket, got ${store.bucketStats(spark, "t")}")
+    val afterState = store.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(afterState == state.toMap)
+  }
+}
