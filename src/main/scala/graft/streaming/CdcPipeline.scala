@@ -57,14 +57,18 @@ object CdcPipeline {
       schemas: Map[String, StructType],
       keyCols: Map[String, String],
       mirrorName: String,
-      checkpointDir: String): StreamingQuery =
-    changes.writeStream
+      checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+    val writer = changes.writeStream
       .queryName(mirrorName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyBatch(batch, store, schemas, keyCols)
       }
-      .start()
+    // trigger interval = the reference's inter-batch delay knob
+    // (insert.ps1:13,327–329 backpressure analogue)
+    trigger.fold(writer)(writer.trigger).start()
+  }
 
   /** Apply one micro-batch: multi-table fan-out (C6), last-per-key
     * dedup (C1/C3), idempotent merge. Also usable directly for batch
