@@ -20,14 +20,16 @@ object LogAnalytics {
   def readLog(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).withColumn("file", input_file_name())
 
-  /** File-listing DataFrame over a directory (S9/W2: glob + mtime
-    * sort, monitoring.ps1:61–69). */
+  /** File-listing DataFrame over a directory or glob (S9/W2: glob +
+    * mtime sort, monitoring.ps1:61–69). A plain directory path lists
+    * its children. */
   def listFiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val st = fs.globStatus(new org.apache.hadoop.fs.Path(dir))
     (if (st == null) Array.empty[org.apache.hadoop.fs.FileStatus] else st)
+      .flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath) else Array(s))
       .filter(_.isFile)
       .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
       .toSeq
@@ -68,10 +70,11 @@ object LogAnalytics {
         regexp_extract(col("value"), "%\\s+(\\d+\\.\\d+)", 1).cast("double").as("mem"),
         regexp_extract(col("value"), "(\\w)iB", 1).as("unit"))
       .withColumn("mem_mib",
-        when(col("unit") === "G", col("mem") * 1024)
+        when(col("unit") === "T", col("mem") * 1024 * 1024)
+          .when(col("unit") === "G", col("mem") * 1024)
           .when(col("unit") === "M", col("mem"))
           .when(col("unit") === "K", col("mem") / 1024)
-          .otherwise(col("mem") / (1024 * 1024)))
+          .otherwise(col("mem") / (1024 * 1024))) // bare B
       .drop("mem", "unit")
 
   /** Batch latency stats — insert.ps1:321–323/361–363. */

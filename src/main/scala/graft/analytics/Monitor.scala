@@ -28,8 +28,10 @@ object Monitor {
   }
 
   private def storeBytes(spark: SparkSession, store: KeyedParquetStore, table: String): Long = {
+    // resolve the filesystem from the store's root (it may not be the
+    // default FS — e.g. an object-store root)
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+      new java.net.URI(store.root), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"${store.root}/$table")
     if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
   }

@@ -17,9 +17,21 @@ import graft.streaming.{CdcPipeline, KeyedParquetStore}
   * Fully distributed: `spark.range(n)` drives generation; FK sampling
   * is a broadcast join against row_number-indexed dimension keys (the
   * PS script's in-memory array pick, insert.ps1:272–273, re-expressed
-  * without a collect); `rand(seed)` makes every run reproducible.
+  * without a collect). Randomness is row-value-keyed murmur3 — NOT
+  * `rand(seed)`, whose per-partition seeding changes results with the
+  * partition layout — so a seed reproduces identical rows at any
+  * parallelism, local or cluster.
   */
 object Workload {
+
+  /** Row-value-keyed uniform draw in [0, bound): murmur3 of
+    * (row id, stream, seed). Unlike `rand(seed)` — which seeds per
+    * PARTITION and therefore changes with the partition layout /
+    * parallelism — this depends only on row values, so the same seed
+    * reproduces the same rows on local[4], local[32], or a cluster. */
+  private def draw(id: org.apache.spark.sql.Column, stream: Int, seed: Long,
+      bound: Long): org.apache.spark.sql.Column =
+    pmod(hash(id, lit(stream), lit(seed)), lit(bound))
 
   /** Generate `n` order rows with ids `startId..startId+n-1`.
     *
@@ -44,10 +56,10 @@ object Workload {
     customers.sparkSession.range(n)
       .select(
         (col("id") + startId).as("id"),
-        floor(rand(seed) * nCust).as("customer_idx"),
-        floor(rand(seed + 1) * nProd).as("product_idx"),
-        (floor(rand(seed + 2) * 99) + 1).cast("int").as("quantity"),
-        date_sub(lit(asOf), floor(rand(seed + 3) * 30).cast("int")).as("order_date"))
+        draw(col("id"), 0, seed, nCust).as("customer_idx"),
+        draw(col("id"), 1, seed, nProd).as("product_idx"),
+        (draw(col("id"), 2, seed, 99) + 1).cast("int").as("quantity"),
+        date_sub(lit(asOf), draw(col("id"), 3, seed, 30).cast("int")).as("order_date"))
       .join(broadcast(custIdx), Seq("customer_idx"))
       .join(broadcast(prodIdx), Seq("product_idx"))
       .select("id", "order_date", "purchaser", "quantity", "product_id")
@@ -89,8 +101,8 @@ object Workload {
       .select(
         (col("id") + startLsn).as("lsn"),
         col("id").as("i"),
-        rand(seed).as("r"),
-        floor(rand(seed + 1) * nKeys).as("key_idx"))
+        (draw(col("id"), 10, seed, 10000) / 10000.0).as("r"),
+        draw(col("id"), 11, seed, nKeys).as("key_idx"))
       .withColumn("op",
         when(col("r") < pI, "I").when(col("r") < pI + pD, "D").otherwise("U"))
       .join(broadcast(keyIdx), Seq("key_idx"))

@@ -14,10 +14,13 @@ import graft.sources.Tables
   * Cross-engine determinism: vector components are quantized to
   * integer millionths (`round(v * 1e6)` — float32 inputs are exact in
   * double, so the quantization is identical in Spark and DuckDB), and
-  * dot products / norms are computed in exact BIGINT arithmetic
-  * (64 · (1e6·500)² ≈ 2^61 max — fits). Cosine is then one double
-  * division — deterministic regardless of aggregation order, at any
-  * parallelism.
+  * dot products / norms are computed in exact BIGINT arithmetic.
+  * Overflow bound: 64-term sums of q² stay inside int64 for
+  * components |v| < ~120 (64·(1.2e8)² ≈ 9.2e18); this corpus is
+  * unit-scale (|v| ≤ 1, sums ≤ 6.4e13). Larger-magnitude embeddings
+  * would need DECIMAL(38,0) accumulators like x5's. Cosine is one
+  * double division — deterministic regardless of aggregation order,
+  * at any parallelism.
   *
   * Scale notes: the brute-force variant is an explode + equi-join on
   * the component index — at 100 TB you never run it globally; the LSH

@@ -47,8 +47,10 @@ object WindowQueries {
     "sw3_session_30m" ->
       """WITH ordered AS (
            SELECT user_id, ts,
+             -- >= : Spark session windows are [t, t+gap), so an event
+             -- at exactly t+gap starts a NEW session
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                    > INTERVAL '30 minutes'
+                    >= INTERVAL '30 minutes'
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
            FROM events),

@@ -128,6 +128,11 @@ object CdcPipeline {
           .when(abs(col("lag")) <= 5, "NEAR_SYNC")
           .otherwise("LAG"))
       .withColumn("efficiency_pct",
-        round(lit(100.0) * col("tgt_rows") / col("src_rows"), 1))
+        // src=0 guard: 0/0 is NaN under double division — an empty,
+        // converged table is 100% replicated, a target with orphan
+        // rows against an empty source is 0%
+        when(col("src_rows") === 0 && col("tgt_rows") === 0, 100.0)
+          .when(col("src_rows") === 0, 0.0)
+          .otherwise(round(lit(100.0) * col("tgt_rows") / col("src_rows"), 1)))
   }
 }

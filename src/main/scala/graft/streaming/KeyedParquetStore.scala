@@ -74,6 +74,10 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
   def snapshot(spark: SparkSession, table: String, source: DataFrame, keyCol: String): Unit = {
     require(!source.columns.contains("bucket"),
       s"table '$table' has a 'bucket' column — it collides with the store's partition column")
+    // full overwrite: a prior merge() leaves partitionOverwriteMode=
+    // dynamic session-wide, under which this write would only replace
+    // buckets present in `source` and leave stale buckets on disk
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     source
       .withColumn("bucket", bucketOf(col(keyCol)))
       .repartition(col("bucket"))

@@ -22,6 +22,10 @@ class StreamMetrics extends StreamingQueryListener {
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
     buf.synchronized {
+      // bound driver-side memory on long-running mirrors: keep the
+      // most recent window of progress rows
+      if (buf.length >= StreamMetrics.maxEntries)
+        buf.remove(0, buf.length - StreamMetrics.maxEntries + 1)
       val p = e.progress
       buf += Progress(
         Option(p.name).getOrElse(""),
@@ -56,6 +60,9 @@ class StreamMetrics extends StreamingQueryListener {
 }
 
 object StreamMetrics {
+
+  /** Retained progress rows per collector (ring-buffer bound). */
+  val maxEntries: Int = 10000
 
   case class Progress(
       queryName: String,

@@ -130,6 +130,22 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(store.read(spark, "t").count() == 0)
   }
 
+  test("re-snapshot after a merge fully replaces the table (no stale buckets)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cdc_resnap").toString
+    val store = new KeyedParquetStore(root, nBuckets = 8)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    store.snapshot(spark, "t", (1L to 100L).map(k => (k, s"a$k")).toDF("id", "v"), "id")
+    // a merge leaves partitionOverwriteMode=dynamic session-wide...
+    CdcPipeline.applyBatch(
+      Seq(ChangeEvent(1, ts(1), "U", "t", 1, """{"id":1,"v":"u"}""")).toDF(),
+      store, Map("t" -> schema), Map("t" -> "id"))
+    // ...then a resync snapshot with FEWER keys must not leave old rows
+    store.snapshot(spark, "t", Seq((999L, "only")).toDF("id", "v"), "id")
+    val state = store.read(spark, "t").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(state == Seq((999L, "only")), s"stale rows survived resync: ${state.take(5)}")
+  }
+
   test("bucketed layout prunes: merge touches only affected buckets") {
     import spark.implicits._
     val root = Files.createTempDirectory("cdc_store3").toString

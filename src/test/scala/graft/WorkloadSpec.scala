@@ -88,14 +88,16 @@ class WorkloadSpec extends AnyFunSuite {
       "catalog 12.50% 512.00MiB / 3.726GiB",
       "flow-worker 3.25% 1.50GiB / 3.726GiB",
       "minio 0.10% 256.00KiB / 3.726GiB",
+      "bigdb 1.00% 1.50TiB / 4.00TiB",
       "not a stats line").toDF("value")
     val res = LogAnalytics.parseResources(lines).orderBy("container").collect()
-    assert(res.length == 3)
+    assert(res.length == 4)
     val byName = res.map(r => r.getString(0) -> r.getAs[Double]("mem_mib")).toMap
     assert(byName("catalog") == 512.0)
     assert(byName("flow-worker") == 1536.0)
     assert(byName("minio") == 0.25)
+    assert(byName("bigdb") == 1.5 * 1024 * 1024)
     val roll = LogAnalytics.resourceRollup(LogAnalytics.parseResources(lines))
-    assert(roll.count() == 3)
+    assert(roll.count() == 4)
   }
 }
