@@ -27,7 +27,8 @@ object SparkEntry {
       operators.SimilarityQueries.queries ++
       operators.Multimodal.queries ++
       operators.WindowQueries.queries ++
-      operators.AnalyticsQueries.queries
+      operators.AnalyticsQueries.queries ++
+      operators.AsOfJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       operators.SimilarityQueries.oracles ++
       operators.Multimodal.oracles ++
       operators.WindowQueries.oracles ++
-      operators.AnalyticsQueries.oracles
+      operators.AnalyticsQueries.oracles ++
+      operators.AsOfJoin.oracles
 }
