@@ -45,9 +45,7 @@ object Monitor {
       sources: Map[String, DataFrame]): DataFrame =
     graft.streaming.CdcPipeline.lagReport(spark, store, sources)
       .withColumn("efficiency_band",
-        when(col("efficiency_pct") >= 95, "near real-time")
-          .when(col("efficiency_pct") >= 80, "acceptable")
-          .otherwise("significant lag"))
+        graft.model.Thresholds.efficiencyBand(col("efficiency_pct")))
 
   /** §"SYNC STATUS" rollup (monitoring.ps1:614–637): totals across
     * tables + overall efficiency. */
@@ -60,9 +58,7 @@ object Monitor {
       .withColumn("overall_efficiency_pct",
         round(lit(100.0) * col("total_tgt") / col("total_src"), 1))
       .withColumn("health",
-        when(lit(100.0) * col("n_synced") / col("n_tables") >= 80, "green")
-          .when(lit(100.0) * col("n_synced") / col("n_tables") >= 50, "yellow")
-          .otherwise("red"))
+        graft.model.Thresholds.healthBand(lit(100.0) * col("n_synced") / col("n_tables")))
 
   /** §"ACTIVE STREAMS" (≈ container/connection health,
     * monitoring.ps1:704–831): live StreamingQuery states. */

@@ -123,10 +123,7 @@ object CdcPipeline {
     }
     rows.toDF("table_name", "src_rows", "tgt_rows")
       .withColumn("lag", col("src_rows") - col("tgt_rows"))
-      .withColumn("sync_status",
-        when(col("lag") === 0, "SYNCED")
-          .when(abs(col("lag")) <= 5, "NEAR_SYNC")
-          .otherwise("LAG"))
+      .withColumn("sync_status", graft.model.Thresholds.syncStatus(col("lag")))
       .withColumn("efficiency_pct",
         // src=0 guard: 0/0 is NaN under double division — an empty,
         // converged table is 100% replicated, a target with orphan
