@@ -28,7 +28,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.WindowQueries.queries ++
       operators.AnalyticsQueries.queries ++
-      operators.AsOfJoin.queries
+      operators.AsOfJoin.queries ++
+      operators.RangeJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.WindowQueries.oracles ++
       operators.AnalyticsQueries.oracles ++
-      operators.AsOfJoin.oracles
+      operators.AsOfJoin.oracles ++
+      operators.RangeJoin.oracles
 }
