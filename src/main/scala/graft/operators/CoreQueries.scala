@@ -145,16 +145,21 @@ object CoreQueries {
     // ── A7+F6: ratio-of-aggregates % + threshold classification
     //    (replication-efficiency bands, monitoring.ps1:621,626–637)
     "a7_ratio_pct" -> { (s, d) =>
+      // pct via exact integer half-up rounding to 1 decimal, then one
+      // IEEE double division — bit-identical on any engine version
+      // (double-vs-decimal ROUND semantics differ across DuckDB releases)
       Tables.load(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           count(lit(1)).as("n"),
           sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"))
-        .withColumn("pct", round(lit(100.0) * col("n_disc") / col("n"), 1))
+        .withColumn("pct10", expr("(2000 * n_disc + n) div (2 * n)"))
+        .withColumn("pct", col("pct10").cast("double") / 10)
         .withColumn("band",
-          when(col("pct") >= 95, "near real-time")
-            .when(col("pct") >= 80, "acceptable")
+          when(col("pct10") >= 950, "near real-time")
+            .when(col("pct10") >= 800, "acceptable")
             .otherwise("significant lag"))
+        .drop("pct10")
         .orderBy("l_returnflag")
     },
 
@@ -336,16 +341,19 @@ object CoreQueries {
 
     // ── F6: health-band classification (monitoring.ps1:807–808)
     "f6_health_bands" -> { (s, d) =>
+      // same exact-integer pct pattern as a7_ratio_pct
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
           sum(when(col("value") > 100, 1L).otherwise(0L)).as("n_high"))
-        .withColumn("pct_high", round(lit(100.0) * col("n_high") / col("n"), 1))
+        .withColumn("pct10", expr("(2000 * n_high + n) div (2 * n)"))
+        .withColumn("pct_high", col("pct10").cast("double") / 10)
         .withColumn("health",
-          when(col("pct_high") >= 80, "green")
-            .when(col("pct_high") >= 50, "yellow")
+          when(col("pct10") >= 800, "green")
+            .when(col("pct10") >= 500, "yellow")
             .otherwise("red"))
+        .drop("pct10")
         .orderBy("event_type")
     },
 
@@ -443,13 +451,18 @@ object CoreQueries {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY ROLLUP(n_name) ORDER BY n_name NULLS FIRST""",
     "a7_ratio_pct" ->
-      """SELECT l_returnflag, COUNT(*) AS n,
-         SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_disc,
-         ROUND(100.0 * SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / COUNT(*), 1) AS pct,
-         CASE WHEN ROUND(100.0 * SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / COUNT(*), 1) >= 95 THEN 'near real-time'
-              WHEN ROUND(100.0 * SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / COUNT(*), 1) >= 80 THEN 'acceptable'
-              ELSE 'significant lag' END AS band
-         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+      """WITH agg AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc
+           FROM lineitem GROUP BY 1),
+         p AS (
+           SELECT *, CAST((2000 * n_disc + n) // (2 * n) AS BIGINT) AS pct10 FROM agg)
+         SELECT l_returnflag, n, n_disc,
+           CAST(pct10 AS DOUBLE) / 10 AS pct,
+           CASE WHEN pct10 >= 950 THEN 'near real-time'
+                WHEN pct10 >= 800 THEN 'acceptable'
+                ELSE 'significant lag' END AS band
+         FROM p ORDER BY l_returnflag""",
     "a8_throughput" ->
       """SELECT COUNT(*) AS n_events,
          MAX(epoch_ns(ts) // 1000000000) - MIN(epoch_ns(ts) // 1000000000) AS duration_s,
@@ -534,13 +547,18 @@ object CoreQueries {
               WHEN p_retailprice >= 1000 THEN 'mid' ELSE 'low' END AS price_band
          FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""",
     "f6_health_bands" ->
-      """SELECT event_type, COUNT(*) AS n,
-         SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high,
-         ROUND(100.0 * SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) / COUNT(*), 1) AS pct_high,
-         CASE WHEN ROUND(100.0 * SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) / COUNT(*), 1) >= 80 THEN 'green'
-              WHEN ROUND(100.0 * SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) / COUNT(*), 1) >= 50 THEN 'yellow'
-              ELSE 'red' END AS health
-         FROM events GROUP BY 1 ORDER BY event_type""",
+      """WITH agg AS (
+           SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+           FROM events GROUP BY 1),
+         p AS (
+           SELECT *, CAST((2000 * n_high + n) // (2 * n) AS BIGINT) AS pct10 FROM agg)
+         SELECT event_type, n, n_high,
+           CAST(pct10 AS DOUBLE) / 10 AS pct_high,
+           CASE WHEN pct10 >= 800 THEN 'green'
+                WHEN pct10 >= 500 THEN 'yellow'
+                ELSE 'red' END AS health
+         FROM p ORDER BY event_type""",
     "f2_format_bytes" -> {
       def fmt(c: String): String =
         s"""CASE WHEN $c < 1024 THEN CAST($c AS VARCHAR) || ' B'

@@ -128,7 +128,7 @@ object Multimodal {
     "m2_media_stats" ->
       """SELECT 'image/fake' || CAST(doc_id % 3 AS VARCHAR) AS mime,
            COUNT(*) AS n_media,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MAX(octet_length(encode(text))) AS max_bytes
          FROM documents GROUP BY 1 ORDER BY mime"""
   )

@@ -197,7 +197,7 @@ object SimilarityQueries {
             FROM c JOIN planes ON c.idx = planes.pd GROUP BY 1, 2),
           buckets AS (
             SELECT vec_id,
-              SUM(CASE WHEN proj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS bucket
+              CAST(SUM(CASE WHEN proj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
             FROM proj GROUP BY 1),
           pairs AS (
             SELECT a.vec_id AS qid, b.vec_id AS vid, a.bucket

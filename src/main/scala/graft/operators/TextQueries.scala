@@ -126,8 +126,8 @@ object TextQueries {
            len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
            len(list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS n_distinct,
            length(text) AS n_chars_text,
-           list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
-             t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_subwords
+           CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+             t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
          FROM documents ORDER BY doc_id""",
     "t2_quality_score" ->
       """WITH t AS (

@@ -24,6 +24,14 @@ def norm(df):
     return df
 
 
+def kind(dtype):
+    # driver hashes value REPRESENTATIONS: int64 123 vs float64 123.0
+    # mismatch even when numerically equal (DuckDB SUM(BIGINT)→HUGEINT
+    # →pandas float64). Compare dtype kinds strictly.
+    k = dtype.kind
+    return {"i": "i", "u": "i", "f": "f", "b": "b"}.get(k, "o")
+
+
 def cmp_cell(a, b):
     if a is None and b is None:
         return True
@@ -66,6 +74,13 @@ def main(out_dir, sf_dir):
             continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+            n_fail += 1
+            continue
+        kbad = [(c, str(exp[c].dtype), str(got[c].dtype)) for c in exp.columns
+                if kind(exp[c].dtype) != kind(got[c].dtype)]
+        if kbad:
+            c, ek, gk = kbad[0]
+            print(f"FAIL {name}: dtype-kind mismatch col={c} oracle={ek} spark={gk}")
             n_fail += 1
             continue
         bad = None
