@@ -1,0 +1,225 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-dedup and vector-similarity
+  * hot paths (SURVEY.md §7.4 preference order: native Expression over
+  * UDF). Spark's higher-order array functions (`aggregate`,
+  * `transform`, `zip_with`) evaluate their lambda bodies interpreted —
+  * fine once per row, ~30× too slow when the lambda runs per token or
+  * per candidate pair. These expressions keep the math in compiled JVM
+  * loops and inline into whole-stage codegen via `doGenCode`.
+  *
+  * All hashes are the polynomial char-fold mod 1e9+7 that the DuckDB
+  * oracle mirrors with `list_reduce` — bit-identical across engines,
+  * order-independent of partitioning.
+  */
+object HashOps {
+
+  val M: Long = 1000000007L
+  private val P: Long = 1000003L
+
+  /** acc = 7; acc = (acc*31 + codepoint) % M over the string's Unicode
+    * code points — identical to `aggregate(split(s,''), 7, ...ascii)`
+    * in Spark and `list_reduce(... ord ...)` in DuckDB. Empty input
+    * follows Spark's `split('','') = ['']` convention (one fold step
+    * with codepoint 0) so the compiled hash is a drop-in for the
+    * interpreted spelling. */
+  def charFold(s: UTF8String): Long = {
+    val str = s.toString
+    if (str.isEmpty) return 7L * 31 % M
+    var acc = 7L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % M
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  def charFoldArray(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = charFold(arr.getUTF8String(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Composed n-token shingle hashes over a token-hash array:
+    * out(i) = fold of h(i..i+n-1) with acc = (acc*1000003 + h) % M —
+    * the in-row spelling of the LEAD-window composition (no per-doc
+    * sort, no shuffle). Stays < 2^63: acc < M, so acc*P + h < 1e15. */
+  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val m = math.max(0, len - n + 1)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = arr.getLong(i)
+      var j = 1
+      while (j < n) { acc = (acc * P + arr.getLong(i + j)) % M; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Space-joined n-grams of a token array (bigram profile etc.). */
+  def tokenNgrams(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val m = math.max(0, len - n + 1)
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        parts(2 * j) = arr.getUTF8String(i + j)
+        if (j < n - 1) parts(2 * j + 1) = sep
+        j += 1
+      }
+      out(i) = UTF8String.concat(parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact int64 dot product of two equal-length BIGINT arrays.
+    * Associative integer adds — result independent of evaluation
+    * order; overflow bound documented at the call sites. */
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  /** 16-bit SimHash of a token-hash array: bit b is set iff
+    * Σ_tokens (bit(h,b)·2 − 1) > 0. Summing ±1 per occurrence equals
+    * the grouped Σ_distinct w·(bit·2−1) formulation exactly (the
+    * relational spelling the oracle uses) — no 16× explode, no
+    * shuffle; one compiled pass per document. */
+  def simhash16(arr: ArrayData): Long = {
+    val counts = new Array[Long](16)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 16) { counts(b) += ((h >> b) & 1L) * 2 - 1; b += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 16) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+}
+
+/** `char_fold(s STRING) -> BIGINT` — document fingerprint hash. */
+case class CharFold(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_fold"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.charFold(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.charFold($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharFold =
+    copy(child = newChild)
+}
+
+/** `char_fold_array(a ARRAY<STRING>) -> ARRAY<BIGINT>` — per-token hash. */
+case class CharFoldArray(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_fold_array"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.charFoldArray(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.charFoldArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharFoldArray =
+    copy(child = newChild)
+}
+
+/** `shingle_hashes(h ARRAY<BIGINT>, n) -> ARRAY<BIGINT>`. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.shingleHashes(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `token_ngrams(t ARRAY<STRING>, n) -> ARRAY<STRING>` (space-joined). */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_ngrams"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.tokenNgrams(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.tokenNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
+    copy(child = newChild)
+}
+
+/** `simhash16(h ARRAY<BIGINT>) -> BIGINT` — 16-bit SimHash signature. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.simhash16(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.simhash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+/** `dot_long(a ARRAY<BIGINT>, b ARRAY<BIGINT>) -> BIGINT`. */
+case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${HashExprs.H}.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object HashExprs {
+
+  /** Generated-Java reference to the HashOps singleton. */
+  private[functions] val H: String =
+    HashOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  def char_fold(c: Column): Column = Bridge.column(CharFold(Bridge.expression(c)))
+  def char_fold_array(c: Column): Column = Bridge.column(CharFoldArray(Bridge.expression(c)))
+  def shingle_hashes(c: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(c), n))
+  def token_ngrams(c: Column, n: Int): Column =
+    Bridge.column(TokenNgrams(Bridge.expression(c), n))
+  def simhash16(c: Column): Column = Bridge.column(SimHash16(Bridge.expression(c)))
+  def dot_long(a: Column, b: Column): Column =
+    Bridge.column(DotLong(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Register SQL names in this session (integer literal second args). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("char_fold", es => CharFold(es.head), "built-in")
+    reg.createOrReplaceTempFunction("char_fold_array", es => CharFoldArray(es.head), "built-in")
+    reg.createOrReplaceTempFunction("dot_long", es => DotLong(es(0), es(1)), "built-in")
+  }
+}

@@ -1,28 +1,33 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashExprs.{char_fold_array, shingle_hashes, simhash16}
 import graft.sources.Tables
 
 /** Deduplication operators for a training-data pipeline: exact,
   * shingle-Jaccard, MinHash+LSH banding, SimHash. Everything is
-  * relational (explode → hash → group/join) — no O(n²) loops, no
-  * UDFs — so the same plan scales by partitioning on the join keys.
+  * relational (hash in-row → explode → group/join) — no O(n²) loops,
+  * no UDFs — so the same plan scales by partitioning on the join keys.
   *
-  * Hashing design (cost matters at 100 TB): the interpreted char-fold
-  * hash runs ONCE per distinct vocabulary token (a broadcast-sized
-  * table); shingle identities are then composed from token hashes
-  * with pure integer arithmetic inside codegen (LEAD window) — content
-  * bytes are touched exactly once, not once per shingle.
+  * Hashing design (cost matters at 100 TB): token hashing, shingle
+  * composition, and SimHash signatures are compiled Catalyst
+  * expressions ([[graft.functions.HashOps]]) evaluated IN-ROW over the
+  * token array — content bytes never leave their input partition, and
+  * the first shuffle in every dedup plan is already on compact
+  * (doc_id, hash) pairs. Round 1 hashed only the distinct vocabulary
+  * and re-joined a positioned token stream through a LEAD window; that
+  * spelling shuffles and sorts the entire token stream twice, which is
+  * exactly the cost that dominates at scale.
   *
   * Scale notes:
-  *  - candidate generation is LSH-band (d3) or signature (d4)
+  *  - candidate generation is LSH-band (d3) or signature-band (d4)
   *    bucketing — the quadratic check only runs on bucket-colocated
   *    candidates;
-  *  - the direct-threshold query (d2) joins on the shingle hash; at
-  *    100 TB you'd add the standard stop-shingle frequency cut;
+  *  - the direct-threshold query (d2) joins on the shingle hash, with
+  *    the standard stop-shingle frequency cut ([[jaccardPairs]])
+  *    bounding the per-key fan-out of the self-join;
   *  - all hashes are mod 1e9+7 integer folds — deterministic and
   *    identical in the DuckDB oracle.
   */
@@ -30,39 +35,21 @@ object DedupQueries {
 
   private val toks = "filter(split(text, '\\\\s+'), x -> x != '')"
 
-  /** Polynomial char-fold hash mod 1e9+7 of a string column. */
-  private def charFold(c: String): Column =
-    expr(s"aggregate(split($c, ''), 7L, (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007)")
+  /** Shingles appearing in more rows than this are dropped before the
+    * d2 self-join (boilerplate carries no dedup signal but quadratic
+    * join cost). Inert on the test corpus — near-dup detection there
+    * rides on shingles far below this frequency; the guard exists so a
+    * planted hot key cannot explode the join (see `DedupGuardSpec`). */
+  val StopShingleMaxDf: Long = 1000L
 
-  /** (token, h) for the distinct vocabulary — the only place content
-    * strings are hashed; vocabulary-sized → broadcast. */
-  private def tokenHashes(s: SparkSession, d: String): DataFrame =
+  /** (doc_id, shash): distinct 3-token shingle hashes per document.
+    * Hashing + composition happen in-row (compiled expressions); the
+    * only shuffle is the distinct on (doc_id, shash). */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
-      .select(explode(expr(toks)).as("token")).distinct()
-      .withColumn("h", charFold("token"))
-
-  /** (doc_id, idx, h): positioned token-hash stream. */
-  private def tokenStream(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
-      .select(col("doc_id"), posexplode(expr(toks)).as(Seq("idx", "token")))
-      .join(broadcast(tokenHashes(s, d)), Seq("token"))
-      .select("doc_id", "idx", "h")
-
-  /** Composed 3-token shingle hash — integer arithmetic over LEADs,
-    * fully codegen'd. */
-  private val shashExpr =
-    "((h * 1000003 + h2) % 1000000007 * 1000003 + h3) % 1000000007"
-
-  /** (doc_id, shash): distinct shingle hashes per document. */
-  private def shingleSets(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("idx")
-    tokenStream(s, d)
-      .withColumn("h2", lead("h", 1).over(w))
-      .withColumn("h3", lead("h", 2).over(w))
-      .filter(col("h3").isNotNull)
-      .select(col("doc_id"), expr(shashExpr).as("shash"))
+      .select(col("doc_id"),
+        explode(shingle_hashes(char_fold_array(expr(toks)), 3)).as("shash"))
       .distinct()
-  }
 
   /** Jaccard from an intersection-count table (da, db, i): join set
     * sizes, threshold, round. */
@@ -88,6 +75,27 @@ object DedupQueries {
     jaccardFromInter(inter, sh, threshold)
   }
 
+  /** Direct-threshold Jaccard pairs over a (doc_id, shash) set, with
+    * the stop-shingle skew guard: shingles present in more than
+    * `maxDocFreq` documents are dropped before the self-join (their
+    * per-key join fan-out is df², and boilerplate shingles carry no
+    * dedup signal). Set sizes still come from the FULL shingle sets,
+    * so with the guard inert the output is exact; with it active,
+    * reported Jaccard is a lower bound — the standard trade. The hot
+    * set is tiny by construction → broadcast anti-join, no shuffle
+    * added. */
+  def jaccardPairs(sh: DataFrame, threshold: Double, maxDocFreq: Long): DataFrame = {
+    val hot = sh.groupBy("shash").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("shash")
+    val pruned = sh.join(broadcast(hot), Seq("shash"), "left_anti")
+    val inter = pruned.as("x").join(pruned.as("y"),
+        col("x.shash") === col("y.shash") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    jaccardFromInter(inter, sh, threshold)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: hash-groupBy on content; keeper = min(doc_id)
@@ -100,17 +108,14 @@ object DedupQueries {
     },
 
     // n-gram Jaccard near-dup: direct threshold on 3-token shingle
-    // sets (the corpus plants 25 near-dup pairs ≥ 0.8)
+    // sets (the corpus plants 25 near-dup pairs ≥ 0.8), stop-shingle
+    // guard bounding the self-join fan-out
     "d2_jaccard_pairs" -> { (s, d) =>
       // the shingle set feeds the self-join AND both size lookups —
       // materialize once (stats hidden → joins below are shuffle
       // joins on explicit keys, no broadcast decision to lose)
       val sh = shingleSets(s, d).localCheckpoint(true)
-      val inter = sh.as("x").join(sh.as("y"),
-          col("x.shash") === col("y.shash") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-        .agg(count(lit(1)).as("i"))
-      jaccardFromInter(inter, sh, 0.8)
+      jaccardPairs(sh, 0.8, StopShingleMaxDf)
     },
 
     // MinHash + LSH banding: K=8 signature, 4 bands × 2 rows;
@@ -137,32 +142,29 @@ object DedupQueries {
       jaccardOf(cand, sh, 0.8)
     },
 
-    // SimHash: 16-bit weighted-token signature; near-dups = pairs at
-    // Hamming distance ≤ 3. The pair check runs on the signature
-    // table (8 B/doc), never on content; scale path bands the
-    // signature into nibbles for equi-join candidates.
+    // SimHash: 16-bit weighted-token signature (computed in-row, one
+    // compiled pass per doc); near-dups = pairs at Hamming distance
+    // ≤ 3. Candidates come from pigeonhole banding: 4 bits differing
+    // touch ≤ 3 of the 4 nibbles, so every qualifying pair shares at
+    // least one (band, nibble) — an EQUI-join, never an all-pairs
+    // scan. At 100 TB the same shape widens to a 64-bit signature
+    // with 16-bit bands so in-band buckets stay selective.
     "d4_simhash_pairs" -> { (s, d) =>
-      val tok = tokenStream(s, d)
-        .groupBy("doc_id", "h").agg(count(lit(1)).as("w"))
-      val bits = s.range(16).select(col("id").as("b"))
-        .withColumn("p", expr("CAST(power(2, b) AS LONG)"))
-      val sims = tok.crossJoin(bits)
-        .withColumn("contrib",
-          col("w") * (expr("(h div p) % 2") * 2 - 1))
-        .groupBy("doc_id", "b", "p").agg(sum("contrib").as("s"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("s") > 0, col("p")).otherwise(0L)).as("simhash"))
-        .localCheckpoint(true) // one signature row per doc; computed once, self-joined below
-      // this corpus's tiny shared vocabulary makes 16-bit signatures
-      // collide broadly — keep pair semantics but bound the report to
-      // the closest 1000 pairs (deterministic order)
-      // explicit broadcast: localCheckpoint hides size stats and the
-      // planner would otherwise fall back to a partitioned cartesian
-      sims.as("a").join(broadcast(sims.as("b")), col("a.doc_id") < col("b.doc_id"))
+      val sims = Tables.load(s, d, "documents")
+        .select(col("doc_id"), simhash16(char_fold_array(expr(toks))).as("simhash"))
+        .localCheckpoint(true) // one 8-byte signature row per doc; banded + self-joined below
+      // bands via in-row explode — no join against a band table
+      val keyed = sims
+        .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("nib", expr("shiftright(simhash, CAST(band * 4 AS INT)) % 16"))
+      keyed.as("a").join(keyed.as("b"),
+          col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+            col("a.doc_id") < col("b.doc_id"))
         .select(
           col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
         .filter(col("hamming") <= 3)
+        .distinct() // a close pair can collide in several bands
         .orderBy("hamming", "da", "db")
         .limit(1000)
     }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashExprs.dot_long
 import graft.sources.Tables
 
 /** Similarity search over the embedding column (`Array[Float]`, 64-d):
@@ -30,22 +31,23 @@ import graft.sources.Tables
 object SimilarityQueries {
 
   /** (vec_id, qv, norm) — quantized component ARRAY + norm, one row
-    * per vector. All downstream dot products are `zip_with` +
-    * `aggregate` over the array — whole-stage-codegen'd per-row math
-    * with no explode and no 64× row blow-up through the shuffle.
-    * Integer adds are associative, so results equal the relational
-    * (exploded) formulation exactly. */
+    * per vector. All downstream dot products are the compiled
+    * [[graft.functions.DotLong]] expression — per-row array math with
+    * no explode and no 64× row blow-up through the shuffle (Spark's
+    * higher-order `aggregate`/`zip_with` evaluate their lambdas
+    * interpreted — far too slow per candidate pair). Integer adds are
+    * associative, so results equal the relational (exploded)
+    * formulation exactly. The quantization transform stays a built-in
+    * `transform` (runs once per vector, not per pair). */
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
           .as("qv"))
-      .withColumn("norm",
-        expr("sqrt(CAST(aggregate(qv, 0L, (a, x) -> a + x * x) AS DOUBLE))"))
+      .withColumn("norm", sqrt(dot_long(col("qv"), col("qv")).cast("double")))
 
   /** Exact integer dot product of two quantized arrays. */
-  private val dotExpr =
-    "aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  private def dotCol = dot_long(col("va"), col("vb"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -59,7 +61,7 @@ object SimilarityQueries {
       val t = v.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("vid"), col("qv").as("vb"), col("norm").as("vn"))
       t.join(broadcast(q))
-        .withColumn("cos_raw", expr(dotExpr) / (col("qn") * col("vn")))
+        .withColumn("cos_raw", dotCol / (col("qn") * col("vn")))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vid").asc)))
         .filter(col("rank") <= 5)
@@ -88,7 +90,7 @@ object SimilarityQueries {
       val b = v.select(col("vec_id").as("vid"), col("qv").as("vb"),
         col("norm").as("vn"), col("bucket"))
       a.join(b, Seq("bucket")).filter(col("qid") < col("vid"))
-        .withColumn("cos_raw", expr(dotExpr) / (col("qn") * col("vn")))
+        .withColumn("cos_raw", dotCol / (col("qn") * col("vn")))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vid").asc)))
         .filter(col("rank") === 1)
@@ -99,34 +101,19 @@ object SimilarityQueries {
 
     // embedding cosine near-dup pairs (threshold 0.45 (corpus max pair cosine is ~0.51 — no planted dups; threshold tuned to yield a bounded, non-empty result))
     "s3_cosine_neardup" -> { (s, d) =>
-      // Exact all-pairs scan as a broadcast kernel: the compact
-      // (id, quantized-array, norm) table is broadcast; each partition
-      // runs a JIT-compiled integer dot-product loop against it
-      // (Spark's higher-order array exprs are interpreted, not
-      // codegen'd — a hand-rolled while-loop is ~30× faster here).
-      // Integer math keeps results bit-identical to the relational
-      // oracle; rounding stays a Spark expression. At 100 TB the
-      // all-pairs pass is gated by s2's LSH buckets — this is the
-      // exactness baseline.
-      import s.implicits._
+      // Exact all-pairs as a broadcast nested-loop join: one side goes
+      // through Spark's own broadcast machinery (size-guarded, spills,
+      // shows in the plan — round 2 drove this with a driver-side
+      // collect(), which bypassed every guardrail), and the dot product
+      // per candidate pair is the compiled DotLong expression inside
+      // whole-stage codegen. At 100 TB the all-pairs pass is gated by
+      // s2's LSH buckets — this is the exactness baseline.
       val v = vecs(s, d)
-        .select(col("vec_id"), col("qv"), col("norm"))
-        .as[(Long, Array[Long], Double)]
-      val smallSide = v.collect() // broadcast side — same smallness bound as any broadcast join
-      val bc = s.sparkContext.broadcast(smallSide)
-      val pairs = v.mapPartitions { it =>
-        val others = bc.value
-        it.flatMap { case (da, va, na) =>
-          others.iterator.filter(_._1 > da).flatMap { case (db, vb, nb) =>
-            var acc = 0L
-            var i = 0
-            while (i < va.length) { acc += va(i) * vb(i); i += 1 }
-            val cos = acc / (na * nb)
-            if (cos >= 0.45) Iterator.single((da, db, cos)) else Iterator.empty
-          }
-        }
-      }.toDF("da", "db", "cos_raw")
-      pairs
+      val a = v.select(col("vec_id").as("da"), col("qv").as("va"), col("norm").as("na"))
+      val b = v.select(col("vec_id").as("db"), col("qv").as("vb"), col("norm").as("nb"))
+      a.join(broadcast(b), col("da") < col("db"))
+        .withColumn("cos_raw", dotCol / (col("na") * col("nb")))
+        .filter(col("cos_raw") >= 0.45)
         .select(col("da"), col("db"), round(col("cos_raw"), 4).as("cosine"))
         .orderBy("da", "db")
     },
@@ -142,8 +129,11 @@ object SimilarityQueries {
       val cents = v.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("qv").as("cv"))
       val assigned = v.crossJoin(broadcast(cents))
-        .withColumn("dist2", expr(
-          "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, p) -> a + p)"))
+        // |a−b|² = a·a − 2a·b + b·b, three compiled integer dots —
+        // exact, and avoids an interpreted zip_with per (vector, cell)
+        .withColumn("dist2",
+          dot_long(col("qv"), col("qv")) - lit(2L) * dot_long(col("qv"), col("cv"))
+            + dot_long(col("cv"), col("cv")))
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)))
         .filter(col("rn") === 1)
@@ -153,7 +143,7 @@ object SimilarityQueries {
       val t = assigned.filter(col("vec_id") >= 5)
         .select(col("vec_id").as("vid"), col("qv").as("vb"), col("norm").as("vn"), col("cell"))
       t.join(broadcast(q), Seq("cell"))
-        .withColumn("cos_raw", expr(dotExpr) / (col("qn") * col("vn")))
+        .withColumn("cos_raw", dotCol / (col("qn") * col("vn")))
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vid").asc)))
         .filter(col("rank") === 1)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashExprs.{char_fold, token_ngrams}
 import graft.sources.Tables
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -77,16 +78,14 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // bigram frequency profile: top-25 token bigrams corpus-wide
-    // (LEAD over the positioned token stream — content scanned once)
+    // bigram frequency profile: top-25 token bigrams corpus-wide.
+    // Bigrams are composed INSIDE the token array (compiled
+    // expression) and exploded once — no positioned explode, no
+    // per-doc LEAD window sort; the only shuffle is the count groupBy
+    // (map-side partials first).
     "t5_bigram_freq" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("doc_id").orderBy("idx")
       Tables.load(s, d, "documents")
-        .select(col("doc_id"), posexplode(expr(toks)).as(Seq("idx", "token")))
-        .withColumn("next", lead("token", 1).over(w))
-        .filter(col("next").isNotNull)
-        .select(concat_ws(" ", col("token"), col("next")).as("bigram"))
+        .select(explode(token_ngrams(expr(toks), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(25)
@@ -109,13 +108,12 @@ object TextQueries {
     },
 
     // document fingerprinting: char-fold rolling hash of the full
-    // text, mod 1e9+7 (cross-engine exact)
+    // text, mod 1e9+7 (cross-engine exact). Compiled Catalyst
+    // expression — the interpreted `aggregate(split(...))` spelling
+    // allocates a per-char array and lambda-evals per element.
     "t4_fingerprint" -> { (s, d) =>
       Tables.load(s, d, "documents")
-        .select(
-          col("doc_id"),
-          expr("aggregate(split(text, ''), 7L, " +
-            "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007)").as("fingerprint"))
+        .select(col("doc_id"), char_fold(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }
   )

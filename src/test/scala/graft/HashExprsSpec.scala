@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.HashExprs._
+import graft.functions.HashOps
+import graft.operators.DedupQueries
+
+/** The compiled hash/vector expressions must match their interpreted
+  * higher-order-function spellings bit-for-bit — those spellings are
+  * what the DuckDB oracle mirrors. */
+class HashExprsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over a lazy cat"),
+      (3L, "completely different text with no overlap at all"),
+      (4L, "x"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+  }
+
+  private val toks = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+  test("char_fold equals the interpreted aggregate/ascii fold") {
+    val got = docs.select(
+      char_fold(col("text")).as("fast"),
+      expr("aggregate(split(text, ''), 7L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
+        .as("slow")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("char_fold_array hashes each token like char_fold") {
+    val row = docs.filter(col("doc_id") === 1)
+      .select(char_fold_array(expr(toks)).as("hs"), expr(toks).as("ts"))
+      .head()
+    val hs = row.getSeq[Long](0)
+    val ts = row.getSeq[String](1)
+    assert(hs.length == ts.length)
+    assert(hs == ts.map(t =>
+      t.foldLeft(7L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)))
+  }
+
+  test("shingle_hashes composes like the LEAD-window expression") {
+    val hs = Seq(11L, 22L, 33L, 44L)
+    def compose(a: Long, b: Long, c: Long) =
+      ((a * 1000003 + b) % 1000000007 * 1000003 + c) % 1000000007
+    import spark.implicits._
+    val got = Seq(Tuple1(hs)).toDF("hs")
+      .select(shingle_hashes(col("hs"), 3)).head().getSeq[Long](0)
+    assert(got == Seq(compose(11, 22, 33), compose(22, 33, 44)))
+    // shorter than n → empty, not a crash
+    val short = Seq(Tuple1(Seq(1L, 2L))).toDF("hs")
+      .select(shingle_hashes(col("hs"), 3)).head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
+  test("token_ngrams joins adjacent tokens with single spaces") {
+    val got = docs.filter(col("doc_id") === 1)
+      .select(token_ngrams(expr(toks), 2)).head().getSeq[String](0)
+    assert(got.head == "the quick" && got.last == "lazy dog" && got.length == 8)
+    assert(docs.filter(col("doc_id") === 5)
+      .select(token_ngrams(expr(toks), 2)).head().getSeq[String](0).isEmpty)
+  }
+
+  test("dot_long matches the interpreted zip_with/aggregate dot") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, -2L, 3L), Seq(4L, 5L, -6L))).toDF("a", "b")
+    val r = df.select(
+      dot_long(col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("slow"))
+      .head()
+    assert(r.getLong(0) == r.getLong(1) && r.getLong(0) == (4 - 10 - 18))
+  }
+
+  test("simhash16 equals the relational weighted-bit formulation") {
+    val sig = docs.select(simhash16(char_fold_array(expr(toks))).as("s"))
+      .collect().map(_.getLong(0))
+    // relational mirror in plain Scala
+    val expected = docs.select(col("doc_id"), expr(toks).as("ts"))
+      .collect().map { r =>
+        val hs = r.getSeq[String](1).map(t =>
+          t.foldLeft(7L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L))
+        (0 until 16).map { b =>
+          val s = hs.groupBy(identity).map { case (h, occ) =>
+            occ.size.toLong * (((h >> b) & 1L) * 2 - 1)
+          }.sum
+          if (s > 0) 1L << b else 0L
+        }.sum
+      }
+    assert(sig.toSeq == expected.toSeq)
+  }
+
+  test("expressions participate in whole-stage codegen") {
+    // must read a real source: a local Seq collapses to LocalTableScan
+    // (ConvertToLocalRelation eager-evals projections). Keep
+    // higher-order functions OUT of this projection — a HOF like
+    // `filter(..., lambda)` is CodegenFallback and would break WSCG
+    // for the stage regardless of these expressions.
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(char_fold(col("text")).as("f"),
+        simhash16(char_fold_array(split(col("text"), "\\s+"))).as("s"))
+    df.collect()
+    // `*(n)` is the WholeStageCodegen region marker in plan toString
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [char_fold"), plan)
+  }
+
+  test("HashOps.charFold handles supplementary code points like ascii()") {
+    import spark.implicits._
+    val df = Seq("aé水😀z").toDF("text") // é, 水, 😀
+    val r = df.select(
+      char_fold(col("text")).as("fast"),
+      expr("aggregate(split(text, ''), 7L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
+        .as("slow")).head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+}
+
+/** The d2 stop-shingle guard: a planted boilerplate shingle must not
+  * explode the candidate join, and the guard must be inert when no
+  * shingle exceeds the frequency cut. */
+class DedupGuardSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** (doc_id, shash) set: `n` docs all share hot shingle 999; each doc
+    * has two private shingles. */
+  private def planted(n: Int) = {
+    import spark.implicits._
+    (1 to n).flatMap { d =>
+      Seq((d.toLong, 999L), (d.toLong, 10000L + d), (d.toLong, 20000L + d))
+    }.toDF("doc_id", "shash")
+  }
+
+  test("hot shingle alone yields no pairs once guarded") {
+    val sh = planted(200)
+    // ungated: every doc pair is a candidate through shingle 999 →
+    // 200*199/2 candidate pairs feed the jaccard stage
+    val gated = DedupQueries.jaccardPairs(sh, 0.1, maxDocFreq = 50)
+    assert(gated.count() == 0) // only-hot overlap carries no signal
+  }
+
+  test("guard is inert when no shingle exceeds the cut") {
+    import spark.implicits._
+    // two genuine near-dups sharing 2 of 3 shingles
+    val sh = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 4L)
+    ).toDF("doc_id", "shash")
+    val strict = DedupQueries.jaccardPairs(sh, 0.4, maxDocFreq = 1000).collect()
+    val loose = DedupQueries.jaccardPairs(sh, 0.4, maxDocFreq = 2).collect()
+    assert(strict.toSeq == loose.toSeq)
+    assert(strict.length == 1 && strict.head.getDouble(2) == 0.5)
+  }
+
+  test("guarded join prunes the hot key's fan-out in the plan input") {
+    val sh = planted(100)
+    // with the guard, the self-join input no longer contains shingle
+    // 999 — candidate volume is linear in docs, not quadratic
+    val pruned = sh
+      .join(org.apache.spark.sql.functions.broadcast(
+        sh.groupBy("shash").count().filter(col("count") > 50).select("shash")),
+        Seq("shash"), "left_anti")
+    assert(pruned.filter(col("shash") === 999).count() == 0)
+    assert(pruned.count() == 200)
+  }
+}

@@ -59,4 +59,24 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")), plan)
   }
+
+  test("d4 SimHash candidates come from a banded EQUI-join, not an all-pairs join") {
+    val df = SparkEntry.queries("d4_simhash_pairs")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // equi-join keys include the (band, nib) pair
+    assert(plan.contains("nib"), plan)
+  }
+
+  test("s3 near-dup pairs use Spark's broadcast machinery (no driver collect)") {
+    val df = SparkEntry.queries("s3_cosine_neardup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the all-pairs kernel is a size-guarded broadcast join; a
+    // mapPartitions over a driver-collected array would show as
+    // SerializeFromObject/MapPartitions instead
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("MapPartitions"), plan)
+  }
 }
