@@ -1,0 +1,212 @@
+package graft.operators
+
+/** Pure-JVM decoders (and test encoders) for codec-free media formats:
+  * BMP (uncompressed 24-bpp), binary PPM (P6), and WAV (PCM). These are
+  * header-parse + raw-sample formats — no native codec library needed —
+  * so the multimodal decode path is REAL for them: width/height/frames/
+  * brightness come from the actual bytes. Formats that genuinely need
+  * codecs (JPEG, H.264, …) still fall back to the documented stub in
+  * [[Multimodal.decodeOne]].
+  *
+  * Feature mapping for audio (documented contract): `width` carries the
+  * sample rate, `height` the channel count, `n_frames` the per-channel
+  * sample-frame count, `brightness` the mean absolute amplitude
+  * normalized to [0, 1].
+  *
+  * Everything here is per-row byte work with no Spark dependency — it
+  * runs inside `mapPartitions` batches and scales with the partition
+  * count, exactly like a JNI codec would.
+  */
+object MediaCodec {
+
+  final case class Decoded(
+      mime: String, width: Int, height: Int, nFrames: Int, brightness: Double)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** Sniff + parse. None = format not handled here (caller falls back). */
+  def decode(bytes: Array[Byte]): Option[Decoded] =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+      bytes(10) == 'V' && bytes(11) == 'E') decodeWav(bytes)
+    else None
+
+  /** Uncompressed 24-bpp BMP (BITMAPINFOHEADER). Brightness = mean pixel
+    * byte / 255 over the pixel array, EXCLUDING the per-row padding that
+    * pads strides to 4 bytes. */
+  private def decodeBmp(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 54) return None
+    val pixelOff = le32(b, 10)
+    val width = le32(b, 18)
+    val heightRaw = le32(b, 22)
+    val height = math.abs(heightRaw)
+    val bpp = le16(b, 28)
+    if (width <= 0 || height == 0 || bpp != 24 || pixelOff < 54) return None
+    val rowBytes = width * 3
+    val stride = (rowBytes + 3) / 4 * 4
+    if (pixelOff.toLong + stride.toLong * height > b.length) return None
+    var sum = 0L
+    var r = 0
+    while (r < height) {
+      val base = pixelOff + r * stride
+      var i = 0
+      while (i < rowBytes) { sum += b(base + i) & 0xff; i += 1 }
+      r += 1
+    }
+    val n = rowBytes.toLong * height
+    Some(Decoded("image/bmp", width, height, 1, sum.toDouble / n / 255.0))
+  }
+
+  /** Binary PPM: "P6" <ws> width <ws> height <ws> maxval <single ws>
+    * then width*height*3 raw bytes; '#' comments allowed in the header.
+    * Brightness = mean sample / maxval. */
+  private def decodePpm(b: Array[Byte]): Option[Decoded] = {
+    var pos = 2
+    def skipWs(): Unit = {
+      var in = true
+      while (in && pos < b.length) {
+        val c = b(pos)
+        if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+        else in = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWs()
+      var v = 0L
+      var any = false
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); any = true; pos += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (any) Some(v.toInt) else None
+    }
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxv <- readInt()
+      if w > 0 && h > 0 && maxv > 0 && maxv < 65536 && pos < b.length
+      _ = { pos += 1 } // the single whitespace after maxval
+      n = w.toLong * h * 3
+      if pos + n <= b.length && maxv < 256 // 2-byte samples not needed here
+    } yield {
+      var sum = 0L
+      var i = 0
+      val start = pos
+      while (i < n) { sum += b(start + i) & 0xff; i += 1 }
+      Decoded("image/x-portable-pixmap", w, h, 1, sum.toDouble / n / maxv)
+    }
+  }
+
+  /** RIFF/WAVE with PCM "fmt " + "data" chunks. 8-bit unsigned or
+    * 16-bit signed little-endian samples. */
+  private def decodeWav(b: Array[Byte]): Option[Decoded] = {
+    var pos = 12
+    var channels = 0
+    var sampleRate = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          val audioFormat = le16(b, pos + 8)
+          if (audioFormat != 1) return None // PCM only
+          channels = le16(b, pos + 10)
+          sampleRate = le32(b, pos + 12)
+          bits = le16(b, pos + 22)
+        case "data" =>
+          dataOff = pos + 8
+          dataLen = size
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || sampleRate <= 0 || dataOff < 0 || (bits != 8 && bits != 16))
+      return None
+    val bytesPerFrame = channels * bits / 8
+    if (bytesPerFrame == 0 || dataLen % bytesPerFrame != 0) return None
+    val nFrames = dataLen / bytesPerFrame
+    val nSamples = dataLen / (bits / 8)
+    var sum = 0.0
+    var i = 0
+    while (i < nSamples) {
+      sum += (if (bits == 8) math.abs((b(dataOff + i) & 0xff) - 128) / 128.0
+              else math.abs(le16(b, dataOff + i * 2).toShort.toInt) / 32768.0)
+      i += 1
+    }
+    val brightness = if (nSamples == 0) 0.0 else sum / nSamples
+    Some(Decoded("audio/wav", sampleRate, channels, nFrames, brightness))
+  }
+
+  // ---- encoders: deterministic payload builders for the synthetic
+  // corpus and the round-trip specs (ground truth by construction) ----
+
+  /** 24-bpp BMP filled with one byte value (all three channels). */
+  def encodeBmp(width: Int, height: Int, fill: Byte): Array[Byte] = {
+    val rowBytes = width * 3
+    val stride = (rowBytes + 3) / 4 * 4
+    val pixelBytes = stride * height
+    val out = new Array[Byte](54 + pixelBytes)
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putLe32(off: Int, v: Int): Unit = {
+      putLe16(off, v & 0xffff); putLe16(off + 2, (v >>> 16) & 0xffff)
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(2, out.length); putLe32(10, 54)
+    putLe32(14, 40); putLe32(18, width); putLe32(22, height)
+    putLe16(26, 1); putLe16(28, 24)
+    putLe32(34, pixelBytes)
+    var r = 0
+    while (r < height) {
+      var i = 0
+      while (i < rowBytes) { out(54 + r * stride + i) = fill; i += 1 }
+      r += 1
+    }
+    out
+  }
+
+  /** P6 PPM filled with one sample value, maxval 255. */
+  def encodePpm(width: Int, height: Int, fill: Byte): Array[Byte] = {
+    val header = s"P6\n$width $height\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + width * height * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    java.util.Arrays.fill(out, header.length, out.length, fill)
+    out
+  }
+
+  /** Mono/stereo 16-bit PCM WAV from explicit samples (interleaved). */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putLe32(off: Int, v: Int): Unit = {
+      putLe16(off, v & 0xffff); putLe16(off + 2, (v >>> 16) & 0xffff)
+    }
+    def putAscii(off: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    putAscii(0, "RIFF"); putLe32(4, 36 + dataLen); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 16); putLe16(20, 1); putLe16(22, channels)
+    putLe32(24, sampleRate); putLe32(28, sampleRate * channels * 2)
+    putLe16(32, channels * 2); putLe16(34, 16)
+    putAscii(36, "data"); putLe32(40, dataLen)
+    var i = 0
+    while (i < samples.length) { putLe16(44 + i * 2, samples(i) & 0xffff); i += 1 }
+    out
+  }
+}

@@ -11,10 +11,11 @@ import graft.sources.Tables
   * struct; decode / feature-extract runs as a batched partition-local
   * transform.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly marked deterministic STUB — the Spark-side plumbing
-  * (schema, batch shape, partition-local execution, feature schema) is
-  * real and tested, and swapping the stub for a JNI/codec call changes
+  * The decode kernel is REAL for codec-free formats — BMP, binary PPM,
+  * and PCM WAV are parsed byte-for-byte by [[MediaCodec]] (magic-byte
+  * sniffing, header parse, sample statistics). Formats that need a
+  * native codec (JPEG, H.264, …) fall back to a clearly marked
+  * deterministic STUB; swapping that stub for a JNI/codec call changes
   * nothing structural.
   *
   * Scale notes: decode is `mapPartitions` with an internal batch size —
@@ -79,19 +80,55 @@ object Multimodal {
       .toDF()
   }
 
-  /** STUB: deterministic fake decode of one payload. ??? in spirit —
-    * replace with a real codec; signature and output schema are the
-    * contract. */
-  private def decodeOne(id: Long, bytes: Array[Byte], mime: String, n: Long): MediaFeatures = {
-    val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
-    MediaFeatures(
-      doc_id = id,
-      mime = mime,
-      n_bytes = n,
-      width = (sum % 640).toInt + 1,
-      height = (sum % 480).toInt + 1,
-      n_frames = (n % 30).toInt + 1,
-      brightness = (sum % 256) / 255.0)
+  /** Decode one payload: REAL parse for BMP/PPM/WAV via [[MediaCodec]]
+    * (mime is re-derived from the actual bytes, not trusted metadata);
+    * anything else hits the deterministic STUB below — ??? in spirit —
+    * whose replacement with a real codec changes only this branch. */
+  private def decodeOne(id: Long, bytes: Array[Byte], mime: String, n: Long): MediaFeatures =
+    MediaCodec.decode(bytes) match {
+      case Some(d) =>
+        MediaFeatures(id, d.mime, n, d.width, d.height, d.nFrames, d.brightness)
+      case None => // STUB fallback: deterministic fake features
+        val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+        MediaFeatures(
+          doc_id = id,
+          mime = mime,
+          n_bytes = n,
+          width = (sum % 640).toInt + 1,
+          height = (sum % 480).toInt + 1,
+          n_frames = (n % 30).toInt + 1,
+          brightness = (sum % 256) / 255.0)
+    }
+
+  /** Synthetic REAL-media table: per document, a deterministic BMP, PPM,
+    * or WAV payload whose encoded dimensions/amplitude derive from
+    * doc_id — so decode output is exact ground truth by construction.
+    * Generation is partition-local (encoder runs where the row lives). */
+  def syntheticMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = (id % 3) match {
+            case 0 => MediaCodec.encodeBmp((id % 13).toInt + 1, (id % 7).toInt + 1,
+              (id % 251).toByte)
+            case 1 => MediaCodec.encodePpm((id % 11).toInt + 1, (id % 5).toInt + 1,
+              (id % 251).toByte)
+            case _ =>
+              val ns = (id % 50).toInt + 1
+              MediaCodec.encodeWavPcm16(8000, 1,
+                Array.tabulate[Short](ns)(i => ((id * 31 + i * 7) % 2048).toShort))
+          }
+          (id, bytes)
+        }
+      }
+      .toDF("doc_id", "content")
+      .select(col("doc_id"), col("content"),
+        struct(
+          lit("application/octet-stream").as("mime"), // sniffed at decode, not trusted
+          length(col("content")).cast("long").as("n_bytes"),
+          lit("synthetic").as("source")).as("meta"))
   }
 
   /** Oracle-checkable slice of the multimodal surface: byte length +
@@ -115,6 +152,16 @@ object Multimodal {
           sum(col("meta.n_bytes")).as("total_bytes"),
           max(col("meta.n_bytes")).as("max_bytes"))
         .orderBy("mime")
+    },
+    // real decode end-to-end: synthetic BMP/PPM/WAV payloads → sniff →
+    // header parse → features. Deterministic but not SQL-expressible
+    // (binary codecs), so no DuckDB oracle — exactness is spec-checked
+    // (MediaCodecSpec round-trips); the driver records rows>0.
+    "m3_decode_features" -> { (s, d) =>
+      extractFeatures(syntheticMedia(s, d))
+        .select(col("doc_id"), col("mime"), col("width"), col("height"),
+          col("n_frames"), round(col("brightness"), 4).as("brightness"))
+        .orderBy("doc_id")
     }
   )
 

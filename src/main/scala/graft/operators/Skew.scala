@@ -34,11 +34,18 @@ object Skew {
   }
 
   /** Top-N heavy-hitter keys with their frequency share — the
-    * diagnostic that decides whether salting is warranted. */
+    * diagnostic that decides whether salting is warranted.
+    *
+    * Single scan of the input: the grand total is a window sum over the
+    * already-aggregated per-key counts (cardinality = #distinct keys),
+    * not a second `count()` pass over the raw table. The unpartitioned
+    * window runs on that aggregate only; at extreme key cardinality
+    * you'd profile a sample, not the full keyspace. */
   def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
-    val total = df.count()
+    import org.apache.spark.sql.expressions.Window
     df.groupBy(key).agg(count(lit(1)).as("n"))
-      .withColumn("share_pct", round(lit(100.0) * col("n") / total, 2))
+      .withColumn("share_pct",
+        round(lit(100.0) * col("n") / sum("n").over(Window.partitionBy()), 2))
       .orderBy(col("n").desc)
       .limit(topN)
   }

@@ -40,4 +40,32 @@ object Tables {
     * matches the DuckDB oracle's table names 1:1. Idempotent. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** True JDBC read channel — S2 parity with the reference, whose every
+    * query travels a live Postgres connection
+    * (reference monitoring.ps1:218–231). Plain `spark.read.jdbc`, so
+    * Catalyst pushes filters and column pruning into the remote
+    * database (the JDBCRelation shows `PushedFilters` in the plan).
+    * Exercised against embedded Derby in `JdbcSourceSpec`; against a
+    * live Postgres only the URL changes. */
+  def jdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Partitioned JDBC read — the scale path: `numPartitions` concurrent
+    * range-bounded connections instead of one serial cursor. Bounds
+    * define the split points only; rows outside them are still read. */
+  def jdbcPartitioned(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound, numPartitions, props)
 }

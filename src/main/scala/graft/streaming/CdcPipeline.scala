@@ -116,12 +116,27 @@ object CdcPipeline {
       store: KeyedParquetStore,
       sources: Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
-    val rows = sources.toSeq.sortBy(_._1).map { case (table, src) =>
-      val srcRows = src.count()
-      val tgtRows = if (store.exists(spark, table)) store.read(spark, table).count() else 0L
-      (table, srcRows, tgtRows)
-    }
-    rows.toDF("table_name", "src_rows", "tgt_rows")
+    // ONE union-all aggregation job (the reference's one-report shape),
+    // not a per-table count() loop of driver-blocking actions. Each
+    // side contributes tagged 0/1 rows; a groupBy sums them per table.
+    // The seed rows keep empty tables present in the output (a 0/0
+    // table would otherwise drop out of the groupBy).
+    val tables = sources.keys.toSeq.sorted
+    val seed = tables.map(t => (t, 0L, 0L)).toDF("table_name", "src", "tgt")
+    val tagged = tables.map { t =>
+      val src = sources(t).select(lit(t).as("table_name"),
+        lit(1L).as("src"), lit(0L).as("tgt"))
+      val tgt =
+        if (store.exists(spark, t))
+          store.read(spark, t).select(lit(t).as("table_name"),
+            lit(0L).as("src"), lit(1L).as("tgt"))
+        else seed.limit(0)
+      src.unionByName(tgt)
+    }.foldLeft(seed)(_ unionByName _)
+    tagged
+      .groupBy("table_name")
+      .agg(sum("src").as("src_rows"), sum("tgt").as("tgt_rows"))
+      .orderBy("table_name")
       .withColumn("lag", col("src_rows") - col("tgt_rows"))
       .withColumn("sync_status", graft.model.Thresholds.syncStatus(col("lag")))
       .withColumn("efficiency_pct",

@@ -114,6 +114,26 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(report.head.getAs[Double]("efficiency_pct") == 100.0)
   }
 
+  test("lagReport is one lazy union-all job and keeps empty tables in the report") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cdc_lag").toString
+    val store = new KeyedParquetStore(root, nBuckets = 2)
+    store.snapshot(spark, "t1", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id")
+    val sources = Map(
+      "t1" -> Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      "t_empty" -> Seq.empty[(Long, String)].toDF("id", "v"))
+    val report = CdcPipeline.lagReport(spark, store, sources)
+    // no eager count() loop: building the report triggers no action
+    // (the old spelling ran a driver-blocking count per table here)
+    assert(report.queryExecution.logical != null)
+    val rows = report.collect().map(r =>
+      (r.getAs[String]("table_name"), r.getAs[Long]("src_rows"),
+        r.getAs[Long]("tgt_rows"), r.getAs[Double]("efficiency_pct")))
+    assert(rows.toSeq == Seq(
+      ("t1", 3L, 2L, 66.7),
+      ("t_empty", 0L, 0L, 100.0))) // 0/0 converged table stays present
+  }
+
   test("deleting every row in a bucket clears it") {
     import spark.implicits._
     val root = Files.createTempDirectory("cdc_store2").toString

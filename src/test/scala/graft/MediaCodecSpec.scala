@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MediaCodec, Multimodal}
+
+/** The multimodal decode path is REAL for codec-free formats: these
+  * round-trips assert that width/height/frames/brightness recovered by
+  * the decoder equal the values the payload was encoded with. */
+class MediaCodecSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("BMP round-trip recovers geometry and exact fill brightness") {
+    // width 5 → row stride padded 15→16; padding must NOT skew brightness
+    val bytes = MediaCodec.encodeBmp(5, 3, 100.toByte)
+    val d = MediaCodec.decode(bytes).get
+    assert(d.mime == "image/bmp")
+    assert(d.width == 5 && d.height == 3 && d.nFrames == 1)
+    assert(d.brightness == 100.0 / 255.0)
+  }
+
+  test("PPM round-trip recovers geometry and exact fill brightness") {
+    val bytes = MediaCodec.encodePpm(7, 2, 200.toByte)
+    val d = MediaCodec.decode(bytes).get
+    assert(d.mime == "image/x-portable-pixmap")
+    assert(d.width == 7 && d.height == 2 && d.nFrames == 1)
+    assert(d.brightness == 200.0 / 255.0)
+  }
+
+  test("PPM header comments are skipped") {
+    val raw = MediaCodec.encodePpm(3, 3, 10.toByte)
+    val withComment = ("P6\n# a comment\n3 3\n255\n").getBytes("US-ASCII") ++
+      raw.drop("P6\n3 3\n255\n".length)
+    val d = MediaCodec.decode(withComment).get
+    assert(d.width == 3 && d.height == 3)
+  }
+
+  test("WAV PCM-16 round-trip recovers rate/channels/frames and amplitude") {
+    val samples = Array[Short](0, 16384, -16384, 32767)
+    val bytes = MediaCodec.encodeWavPcm16(44100, 2, samples)
+    val d = MediaCodec.decode(bytes).get
+    assert(d.mime == "audio/wav")
+    assert(d.width == 44100 && d.height == 2 && d.nFrames == 2) // 4 samples / 2 ch
+    val expected = samples.map(s => math.abs(s.toInt) / 32768.0).sum / samples.length
+    assert(math.abs(d.brightness - expected) < 1e-12)
+  }
+
+  test("unknown magic bytes are rejected (caller falls back to stub)") {
+    assert(MediaCodec.decode("JFIF-like junk".getBytes).isEmpty)
+    assert(MediaCodec.decode(Array[Byte]()).isEmpty)
+    // truncated BMP header must not crash
+    assert(MediaCodec.decode(Array[Byte]('B', 'M', 1, 2, 3)).isEmpty)
+  }
+
+  test("corrupt declared sizes are rejected, not read out of bounds") {
+    val bmp = MediaCodec.encodeBmp(4, 4, 1.toByte)
+    val truncated = bmp.take(bmp.length - 8) // pixel data shorter than header claims
+    assert(MediaCodec.decode(truncated).isEmpty)
+    val wav = MediaCodec.encodeWavPcm16(8000, 1, Array[Short](1, 2, 3))
+    val cut = wav.take(wav.length - 2)
+    assert(MediaCodec.decode(cut).isEmpty)
+  }
+
+  test("extractFeatures decodes synthetic real media distributed") {
+    val sf = "/root/testdata/sf0.001"
+    val media = Multimodal.syntheticMedia(spark, sf)
+    val feats = Multimodal.extractFeatures(media, batchSize = 16)
+    val rows = feats.orderBy("doc_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val mime = r.getAs[String]("mime")
+      (id % 3) match {
+        case 0 =>
+          assert(mime == "image/bmp")
+          assert(r.getAs[Int]("width") == (id % 13).toInt + 1)
+          assert(r.getAs[Int]("height") == (id % 7).toInt + 1)
+          assert(r.getAs[Double]("brightness") == (id % 251) / 255.0)
+        case 1 =>
+          assert(mime == "image/x-portable-pixmap")
+          assert(r.getAs[Int]("width") == (id % 11).toInt + 1)
+          assert(r.getAs[Int]("height") == (id % 5).toInt + 1)
+        case _ =>
+          assert(mime == "audio/wav")
+          assert(r.getAs[Int]("width") == 8000 && r.getAs[Int]("height") == 1)
+          assert(r.getAs[Int]("n_frames") == (id % 50).toInt + 1)
+      }
+    }
+  }
+
+  test("m3_decode_features query is deterministic and ordered") {
+    val sf = "/root/testdata/sf0.001"
+    val a = Multimodal.queries("m3_decode_features")(spark, sf).collect()
+    val b = Multimodal.queries("m3_decode_features")(spark, sf).collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+    assert(a.map(_.getAs[Long]("doc_id")).toSeq == a.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+}
