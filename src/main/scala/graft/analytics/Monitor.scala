@@ -60,6 +60,44 @@ object Monitor {
       .withColumn("health",
         graft.model.Thresholds.healthBand(lit(100.0) * col("n_synced") / col("n_tables")))
 
+  /** §"STORAGE ANALYSIS" (monitoring.ps1:922,937 — `pg_database_size`
+    * / `pg_indexes_size`): per-table storage breakdown. A parquet
+    * store has no separate index segments; the pruning structures that
+    * play the index role are (a) the hash-bucket directory layout and
+    * (b) the parquet footers (column/offset indexes + row-group
+    * min/max zone maps), so the report surfaces data bytes vs footer
+    * ("index") bytes, plus the bucket/file layout that determines scan
+    * fan-out. Metadata-only FS walking — no data pages are read. */
+  def storageReport(
+      spark: SparkSession, store: KeyedParquetStore, tables: Seq[String]): DataFrame = {
+    import spark.implicits._
+    import graft.functions.FormatBytes.format_bytes
+    val rows = tables.sorted.map { t =>
+      if (store.exists(spark, t)) {
+        val stats = store.bucketStats(spark, t) // (bucket, nFiles, bytes)
+        val dataBytes = stats.map(_._3).sum
+        val meta = store.footerBytes(spark, t)
+        (t, stats.length, stats.map(_._2).sum, dataBytes - meta, meta)
+      } else (t, 0, 0, 0L, 0L)
+    }
+    rows.toDF("table_name", "n_buckets", "n_files", "data_bytes", "index_bytes")
+      .withColumn("total_bytes", col("data_bytes") + col("index_bytes"))
+      .withColumn("pretty_total", format_bytes(col("total_bytes")))
+      .withColumn("pretty_index", format_bytes(col("index_bytes")))
+  }
+
+  /** `pg_database_size` analogue: one-row grand total over the store. */
+  def databaseSize(
+      spark: SparkSession, store: KeyedParquetStore, tables: Seq[String]): DataFrame = {
+    import graft.functions.FormatBytes.format_bytes
+    storageReport(spark, store, tables)
+      .agg(
+        count(lit(1)).as("n_tables"),
+        sum("n_files").as("n_files"),
+        sum("total_bytes").as("total_bytes"))
+      .withColumn("pretty_size", format_bytes(col("total_bytes")))
+  }
+
   /** §"ACTIVE STREAMS" (≈ container/connection health,
     * monitoring.ps1:704–831): live StreamingQuery states. */
   def streamHealth(spark: SparkSession): DataFrame = {
@@ -78,6 +116,8 @@ object Monitor {
     val lag = lagReport(spark, store, sources)
     Map(
       "table_stats" -> tableStats(spark, store, sources.keys.toSeq),
+      "storage" -> storageReport(spark, store, sources.keys.toSeq),
+      "database_size" -> databaseSize(spark, store, sources.keys.toSeq),
       "lag" -> lag,
       "sync_summary" -> syncSummary(lag),
       "streams" -> streamHealth(spark))

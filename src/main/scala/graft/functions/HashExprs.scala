@@ -104,6 +104,55 @@ object HashOps {
     acc
   }
 
+  /** Winnowing (MOSS-style) fingerprint selection: the minimum of each
+    * sliding window of `w` consecutive shingle hashes. Output length is
+    * `max(0, n - w + 1)`; duplicate selections are kept (callers
+    * `distinct` after exploding). Monotonic-deque implementation — one
+    * O(n) compiled pass, vs an interpreted `array_min(slice(...))` per
+    * window. Identical to the relational window-frame MIN the oracle
+    * runs. */
+  def winnow(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    val m = math.max(0, n - w + 1)
+    val out = new Array[Long](m)
+    val deque = new Array[Int](n + 1) // indices, front=min
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = arr.getLong(deque(head))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Random-hyperplane LSH bucket of a quantized vector: bit j of the
+    * result is the sign of the projection onto pseudo-random plane j,
+    * with plane weights `((j*dims + d) * 2654435761) % 97 - 48` (Knuth
+    * multiplicative hash → small signed weight) — the compiled form of
+    * the nested aggregate/transform spelling, bit-identical for the
+    * oracle's 64-dim planes. */
+  def hyperplaneBucket(arr: ArrayData, nPlanes: Int): Long = {
+    val dims = arr.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < nPlanes) {
+      var acc = 0L
+      var d = 0
+      while (d < dims) {
+        acc += arr.getLong(d) * ((j * dims + d) * 2654435761L % 97 - 48)
+        d += 1
+      }
+      if (acc > 0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
+
   /** 16-bit SimHash of a token-hash array: bit b is set iff
     * Σ_tokens (bit(h,b)·2 − 1) > 0. Summing ±1 per occurrence equals
     * the grouped Σ_distinct w·(bit·2−1) formulation exactly (the
@@ -174,6 +223,30 @@ case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `winnow(h ARRAY<BIGINT>, w) -> ARRAY<BIGINT>` — sliding-window mins. */
+case class Winnow(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.winnow(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.winnow($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
+}
+
+/** `hyperplane_bucket(q ARRAY<BIGINT>, n) -> BIGINT` — LSH sign bucket. */
+case class HyperplaneBucket(child: Expression, nPlanes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.hyperplaneBucket(input.asInstanceOf[ArrayData], nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.hyperplaneBucket($c, $nPlanes)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
 /** `simhash16(h ARRAY<BIGINT>) -> BIGINT` — 16-bit SimHash signature. */
 case class SimHash16(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -212,6 +285,9 @@ object HashExprs {
   def token_ngrams(c: Column, n: Int): Column =
     Bridge.column(TokenNgrams(Bridge.expression(c), n))
   def simhash16(c: Column): Column = Bridge.column(SimHash16(Bridge.expression(c)))
+  def winnow(c: Column, w: Int): Column = Bridge.column(Winnow(Bridge.expression(c), w))
+  def hyperplane_bucket(c: Column, nPlanes: Int): Column =
+    Bridge.column(HyperplaneBucket(Bridge.expression(c), nPlanes))
   def dot_long(a: Column, b: Column): Column =
     Bridge.column(DotLong(Bridge.expression(a), Bridge.expression(b)))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.dot_long
+import graft.functions.HashExprs.{dot_long, hyperplane_bucket}
 import graft.sources.Tables
 
 /** Similarity search over the embedding column (`Array[Float]`, 64-d):
@@ -74,17 +74,12 @@ object SimilarityQueries {
     // Hyperplane j component at dim d: ((j*64+d)*2654435761) % 97 - 48
     // (Knuth multiplicative hash → small signed weight).
     "s2_lsh_ann" -> { (s, d) =>
-      // bucket = sign pattern of 6 hyperplane projections, computed as
-      // nested array math in ONE scan (no plane-table join, no
-      // per-plane shuffle); pairing shuffles only on the bucket key.
+      // bucket = sign pattern of 6 hyperplane projections — one
+      // compiled pass per vector (HyperplaneBucket), no plane-table
+      // join, no per-plane shuffle; pairing shuffles only on the
+      // bucket key.
       val v = vecs(s, d)
-        .withColumn("bucket", expr(
-          """aggregate(transform(sequence(0, 5), j ->
-               CASE WHEN aggregate(zip_with(qv, sequence(0, 63),
-                      (x, dd) -> x * ((j * 64 + dd) * 2654435761 % 97 - 48)),
-                    0L, (a, p) -> a + p) > 0
-                 THEN CAST(power(2, j) AS LONG) ELSE 0L END),
-             0L, (acc, b) -> acc + b)"""))
+        .withColumn("bucket", hyperplane_bucket(col("qv"), 6))
       val a = v.select(col("vec_id").as("qid"), col("qv").as("va"),
         col("norm").as("qn"), col("bucket"))
       val b = v.select(col("vec_id").as("vid"), col("qv").as("vb"),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{char_fold, token_ngrams}
+import graft.functions.HashExprs.{char_fold, char_fold_array, shingle_hashes, token_ngrams, winnow}
 import graft.sources.Tables
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -20,6 +20,12 @@ object TextQueries {
 
   /** tokens = non-empty whitespace splits (codegen'd array expr). */
   private val toks = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+  // redaction patterns — RE2/Java-compatible subset so Spark and the
+  // DuckDB oracle match byte-for-byte
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://\\S+"
+  val DigitsRe = "[0-9]{4,}"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -115,6 +121,41 @@ object TextQueries {
       Tables.load(s, d, "documents")
         .select(col("doc_id"), char_fold(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    },
+
+    // PII-style scrubbing (training-data cleaning): redact emails,
+    // URLs, and long digit runs; report per-doc redaction counts +
+    // the fingerprint of the scrubbed text. Counts run on the
+    // ORIGINAL text; replacements apply in a fixed order so the
+    // scrubbed fingerprint is engine-independent.
+    "t7_redact" -> { (s, d) =>
+      val scrubbed = regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), TextQueries.EmailRe, "<EMAIL>"),
+          TextQueries.UrlRe, "<URL>"),
+        TextQueries.DigitsRe, "<NUM>")
+      Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(TextQueries.EmailRe)).as("n_emails"),
+          regexp_count(col("text"), lit(TextQueries.UrlRe)).as("n_urls"),
+          regexp_count(col("text"), lit(TextQueries.DigitsRe)).as("n_numbers"),
+          char_fold(scrubbed).as("scrubbed_fp"))
+        .orderBy("doc_id")
+    },
+
+    // winnowing fingerprints (MOSS): per document, the distinct
+    // sliding-window minima over the 3-token shingle-hash stream
+    // (window w=4). The standard robust near-dup fingerprint — a
+    // shared run of >= w+2 tokens guarantees a shared fingerprint.
+    // One compiled deque pass per doc; only the distinct explode
+    // shuffles.
+    "t8_winnow_fp" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          explode(winnow(shingle_hashes(char_fold_array(expr(toks)), 3), 4)).as("fp"))
+        .distinct()
+        .orderBy("doc_id", "fp")
     }
   )
 
@@ -186,6 +227,56 @@ object TextQueries {
              list_prepend(CAST(7 AS BIGINT),
                list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
              (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "t7_redact" -> {
+      s"""WITH s AS (
+            SELECT doc_id, text,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '$EmailRe', '<EMAIL>', 'g'),
+                '$UrlRe', '<URL>', 'g'),
+                '$DigitsRe', '<NUM>', 'g') AS scrubbed
+            FROM documents)
+          SELECT doc_id,
+            len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+            len(regexp_extract_all(text, '$UrlRe')) AS n_urls,
+            len(regexp_extract_all(text, '$DigitsRe')) AS n_numbers,
+            list_reduce(
+              list_prepend(CAST(7 AS BIGINT),
+                list_transform(string_split(scrubbed, ''), c -> CAST(ord(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007) AS scrubbed_fp
+          FROM s ORDER BY doc_id"""
+    },
+    "t8_winnow_fp" ->
+      """WITH tokens AS (
+           SELECT doc_id, generate_subscripts(ts, 1) AS idx, unnest(ts) AS token
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+                 FROM documents)),
+         tok_hash AS (
+           SELECT token,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split(token, ''), c -> CAST(ord(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+           FROM (SELECT DISTINCT token FROM tokens)),
+         tstream AS (
+           SELECT doc_id, idx, h FROM tokens JOIN tok_hash USING (token)),
+         shp AS (
+           SELECT doc_id, idx,
+             ((h * 1000003 + h2) % 1000000007 * 1000003 + h3) % 1000000007 AS shash
+           FROM (SELECT doc_id, idx, h,
+                   LEAD(h, 1) OVER w AS h2, LEAD(h, 2) OVER w AS h3
+                 FROM tstream
+                 WINDOW w AS (PARTITION BY doc_id ORDER BY idx))
+           WHERE h3 IS NOT NULL),
+         wins AS (
+           SELECT doc_id,
+             MIN(shash) OVER fw AS fp,
+             COUNT(*) OVER fw AS wn
+           FROM shp
+           WINDOW fw AS (PARTITION BY doc_id ORDER BY idx
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+         SELECT DISTINCT doc_id, fp FROM wins WHERE wn = 4
+         ORDER BY doc_id, fp"""
   )
 }

@@ -168,6 +168,29 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     }
   }
 
+  /** Total parquet FOOTER metadata bytes across a table's files — the
+    * store's closest analogue to `pg_indexes_size`: parquet footers
+    * carry the column/offset indexes and row-group min/max zone maps
+    * that serve the same pruning role as btree pages. Footer length is
+    * the little-endian int32 in the 8-byte `len + "PAR1"` trailer. */
+  def footerBytes(spark: SparkSession, table: String): Long = {
+    val f = fs(spark)
+    bucketsOnDisk(spark, table).map { b =>
+      f.listStatus(new Path(s"${path(table)}/bucket=$b"))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map { s =>
+          val in = f.open(s.getPath)
+          try {
+            in.seek(s.getLen - 8)
+            val tail = new Array[Byte](4)
+            in.readFully(tail)
+            ((tail(0) & 0xffL) | ((tail(1) & 0xffL) << 8) |
+              ((tail(2) & 0xffL) << 16) | ((tail(3) & 0xffL) << 24)) + 8L
+          } finally in.close()
+        }.sum
+    }.sum
+  }
+
   /** Compact every bucket to one file per bucket. Continuous CDC
     * merging accretes small files (each dynamic overwrite writes at
     * least one file per touched bucket); at scale a periodic compactor

@@ -110,6 +110,37 @@ class HashExprsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [char_fold"), plan)
   }
 
+  test("winnow equals the interpreted sliding-window array_min") {
+    import spark.implicits._
+    val hs = Seq(9L, 3L, 7L, 7L, 1L, 8L, 2L)
+    val df = Seq(Tuple1(hs)).toDF("hs")
+    val fast = df.select(winnow(col("hs"), 4)).head().getSeq[Long](0)
+    val slow = df.select(expr(
+      "transform(sequence(0, size(hs) - 4), i -> array_min(slice(hs, i + 1, 4)))"))
+      .head().getSeq[Long](0)
+    assert(fast == slow && fast == Seq(3L, 1L, 1L, 1L))
+    // window longer than the array → empty
+    val short = Seq(Tuple1(Seq(5L, 6L))).toDF("hs")
+      .select(winnow(col("hs"), 4)).head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
+  test("hyperplane_bucket equals the interpreted nested-aggregate bucket") {
+    import spark.implicits._
+    val v = Seq.tabulate(64)(i => ((i * 37) % 201 - 100).toLong)
+    val df = Seq(Tuple1(v)).toDF("qv")
+    val r = df.select(
+      hyperplane_bucket(col("qv"), 6).as("fast"),
+      expr(
+        """aggregate(transform(sequence(0, 5), j ->
+             CASE WHEN aggregate(zip_with(qv, sequence(0, 63),
+                    (x, dd) -> x * ((j * 64 + dd) * 2654435761 % 97 - 48)),
+                  0L, (a, p) -> a + p) > 0
+               THEN CAST(power(2, j) AS LONG) ELSE 0L END),
+           0L, (acc, b) -> acc + b)""").as("slow")).head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
   test("HashOps.charFold handles supplementary code points like ascii()") {
     import spark.implicits._
     val df = Seq("aé水😀z").toDF("text") // é, 水, 😀

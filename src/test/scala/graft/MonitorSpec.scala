@@ -43,6 +43,32 @@ class MonitorSpec extends AnyFunSuite {
     assert(stats.forall(_.getAs[String]("pretty_size").nonEmpty))
 
     assert(reports("streams").columns.contains("mirror_name"))
+
+    // storage introspection (pg_database_size / pg_indexes_size analogue)
+    val storage = reports("storage").orderBy("table_name").collect()
+    assert(storage.map(_.getString(0)).toSeq == Seq("customers", "orders"))
+    storage.foreach { r =>
+      assert(r.getAs[Long]("index_bytes") > 0L) // parquet footers exist
+      assert(r.getAs[Long]("data_bytes") > 0L)
+      assert(r.getAs[Int]("n_files") >= r.getAs[Int]("n_buckets"))
+      assert(r.getAs[String]("pretty_total").nonEmpty)
+    }
+    // totals reconcile with the per-bucket stats the store reports
+    val declared = storage.map(r =>
+      r.getString(0) -> (r.getAs[Long]("data_bytes") + r.getAs[Long]("index_bytes"))).toMap
+    Seq("customers", "orders").foreach { t =>
+      assert(declared(t) == store.bucketStats(spark, t).map(_._3).sum)
+    }
+    val db = reports("database_size").collect().head
+    assert(db.getAs[Long]("n_tables") == 2L)
+    assert(db.getAs[Long]("total_bytes") == declared.values.sum)
+  }
+
+  test("storage report handles a missing table as zeros") {
+    val store = new KeyedParquetStore(
+      Files.createTempDirectory("mon_store_empty").toString, nBuckets = 2)
+    val r = Monitor.storageReport(spark, store, Seq("ghost")).collect().head
+    assert(r.getAs[Long]("total_bytes") == 0L && r.getAs[Int]("n_files") == 0)
   }
 
   test("latest-file selection picks newest mtime (monitoring.ps1:61–65)") {
