@@ -104,6 +104,28 @@ object HashOps {
     acc
   }
 
+  private def isJavaSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Whitespace tokenization: non-empty segments between runs of Java
+    * `\s` characters — exactly `filter(split(text, '\s+'), x -> x != '')`,
+    * but one compiled pass instead of a regex split plus an interpreted
+    * filter lambda (higher-order functions are CodegenFallback and
+    * break whole-stage codegen for the whole projection). */
+  def tokenize(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && isJavaSpace(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isJavaSpace(str.charAt(i))) i += 1
+      if (i > start) out += UTF8String.fromString(str.substring(start, i))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Winnowing (MOSS-style) fingerprint selection: the minimum of each
     * sliding window of `w` consecutive shingle hashes. Output length is
     * `max(0, n - w + 1)`; duplicate selections are kept (callers
@@ -223,6 +245,18 @@ case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `tokenize(s STRING) -> ARRAY<STRING>` — non-empty whitespace splits. */
+case class Tokenize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.tokenize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.tokenize($c)")
+  override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+}
+
 /** `winnow(h ARRAY<BIGINT>, w) -> ARRAY<BIGINT>` — sliding-window mins. */
 case class Winnow(child: Expression, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -279,6 +313,7 @@ object HashExprs {
     HashOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
 
   def char_fold(c: Column): Column = Bridge.column(CharFold(Bridge.expression(c)))
+  def tokenize(c: Column): Column = Bridge.column(Tokenize(Bridge.expression(c)))
   def char_fold_array(c: Column): Column = Bridge.column(CharFoldArray(Bridge.expression(c)))
   def shingle_hashes(c: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c), n))

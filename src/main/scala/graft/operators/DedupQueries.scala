@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{char_fold_array, shingle_hashes, simhash16}
+import graft.functions.HashExprs.{char_fold_array, shingle_hashes, simhash16, tokenize}
 import graft.sources.Tables
 
 /** Deduplication operators for a training-data pipeline: exact,
@@ -33,8 +33,6 @@ import graft.sources.Tables
   */
 object DedupQueries {
 
-  private val toks = "filter(split(text, '\\\\s+'), x -> x != '')"
-
   /** Shingles appearing in more rows than this are dropped before the
     * d2 self-join (boilerplate carries no dedup signal but quadratic
     * join cost). Inert on the test corpus — near-dup detection there
@@ -48,7 +46,7 @@ object DedupQueries {
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
       .select(col("doc_id"),
-        explode(shingle_hashes(char_fold_array(expr(toks)), 3)).as("shash"))
+        explode(shingle_hashes(char_fold_array(tokenize(col("text"))), 3)).as("shash"))
       .distinct()
 
   /** Jaccard from an intersection-count table (da, db, i): join set
@@ -123,8 +121,8 @@ object DedupQueries {
     "d3_minhash_lsh" -> { (s, d) =>
       // computed once, consumed by minhash + verification + sizes
       val sh = shingleSets(s, d).localCheckpoint(true)
-      val idx = s.range(8).select(col("id").as("i"))
-      val minhash = sh.crossJoin(idx)
+      val minhash = sh
+        .select(col("doc_id"), col("shash"), explode(expr("sequence(0, 7)")).as("i"))
         .withColumn("hv",
           ((lit(2L) * col("i") + 1) * col("shash") + col("i") * 12345L + 1) % 1000000007L)
         .groupBy("doc_id", "i").agg(min("hv").as("mh"))
@@ -151,7 +149,7 @@ object DedupQueries {
     // with 16-bit bands so in-band buckets stay selective.
     "d4_simhash_pairs" -> { (s, d) =>
       val sims = Tables.load(s, d, "documents")
-        .select(col("doc_id"), simhash16(char_fold_array(expr(toks))).as("simhash"))
+        .select(col("doc_id"), simhash16(char_fold_array(tokenize(col("text")))).as("simhash"))
         .localCheckpoint(true) // one 8-byte signature row per doc; banded + self-joined below
       // bands via in-row explode — no join against a band table
       val keyed = sims

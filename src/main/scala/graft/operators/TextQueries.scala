@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{char_fold, char_fold_array, shingle_hashes, token_ngrams, winnow}
+import graft.functions.HashExprs.{char_fold, char_fold_array, shingle_hashes, token_ngrams, tokenize, winnow}
 import graft.sources.Tables
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -18,8 +18,9 @@ import graft.sources.Tables
   */
 object TextQueries {
 
-  /** tokens = non-empty whitespace splits (codegen'd array expr). */
-  private val toks = "filter(split(text, '\\\\s+'), x -> x != '')"
+  // tokens = non-empty whitespace splits — the compiled Tokenize
+  // expression; the `filter(split(...))` spelling it replaces is a
+  // CodegenFallback HOF that broke whole-stage codegen per projection
 
   // redaction patterns — RE2/Java-compatible subset so Spark and the
   // DuckDB oracle match byte-for-byte
@@ -33,26 +34,25 @@ object TextQueries {
     // subword proxy (4-char chunks) per document
     "t1_token_count" -> { (s, d) =>
       Tables.load(s, d, "documents")
-        .withColumn("tokens", expr(toks))
+        .withColumn("tokens", tokenize(col("text")))
         .select(
           col("doc_id"),
           size(col("tokens")).as("n_tokens"),
           size(array_distinct(col("tokens"))).as("n_distinct"),
           length(col("text")).as("n_chars_text"),
-          expr("aggregate(filter(split(text, '\\\\s+'), x -> x != '')," +
-            " 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))").as("n_subwords"))
+          expr("aggregate(tokens, 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))")
+            .as("n_subwords"))
         .orderBy("doc_id")
     },
 
     // quality scoring: length/diversity/stopword ratios → one score
     "t2_quality_score" -> { (s, d) =>
       Tables.load(s, d, "documents")
-        .withColumn("tokens", expr(toks))
+        .withColumn("tokens", tokenize(col("text")))
         .withColumn("n_tokens", size(col("tokens")))
         .withColumn("n_distinct", size(array_distinct(col("tokens"))))
         .withColumn("n_stop", expr(
-          "size(filter(filter(split(text, '\\\\s+'), x -> x != ''), " +
-            "t -> t IN ('the', 'a', 'of', 'and', 'in')))"))
+          "size(filter(tokens, t -> t IN ('the', 'a', 'of', 'and', 'in')))"))
         .select(
           col("doc_id"),
           col("n_tokens"),
@@ -91,7 +91,7 @@ object TextQueries {
     // (map-side partials first).
     "t5_bigram_freq" -> { (s, d) =>
       Tables.load(s, d, "documents")
-        .select(explode(token_ngrams(expr(toks), 2)).as("bigram"))
+        .select(explode(token_ngrams(tokenize(col("text")), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(25)
@@ -153,7 +153,7 @@ object TextQueries {
     "t8_winnow_fp" -> { (s, d) =>
       Tables.load(s, d, "documents")
         .select(col("doc_id"),
-          explode(winnow(shingle_hashes(char_fold_array(expr(toks)), 3), 4)).as("fp"))
+          explode(winnow(shingle_hashes(char_fold_array(tokenize(col("text"))), 3), 4)).as("fp"))
         .distinct()
         .orderBy("doc_id", "fp")
     }

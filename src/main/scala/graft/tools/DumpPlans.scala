@@ -16,8 +16,12 @@ object DumpPlans {
     "j4_revenue_per_nation" -> "flagship 3-way join: dims broadcast, fact never re-shuffled for them",
     "j2_lag_sync_report" -> "signature lag report: two branch scans, full-outer on the group key",
     "w5_topk_orders" -> "ordered top-k → TakeOrderedAndProject (no global sort)",
-    "d3_minhash_lsh" -> "MinHash+LSH: token-hash broadcast, banding equi-join candidates",
-    "s2_lsh_ann" -> "LSH ANN: bucket in one scan, pair only within buckets")
+    "d3_minhash_lsh" -> "MinHash+LSH: in-row shingle hashing, banding equi-join candidates",
+    "s2_lsh_ann" -> "LSH ANN: compiled bucket in one scan, pair only within buckets",
+    "d4_simhash_pairs" -> "SimHash: nibble-band EQUI-join candidates (no all-pairs join)",
+    "s3_cosine_neardup" -> "exact near-dup: size-guarded broadcast all-pairs, compiled dot",
+    "t5_bigram_freq" -> "bigrams composed in-row, one explode, no per-doc window sort",
+    "t8_winnow_fp" -> "winnowing fingerprints: compiled deque pass, distinct is the only shuffle")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

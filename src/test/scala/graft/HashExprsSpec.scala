@@ -34,6 +34,17 @@ class HashExprsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("tokenize equals filter(split(text, '\\s+'), non-empty)") {
+    import spark.implicits._
+    val tricky = Seq("  leading", "trailing  ", "a\tb\nc\r d", "", "   ",
+      "one", "the quick  brownfox")
+    val df = tricky.toDF("text")
+    val rows = df.select(
+      tokenize(col("text")).as("fast"),
+      expr("filter(split(text, '\\\\s+'), x -> x != '')").as("slow")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
   test("char_fold_array hashes each token like char_fold") {
     val row = docs.filter(col("doc_id") === 1)
       .select(char_fold_array(expr(toks)).as("hs"), expr(toks).as("ts"))
