@@ -229,17 +229,23 @@ object CoreQueries {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     },
 
-    // ── W1: top-1 per group by metric (monitoring.ps1:1121–1122)
+    // ── W1: top-1 per group by metric (monitoring.ps1:1121–1122).
+    // Spelled as a hash aggregate (lexicographic struct MAX = spent
+    // desc, custkey asc tie-break) rather than a row_number window:
+    // a window partitioned by 10 buckets caps that stage's
+    // parallelism at 10 and sorts every partition; the aggregate
+    // keeps map-side partials and unbounded parallelism at any scale.
     "w1_top1_per_group" -> { (s, d) =>
       val orders = Tables.load(s, d, "orders")
       val spend = orders.groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spent"))
       spend
         .withColumn("bucket", (col("o_custkey") % 10).cast("int"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("bucket").orderBy(col("spent").desc, col("o_custkey").asc)))
-        .filter(col("rn") === 1)
-        .select(col("bucket"), col("o_custkey"), col("spent").cast("double").as("spent"))
+        .groupBy("bucket")
+        .agg(max(struct(col("spent"),
+          (-col("o_custkey")).as("neg_key"), col("o_custkey"))).as("top"))
+        .select(col("bucket"), col("top.o_custkey").as("o_custkey"),
+          col("top.spent").cast("double").as("spent"))
         .orderBy("bucket")
     },
 
