@@ -29,7 +29,8 @@ object SparkEntry {
       operators.WindowQueries.queries ++
       operators.AnalyticsQueries.queries ++
       operators.AsOfJoin.queries ++
-      operators.RangeJoin.queries
+      operators.RangeJoin.queries ++
+      operators.CorpusPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       operators.WindowQueries.oracles ++
       operators.AnalyticsQueries.oracles ++
       operators.AsOfJoin.oracles ++
-      operators.RangeJoin.oracles
+      operators.RangeJoin.oracles ++
+      operators.CorpusPipeline.oracles
 }

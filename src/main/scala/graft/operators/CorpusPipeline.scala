@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExprs.{char_fold, char_fold_array, shingle_hashes, tokenize}
+import graft.sources.Tables
+
+/** End-to-end training-data corpus cleaning as ONE composable
+  * DataFrame flow — the composition a real pipeline runs nightly:
+  *
+  *   1. exact dedup        keep min(doc_id) per identical text
+  *   2. quality filter     length + lexical-diversity thresholds
+  *   3. near-dup removal   shingle-Jaccard pairs ≥ threshold over the
+  *                         SURVIVORS (greedy: drop the larger doc_id)
+  *   4. PII scrub          t7's redaction chain, fingerprint output
+  *
+  * Every stage reuses the oracle-proven primitives (compiled
+  * tokenize/hash expressions, [[DedupQueries.jaccardPairs]] with the
+  * stop-shingle guard), so the whole composition stays bit-identical
+  * to the relational DuckDB spelling and inherits each stage's scale
+  * shape: hash aggregates, shingle-key equi-joins, broadcast
+  * anti-joins — no O(n²) stage, no driver collection.
+  */
+object CorpusPipeline {
+
+  /** Cleaned corpus: (doc_id, n_tokens, scrubbed_fp), ordered. */
+  def clean(
+      docs: DataFrame,
+      minTokens: Int,
+      minDiversity: Double,
+      jaccardThreshold: Double): DataFrame = {
+    // 1. exact dedup — keeper id per text, then recover the row
+    val keepers = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+    // 2. quality gate on the keeper set
+    val qualified = keepers
+      .withColumn("tokens", tokenize(col("text")))
+      .withColumn("n_tokens", size(col("tokens")))
+      .filter(col("n_tokens") >= minTokens &&
+        size(array_distinct(col("tokens"))) / col("n_tokens").cast("double") >= minDiversity)
+    // 3. near-dup pairs over the survivors; drop the larger id of
+    //    each pair (greedy-by-id, deterministic)
+    val sh = qualified
+      .select(col("doc_id"),
+        explode(shingle_hashes(char_fold_array(col("tokens")), 3)).as("shash"))
+      .distinct()
+      .localCheckpoint(true) // feeds the self-join and both size lookups
+    val dropped = DedupQueries
+      .jaccardPairs(sh, jaccardThreshold, DedupQueries.StopShingleMaxDf)
+      .select(col("db").as("doc_id")).distinct()
+    // 4. scrub + fingerprint the survivors
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), TextQueries.EmailRe, "<EMAIL>"),
+        TextQueries.UrlRe, "<URL>"),
+      TextQueries.DigitsRe, "<NUM>")
+    qualified
+      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), char_fold(scrubbed).as("scrubbed_fp"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_corpus_clean" -> { (s, d) =>
+      clean(Tables.load(s, d, "documents"),
+        minTokens = 10, minDiversity = 0.3, jaccardThreshold = 0.8)
+    }
+  )
+
+  private def charFoldSqlOf(e: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
+      "(acc, c) -> (acc * 31 + c) % 1000000007)"
+
+  def oracles: Map[String, String] = Map(
+    "c1_corpus_clean" ->
+      s"""WITH keepers AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+          kd AS (
+            SELECT d.doc_id, d.text,
+              list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '') AS ts
+            FROM documents d JOIN keepers k USING (doc_id)),
+          q AS (
+            SELECT doc_id, text, ts, len(ts) AS n_tokens
+            FROM kd
+            WHERE len(ts) >= 10
+              AND len(list_distinct(ts)) * 1.0 / len(ts) >= 0.3),
+          tokens AS (
+            SELECT doc_id, generate_subscripts(ts, 1) AS idx, unnest(ts) AS token
+            FROM q),
+          tok_hash AS (
+            SELECT token, ${charFoldSqlOf("token")} AS h
+            FROM (SELECT DISTINCT token FROM tokens)),
+          tstream AS (
+            SELECT doc_id, idx, h FROM tokens JOIN tok_hash USING (token)),
+          sh AS (
+            SELECT DISTINCT doc_id,
+              ((h * 1000003 + h2) % 1000000007 * 1000003 + h3) % 1000000007 AS shash
+            FROM (SELECT doc_id, h,
+                    LEAD(h, 1) OVER w AS h2, LEAD(h, 2) OVER w AS h3
+                  FROM tstream WINDOW w AS (PARTITION BY doc_id ORDER BY idx))
+            WHERE h3 IS NOT NULL),
+          cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
+            FROM sh x JOIN sh y ON x.shash = y.shash AND x.doc_id < y.doc_id
+            GROUP BY 1, 2),
+          dropped AS (
+            SELECT DISTINCT db AS doc_id FROM (
+              SELECT da, db, i * 1.0 / (ca.n + cb.n - i) AS j
+              FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)
+            WHERE j >= 0.8)
+          SELECT doc_id, n_tokens,
+            ${charFoldSqlOf(
+              s"""regexp_replace(regexp_replace(regexp_replace(text,
+                 '${TextQueries.EmailRe}', '<EMAIL>', 'g'),
+                 '${TextQueries.UrlRe}', '<URL>', 'g'),
+                 '${TextQueries.DigitsRe}', '<NUM>', 'g')""")} AS scrubbed_fp
+          FROM q
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+          ORDER BY doc_id"""
+  )
+}
