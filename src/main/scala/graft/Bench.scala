@@ -59,7 +59,9 @@ object Bench {
       name -> med
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"" uses the default locale — a comma decimal
+    // separator would make the JSON line unparseable
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""

@@ -86,17 +86,21 @@ object Monitor {
       .withColumn("pretty_index", format_bytes(col("index_bytes")))
   }
 
-  /** `pg_database_size` analogue: one-row grand total over the store. */
-  def databaseSize(
-      spark: SparkSession, store: KeyedParquetStore, tables: Seq[String]): DataFrame = {
+  /** `pg_database_size` analogue: one-row grand total derived from an
+    * already-computed [[storageReport]] — no second filesystem walk. */
+  def databaseSizeOf(storage: DataFrame): DataFrame = {
     import graft.functions.FormatBytes.format_bytes
-    storageReport(spark, store, tables)
+    storage
       .agg(
         count(lit(1)).as("n_tables"),
         sum("n_files").as("n_files"),
         sum("total_bytes").as("total_bytes"))
       .withColumn("pretty_size", format_bytes(col("total_bytes")))
   }
+
+  def databaseSize(
+      spark: SparkSession, store: KeyedParquetStore, tables: Seq[String]): DataFrame =
+    databaseSizeOf(storageReport(spark, store, tables))
 
   /** §"ACTIVE STREAMS" (≈ container/connection health,
     * monitoring.ps1:704–831): live StreamingQuery states. */
@@ -114,10 +118,12 @@ object Monitor {
       store: KeyedParquetStore,
       sources: Map[String, DataFrame]): Map[String, DataFrame] = {
     val lag = lagReport(spark, store, sources)
+    // storage walked ONCE; the database-size rollup aggregates it
+    val storage = storageReport(spark, store, sources.keys.toSeq)
     Map(
       "table_stats" -> tableStats(spark, store, sources.keys.toSeq),
-      "storage" -> storageReport(spark, store, sources.keys.toSeq),
-      "database_size" -> databaseSize(spark, store, sources.keys.toSeq),
+      "storage" -> storage,
+      "database_size" -> databaseSizeOf(storage),
       "lag" -> lag,
       "sync_summary" -> syncSummary(lag),
       "streams" -> streamHealth(spark))

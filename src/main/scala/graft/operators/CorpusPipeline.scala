@@ -32,12 +32,15 @@ object CorpusPipeline {
       jaccardThreshold: Double): DataFrame = {
     // 1. exact dedup — keeper id per text, then recover the row
     val keepers = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
-    // 2. quality gate on the keeper set
+    // 2. quality gate on the keeper set; checkpointed because it feeds
+    //    BOTH the shingle derivation and the final anti-join — without
+    //    it the dedup + tokenize scan would run twice over the corpus
     val qualified = keepers
       .withColumn("tokens", tokenize(col("text")))
       .withColumn("n_tokens", size(col("tokens")))
       .filter(col("n_tokens") >= minTokens &&
         size(array_distinct(col("tokens"))) / col("n_tokens").cast("double") >= minDiversity)
+      .localCheckpoint(true)
     // 3. near-dup pairs over the survivors; drop the larger id of
     //    each pair (greedy-by-id, deterministic)
     val sh = qualified
@@ -49,14 +52,10 @@ object CorpusPipeline {
       .jaccardPairs(sh, jaccardThreshold, DedupQueries.StopShingleMaxDf)
       .select(col("db").as("doc_id")).distinct()
     // 4. scrub + fingerprint the survivors
-    val scrubbed = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("text"), TextQueries.EmailRe, "<EMAIL>"),
-        TextQueries.UrlRe, "<URL>"),
-      TextQueries.DigitsRe, "<NUM>")
     qualified
       .join(broadcast(dropped), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("n_tokens"), char_fold(scrubbed).as("scrubbed_fp"))
+      .select(col("doc_id"), col("n_tokens"),
+        char_fold(TextQueries.scrubExpr(col("text"))).as("scrubbed_fp"))
       .orderBy("doc_id")
   }
 
@@ -67,10 +66,7 @@ object CorpusPipeline {
     }
   )
 
-  private def charFoldSqlOf(e: String): String =
-    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
-      s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
-      "(acc, c) -> (acc * 31 + c) % 1000000007)"
+  private def charFoldSqlOf(e: String): String = DedupQueries.charFoldSqlOf(e)
 
   def oracles: Map[String, String] = Map(
     "c1_corpus_clean" ->
@@ -100,10 +96,15 @@ object CorpusPipeline {
                     LEAD(h, 1) OVER w AS h2, LEAD(h, 2) OVER w AS h3
                   FROM tstream WINDOW w AS (PARTITION BY doc_id ORDER BY idx))
             WHERE h3 IS NOT NULL),
+          hot AS (
+            SELECT shash FROM sh GROUP BY shash
+            HAVING COUNT(*) > ${DedupQueries.StopShingleMaxDf}),
+          pruned AS (
+            SELECT * FROM sh WHERE shash NOT IN (SELECT shash FROM hot)),
           cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
           inter AS (
             SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
-            FROM sh x JOIN sh y ON x.shash = y.shash AND x.doc_id < y.doc_id
+            FROM pruned x JOIN pruned y ON x.shash = y.shash AND x.doc_id < y.doc_id
             GROUP BY 1, 2),
           dropped AS (
             SELECT DISTINCT db AS doc_id FROM (
@@ -111,11 +112,7 @@ object CorpusPipeline {
               FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)
             WHERE j >= 0.8)
           SELECT doc_id, n_tokens,
-            ${charFoldSqlOf(
-              s"""regexp_replace(regexp_replace(regexp_replace(text,
-                 '${TextQueries.EmailRe}', '<EMAIL>', 'g'),
-                 '${TextQueries.UrlRe}', '<URL>', 'g'),
-                 '${TextQueries.DigitsRe}', '<NUM>', 'g')""")} AS scrubbed_fp
+            ${charFoldSqlOf(TextQueries.scrubSqlOf("text"))} AS scrubbed_fp
           FROM q
           WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
           ORDER BY doc_id"""

@@ -149,7 +149,13 @@ object DedupQueries {
     // with 16-bit bands so in-band buckets stay selective.
     "d4_simhash_pairs" -> { (s, d) =>
       val sims = Tables.load(s, d, "documents")
-        .select(col("doc_id"), simhash16(char_fold_array(tokenize(col("text")))).as("simhash"))
+        .select(col("doc_id"), char_fold_array(tokenize(col("text"))).as("hs"))
+        // oracle domain parity: the relational spelling derives
+        // signatures from the token stream, so zero-token docs have no
+        // signature — without this filter every empty doc would get
+        // simhash 0 and pair with every other empty doc at hamming 0
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), simhash16(col("hs")).as("simhash"))
         .localCheckpoint(true) // one 8-byte signature row per doc; banded + self-joined below
       // bands via in-row explode — no join against a band table
       val keyed = sims
@@ -168,7 +174,7 @@ object DedupQueries {
     }
   )
 
-  private def charFoldSqlOf(c: String): String =
+  private[operators] def charFoldSqlOf(c: String): String =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split($c, ''), " +
       "ch -> CAST(ord(ch) AS BIGINT))), (acc, cc) -> (acc * 31 + cc) % 1000000007)"
 
@@ -211,12 +217,27 @@ object DedupQueries {
     "d1_exact_dedup" ->
       """SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keeper""",
+    // mirrors jaccardPairs exactly, INCLUDING the stop-shingle guard
+    // (inert on this corpus, but encoded here so a corpus where it
+    // fires cannot silently desynchronize impl from oracle): the
+    // self-join runs over pruned shingles, set sizes over the full sets
     "d2_jaccard_pairs" ->
       s"""WITH $shingleSql,
-          cand AS (
-            SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-            FROM sh x JOIN sh y ON x.shash = y.shash AND x.doc_id < y.doc_id),
-          ${jaccardSql("cand")}""",
+          hot AS (
+            SELECT shash FROM sh GROUP BY shash
+            HAVING COUNT(*) > $StopShingleMaxDf),
+          pruned AS (
+            SELECT * FROM sh WHERE shash NOT IN (SELECT shash FROM hot)),
+          cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
+            FROM pruned x JOIN pruned y
+              ON x.shash = y.shash AND x.doc_id < y.doc_id
+            GROUP BY 1, 2)
+          SELECT da, db, ROUND(j, 4) AS jaccard FROM (
+            SELECT da, db, i * 1.0 / (ca.n + cb.n - i) AS j
+            FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)
+          WHERE j >= 0.8 ORDER BY da, db""",
     "d3_minhash_lsh" ->
       s"""WITH $shingleSql,
           minhash AS (

@@ -48,9 +48,13 @@ object MediaCodec {
     val height = math.abs(heightRaw)
     val bpp = le16(b, 28)
     if (width <= 0 || height == 0 || bpp != 24 || pixelOff < 54) return None
-    val rowBytes = width * 3
-    val stride = (rowBytes + 3) / 4 * 4
-    if (pixelOff.toLong + stride.toLong * height > b.length) return None
+    // all size math in Long: a hostile width up to 2^31-1 overflows
+    // Int (negative stride) and would defeat the bound check below
+    val rowBytesL = width.toLong * 3
+    val strideL = (rowBytesL + 3) / 4 * 4
+    if (pixelOff.toLong + strideL * height > b.length) return None
+    val rowBytes = rowBytesL.toInt
+    val stride = strideL.toInt
     var sum = 0L
     var r = 0
     while (r < height) {
@@ -116,7 +120,9 @@ object MediaCodec {
     while (pos + 8 <= b.length) {
       val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = le32(b, pos + 4)
-      if (size < 0 || pos + 8 + size > b.length) return None
+      // Long bound check: a hostile ~2^31 declared size overflows Int
+      // and would slip past an Int comparison into the read loops
+      if (size < 0 || pos.toLong + 8 + size > b.length) return None
       id match {
         case "fmt " if size >= 16 =>
           val audioFormat = le16(b, pos + 8)

@@ -23,10 +23,25 @@ object TextQueries {
   // CodegenFallback HOF that broke whole-stage codegen per projection
 
   // redaction patterns — RE2/Java-compatible subset so Spark and the
-  // DuckDB oracle match byte-for-byte
+  // DuckDB oracle match byte-for-byte. The URL charclass is spelled
+  // explicitly because \S is NOT engine-identical (Java's \s includes
+  // vertical tab; RE2's does not).
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlRe = "https?://\\S+"
+  val UrlRe = "https?://[^ \\t\\n\\x0B\\f\\r]+"
   val DigitsRe = "[0-9]{4,}"
+
+  /** Fixed-order redaction chain (emails → URLs → digit runs) shared
+    * by t7 and [[CorpusPipeline]] — one definition so implementation
+    * and oracle can't drift apart. */
+  def scrubExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), UrlRe, "<URL>"),
+      DigitsRe, "<NUM>")
+
+  /** DuckDB spelling of [[scrubExpr]] over SQL expression `e`. */
+  def scrubSqlOf(e: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($e, " +
+      s"'$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'), '$DigitsRe', '<NUM>', 'g')"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -129,18 +144,13 @@ object TextQueries {
     // ORIGINAL text; replacements apply in a fixed order so the
     // scrubbed fingerprint is engine-independent.
     "t7_redact" -> { (s, d) =>
-      val scrubbed = regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), TextQueries.EmailRe, "<EMAIL>"),
-          TextQueries.UrlRe, "<URL>"),
-        TextQueries.DigitsRe, "<NUM>")
       Tables.load(s, d, "documents")
         .select(
           col("doc_id"),
           regexp_count(col("text"), lit(TextQueries.EmailRe)).as("n_emails"),
           regexp_count(col("text"), lit(TextQueries.UrlRe)).as("n_urls"),
           regexp_count(col("text"), lit(TextQueries.DigitsRe)).as("n_numbers"),
-          char_fold(scrubbed).as("scrubbed_fp"))
+          char_fold(TextQueries.scrubExpr(col("text"))).as("scrubbed_fp"))
         .orderBy("doc_id")
     },
 
@@ -230,11 +240,7 @@ object TextQueries {
          FROM documents ORDER BY doc_id""",
     "t7_redact" -> {
       s"""WITH s AS (
-            SELECT doc_id, text,
-              regexp_replace(regexp_replace(regexp_replace(text,
-                '$EmailRe', '<EMAIL>', 'g'),
-                '$UrlRe', '<URL>', 'g'),
-                '$DigitsRe', '<NUM>', 'g') AS scrubbed
+            SELECT doc_id, text, ${scrubSqlOf("text")} AS scrubbed
             FROM documents)
           SELECT doc_id,
             len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
