@@ -126,6 +126,33 @@ object HashOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** BPE-ish subword proxy: Σ ceil(numChars(t) / 4) over the tokens —
+    * the compiled form of `aggregate(tokens, 0L, acc + ceil(len/4.0))`
+    * (integer (len+3)/4 equals ceil(len/4.0) for non-negative len). */
+  def subwordCount(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += (arr.getUTF8String(i).numChars() + 3) / 4; i += 1 }
+    acc
+  }
+
+  /** Count of tokens contained in a fixed word set (stopword ratio). */
+  def countIn(arr: ArrayData, words: Array[UTF8String]): Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var j = 0
+      var hit = false
+      while (!hit && j < words.length) { hit = words(j).equals(t); j += 1 }
+      if (hit) acc += 1
+      i += 1
+    }
+    acc
+  }
+
   /** Winnowing (MOSS-style) fingerprint selection: the minimum of each
     * sliding window of `w` consecutive shingle hashes. Output length is
     * `max(0, n - w + 1)`; duplicate selections are kept (callers
@@ -257,6 +284,34 @@ case class Tokenize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `subword_count(t ARRAY<STRING>) -> BIGINT` — Σ ceil(len/4). */
+case class SubwordCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "subword_count"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.subwordCount(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.subwordCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): SubwordCount =
+    copy(child = newChild)
+}
+
+/** `count_in(t ARRAY<STRING>, words) -> BIGINT` — membership count. */
+case class CountIn(child: Expression, words: Seq[String]) extends UnaryExpression {
+  private val wordSet: Array[UTF8String] =
+    words.map(UTF8String.fromString).toArray
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_in"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.countIn(input.asInstanceOf[ArrayData], wordSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("words", wordSet, "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.countIn($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CountIn =
+    copy(child = newChild)
+}
+
 /** `winnow(h ARRAY<BIGINT>, w) -> ARRAY<BIGINT>` — sliding-window mins. */
 case class Winnow(child: Expression, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -321,6 +376,9 @@ object HashExprs {
     Bridge.column(TokenNgrams(Bridge.expression(c), n))
   def simhash16(c: Column): Column = Bridge.column(SimHash16(Bridge.expression(c)))
   def winnow(c: Column, w: Int): Column = Bridge.column(Winnow(Bridge.expression(c), w))
+  def subword_count(c: Column): Column = Bridge.column(SubwordCount(Bridge.expression(c)))
+  def count_in(c: Column, words: Seq[String]): Column =
+    Bridge.column(CountIn(Bridge.expression(c), words))
   def hyperplane_bucket(c: Column, nPlanes: Int): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(c), nPlanes))
   def dot_long(a: Column, b: Column): Column =

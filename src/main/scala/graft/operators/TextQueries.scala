@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{char_fold, char_fold_array, shingle_hashes, token_ngrams, tokenize, winnow}
+import graft.functions.HashExprs.{char_fold, char_fold_array, count_in, shingle_hashes, subword_count, token_ngrams, tokenize, winnow}
 import graft.sources.Tables
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -55,8 +55,7 @@ object TextQueries {
           size(col("tokens")).as("n_tokens"),
           size(array_distinct(col("tokens"))).as("n_distinct"),
           length(col("text")).as("n_chars_text"),
-          expr("aggregate(tokens, 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))")
-            .as("n_subwords"))
+          subword_count(col("tokens")).as("n_subwords"))
         .orderBy("doc_id")
     },
 
@@ -66,8 +65,8 @@ object TextQueries {
         .withColumn("tokens", tokenize(col("text")))
         .withColumn("n_tokens", size(col("tokens")))
         .withColumn("n_distinct", size(array_distinct(col("tokens"))))
-        .withColumn("n_stop", expr(
-          "size(filter(tokens, t -> t IN ('the', 'a', 'of', 'and', 'in')))"))
+        .withColumn("n_stop",
+          count_in(col("tokens"), Seq("the", "a", "of", "and", "in")).cast("int"))
         .select(
           col("doc_id"),
           col("n_tokens"),

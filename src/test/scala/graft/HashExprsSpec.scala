@@ -121,6 +121,20 @@ class HashExprsSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [char_fold"), plan)
   }
 
+  test("subword_count and count_in equal their interpreted spellings") {
+    val rows = docs.select(
+      subword_count(tokenize(col("text"))).as("sw_fast"),
+      expr("aggregate(filter(split(text, '\\\\s+'), x -> x != ''), 0L, " +
+        "(acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS LONG))").as("sw_slow"),
+      count_in(tokenize(col("text")), Seq("the", "a", "of", "and", "in")).as("st_fast"),
+      expr("CAST(size(filter(filter(split(text, '\\\\s+'), x -> x != ''), " +
+        "t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS LONG)").as("st_slow")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), r.toString)
+      assert(r.getLong(2) == r.getLong(3), r.toString)
+    }
+  }
+
   test("winnow equals the interpreted sliding-window array_min") {
     import spark.implicits._
     val hs = Seq(9L, 3L, 7L, 7L, 1L, 8L, 2L)
