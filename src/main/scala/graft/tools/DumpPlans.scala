@@ -21,7 +21,8 @@ object DumpPlans {
     "d4_simhash_pairs" -> "SimHash: nibble-band EQUI-join candidates (no all-pairs join)",
     "s3_cosine_neardup" -> "exact near-dup: size-guarded broadcast all-pairs, compiled dot",
     "t5_bigram_freq" -> "bigrams composed in-row, one explode, no per-doc window sort",
-    "t8_winnow_fp" -> "winnowing fingerprints: compiled deque pass, distinct is the only shuffle")
+    "t8_winnow_fp" -> "winnowing fingerprints: compiled deque pass, distinct is the only shuffle",
+    "c1_corpus_clean" -> "end-to-end cleaning: dedup agg → quality gate → guarded pair join → broadcast anti-join")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
