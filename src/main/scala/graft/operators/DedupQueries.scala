@@ -94,6 +94,38 @@ object DedupQueries {
     jaccardFromInter(inter, sh, threshold)
   }
 
+  /** Connected components over an undirected pair graph (da, db):
+    * every node gets its component's MIN node id as `cluster_id` —
+    * the canonical representative for transitive near-dup clusters.
+    *
+    * Iterative min-label propagation: each round, a node's label
+    * drops to the minimum of its own and its neighbors' labels;
+    * converges in O(component diameter) rounds. Each round is one
+    * shuffle join + hash aggregate over (edges ⋈ labels) — the
+    * standard large-graph CC shape (no driver-side graph, only a
+    * scalar convergence check per round). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("da"), col("db"))
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .localCheckpoint(true) // reused every iteration
+    val nodes = edges.select(col("da").as("doc_id")).distinct()
+    var labels = nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges.join(labels, edges("db") === labels("doc_id"))
+        .groupBy(edges("da").as("doc_id")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: hash-groupBy on content; keeper = min(doc_id)
@@ -138,6 +170,17 @@ object DedupQueries {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
       jaccardOf(cand, sh, 0.8)
+    },
+
+    // transitive near-dup clusters: connected components over the d2
+    // pair graph; cluster_id = min doc_id in the component (the doc a
+    // deduper would keep). Pairs (a,b) and (b,c) ⇒ a,b,c all cluster
+    // to min(a,b,c) even though a,c were never directly compared.
+    "d5_dedup_clusters" -> { (s, d) =>
+      val sh = shingleSets(s, d).localCheckpoint(true)
+      val pairs = jaccardPairs(sh, 0.8, StopShingleMaxDf)
+        .select("da", "db").localCheckpoint(true)
+      connectedComponents(pairs).orderBy("doc_id")
     },
 
     // SimHash: 16-bit weighted-token signature (computed in-row, one
@@ -238,6 +281,36 @@ object DedupQueries {
             SELECT da, db, i * 1.0 / (ca.n + cb.n - i) AS j
             FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)
           WHERE j >= 0.8 ORDER BY da, db""",
+    // recursive-CTE reachability mirror of the iterative CC loop:
+    // cluster_id = MIN over all reachable nodes
+    "d5_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleSql,
+          hot AS (
+            SELECT shash FROM sh GROUP BY shash
+            HAVING COUNT(*) > $StopShingleMaxDf),
+          pruned AS (
+            SELECT * FROM sh WHERE shash NOT IN (SELECT shash FROM hot)),
+          cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
+            FROM pruned x JOIN pruned y
+              ON x.shash = y.shash AND x.doc_id < y.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT da, db FROM (
+              SELECT da, db, i * 1.0 / (ca.n + cb.n - i) AS j
+              FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)
+            WHERE j >= 0.8),
+          edges AS (
+            SELECT da AS a, db AS b FROM pairs
+            UNION SELECT db, da FROM pairs),
+          nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+          reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+          SELECT doc_id, MIN(r) AS cluster_id FROM reach
+          GROUP BY 1 ORDER BY doc_id""",
     "d3_minhash_lsh" ->
       s"""WITH $shingleSql,
           minhash AS (

@@ -153,6 +153,29 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // TF-IDF-style salient terms: top-3 terms per document ranked by
+    // term frequency desc, document frequency asc (rarer = more
+    // salient), term asc — the integer-exact rank spelling of TF-IDF
+    // (no floating-point log, so the oracle matches bit-for-bit).
+    // Scale shape: tf is one in-row explode + count; df is a distinct
+    // + count over (term, doc) — both hash aggregates; the final
+    // per-doc top-3 is a window over per-doc groups.
+    "t9_salient_terms" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(df_, Seq("term"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("tf").desc, col("df").asc, col("term").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+        .orderBy("doc_id", "rank")
+    },
+
     // winnowing fingerprints (MOSS): per document, the distinct
     // sliding-window minima over the 3-token shingle-hash stream
     // (window w=4). The standard robust near-dup fingerprint — a
@@ -251,6 +274,21 @@ object TextQueries {
               (acc, c) -> (acc * 31 + c) % 1000000007) AS scrubbed_fp
           FROM s ORDER BY doc_id"""
     },
+    "t9_salient_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+             x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (
+           SELECT term, COUNT(*) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1)
+         SELECT doc_id, rank, term, tf, df FROM (
+           SELECT doc_id, term, tf, df,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf DESC, df ASC, term ASC) AS rank
+           FROM tf JOIN df USING (term))
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
     "t8_winnow_fp" ->
       """WITH tokens AS (
            SELECT doc_id, generate_subscripts(ts, 1) AS idx, unnest(ts) AS token

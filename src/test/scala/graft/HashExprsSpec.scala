@@ -213,6 +213,15 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(strict.length == 1 && strict.head.getDouble(2) == 0.5)
   }
 
+  test("connectedComponents clusters transitive chains to the min id") {
+    import spark.implicits._
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}; singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("da", "db")
+    val got = DedupQueries.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("guarded join prunes the hot key's fan-out in the plan input") {
     val sh = planted(100)
     // with the guard, the self-join input no longer contains shingle
