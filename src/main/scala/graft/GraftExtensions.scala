@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Library entry point for SQL users: register every graft expression
+  * through the standard extensions mechanism —
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `.withExtensions(new GraftExtensions)` on the builder). After
+  * that, `SELECT char_fold(text), format_bytes(bytes) ...` works in
+  * plain SQL in every session of the application, with the same
+  * codegen'd expressions the DataFrame API uses — no session-local
+  * `register()` calls needed. Integer-literal arities (shingle width,
+  * n-gram size, window, plane count) are exposed as fixed-arg SQL
+  * forms taking the literal as a foldable second argument.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+
+    inject("format_bytes", es => FormatBytes(es.head))
+    inject("char_fold", es => CharFold(es.head))
+    inject("char_fold_array", es => CharFoldArray(es.head))
+    inject("tokenize", es => Tokenize(es.head))
+    inject("simhash16", es => SimHash16(es.head))
+    inject("subword_count", es => SubwordCount(es.head))
+    inject("dot_long", es => DotLong(es(0), es(1)))
+    inject("shingle_hashes", es => ShingleHashes(es(0), intLit(es(1), "shingle width")))
+    inject("token_ngrams", es => TokenNgrams(es(0), intLit(es(1), "n-gram size")))
+    inject("winnow", es => Winnow(es(0), intLit(es(1), "window")))
+    inject("hyperplane_bucket", es =>
+      HyperplaneBucket(es(0), intLit(es(1), "plane count")))
+  }
+}
