@@ -88,12 +88,41 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     writeSchema(spark, table, source.schema)
   }
 
+  /** Additive schema evolution (the PeerDB-style schema propagation —
+    * target schema follows source): the union keeps every stored field
+    * and appends incoming fields that are new, in batch order. Type
+    * changes are rejected loudly — silent coercion corrupts a mirror.
+    * Old parquet files are never rewritten: reads give explicit
+    * schemas, and the parquet reader null-fills columns a file
+    * predates. */
+  private def unionSchema(stored: StructType, incoming: StructType): StructType = {
+    incoming.foreach { f =>
+      stored.find(_.name == f.name).foreach { old =>
+        require(old.dataType == f.dataType,
+          s"schema evolution cannot change type of '${f.name}': " +
+            s"${old.dataType.simpleString} -> ${f.dataType.simpleString}")
+      }
+    }
+    StructType(stored.fields ++
+      incoming.fields.filterNot(f => stored.fieldNames.contains(f.name)))
+  }
+
+  /** Project `df` to `schema` + bucket, null-padding absent columns. */
+  private def alignTo(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } :+ col("bucket"): _*)
+
   /** Idempotent merge of a deduped change set into the table.
     *
     * `changes` must carry exactly one row per key (last-write-wins
     * already applied upstream — see [[CdcPipeline.applyBatch]]) with
     * columns: `op` ("I"|"U"|"D"), the key column, and the full row
-    * image for upserts.
+    * image for upserts. The batch schema may be WIDER than the stored
+    * one (new source columns) or narrower (columns absent from this
+    * batch) — see [[unionSchema]]; existing rows get nulls for new
+    * columns, new rows get nulls for omitted ones.
     *
     * Only buckets containing changed keys are read + rewritten
     * (dynamic partition overwrite). Re-applying the same change set
@@ -123,6 +152,7 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     if (touched.isEmpty) return
 
     val schema = schemaOf(spark, table)
+    val target = unionSchema(schema, dataSchema)
     val current = spark.read.schema(schema).parquet(path(table))
       .filter(col("bucket").isin(touched: _*))
 
@@ -131,8 +161,8 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
       changedKeys.select(keyCol), Seq(keyCol), "left_anti")
     val upserts = keyed.filter(col("op") =!= "D").drop("op")
 
-    val merged = survivors.select(upserts.columns.map(col).toSeq: _*)
-      .unionByName(upserts)
+    val merged = alignTo(survivors, target)
+      .unionByName(alignTo(upserts, target))
       // Break lineage from the files about to be overwritten (Spark
       // refuses to overwrite a path it is also reading from) and
       // materialize exactly once. Bounded by the touched buckets.
@@ -155,6 +185,11 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
         .repartition(col("bucket"))
         .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path(table))
     }
+    // persist the (possibly widened) schema AFTER the data write, so a
+    // crash between the two leaves a readable store (old sidecar, old
+    // columns) rather than a sidecar promising columns no file carries
+    // in rewritten buckets
+    if (target != schema) writeSchema(spark, table, target)
   }
 
   /** Per-bucket file statistics — drives compaction decisions and the

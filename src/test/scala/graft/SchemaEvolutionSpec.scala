@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.KeyedParquetStore
+
+/** Additive schema evolution on the CDC target store: a batch may
+  * carry columns the store has never seen (source ALTER TABLE ADD) or
+  * omit stored columns; old files are never rewritten. */
+class SchemaEvolutionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("a widening batch adds the column; untouched buckets read as null") {
+    import spark.implicits._
+    val store = new KeyedParquetStore(
+      Files.createTempDirectory("evo").toString, nBuckets = 4)
+    store.snapshot(spark, "t",
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"), "id")
+
+    // batch touches ONE key, with a brand-new column w
+    val changes = Seq(("U", 7L, "v7b", 77L)).toDF("op", "id", "v", "w")
+    store.merge(spark, "t", changes, "id")
+
+    val out = store.read(spark, "t")
+    assert(out.columns.toSeq == Seq("id", "v", "w"))
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(rows.size == 20)
+    assert(rows(7L) == ("v7b", Some(77L)))
+    // a key in a bucket the batch never touched: null-filled, not rewritten
+    assert(rows.collect { case (k, (_, w)) if k != 7L => w }.forall(_.isEmpty))
+  }
+
+  test("a narrower batch null-fills omitted stored columns") {
+    import spark.implicits._
+    val store = new KeyedParquetStore(
+      Files.createTempDirectory("evo2").toString, nBuckets = 2)
+    store.snapshot(spark, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id")
+    store.merge(spark, "t", Seq(("I", 3L)).toDF("op", "id"), "id")
+    val rows = store.read(spark, "t").orderBy("id")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None))
+  }
+
+  test("type changes are rejected loudly") {
+    import spark.implicits._
+    val store = new KeyedParquetStore(
+      Files.createTempDirectory("evo3").toString, nBuckets = 2)
+    store.snapshot(spark, "t", Seq((1L, "a")).toDF("id", "v"), "id")
+    val bad = Seq(("U", 1L, 42)).toDF("op", "id", "v") // v: string -> int
+    val e = intercept[IllegalArgumentException] {
+      store.merge(spark, "t", bad, "id")
+    }
+    assert(e.getMessage.contains("schema evolution"), e.getMessage)
+  }
+
+  test("widening then further merges keeps the widened schema") {
+    import spark.implicits._
+    val store = new KeyedParquetStore(
+      Files.createTempDirectory("evo4").toString, nBuckets = 2)
+    store.snapshot(spark, "t", Seq((1L, "a")).toDF("id", "v"), "id")
+    store.merge(spark, "t", Seq(("I", 2L, "b", 9L)).toDF("op", "id", "v", "w"), "id")
+    // an old-shape batch after widening: w survives as a stored column
+    store.merge(spark, "t", Seq(("U", 1L, "a2")).toDF("op", "id", "v"), "id")
+    val out = store.read(spark, "t").orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getString(1) == "a2" && out(0).isNullAt(2))
+    assert(out(1).getLong(2) == 9L)
+    assert(store.schemaOf(spark, "t").fieldNames.toSeq == Seq("id", "v", "w"))
+  }
+}
