@@ -230,8 +230,14 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     * merging accretes small files (each dynamic overwrite writes at
     * least one file per touched bucket); at scale a periodic compactor
     * keeps scan task counts proportional to data volume, not merge
-    * history. Contents are untouched — only file layout changes. */
-  def compact(spark: SparkSession, table: String): Unit = {
+    * history. Contents are untouched — only file layout changes.
+    *
+    * Optional `clusterBy`: sort rows by these columns within each
+    * bucket during the rewrite. Parquet row-group min/max statistics
+    * (zone maps) then become disjoint ranges on those columns, so
+    * range/point predicates skip whole row groups at scan time — the
+    * parquet-native analogue of clustered-index maintenance. */
+  def compact(spark: SparkSession, table: String, clusterBy: Seq[String] = Nil): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val schema = schemaOf(spark, table)
     if (bucketsOnDisk(spark, table).isEmpty) return
@@ -239,7 +245,7 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
       .localCheckpoint(true) // break lineage from the files being replaced
     current
       .repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"))
+      .sortWithinPartitions((col("bucket") +: clusterBy.map(col)): _*)
       .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path(table))
   }
 }

@@ -69,5 +69,24 @@ class ChurnSpec extends AnyFunSuite {
     val afterState = store.read(spark, "t").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(afterState == state.toMap)
+
+    // clustered re-compaction: rows inside each bucket file are sorted
+    // by the cluster column, so row-group zone maps carry disjoint
+    // ranges (same data, different physical order)
+    store.compact(spark, "t", clusterBy = Seq("id"))
+    val clusteredState = store.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clusteredState == state.toMap)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(store.root), spark.sparkContext.hadoopConfiguration)
+    store.bucketStats(spark, "t").foreach { case (b, _, _) =>
+      val files = f.listStatus(new org.apache.hadoop.fs.Path(s"${store.root}/t/bucket=$b"))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      files.foreach { fileStatus =>
+        val ids = spark.read.parquet(fileStatus.getPath.toString)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(ids == ids.sorted, s"bucket $b not clustered by id")
+      }
+    }
   }
 }
