@@ -41,7 +41,15 @@ object Bench {
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Each run builds its plan fresh, so blocks persisted inside the
+        // query (localCheckpoint/cache) are never reused by the NEXT run
+        // — drop them, or runs accumulate dead blocks until the executor
+        // heap thrashes (the r3 d-cluster 5-25 s readings were exactly
+        // this: checkpoint-heavy queries drowning in leaked blocks + GC).
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.sharedState.cacheManager.clearCache()
+        dt
       }
       val med =
         try {

@@ -222,6 +222,35 @@ object HashOps {
     while (b < 16) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
     sig
   }
+
+  /** 64-bit SimHash — the scale variant of [[simhash16]]. The token
+    * hash is only ~30 bits (mod 1e9+7), so bits beyond 15 can't come
+    * from the hash directly; bit b's ±1 vote instead uses an
+    * independent derived parity g_b(h) = ((h·(2b+3) + b·7919 + 1)
+    * mod M) mod 2 — cheap integer arithmetic a SQL oracle replicates
+    * exactly (no overflow: h < M ≈ 2^30, multiplier ≤ 129 → < 2^38).
+    * Wider signatures exist for selectivity: with 16-bit pigeonhole
+    * bands the expected band-bucket population at N docs is N/65536
+    * per band vs N/16 for the 16-bit signature's nibbles — the
+    * candidate join stays near-linear at corpus scale. */
+  def simhash64(arr: ArrayData): Long = {
+    val counts = new Array[Long](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        counts(b) += (((h * (2L * b + 3) + b * 7919L + 1) % M) & 1L) * 2 - 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
 }
 
 /** `char_fold(s STRING) -> BIGINT` — document fingerprint hash. */
