@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("char_fold_array", es => CharFoldArray(es.head))
     inject("tokenize", es => Tokenize(es.head))
     inject("simhash16", es => SimHash16(es.head))
+    inject("simhash64", es => SimHash64(es.head))
     inject("subword_count", es => SubwordCount(es.head))
     inject("dot_long", es => DotLong(es(0), es(1)))
     inject("shingle_hashes", es => ShingleHashes(es(0), intLit(es(1), "shingle width")))
@@ -47,5 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("winnow", es => Winnow(es(0), intLit(es(1), "window")))
     inject("hyperplane_bucket", es =>
       HyperplaneBucket(es(0), intLit(es(1), "plane count")))
+    inject("hll_distinct", {
+      case Seq(e) => HllDistinct(e).toAggregateExpression()
+      case Seq(e, pLit) =>
+        HllDistinct(e, intLit(pLit, "hll precision")).toAggregateExpression()
+      case es => throw new IllegalArgumentException(
+        s"hll_distinct takes (value [, precision]), got ${es.length} args")
+    })
   }
 }

@@ -30,7 +30,8 @@ object SparkEntry {
       operators.AnalyticsQueries.queries ++
       operators.AsOfJoin.queries ++
       operators.RangeJoin.queries ++
-      operators.CorpusPipeline.queries
+      operators.CorpusPipeline.queries ++
+      operators.SamplingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       operators.AnalyticsQueries.oracles ++
       operators.AsOfJoin.oracles ++
       operators.RangeJoin.oracles ++
-      operators.CorpusPipeline.oracles
+      operators.CorpusPipeline.oracles ++
+      operators.SamplingQueries.oracles
 }

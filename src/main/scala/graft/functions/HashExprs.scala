@@ -377,6 +377,18 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `simhash64(h ARRAY<BIGINT>) -> BIGINT` — 64-bit SimHash signature. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** `dot_long(a ARRAY<BIGINT>, b ARRAY<BIGINT>) -> BIGINT`. */
 case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -404,6 +416,7 @@ object HashExprs {
   def token_ngrams(c: Column, n: Int): Column =
     Bridge.column(TokenNgrams(Bridge.expression(c), n))
   def simhash16(c: Column): Column = Bridge.column(SimHash16(Bridge.expression(c)))
+  def simhash64(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
   def winnow(c: Column, w: Int): Column = Bridge.column(Winnow(Bridge.expression(c), w))
   def subword_count(c: Column): Column = Bridge.column(SubwordCount(Bridge.expression(c)))
   def count_in(c: Column, words: Seq[String]): Column =

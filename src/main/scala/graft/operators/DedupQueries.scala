@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{char_fold_array, shingle_hashes, simhash16, tokenize}
+import graft.functions.HashExprs.{char_fold_array, shingle_hashes, simhash16, simhash64, tokenize}
 import graft.sources.Tables
 
 /** Deduplication operators for a training-data pipeline: exact,
@@ -226,6 +226,36 @@ object DedupQueries {
         .distinct() // a close pair can collide in several bands
         .orderBy("hamming", "da", "db")
         .limit(1000)
+    },
+
+    // 64-bit SimHash with 16-bit pigeonhole bands — the signature
+    // width that keeps banding selective at corpus scale. d4's 16-bit
+    // signature partitions each band's population into only 16 nibble
+    // buckets (N²/16 in-bucket pairs per band — workable locally, a
+    // wall at 10⁹ docs); 16-bit bands cut that to N²/65536 while the
+    // same pigeonhole bound holds (Hamming ≤ 3 flips bits in at most 3
+    // of the 4 bands ⇒ some band is equal). Same relational shape:
+    // in-row signature → explode 4 bands → equi-join → verify.
+    "d6_simhash64_pairs" -> { (s, d) =>
+      val sims = Tables.load(s, d, "documents")
+        .select(col("doc_id"), char_fold_array(tokenize(col("text"))).as("hs"))
+        .filter(size(col("hs")) > 0) // oracle domain parity (see d4)
+        .select(col("doc_id"), simhash64(col("hs")).as("simhash"))
+        .localCheckpoint(true)
+      val keyed = sims
+        .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("chunk",
+          expr("shiftrightunsigned(simhash, CAST(band * 16 AS INT)) & 65535"))
+      keyed.as("a").join(keyed.as("b"),
+          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct() // a close pair can collide in several bands
+        .orderBy("hamming", "da", "db")
+        .limit(1000)
     }
   )
 
@@ -352,6 +382,31 @@ object DedupQueries {
               FROM tok CROSS JOIN range(16) t(b)
               GROUP BY 1, 2, 3)
             GROUP BY 1)
+          SELECT a.doc_id AS da, b.doc_id AS db,
+            bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY hamming, da, db LIMIT 1000""",
+    // 64-bit mirror: per-bit derived parity g_b = ((h*(2b+3) + b*7919
+    // + 1) % M) % 2 (identical to HashOps.simhash64); the signed
+    // 64-bit signature is assembled in HUGEINT (bit 63 = -2^63) then
+    // cast back to BIGINT. Oracle candidate generation is the O(n²)
+    // pair scan — fine at verification SF, it's what banding avoids.
+    "d6_simhash64_pairs" ->
+      s"""WITH $shingleSql,
+          tok AS (
+            SELECT doc_id, h, COUNT(*) AS w FROM tstream GROUP BY 1, 2),
+          bits AS (
+            SELECT doc_id, b,
+              SUM(w * ((((h * (2*b+3) + b*7919 + 1) % 1000000007) % 2) * 2 - 1)) AS s
+            FROM tok CROSS JOIN range(64) t(b)
+            GROUP BY 1, 2),
+          sims AS (
+            SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN
+                CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                     ELSE CAST(CAST(1 AS BIGINT) << CAST(b AS INT) AS HUGEINT) END
+                ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS simhash
+            FROM bits GROUP BY 1)
           SELECT a.doc_id AS da, b.doc_id AS db,
             bit_count(xor(a.simhash, b.simhash)) AS hamming
           FROM sims a JOIN sims b ON a.doc_id < b.doc_id

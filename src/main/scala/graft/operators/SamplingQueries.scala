@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExprs.char_fold
+import graft.sources.Tables
+
+/** Sampling and distribution-profiling operators for assembling
+  * training mixes at corpus scale.
+  *
+  * Sampling here is *deterministic*: membership is a pure function of
+  * the row key (polynomial char-fold hash mod 100), never `rand()`.
+  * That buys three properties a 100 TB pipeline needs and random
+  * sampling does not give:
+  *   - reproducible — re-running the job (or re-reading a lost
+  *     partition!) selects the identical sample; `rand()` under task
+  *     retry silently changes the output;
+  *   - embarrassingly parallel — a pure per-row filter, no shuffle, no
+  *     state, pushes down next to the scan;
+  *   - consistent across engines — the DuckDB oracle replays the same
+  *     hash arithmetic bit-for-bit.
+  */
+object SamplingQueries {
+
+  /** Per-language sampling rates (percent kept) for the stratified
+    * sample: downsample the dominant language, keep minority languages
+    * at higher rates — the standard training-mix rebalance. */
+  val StratumRates: Map[String, Int] =
+    Map("en" -> 10, "de" -> 50, "fr" -> 50, "es" -> 50, "zh" -> 100)
+
+  /** Deterministic per-row draw in [0, 100): char-fold hash of the
+    * doc_id rendered as a string (a key-derived uniform-ish value both
+    * engines compute identically). */
+  private def draw = pmod(char_fold(col("doc_id").cast("string")), lit(100))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // stratified sampling by language: keep row iff its deterministic
+    // draw falls under the stratum's rate. Pure filter — no shuffle, no
+    // aggregation; at 100 TB this runs entirely map-side at scan speed.
+    "sp1_stratified_sample" -> { (s, d) =>
+      val rates = StratumRates.toSeq
+        .foldLeft(lit(0)) { case (acc, (l, r)) =>
+          when(col("lang") === l, lit(r)).otherwise(acc)
+        }
+      Tables.load(s, d, "documents")
+        .filter(draw < rates)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+
+    // fixed-quota sample: exactly min(k, |stratum|) docs per language,
+    // ranked by the deterministic draw (hash, then doc_id as the
+    // tiebreak) — a reservoir sample whose "random" order is replayable.
+    // The rank window partitions by stratum; strata are few by
+    // construction (languages), so the sort is per-stratum-local. For
+    // quotas over huge strata, pre-filter with a rate just above
+    // k/|stratum| (sp1 spelling) before ranking so the sort input is
+    // O(k), not O(|stratum|).
+    "sp2_quota_sample" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("h", char_fold(col("doc_id").cast("string")))
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("lang").orderBy("h", "doc_id")))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    },
+
+    // exact grouped quantiles: the distribution profile that decides
+    // cut-offs (length filters, outlier caps) before a training run.
+    // Exact percentiles need a per-group sort *of distinct values only*
+    // in Spark's percentile agg; at extreme cardinality swap in
+    // percentile_approx (t-digest, single pass, mergeable) — same
+    // query shape, bounded error.
+    "q1_group_quantiles" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))
+        .orderBy("flag")
+    }
+  )
+
+  private def foldDoc: String = DedupQueries.charFoldSqlOf("CAST(doc_id AS VARCHAR)")
+
+  def oracles: Map[String, String] = Map(
+    "sp1_stratified_sample" -> {
+      val cases = StratumRates.toSeq.sortBy(_._1)
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+          WHERE $foldDoc % 100 < CASE $cases ELSE 0 END
+          ORDER BY doc_id"""
+    },
+    "sp2_quota_sample" ->
+      s"""SELECT lang, rk, doc_id FROM (
+            SELECT lang, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $foldDoc, doc_id) AS rk
+            FROM documents)
+          WHERE rk <= 20 ORDER BY lang, rk""",
+    "q1_group_quantiles" ->
+      """SELECT l_returnflag AS flag,
+           ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS p25,
+           ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity), 4) AS p50,
+           ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity), 4) AS p75,
+           ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_quantity), 4) AS p95
+         FROM lineitem GROUP BY 1 ORDER BY flag"""
+  )
+}

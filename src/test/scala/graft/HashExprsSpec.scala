@@ -106,6 +106,37 @@ class HashExprsSpec extends AnyFunSuite {
     assert(sig.toSeq == expected.toSeq)
   }
 
+  test("simhash64 equals the relational derived-parity formulation") {
+    val M = 1000000007L
+    val sig = docs.select(simhash64(char_fold_array(expr(toks))).as("s"))
+      .collect().map(_.getLong(0))
+    val expected = docs.select(col("doc_id"), expr(toks).as("ts"))
+      .collect().map { r =>
+        val hs = r.getSeq[String](1).map(t =>
+          t.foldLeft(7L)((acc, c) => (acc * 31 + c.toInt) % M))
+        (0 until 64).map { b =>
+          val s = hs.groupBy(identity).map { case (h, occ) =>
+            occ.size.toLong * ((((h * (2L * b + 3) + b * 7919L + 1) % M) % 2) * 2 - 1)
+          }.sum
+          if (s > 0) 1L << b else 0L // b = 63 sets the sign bit — intended
+        }.sum
+      }
+    assert(sig.toSeq == expected.toSeq)
+  }
+
+  test("simhash64 banding: hamming<=3 pairs always share a 16-bit band") {
+    // pigeonhole invariant the d6 candidate join relies on, exercised
+    // on signatures with planted bit flips (incl. around the sign bit)
+    val base = 0x7A3F9C5E2D1B4680L
+    val flips = Seq(Seq(0), Seq(15, 16), Seq(62, 63), Seq(1, 30, 63), Seq(17, 18, 19))
+    flips.foreach { fs =>
+      val other = fs.foldLeft(base)((acc, b) => acc ^ (1L << b))
+      val shared = (0 until 4).exists(band =>
+        ((base >>> (band * 16)) & 0xFFFFL) == ((other >>> (band * 16)) & 0xFFFFL))
+      assert(java.lang.Long.bitCount(base ^ other) <= 3 && shared, s"flips=$fs")
+    }
+  }
+
   test("expressions participate in whole-stage codegen") {
     // must read a real source: a local Seq collapses to LocalTableScan
     // (ConvertToLocalRelation eager-evals projections). Keep
