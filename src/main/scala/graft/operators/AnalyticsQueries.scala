@@ -119,19 +119,19 @@ object AnalyticsQueries {
         .limit(20)
     },
 
-    // sketched distinct users per event type, with the exact count
-    // alongside — the rollup a 100 TB pipeline runs sketched (fixed
-    // 4 KiB per group shuffled, mergeable across days) where exact
-    // COUNT(DISTINCT) would shuffle every key. No SQL oracle: the
-    // estimate is deterministic but DuckDB's HLL is a different
-    // sketch; the driver's rows-only check applies, and the exact
-    // column + HllSketchSpec pin the accuracy (±1.6% typical at p=12).
+    // sketched distinct users per event type — the rollup a 100 TB
+    // pipeline runs sketched: the shuffle carries one 4 KiB register
+    // file per group (partial sketches merge map-side) where exact
+    // COUNT(DISTINCT) would expand and shuffle every (group, key)
+    // pair. Deliberately NO exact count alongside — that column would
+    // drag the whole plan through the distinct expansion and shuffle
+    // every key anyway. No SQL oracle (DuckDB's HLL is a different
+    // sketch): driver does the rows-only check; accuracy (±1.6%
+    // typical at p=12) and lossless merge are pinned by HllSketchSpec.
     "e1_hll_users" -> { (s, d) =>
       Tables.load(s, d, "events")
         .groupBy("event_type")
-        .agg(
-          graft.functions.HllSketch.hll_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
+        .agg(graft.functions.HllSketch.hll_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")
     }
   )

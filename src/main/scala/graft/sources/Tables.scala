@@ -68,4 +68,26 @@ object Tables {
       numPartitions: Int,
       props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound, numPartitions, props)
+
+  /** Persist a table bucketed (and bucket-sorted) on its join key.
+    *
+    * This is THE layout decision for repeated large-scale joins: two
+    * tables bucketed on the same key with the same bucket count join
+    * with ZERO shuffle — each task sort-merges one co-numbered bucket
+    * pair off disk. At 100 TB that converts the nightly fact⋈fact join
+    * from a full-cluster exchange into embarrassingly parallel local
+    * work; the shuffle cost is paid once at write time and amortized
+    * over every subsequent join. Catalog-backed (`saveAsTable`) because
+    * bucket metadata lives in the catalog, not the files.
+    * `BucketedJoinSpec` asserts the no-Exchange plan. */
+  def saveBucketed(
+      df: DataFrame, catalogName: String, path: String,
+      key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(catalogName)
 }

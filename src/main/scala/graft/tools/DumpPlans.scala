@@ -22,7 +22,11 @@ object DumpPlans {
     "s3_cosine_neardup" -> "exact near-dup: size-guarded broadcast all-pairs, compiled dot",
     "t5_bigram_freq" -> "bigrams composed in-row, one explode, no per-doc window sort",
     "t8_winnow_fp" -> "winnowing fingerprints: compiled deque pass, distinct is the only shuffle",
-    "c1_corpus_clean" -> "end-to-end cleaning: dedup agg → quality gate → guarded pair join → broadcast anti-join")
+    "c1_corpus_clean" -> "end-to-end cleaning: dedup agg → quality gate → guarded pair join → broadcast anti-join",
+    "d6_simhash64_pairs" -> "64-bit SimHash: 16-bit pigeonhole bands — selective equi-join at corpus scale",
+    "sp1_stratified_sample" -> "stratified sample: pure map-side filter, no shuffle, no rand()",
+    "q1_group_quantiles" -> "grouped exact percentiles: single hash-aggregate pass",
+    "e1_hll_users" -> "HLL sketch agg: partial sketches map-side, register-max merge")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
