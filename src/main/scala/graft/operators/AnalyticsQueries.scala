@@ -119,6 +119,40 @@ object AnalyticsQueries {
         .limit(20)
     },
 
+    // explicit GROUPING SETS with grouping() disambiguation — the
+    // general form behind ROLLUP (a6) and CUBE (x7): one pass, partial
+    // aggregates expanded per set, grouping flags distinguish a real
+    // NULL key from a subtotal row
+    "x9_grouping_sets" -> { (s, d) =>
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                 CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                 CAST(grouping(o_orderpriority) AS INT) AS g_prio
+               FROM orders
+               GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+               ORDER BY g_status ASC, g_prio ASC,
+                 o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    },
+
+    // the full SQL ranking-function family in one window: rank /
+    // dense_rank / percent_rank / cume_dist / ntile. All are exact
+    // rational functions of rank positions — deterministic with a
+    // unique total order (acctbal, custkey tiebreak)
+    "w8_rank_family" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.load(s, d, "customer")
+        .filter(col("c_nationkey") < 3)
+        .select(col("c_nationkey"), col("c_custkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("c_nationkey", "rnk")
+    },
+
     // sketched distinct users per event type — the rollup a 100 TB
     // pipeline runs sketched: the shuffle carries one 4 KiB register
     // file per group (partial sketches merge map-side) where exact
@@ -205,6 +239,24 @@ object AnalyticsQueries {
       """SELECT token, COUNT(*) AS n FROM (
            SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
            FROM documents)
-         GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20"""
+         GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20""",
+    "x9_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+         ORDER BY g_status ASC, g_prio ASC,
+           o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "w8_rank_family" ->
+      """SELECT c_nationkey, c_custkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ROUND(percent_rank() OVER w, 6) AS prnk,
+           ROUND(cume_dist() OVER w, 6) AS cdist,
+           ntile(4) OVER w AS quartile
+         FROM customer WHERE c_nationkey < 3
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+         ORDER BY c_nationkey, rnk"""
   )
 }

@@ -144,6 +144,24 @@ object SimilarityQueries {
         .filter(col("rank") === 1)
         .select(col("qid"), col("cell"), col("vid"), round(col("cos_raw"), 4).as("cosine"))
         .orderBy("qid")
+    },
+
+    // per-label centroids — the prototype/centroid update every
+    // embedding pipeline runs (class prototypes, k-means steps, drift
+    // monitors). Relational spelling: explode components, partial-sum
+    // map-side, shuffle only (label, dim) partial aggregates — the 64×
+    // row expansion never crosses the wire. Integer sums (quantized
+    // components) keep the mean order-independent and engine-exact.
+    "s5_label_centroids" -> { (s, d) =>
+      Tables.load(s, d, "embeddings")
+        .select(col("label"), posexplode(
+          expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+          .as(Seq("dim", "q")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+        .select(col("label"), col("dim"),
+          round(col("sq").cast("double") / col("n") / 1e6, 6).as("centroid"))
+        .orderBy("label", "dim")
     }
   )
 
@@ -239,6 +257,15 @@ object SimilarityQueries {
             SELECT qid, vid, cell, cos_raw,
               row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vid ASC) AS rank
             FROM cos)
-          WHERE rank = 1 ORDER BY qid"""
+          WHERE rank = 1 ORDER BY qid""",
+    // division chain must mirror Spark's exactly: (double sum / n) / 1e6
+    "s5_label_centroids" ->
+      """SELECT label, idx - 1 AS dim,
+           ROUND(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) * 1.0
+             / COUNT(*) / 1000000, 6) AS centroid
+         FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS idx
+               FROM embeddings)
+         GROUP BY 1, 2 ORDER BY label, dim"""
   )
 }
