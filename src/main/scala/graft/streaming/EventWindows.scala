@@ -50,4 +50,22 @@ object EventWindows {
       .agg(count(lit(1)).as("n_sessions"),
         sum("n_events").as("n_events"),
         max("n_events").as("max_session_events"))
+
+  /** Windowed approximate distinct users via the HLL sketch aggregate.
+    *
+    * The streaming shape this exists for: per-window state in the
+    * state store is the 4 KiB register file, NOT the user-id set —
+    * bounded regardless of cardinality — and each micro-batch folds
+    * into it by register-max merge (associative + idempotent, so
+    * retried batches can't inflate the estimate the way a count-based
+    * approximation would). The same transform runs in batch; the
+    * streaming spec asserts batch/stream agreement across multi-batch
+    * arrival. */
+  def distinctUsersHll(events: DataFrame, withWatermarkCol: Boolean = false): DataFrame = {
+    val src = if (withWatermarkCol) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.HllSketch.hll_distinct(col("user_id")).as("approx_users"))
+      .select(expr("unix_timestamp(w.start)").as("window_start"), col("approx_users"))
+  }
 }

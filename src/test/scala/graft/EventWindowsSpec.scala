@@ -99,4 +99,38 @@ class EventWindowsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == Seq((1L, 2L, 4L, 3L), (2L, 2L, 2L, 1L)))
   }
+
+  test("streaming HLL sketch merges across micro-batches like one batch") {
+    import spark.implicits._
+    // users 1-300 in window 0, 200-400 in window 1; delivered in THREE
+    // separate micro-batches with overlap, so per-window state must
+    // register-max-merge partial sketches, not just accumulate rows
+    def uev(min: Long, u: Long) = (t(min), u)
+    val b1 = (1L to 150L).map(u => uev(5, u))
+    val b2 = (100L to 300L).map(u => uev(30, u)) // overlaps b1 in window 0
+    val b3 = (200L to 400L).map(u => uev(70, u)) // window 1
+    val all = (b1 ++ b2 ++ b3).toDF("ts", "user_id")
+
+    val stream = MemoryStream[(Timestamp, Long)](spark)
+    val q = EventWindows.distinctUsersHll(
+        stream.toDF().toDF("ts", "user_id"), withWatermarkCol = true)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out").start()
+    stream.addData(b1: _*); q.processAllAvailable()
+    stream.addData(b2: _*); q.processAllAvailable()
+    stream.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hll_out")
+      .orderBy("window_start").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = EventWindows.distinctUsersHll(all)
+      .orderBy("window_start").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // identical estimates: incremental merge is lossless
+    assert(streamed == batch)
+    // and the estimates are near-exact at this cardinality (LC regime)
+    val est = streamed.map(_._2)
+    assert(est.length == 2)
+    assert(math.abs(est(0) - 300L) <= 5, s"window0=$est")
+    assert(math.abs(est(1) - 201L) <= 5, s"window1=$est")
+  }
 }

@@ -79,4 +79,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("MapPartitions"), plan)
   }
+
+  test("d6 candidates come from the banded equi-join on 16-bit chunks") {
+    val df = SparkEntry.queries("d6_simhash64_pairs")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("chunk"), plan)
+  }
+
+  test("stratified sample is a pure map-side filter — zero exchanges before the sort") {
+    val df = SparkEntry.queries("sp1_stratified_sample")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the only Exchange allowed is the rangepartitioning for the
+    // deterministic output ORDER BY; sampling itself must not shuffle
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, plan)
+    assert(plan.contains("rangepartitioning") || exchanges == 0, plan)
+    assert(plan.contains("Filter"), plan)
+  }
+
+  test("HLL rollup ships partial sketches map-side (no distinct expansion)") {
+    val df = SparkEntry.queries("e1_hll_users")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_hll_distinct"), plan)
+    // exact-distinct would add an expand + a (group, key) exchange
+    assert(!plan.contains("Expand"), plan)
+  }
 }
