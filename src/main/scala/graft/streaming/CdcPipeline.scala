@@ -70,6 +70,24 @@ object CdcPipeline {
     trigger.fold(writer)(writer.trigger).start()
   }
 
+  /** Last-write-wins dedup + after-image parse for one table's slice
+    * of a micro-batch: max(lsn) per key wins; output is `op` plus the
+    * parsed row columns — the shape every sink's merge consumes. The
+    * window partitions by key, so the shuffle is on the merge key —
+    * co-located with the downstream bucket/partition layout. */
+  def lastImagePerKey(
+      events: DataFrame, schema: StructType, keyCol: String): DataFrame =
+    events
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("lsn").desc)))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .withColumn("_row", from_json(col("after"), schema))
+      .select(col("op") +: schema.fieldNames.toSeq.map { f =>
+        if (f == keyCol) col("key").cast(schema(f).dataType).as(f)
+        else col("_row").getField(f).as(f)
+      }: _*)
+
   /** Apply one micro-batch: multi-table fan-out (C6), last-per-key
     * dedup (C1/C3), idempotent merge. Also usable directly for batch
     * backfill. */
@@ -87,24 +105,9 @@ object CdcPipeline {
     val spark = pinned.sparkSession
     val present = pinned.select("table").distinct().collect().map(_.getString(0))
     present.foreach { table =>
-      val schema = schemas(table)
-      val keyCol = keyCols(table)
-      val events = pinned.filter(col("table") === table)
-      // Last-write-wins per key: max(lsn) wins; window partitions by
-      // key so the shuffle is on the merge key — co-located with the
-      // downstream bucket layout.
-      val lastPerKey = events
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy("key").orderBy(col("lsn").desc)))
-        .filter(col("_rn") === 1)
-        .drop("_rn")
-      val changes = lastPerKey
-        .withColumn("_row", from_json(col("after"), schema))
-        .select(col("op") +: schema.fieldNames.toSeq.map { f =>
-          if (f == keyCol) col("key").cast(schema(f).dataType).as(f)
-          else col("_row").getField(f).as(f)
-        }: _*)
-      store.merge(spark, table, changes, keyCol)
+      val changes = lastImagePerKey(
+        pinned.filter(col("table") === table), schemas(table), keyCols(table))
+      store.merge(spark, table, changes, keyCols(table))
     }
   }
 
