@@ -29,6 +29,27 @@ import graft.functions.HashExprs.{char_fold_array, shingle_hashes, tokenize}
   * unchanged. Merge order makes replay safe: probe FIRST (a batch
   * never sees its own shingles), then admit.
   */
+object IncrementalDedup {
+
+  /** Streaming EXACT dedup with bounded state: drop re-deliveries of
+    * the same content hash while its event time is within the
+    * watermark. `dropDuplicatesWithinWatermark` is the piece plain
+    * `dropDuplicates` lacks at 100 TB — state for a key is evicted
+    * once the watermark passes it, so the dedup map holds only the
+    * horizon's keys, not the stream's entire history. The content key
+    * is the char-fold hash (in-row, compiled), not the text itself —
+    * state rows stay 16 bytes, not document-sized. Exactly the
+    * delivery-dedup a CDC/document firehose needs: duplicates arrive
+    * close together (retries, at-least-once sources), so a horizon =
+    * max redelivery delay removes them all with bounded memory. */
+  def exactDedupStream(docs: DataFrame, horizon: String): DataFrame =
+    docs
+      .withColumn("content_hash",
+        graft.functions.HashExprs.char_fold(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+}
+
 class IncrementalDedup(
     store: KeyedParquetStore,
     prefix: String,

@@ -58,4 +58,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val b = Seq((7L, baseA)).toDF("doc_id", "text")
     assert(dedup.admit(spark, b).count() == 1)
   }
+
+  test("exactDedupStream drops redeliveries within the watermark horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def t(min: Long) = new java.sql.Timestamp(1700002800000L + min * 60000)
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val q = IncrementalDedup.exactDedupStream(
+        stream.toDF().toDF("ts", "doc_id", "text"), horizon = "30 minutes")
+      .select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("exact_dedup_out").start()
+    // batch 1: doc A twice (retry), doc B once
+    stream.addData((t(0), 1L, "alpha beta"), (t(1), 2L, "alpha beta"), (t(2), 3L, "gamma"))
+    q.processAllAvailable()
+    // batch 2: doc A again within horizon → dropped; novel doc → kept
+    stream.addData((t(5), 4L, "alpha beta"), (t(6), 5L, "delta"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("exact_dedup_out").collect().map(_.getLong(0)).sorted.toSeq
+    // one survivor per distinct content: docs 1 (alpha beta), 3, 5
+    assert(kept == Seq(1L, 3L, 5L))
+  }
 }
