@@ -40,16 +40,19 @@ object Bench {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
         // Each run builds its plan fresh, so blocks persisted inside the
         // query (localCheckpoint/cache) are never reused by the NEXT run
-        // — drop them, or runs accumulate dead blocks until the executor
-        // heap thrashes (the r3 d-cluster 5-25 s readings were exactly
-        // this: checkpoint-heavy queries drowning in leaked blocks + GC).
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        spark.sharedState.cacheManager.clearCache()
-        dt
+        // — drop them even when the run THROWS, or runs accumulate dead
+        // blocks until the executor heap thrashes (the r3 d-cluster
+        // 5-25 s readings were exactly this: checkpoint-heavy queries
+        // drowning in leaked blocks + GC). The registry sweep is safe
+        // here: Bench owns the whole session, nothing runs concurrently.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        finally {
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          spark.sharedState.cacheManager.clearCache()
+        }
+        (System.nanoTime() - t0) / 1e9
       }
       val med =
         try {

@@ -100,6 +100,17 @@ case class HllDistinct(
 
   require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
 
+  // reject unsupported types at ANALYSIS, like every builtin — the
+  // lazy hashOf otherwise first forces on an executor, failing the
+  // query mid-stage after task retries
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hll_distinct supports BIGINT/INT/STRING inputs, got ${dt.sql}")
+    }
+
   private lazy val hashOf: Any => Long = child.dataType match {
     case LongType    => v => Hll.mix64(v.asInstanceOf[Long])
     case IntegerType => v => Hll.mix64(v.asInstanceOf[Int].toLong)

@@ -108,32 +108,26 @@ object DedupQueries {
     val edges = pairs.select(col("da"), col("db"))
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
       .localCheckpoint(true) // reused every iteration
-    val sc = pairs.sparkSession.sparkContext
     val nodes = edges.select(col("da").as("doc_id")).distinct()
-    var before = sc.getPersistentRDDs.keySet
     var labels = nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
-    // id(s) of the blocks the eager checkpoint just persisted: the
-    // DataFrame API gives no handle to them (`.rdd` wraps a fresh RDD),
-    // so diff the context's persistent-RDD registry around the call
-    var labelIds = sc.getPersistentRDDs.keySet -- before
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges.join(labels, edges("db") === labels("doc_id"))
         .groupBy(edges("da").as("doc_id")).agg(min("cluster_id").as("nbr_min"))
-      before = sc.getPersistentRDDs.keySet
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
-      val nextIds = sc.getPersistentRDDs.keySet -- before
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old")).count()
       // the old generation is fully consumed — free its blocks now, or a
-      // deep component graph holds O(iterations × |nodes|) dead blocks
-      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      // deep component graph holds O(iterations × |nodes|) dead blocks.
+      // Bridge.persistedRdd reads the checkpointed RDD off the plan —
+      // exact and safe under concurrent jobs (a registry diff is not).
+      org.apache.spark.sql.graftbridge.Bridge.persistedRdd(labels)
+        .foreach(_.unpersist(blocking = false))
       labels = next
-      labelIds = nextIds
     }
     labels
   }

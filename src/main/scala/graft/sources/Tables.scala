@@ -79,7 +79,7 @@ object Tables {
     * work; the shuffle cost is paid once at write time and amortized
     * over every subsequent join. Catalog-backed (`saveAsTable`) because
     * bucket metadata lives in the catalog, not the files.
-    * `BucketedJoinSpec` asserts the no-Exchange plan. */
+    * `ScaleJoinSpec` asserts the no-Exchange plan. */
   def saveBucketed(
       df: DataFrame, catalogName: String, path: String,
       key: String, buckets: Int): Unit =

@@ -91,25 +91,35 @@ object CdcPipeline {
   /** Apply one micro-batch: multi-table fan-out (C6), last-per-key
     * dedup (C1/C3), idempotent merge. Also usable directly for batch
     * backfill. */
+  /** Materialize a micro-batch ONCE, run `body` over it, then free its
+    * blocks. Downstream needs several passes (table fan-out, key dedup,
+    * merge); without pinning, each action re-executes the source scan —
+    * 3–5× read amplification per batch (observed via
+    * StreamingQueryProgress.numInputRows). The unpersist in `finally`
+    * matters just as much: a long-lived mirror runs thousands of
+    * micro-batches, and leaked checkpoint blocks accumulate until the
+    * executor heap thrashes. */
+  private[streaming] def withPinnedBatch(batch: DataFrame)(body: DataFrame => Unit): Unit = {
+    val pinned = batch.localCheckpoint(true)
+    try if (!pinned.isEmpty) body(pinned)
+    finally org.apache.spark.sql.graftbridge.Bridge.persistedRdd(pinned)
+      .foreach(_.unpersist(blocking = false))
+  }
+
   def applyBatch(
       batch: DataFrame,
       store: KeyedParquetStore,
       schemas: Map[String, StructType],
-      keyCols: Map[String, String]): Unit = {
-    // Materialize the micro-batch ONCE. Downstream needs several
-    // passes (table fan-out, key dedup, merge); without pinning, each
-    // action re-executes the source scan — 3–5× read amplification
-    // per batch (observed via StreamingQueryProgress.numInputRows).
-    val pinned = batch.localCheckpoint(true)
-    if (pinned.isEmpty) return
-    val spark = pinned.sparkSession
-    val present = pinned.select("table").distinct().collect().map(_.getString(0))
-    present.foreach { table =>
-      val changes = lastImagePerKey(
-        pinned.filter(col("table") === table), schemas(table), keyCols(table))
-      store.merge(spark, table, changes, keyCols(table))
+      keyCols: Map[String, String]): Unit =
+    withPinnedBatch(batch) { pinned =>
+      val spark = pinned.sparkSession
+      val present = pinned.select("table").distinct().collect().map(_.getString(0))
+      present.foreach { table =>
+        val changes = lastImagePerKey(
+          pinned.filter(col("table") === table), schemas(table), keyCols(table))
+        store.merge(spark, table, changes, keyCols(table))
+      }
     }
-  }
 
   /** The reference's signature monitoring query over a live mirror:
     * per-table replication lag source vs target (monitoring.ps1:576–

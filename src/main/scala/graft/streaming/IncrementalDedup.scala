@@ -32,22 +32,28 @@ import graft.functions.HashExprs.{char_fold_array, shingle_hashes, tokenize}
 object IncrementalDedup {
 
   /** Streaming EXACT dedup with bounded state: drop re-deliveries of
-    * the same content hash while its event time is within the
-    * watermark. `dropDuplicatesWithinWatermark` is the piece plain
+    * the same content while its event time is within the watermark.
+    * `dropDuplicatesWithinWatermark` is the piece plain
     * `dropDuplicates` lacks at 100 TB — state for a key is evicted
     * once the watermark passes it, so the dedup map holds only the
     * horizon's keys, not the stream's entire history. The content key
-    * is the char-fold hash (in-row, compiled), not the text itself —
-    * state rows stay 16 bytes, not document-sized. Exactly the
-    * delivery-dedup a CDC/document firehose needs: duplicates arrive
-    * close together (retries, at-least-once sources), so a horizon =
-    * max redelivery delay removes them all with bounded memory. */
+    * is a PAIR of independent hashes (char-fold, ~30 bits, and
+    * xxhash64, 64 bits) rather than the text itself — state rows stay
+    * ~24 bytes, and a false-positive drop needs a simultaneous
+    * collision in both hashes (~2^-94 per pair; char-fold alone
+    * collides at ~37k in-horizon keys by the birthday bound). Working
+    * columns are dropped — the transform is shape-preserving. Exactly
+    * the delivery-dedup a CDC/document firehose needs: duplicates
+    * arrive close together (retries, at-least-once sources), so a
+    * horizon = max redelivery delay removes them all with bounded
+    * memory. */
   def exactDedupStream(docs: DataFrame, horizon: String): DataFrame =
     docs
-      .withColumn("content_hash",
-        graft.functions.HashExprs.char_fold(col("text")))
+      .withColumn("_ch1", graft.functions.HashExprs.char_fold(col("text")))
+      .withColumn("_ch2", xxhash64(col("text")))
       .withWatermark("ts", horizon)
-      .dropDuplicatesWithinWatermark("content_hash")
+      .dropDuplicatesWithinWatermark("_ch1", "_ch2")
+      .drop("_ch1", "_ch2")
 }
 
 class IncrementalDedup(

@@ -99,14 +99,13 @@ object JdbcMirror {
       schemas: Map[String, StructType],
       keyCols: Map[String, String],
       props: Properties = new Properties(),
-      tableNameOf: String => String = identity): Unit = {
-    val pinned = batch.localCheckpoint(true)
-    if (pinned.isEmpty) return
-    val present = pinned.select("table").distinct().collect().map(_.getString(0))
-    present.foreach { table =>
-      val changes = CdcPipeline.lastImagePerKey(
-        pinned.filter(col("table") === table), schemas(table), keyCols(table))
-      applyChanges(changes, url, tableNameOf(table), keyCols(table), props)
+      tableNameOf: String => String = identity): Unit =
+    CdcPipeline.withPinnedBatch(batch) { pinned =>
+      val present = pinned.select("table").distinct().collect().map(_.getString(0))
+      present.foreach { table =>
+        val changes = CdcPipeline.lastImagePerKey(
+          pinned.filter(col("table") === table), schemas(table), keyCols(table))
+        applyChanges(changes, url, tableNameOf(table), keyCols(table), props)
+      }
     }
-  }
 }

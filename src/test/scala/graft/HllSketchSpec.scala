@@ -99,6 +99,17 @@ class HllSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("unsupported input types are rejected at analysis, not execution") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      // analysis fires on plan resolution — collect() must not be needed,
+      // but call it so a silently-resolved plan would also fail the test
+      Seq(1.5, 2.5).toDF("v").agg(hll_distinct(col("v"))).collect()
+    }
+    assert(e.getMessage.contains("hll_distinct supports BIGINT/INT/STRING"), e.getMessage)
+    assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException], e.getClass.toString)
+  }
+
   test("nulls are ignored like builtin count distinct") {
     import spark.implicits._
     val est = Seq(Some(1L), None, Some(2L), None, Some(1L)).toDF("v")

@@ -69,6 +69,7 @@ class JdbcMirrorSpec extends AnyFunSuite {
   test("I/U/D envelope batch applies with LWW order; replay is idempotent") {
     import spark.implicits._
     freshTable("customers")
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.size
     val batch = changes.toDF()
     JdbcMirror.applyEnvelopeBatch(batch, url,
       Map("customers" -> customersSchema), Map("customers" -> "id"), props)
@@ -77,6 +78,9 @@ class JdbcMirrorSpec extends AnyFunSuite {
     JdbcMirror.applyEnvelopeBatch(batch, url,
       Map("customers" -> customersSchema), Map("customers" -> "id"), props)
     assert(stateOf("customers") == expected)
+    // the per-batch pin must not leak checkpoint blocks (a long-lived
+    // mirror applies thousands of batches)
+    assert(spark.sparkContext.getPersistentRDDs.size <= blocksBefore)
   }
 
   test("streaming mirror into JDBC via foreachBatch converges") {
