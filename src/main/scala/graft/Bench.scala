@@ -47,12 +47,15 @@ object Bench {
         // 5-25 s readings were exactly this: checkpoint-heavy queries
         // drowning in leaked blocks + GC). The registry sweep is safe
         // here: Bench owns the whole session, nothing runs concurrently.
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        finally {
+        // The timestamp is taken BEFORE the finally so cleanup cost is
+        // not attributed to the query.
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } finally {
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
           spark.sharedState.cacheManager.clearCache()
         }
-        (System.nanoTime() - t0) / 1e9
       }
       val med =
         try {

@@ -134,6 +134,21 @@ object AnalyticsQueries {
                  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
     },
 
+    // LATERAL correlated subquery — per-outer-row top-N, the SQL shape
+    // ORMs and hand-written reports lean on. Catalyst decorrelates it
+    // into a ranked window join (no per-row re-execution), so the
+    // plan scales like w1/w8, not like N subquery runs.
+    "x10_lateral_topn" -> { (s, d) =>
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation")
+      Tables.load(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql("""SELECT n_name, c_custkey, c_acctbal
+               FROM nation, LATERAL (
+                 SELECT c_custkey, c_acctbal FROM customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) AS t
+               ORDER BY n_name, c_acctbal DESC, c_custkey""")
+    },
+
     // the full SQL ranking-function family in one window: rank /
     // dense_rank / percent_rank / cume_dist / ntile. All are exact
     // rational functions of rank positions — deterministic with a
@@ -248,6 +263,13 @@ object AnalyticsQueries {
          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
          ORDER BY g_status ASC, g_prio ASC,
            o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "x10_lateral_topn" ->
+      """SELECT n_name, c_custkey, c_acctbal
+         FROM nation, LATERAL (
+           SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_nationkey = n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) AS t
+         ORDER BY n_name, c_acctbal DESC, c_custkey""",
     "w8_rank_family" ->
       """SELECT c_nationkey, c_custkey,
            rank() OVER w AS rnk,

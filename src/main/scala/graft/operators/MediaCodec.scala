@@ -154,6 +154,46 @@ object MediaCodec {
     Some(Decoded("audio/wav", sampleRate, channels, nFrames, brightness))
   }
 
+  /** Raw 16-bit PCM samples of a WAV payload: (sampleRate, channels,
+    * interleaved samples). The frame-sampling/windowing operators need
+    * the samples themselves, not the summary [[decode]] returns. Same
+    * hostile-size bounds as [[decodeWav]]. */
+  def pcmSamples16(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (b.length < 12 ||
+      new String(b, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) != "RIFF" ||
+      new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII) != "WAVE")
+      return None
+    var pos = 12
+    var channels = 0
+    var sampleRate = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos.toLong + 8 + size > b.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          if (le16(b, pos + 8) != 1) return None // PCM only
+          channels = le16(b, pos + 10)
+          sampleRate = le32(b, pos + 12)
+          bits = le16(b, pos + 22)
+        case "data" =>
+          dataOff = pos + 8
+          dataLen = size
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1)
+    }
+    if (channels <= 0 || sampleRate <= 0 || dataOff < 0 || bits != 16) return None
+    if (dataLen % 2 != 0) return None
+    val out = new Array[Short](dataLen / 2)
+    var i = 0
+    while (i < out.length) { out(i) = le16(b, dataOff + i * 2).toShort; i += 1 }
+    Some((sampleRate, channels, out))
+  }
+
   // ---- encoders: deterministic payload builders for the synthetic
   // corpus and the round-trip specs (ground truth by construction) ----
 

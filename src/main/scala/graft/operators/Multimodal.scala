@@ -131,6 +131,46 @@ object Multimodal {
           lit("synthetic").as("source")).as("meta"))
   }
 
+  /** Windowed audio feature extraction over WAV-PCM payloads: per
+    * window of `windowFrames` samples, exact integer energy sums →
+    * RMS and peak. The multimodal analogue of t-series text metrics —
+    * the per-file feature rows a training filter consumes (silence
+    * trimming, clipping detection, loudness balancing).
+    *
+    * Scale shape: decode + windowing are partition-local over the
+    * binary column (mapPartitions, like [[extractFeatures]]); output
+    * is one small row per window — the only thing that crosses the
+    * wire. Sums are exact Long; the single sqrt per window is
+    * deterministic. Non-WAV payloads yield no rows (a real pipeline
+    * routes by sniffed type first). */
+  def audioWindowFeatures(media: DataFrame, windowFrames: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodec.pcmSamples16(bytes) match {
+            case Some((rate, channels, samples)) =>
+              samples.grouped(windowFrames * channels).zipWithIndex.map {
+                case (win, wi) =>
+                  var energy = 0L
+                  var peak = 0
+                  win.foreach { s =>
+                    energy += s.toLong * s.toLong
+                    val a = math.abs(s.toInt)
+                    if (a > peak) peak = a
+                  }
+                  (id, wi, rate, win.length,
+                    math.sqrt(energy.toDouble / win.length) / 32768.0, peak)
+              }
+            case None => Iterator.empty
+          }
+        }
+      }
+      .toDF("doc_id", "win", "sample_rate", "n_samples", "rms", "peak")
+  }
+
   /** Oracle-checkable slice of the multimodal surface: byte length +
     * content digest of the binary payload (md5 is identical across
     * engines), grouped per fake-mime bucket. */

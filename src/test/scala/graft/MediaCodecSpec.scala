@@ -46,6 +46,39 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(math.abs(d.brightness - expected) < 1e-12)
   }
 
+  test("pcmSamples16 returns the exact encoded samples") {
+    val samples = Array[Short](0, 100, -200, 32767, -32768, 7)
+    val bytes = MediaCodec.encodeWavPcm16(8000, 1, samples)
+    val (rate, ch, got) = MediaCodec.pcmSamples16(bytes).get
+    assert(rate == 8000 && ch == 1)
+    assert(got.toSeq == samples.toSeq)
+    // non-WAV and truncated payloads are rejected, not misparsed
+    assert(MediaCodec.pcmSamples16("not audio".getBytes).isEmpty)
+    assert(MediaCodec.pcmSamples16(bytes.take(bytes.length - 2)).isEmpty)
+  }
+
+  test("audioWindowFeatures: exact windowed RMS and peak, non-WAV yields no rows") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // 6 samples, window of 4 → windows of 4 and 2
+    val samples = Array[Short](100, -100, 200, -200, 32767, 0)
+    val wav = MediaCodec.encodeWavPcm16(8000, 1, samples)
+    val media = Seq(
+      (1L, wav),
+      (2L, "not a wav at all".getBytes) // ignored
+    ).toDF("doc_id", "content")
+    val got = graft.operators.Multimodal.audioWindowFeatures(media, windowFrames = 4)
+      .orderBy("doc_id", "win").collect()
+    assert(got.length == 2)
+    val w0 = got(0)
+    assert(w0.getLong(0) == 1L && w0.getInt(1) == 0 && w0.getInt(3) == 4)
+    val rms0 = math.sqrt((100.0 * 100 + 100 * 100 + 200 * 200 + 200 * 200) / 4) / 32768.0
+    assert(math.abs(w0.getDouble(4) - rms0) < 1e-12)
+    assert(w0.getInt(5) == 200)
+    val w1 = got(1)
+    assert(w1.getInt(1) == 1 && w1.getInt(3) == 2 && w1.getInt(5) == 32767)
+  }
+
   test("unknown magic bytes are rejected (caller falls back to stub)") {
     assert(MediaCodec.decode("JFIF-like junk".getBytes).isEmpty)
     assert(MediaCodec.decode(Array[Byte]()).isEmpty)
