@@ -31,7 +31,8 @@ object SparkEntry {
       operators.AsOfJoin.queries ++
       operators.RangeJoin.queries ++
       operators.CorpusPipeline.queries ++
-      operators.SamplingQueries.queries
+      operators.SamplingQueries.queries ++
+      operators.ProfileQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       operators.AsOfJoin.oracles ++
       operators.RangeJoin.oracles ++
       operators.CorpusPipeline.oracles ++
-      operators.SamplingQueries.oracles
+      operators.SamplingQueries.oracles ++
+      operators.ProfileQueries.oracles
 }
