@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** CDC sink into a live SQL database over JDBC — the reference's
-  * actual target shape (Postgres→Postgres replication; our
-  * [[KeyedParquetStore]] is the lakehouse analogue, this is the
-  * database-parity path).
+  * actual target shape (Postgres→Postgres replication into the
+  * `target` database, reference quickstart_prepare_peers.sh:16–19 and
+  * README.md:99–106; our [[KeyedParquetStore]] is the lakehouse
+  * analogue, this is the database-parity path).
   *
   * Apply semantics: the input batch is the LWW-deduped change set
   * ([[CdcPipeline.lastImagePerKey]] — exactly one row per key), and
