@@ -168,6 +168,26 @@ object AnalyticsQueries {
         .orderBy("c_nationkey", "rnk")
     },
 
+    // event funnel: per-user first-touch times per stage, then ordered
+    // conversion counts (view → click → purchase). One hash aggregate
+    // per level — conditional MIN aggregation, no self-joins, no
+    // per-user sequence reconstruction; the standard relational funnel
+    // that survives any event volume because state per user is 3
+    // timestamps
+    "w9_funnel" -> { (s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .agg(
+          count(col("t_view")).as("n_view"),
+          count(when(col("t_click") > col("t_view"), lit(1))).as("n_view_then_click"),
+          count(when(col("t_click") > col("t_view") &&
+            col("t_purchase") > col("t_click"), lit(1))).as("n_full_funnel"))
+    },
+
     // sketched distinct users per event type — the rollup a 100 TB
     // pipeline runs sketched: the shuffle carries one 4 KiB register
     // file per group (partial sketches merge map-side) where exact
@@ -263,6 +283,19 @@ object AnalyticsQueries {
          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
          ORDER BY g_status ASC, g_prio ASC,
            o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "w9_funnel" ->
+      """SELECT COUNT(t_view) AS n_view,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_then_click,
+           COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+             AS n_full_funnel
+         FROM (
+           -- CAST(ts AS TIMESTAMP) truncates TIMESTAMP_NS to micros —
+           -- the same precision Spark's ts carries (Tables.events)
+           SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+           FROM events GROUP BY 1)""",
     "x10_lateral_topn" ->
       """SELECT n_name, c_custkey, c_acctbal
          FROM nation, LATERAL (

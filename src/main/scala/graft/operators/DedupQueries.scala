@@ -194,8 +194,9 @@ object DedupQueries {
     // ≤ 3. Candidates come from pigeonhole banding: 4 bits differing
     // touch ≤ 3 of the 4 nibbles, so every qualifying pair shares at
     // least one (band, nibble) — an EQUI-join, never an all-pairs
-    // scan. At 100 TB the same shape widens to a 64-bit signature
-    // with 16-bit bands so in-band buckets stay selective.
+    // scan. At 100 TB the same shape widens to the 64-bit signature
+    // with 16-bit bands (implemented as d6 below) so in-band buckets
+    // stay selective.
     "d4_simhash_pairs" -> { (s, d) =>
       val sims = Tables.load(s, d, "documents")
         .select(col("doc_id"), char_fold_array(tokenize(col("text"))).as("hs"))
