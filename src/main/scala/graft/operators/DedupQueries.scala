@@ -110,8 +110,17 @@ object DedupQueries {
       .localCheckpoint(true) // reused every iteration
     val nodes = edges.select(col("da").as("doc_id")).distinct()
     var labels = nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence check without a generation-vs-generation join: labels
+    // only ever DECREASE (least of self and neighbors), so the label
+    // sum is strictly monotone until fixpoint — equal consecutive sums
+    // ⟺ no label changed. One scalar aggregate per iteration instead
+    // of a |nodes| join + count; DECIMAL(38,0) so the sum is exact at
+    // any id magnitude × node count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val nbrMin = edges.join(labels, edges("db") === labels("doc_id"))
         .groupBy(edges("da").as("doc_id")).agg(min("cluster_id").as("nbr_min"))
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
@@ -119,8 +128,9 @@ object DedupQueries {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       // the old generation is fully consumed — free its blocks now, or a
       // deep component graph holds O(iterations × |nodes|) dead blocks.
       // Bridge.persistedRdd reads the checkpointed RDD off the plan —
