@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("winnow", es => Winnow(es(0), intLit(es(1), "window")))
     inject("hyperplane_bucket", es =>
       HyperplaneBucket(es(0), intLit(es(1), "plane count")))
+    inject("bloom_build", es =>
+      BloomBuild(es(0), intLit(es(1), "bloom bits"), intLit(es(2), "bloom hashes"))
+        .toAggregateExpression())
+    inject("bloom_probe", es => BloomProbe(es(0), es(1)))
     inject("hll_distinct", {
       case Seq(e) => HllDistinct(e).toAggregateExpression()
       case Seq(e, pLit) =>

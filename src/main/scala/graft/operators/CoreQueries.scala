@@ -307,6 +307,28 @@ object CoreQueries {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // ── U3/U4: INTERSECT / EXCEPT — the remaining ANSI set ops.
+    // Spark plans both as aggregate + join on the full row (hash
+    // semi/anti with dedup) — one shuffle each, same scale shape as
+    // any distinct. Users active in BOTH purchase and error events,
+    // and purchase-active users with NO error events.
+    "u3_intersect" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "purchase").select("user_id")
+        .intersect(ev.filter(col("event_type") === "error").select("user_id"))
+        .orderBy("user_id")
+    },
+    "u4_except" -> { (s, d) =>
+      // high-value errors only, so the subtracted set is a strict
+      // subset of users and the difference is non-empty — a 0-row
+      // result would make the oracle check vacuous
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "purchase").select("user_id")
+        .except(ev.filter(col("event_type") === "error" && col("value") > lit(90.0))
+          .select("user_id"))
+        .orderBy("user_id")
+    },
+
     // ── F3: string function suite (monitoring.ps1:524, insert.ps1:98)
     "f3_strings" -> { (s, d) =>
       Tables.load(s, d, "customer")
@@ -535,6 +557,16 @@ object CoreQueries {
          ORDER BY event_id""",
     "u2_distinct_pairs" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+    "u3_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'error'
+         ORDER BY user_id""",
+    "u4_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'error' AND value > 90.0
+         ORDER BY user_id""",
     "f3_strings" ->
       """SELECT c_custkey, UPPER(c_name) AS uname,
          LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.BloomFilter.{bloom_build, bloom_probe}
+
+/** The Bloom build/probe pair: the zero-false-negative contract (a
+  * definite-new key never survives the probe as "seen"), the
+  * false-positive envelope, OR-merge across partitions, and the
+  * incremental-ingest pruning pattern end-to-end. */
+class BloomFilterSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("no false negatives: every built key probes true") {
+    import spark.implicits._
+    val corpus = (1L to 20000L).toDF("fp")
+    val filter = corpus.agg(bloom_build(col("fp"))).head().getAs[Array[Byte]](0)
+    val misses = corpus
+      .filter(!bloom_probe(lit(filter), col("fp")))
+      .count()
+    assert(misses == 0L)
+  }
+
+  test("false-positive rate stays near the design point") {
+    import spark.implicits._
+    // n=20k keys in m=2^20 bits, k=5 → p ≈ (1-e^(-kn/m))^5 ≈ 0.1%
+    val corpus = (1L to 20000L).toDF("fp")
+    val filter = corpus.agg(bloom_build(col("fp"))).head().getAs[Array[Byte]](0)
+    val disjoint = (1000001L to 1050000L).toDF("fp")
+    val fp = disjoint.filter(bloom_probe(lit(filter), col("fp"))).count()
+    assert(fp < 50000 * 0.01, s"false positives: $fp / 50000") // 10× headroom
+  }
+
+  test("partial filters OR-merge: distributed build equals local build") {
+    import spark.implicits._
+    val one = spark.range(1, 5001).repartition(1).toDF("fp")
+      .agg(bloom_build(col("fp"))).head().getAs[Array[Byte]](0)
+    val many = spark.range(1, 5001).repartition(32).toDF("fp")
+      .agg(bloom_build(col("fp"))).head().getAs[Array[Byte]](0)
+    assert(one.toSeq == many.toSeq)
+  }
+
+  test("string keys work through SQL registration") {
+    val shared = spark // ensure the context exists
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-bloom-ext")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val f = Seq("alpha", "beta", "gamma").toDF("w")
+        .selectExpr("bloom_build(w, 4096, 5) AS f").head().getAs[Array[Byte]](0)
+      val probed = Seq(("alpha", true), ("delta", false)).toDF("w", "_")
+        .select(col("w"), expr(s"bloom_probe(X'${f.map("%02x".format(_)).mkString}', w)").as("hit"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(probed("alpha"))
+      // delta COULD be a false positive in principle; at 3 keys in 4096
+      // bits the probability is ~0 — assert the expected outcome
+      assert(!probed("delta"))
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+    }
+  }
+
+  test("ingest pruning pattern: only maybe-seen rows reach the join") {
+    import spark.implicits._
+    // corpus fingerprints 1..1000; new batch has 3 dups + 997 novel
+    val corpus = (1L to 1000L).toDF("fp")
+    val filter = corpus.agg(bloom_build(col("fp"))).head().getAs[Array[Byte]](0)
+    val batch = ((1L to 3L) ++ (5000L to 5996L)).toDF("fp")
+    val survivors = batch.filter(bloom_probe(lit(filter), col("fp")))
+    val survivorCount = survivors.count()
+    // all 3 true dups survive; novel rows almost all pruned map-side
+    assert(survivorCount >= 3 && survivorCount < 50, s"survivors=$survivorCount")
+    val confirmed = survivors.join(corpus, Seq("fp"), "left_semi").count()
+    assert(confirmed == 3L)
+  }
+}
