@@ -23,7 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    // reject out-of-range instead of truncating: bloom_build(v, 2^32+4096, 5)
+    // would otherwise silently build a 4096-bit filter
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) if v.isValidInt =>
+      v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+      throw new IllegalArgumentException(s"$what out of Int range: $v")
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got: $other")
   }

@@ -67,10 +67,18 @@ object BloomOps {
   }
 
   /** Probe serialized filter bytes directly (no copy of the words —
-    * reads through the ByteBuffer). */
+    * reads through the ByteBuffer). The filter arrives as an arbitrary
+    * BINARY column value, so the header is VALIDATED, not trusted: a
+    * malformed k would otherwise drive a ~2^31-iteration probe loop or
+    * a divide-by-zero, and a truncated buffer an out-of-bounds read. */
   def mightContain(bytes: Array[Byte], h1: Long, h2: Long): Boolean = {
+    if (bytes.length < 16 || (bytes.length - 8) % 8 != 0)
+      throw new IllegalArgumentException(
+        s"not a bloom filter: ${bytes.length} bytes (need 8-byte header + 8-byte words)")
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val k = bb.getInt(0)
+    if (k < 1 || k > 16)
+      throw new IllegalArgumentException(s"not a bloom filter: k=$k outside [1, 16]")
     val nBits = (bytes.length - 8) * 8
     var i = 0
     while (i < k) {
@@ -176,7 +184,8 @@ case class BloomProbe(left: Expression, right: Expression) extends BinaryExpress
     BloomOps.mightContain(filter.asInstanceOf[Array[Byte]], h1, h2)
   }
 
-  private def H = "graft.functions.BloomOps$.MODULE$"
+  // derived from the class so a rename breaks the compile, not Janino
+  private def H = BloomOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     right.dataType match {
       case LongType    => defineCodeGen(ctx, ev, (f, v) => s"$H.probeLong($f, $v)")

@@ -116,8 +116,11 @@ object DedupQueries {
     // ⟺ no label changed. One scalar aggregate per iteration instead
     // of a |nodes| join + count; DECIMAL(38,0) so the sum is exact at
     // any id magnitude × node count.
+    // coalesce: SUM over an empty frame is NULL — an empty pair graph
+    // must converge immediately, not NPE on the comparison
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -110,7 +110,16 @@ object MediaCodec {
 
   /** RIFF/WAVE with PCM "fmt " + "data" chunks. 8-bit unsigned or
     * 16-bit signed little-endian samples. */
-  private def decodeWav(b: Array[Byte]): Option[Decoded] = {
+  /** One RIFF chunk-walk shared by [[decodeWav]] and [[pcmSamples16]]:
+    * (channels, sampleRate, bits, dataOff, dataLen) for a well-formed
+    * uncompressed-PCM WAV; None otherwise. Keeps the hostile-size
+    * bounds and the frame-alignment validation in ONE place so the two
+    * consumers can't drift apart. */
+  private def wavPcmLayout(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (b.length < 12 ||
+      new String(b, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) != "RIFF" ||
+      new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII) != "WAVE")
+      return None
     var pos = 12
     var channels = 0
     var sampleRate = 0
@@ -141,7 +150,15 @@ object MediaCodec {
       return None
     val bytesPerFrame = channels * bits / 8
     if (bytesPerFrame == 0 || dataLen % bytesPerFrame != 0) return None
-    val nFrames = dataLen / bytesPerFrame
+    Some((channels, sampleRate, bits, dataOff, dataLen))
+  }
+
+  private def decodeWav(b: Array[Byte]): Option[Decoded] = {
+    val (channels, sampleRate, bits, dataOff, dataLen) = wavPcmLayout(b) match {
+      case Some(layout) => layout
+      case None => return None
+    }
+    val nFrames = dataLen / (channels * bits / 8)
     val nSamples = dataLen / (bits / 8)
     var sum = 0.0
     var i = 0
@@ -156,43 +173,18 @@ object MediaCodec {
 
   /** Raw 16-bit PCM samples of a WAV payload: (sampleRate, channels,
     * interleaved samples). The frame-sampling/windowing operators need
-    * the samples themselves, not the summary [[decode]] returns. Same
-    * hostile-size bounds as [[decodeWav]]. */
-  def pcmSamples16(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
-    if (b.length < 12 ||
-      new String(b, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) != "RIFF" ||
-      new String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII) != "WAVE")
-      return None
-    var pos = 12
-    var channels = 0
-    var sampleRate = 0
-    var bits = 0
-    var dataOff = -1
-    var dataLen = 0
-    while (pos + 8 <= b.length) {
-      val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = le32(b, pos + 4)
-      if (size < 0 || pos.toLong + 8 + size > b.length) return None
-      id match {
-        case "fmt " if size >= 16 =>
-          if (le16(b, pos + 8) != 1) return None // PCM only
-          channels = le16(b, pos + 10)
-          sampleRate = le32(b, pos + 12)
-          bits = le16(b, pos + 22)
-        case "data" =>
-          dataOff = pos + 8
-          dataLen = size
-        case _ => ()
-      }
-      pos += 8 + size + (size & 1)
+    * the samples themselves, not the summary [[decode]] returns. Bounds
+    * and layout validation are [[wavPcmLayout]]'s — shared with
+    * [[decodeWav]], not duplicated. */
+  def pcmSamples16(b: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    wavPcmLayout(b) match {
+      case Some((channels, sampleRate, 16, dataOff, dataLen)) =>
+        val out = new Array[Short](dataLen / 2)
+        var i = 0
+        while (i < out.length) { out(i) = le16(b, dataOff + i * 2).toShort; i += 1 }
+        Some((sampleRate, channels, out))
+      case _ => None // absent, malformed, or 8-bit PCM
     }
-    if (channels <= 0 || sampleRate <= 0 || dataOff < 0 || bits != 16) return None
-    if (dataLen % 2 != 0) return None
-    val out = new Array[Short](dataLen / 2)
-    var i = 0
-    while (i < out.length) { out(i) = le16(b, dataOff + i * 2).toShort; i += 1 }
-    Some((sampleRate, channels, out))
-  }
 
   // ---- encoders: deterministic payload builders for the synthetic
   // corpus and the round-trip specs (ground truth by construction) ----

@@ -67,6 +67,24 @@ class BloomFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed filter bytes are rejected, not misread") {
+    import graft.functions.BloomOps
+    // truncated: header only, no words
+    intercept[IllegalArgumentException] {
+      BloomOps.mightContain(Array.fill[Byte](8)(0), 1L, 3L)
+    }
+    // k out of range (would loop ~2^30 times per row if trusted)
+    val badK = java.nio.ByteBuffer.allocate(16).putInt(0x40000000).array()
+    intercept[IllegalArgumentException] {
+      BloomOps.mightContain(badK, 1L, 3L)
+    }
+    // non-word-aligned buffer (an md5 digest is 16 bytes but a random
+    // binary column value usually is not a valid filter)
+    intercept[IllegalArgumentException] {
+      BloomOps.mightContain(Array.fill[Byte](13)(1), 1L, 3L)
+    }
+  }
+
   test("ingest pruning pattern: only maybe-seen rows reach the join") {
     import spark.implicits._
     // corpus fingerprints 1..1000; new batch has 3 dups + 997 novel

@@ -253,6 +253,14 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents on an empty pair graph returns empty (no NPE)") {
+    import spark.implicits._
+    // SUM over an empty frame is NULL — the monotone-sum convergence
+    // check must coalesce it, or a dup-free corpus crashes d5
+    val pairs = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(DedupQueries.connectedComponents(pairs).count() == 0)
+  }
+
   test("guarded join prunes the hot key's fan-out in the plan input") {
     val sh = planted(100)
     // with the guard, the self-join input no longer contains shingle
