@@ -76,18 +76,42 @@ object Bench {
     // Locale.ROOT: f"" uses the default locale — a comma decimal
     // separator would make the JSON line unparseable
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
-    // emit on BOTH streams and to a file: sbt at `-error` level swallows
-    // the program's stdout entirely, while at default level stdout passes
-    // through unprefixed — cover both so a bounded log tail always parses
+    def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + ms(kv._2)
+    val qsFull = results.map(entry).mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir","runs":$runs}"""
+    // Full per-query map goes to a file + stderr. The LAST stdout line
+    // must be a COMPLETE JSON object inside the driver's bounded log
+    // tail (2000 chars, minus sbt's trailing "[success] Total time"
+    // line) — the full line with 80+ queries is ~3 KB and gets its
+    // FRONT truncated off, which is exactly why BENCH_r01..r04 all
+    // recorded parsed:null. So the final line carries the total plus
+    // only as many per-query entries as fit a fixed budget,
+    // slowest-first (the diagnostic ones), and points at the file for
+    // the rest.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
-    System.err.println(line)
+    System.err.println(full)
     System.err.flush()
+    val bySlow = results.filter(_._2 >= 0).sortBy { case (k, v) => (-v, k) }
+    val budget = 1400 // chars for the queries dict; keeps the line ≤ ~1600
+    val kept = new StringBuilder
+    var nKept = 0
+    bySlow.foreach { kv =>
+      val e = entry(kv)
+      if (kept.length + e.length + 1 <= budget) {
+        if (nKept > 0) kept.append(',')
+        kept.append(e); nKept += 1
+      }
+    }
+    val truncated = nKept < results.length
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{${kept.result()}},""" +
+        s""""queries_truncated":$truncated,"nqueries":${results.length},""" +
+        s""""queries_order":"slowest_first","queries_file":"BENCH_LOCAL.json",""" +
+        s""""sf":"$sfDir","runs":$runs}"""
     println(line)
     spark.stop()
   }

@@ -53,9 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("winnow", es => Winnow(es(0), intLit(es(1), "window")))
     inject("hyperplane_bucket", es =>
       HyperplaneBucket(es(0), intLit(es(1), "plane count")))
-    inject("bloom_build", es =>
-      BloomBuild(es(0), intLit(es(1), "bloom bits"), intLit(es(2), "bloom hashes"))
-        .toAggregateExpression())
+    inject("bloom_build", {
+      case Seq(e, bits, k) =>
+        BloomBuild(e, intLit(bits, "bloom bits"), intLit(k, "bloom hashes"))
+          .toAggregateExpression()
+      case es => throw new IllegalArgumentException(
+        s"bloom_build takes (value, bits, hashes), got ${es.length} args")
+    })
     inject("bloom_probe", es => BloomProbe(es(0), es(1)))
     inject("hll_distinct", {
       case Seq(e) => HllDistinct(e).toAggregateExpression()

@@ -79,11 +79,15 @@ object BloomOps {
     val k = bb.getInt(0)
     if (k < 1 || k > 16)
       throw new IllegalArgumentException(s"not a bloom filter: k=$k outside [1, 16]")
-    val nBits = (bytes.length - 8) * 8
+    // Long arithmetic: at >256 MiB an Int (len-8)*8 overflows negative
+    // and the probe would surface a confusing ByteBuffer bounds error
+    // instead of a modulus — the bit index can legitimately exceed
+    // Int range for filters over 256 MiB, so it stays a Long too.
+    val nBits = (bytes.length - 8).toLong * 8L
     var i = 0
     while (i < k) {
-      val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, nBits).toInt
-      if ((bb.getLong(8 + (bit >> 6) * 8) & (1L << (bit & 63))) == 0) return false
+      val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, nBits)
+      if ((bb.getLong(8 + (bit >> 6).toInt * 8) & (1L << (bit & 63).toInt)) == 0) return false
       i += 1
     }
     true

@@ -238,7 +238,13 @@ object HashOps {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
+      // SQL-exposed for arbitrary ARRAY<BIGINT>: fold the hash into
+      // [0, M) first so full-width or negative inputs (e.g. xxhash64
+      // output) don't overflow h·(2b+3) or hit Java's negative `%`
+      // (& 1 of a negative remainder diverges from the documented
+      // parity). For the char-fold path (already in [0, M)) this is
+      // the identity, so oracle parity is unchanged.
+      val h = { val r = arr.getLong(i) % M; if (r < 0) r + M else r }
       var b = 0
       while (b < 64) {
         counts(b) += (((h * (2L * b + 3) + b * 7919L + 1) % M) & 1L) * 2 - 1

@@ -34,12 +34,32 @@ import org.apache.spark.sql.types.StructType
   * At scale the knob is the partition count of the deduped batch:
   * each partition is one database connection — `repartition(n, key)`
   * upstream to match the target's connection/write capacity.
+  *
+  * Deployment requirements (idempotency holds for SEQUENTIAL replay,
+  * not for two concurrent attempts over the same keys):
+  *
+  *  - the target table MUST have a primary/unique key on `keyCol`:
+  *    a zombie or speculative duplicate task attempt interleaving
+  *    delete/insert with the original then fails on the constraint
+  *    and rolls back, instead of silently double-inserting rows;
+  *  - run with `spark.speculation=false` (the default) for this sink —
+  *    speculative attempts are exactly the concurrent-duplicate case.
   */
 object JdbcMirror {
 
+  // Identifiers are interpolated into SQL text (prepared-statement
+  // parameters can't bind identifiers); schemas/keyCols flow in from
+  // configuration, so restrict to word characters with optional
+  // schema qualification rather than trusting the caller to quote.
+  private val IdentRe = "^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?$".r
+  private def checkIdent(id: String, what: String): Unit =
+    require(IdentRe.findFirstIn(id).isDefined,
+      s"$what '$id' is not a plain (optionally schema-qualified) SQL identifier")
+
   /** Apply a deduped change batch (`op` + row columns, one row per
     * key) to `table`. Columns other than `op` must match the target
-    * table's columns by name. */
+    * table's columns by name. The target table must carry a PK/unique
+    * constraint on `keyCol` (see object docs). */
   def applyChanges(
       changes: DataFrame,
       url: String,
@@ -48,6 +68,8 @@ object JdbcMirror {
       props: Properties = new Properties()): Unit = {
     val dataCols = changes.schema.fieldNames.filter(_ != "op").toSeq
     require(dataCols.contains(keyCol), s"key column $keyCol missing from batch")
+    checkIdent(table, "table name")
+    dataCols.foreach(checkIdent(_, "column name"))
     val insertSql =
       s"""INSERT INTO $table (${dataCols.mkString(", ")})
           VALUES (${dataCols.map(_ => "?").mkString(", ")})"""
