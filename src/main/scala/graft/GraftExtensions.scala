@@ -61,6 +61,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"bloom_build takes (value, bits, hashes), got ${es.length} args")
     })
     inject("bloom_probe", es => BloomProbe(es(0), es(1)))
+    inject("freq_candidates", {
+      case Seq(e, kLit) =>
+        FreqCandidates(e, intLit(kLit, "candidate count")).toAggregateExpression()
+      case es => throw new IllegalArgumentException(
+        s"freq_candidates takes (value, k), got ${es.length} args")
+    })
     inject("hll_distinct", {
       case Seq(e) => HllDistinct(e).toAggregateExpression()
       case Seq(e, pLit) =>

@@ -32,7 +32,8 @@ object SparkEntry {
       operators.RangeJoin.queries ++
       operators.CorpusPipeline.queries ++
       operators.SamplingQueries.queries ++
-      operators.ProfileQueries.queries
+      operators.ProfileQueries.queries ++
+      operators.TimeSeriesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       operators.RangeJoin.oracles ++
       operators.CorpusPipeline.oracles ++
       operators.SamplingQueries.oracles ++
-      operators.ProfileQueries.oracles
+      operators.ProfileQueries.oracles ++
+      operators.TimeSeriesQueries.oracles
 }

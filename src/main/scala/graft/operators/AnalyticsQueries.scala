@@ -138,6 +138,39 @@ object AnalyticsQueries {
     // ORMs and hand-written reports lean on. Catalyst decorrelates it
     // into a ranked window join (no per-row re-execution), so the
     // plan scales like w1/w8, not like N subquery runs.
+    // ── x11/x12: semi-structured JSON column processing — extract a
+    // typed field from the `props` JSON payload, then aggregate on it
+    // / filter by it. `get_json_object` is a codegen'd built-in (no
+    // UDF); at scale the extraction runs inside the scan's projection
+    // and the derived predicate still benefits from partial
+    // aggregation. Integer-only aggregates keep the oracle exact.
+    "x11_json_agg" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    },
+    "x12_json_filter" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k") >= 95 && col("event_type") === "purchase")
+        .select("event_id", "user_id", "k")
+        .orderBy("event_id")
+    },
+
+    // ── a10: fixed-width histogram binning (floor-division bins) —
+    // the one-pass shape for value-distribution profiling; bins are
+    // integer-exact in both engines.
+    "a10_value_histogram" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("bin", floor(col("value") / 50).cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+        .orderBy("bin")
+    },
+
     "x10_lateral_topn" -> { (s, d) =>
       Tables.load(s, d, "nation").createOrReplaceTempView("nation")
       Tables.load(s, d, "customer").createOrReplaceTempView("customer")
@@ -202,6 +235,28 @@ object AnalyticsQueries {
         .groupBy("event_type")
         .agg(graft.functions.HllSketch.hll_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")
+    },
+
+    // ── e2: deterministic heavy hitters via the two-pass sketch
+    // pipeline — Misra–Gries candidates (k=99 ⇒ superset of every
+    // token above 1% frequency, O(k) state per partition), broadcast
+    // the tiny candidate set, exact-count ONLY candidates, then apply
+    // the exact threshold. Output is exact and order-independent; the
+    // sketch only prunes the exact pass from all-tokens to ≤ k
+    // tokens. At 100 TB this is the difference between shuffling
+    // every distinct token and shuffling ≤ 99 of them.
+    "e2_heavy_tokens" -> { (s, d) =>
+      val toks = Tables.load(s, d, "documents")
+        .select(explode(graft.functions.HashExprs.tokenize(col("text"))).as("tok"))
+      val summary = toks.agg(
+        graft.functions.FreqSketch.freq_candidates(col("tok"), 99).as("cand"),
+        count(lit(1)).as("n"))
+      val cand = summary.select(explode(col("cand")).as("tok"), col("n"))
+      toks.join(broadcast(cand), Seq("tok"))
+        .groupBy("tok", "n").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * lit(100L) > col("n"))
+        .select("tok", "cnt")
+        .orderBy("tok")
     }
   )
 
@@ -296,6 +351,32 @@ object AnalyticsQueries {
              MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
              MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
            FROM events GROUP BY 1)""",
+    "x11_json_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    "x12_json_filter" ->
+      """SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events
+         WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 95
+           AND event_type = 'purchase'
+         ORDER BY event_id""",
+    "a10_value_histogram" ->
+      """SELECT CAST(FLOOR(value / 50) AS INT) AS bin, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY bin""",
+    // brute-force semantics of the sketch-pruned pipeline: tokens
+    // above strict 1% frequency with exact counts
+    "e2_heavy_tokens" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         tot AS (SELECT COUNT(*) AS n FROM toks)
+         SELECT tok, COUNT(*) AS cnt FROM toks, tot
+         GROUP BY tok, n HAVING COUNT(*) * 100 > n
+         ORDER BY tok""",
     "x10_lateral_topn" ->
       """SELECT n_name, c_custkey, c_acctbal
          FROM nation, LATERAL (

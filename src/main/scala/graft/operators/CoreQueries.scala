@@ -413,6 +413,21 @@ object CoreQueries {
       nation.join(supCounts, col("n_nationkey") === col("s_nationkey"), "left")
         .select(col("n_name"), coalesce(col("cnt"), lit(0L)).as("n_suppliers"))
         .orderBy("n_name")
+    },
+
+    // ── F10: bitwise function suite (AND/OR/XOR/shifts/popcount) —
+    // integer-exact in any engine, codegen'd column expressions.
+    "f10_bitwise" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 200)
+        .select(col("event_id"),
+          col("event_id").bitwiseAND(lit(255L)).as("lo8"),
+          col("event_id").bitwiseXOR(col("user_id")).as("xored"),
+          col("event_id").bitwiseOR(lit(4096L)).as("ored"),
+          expr("shiftleft(event_id, 3)").as("shl3"),
+          expr("shiftright(user_id, 2)").as("shr2"),
+          expr("CAST(bit_count(event_id) AS INT)").as("nbits"))
+        .orderBy("event_id")
     }
   )
 
@@ -625,7 +640,12 @@ object CoreQueries {
       """SELECT n_name, COALESCE(cnt, 0) AS n_suppliers FROM nation
          LEFT JOIN (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier GROUP BY 1) sc
            ON n_nationkey = s_nationkey
-         ORDER BY n_name"""
+         ORDER BY n_name""",
+    "f10_bitwise" ->
+      """SELECT event_id, event_id & 255 AS lo8, xor(event_id, user_id) AS xored,
+           event_id | 4096 AS ored, event_id << 3 AS shl3, user_id >> 2 AS shr2,
+           CAST(bit_count(event_id) AS INT) AS nbits
+         FROM events WHERE event_id < 200 ORDER BY event_id"""
   )
 
   private def lagOracle(cutoff: String): String =

@@ -84,6 +84,22 @@ object SamplingQueries {
           round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
           round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))
         .orderBy("flag")
+    },
+
+    // approximate grouped quantiles — the 100 TB spelling of q1: a
+    // single-pass mergeable rank sketch (Greenwald–Khanna) instead of
+    // a per-group sort of distinct values. No SQL oracle (DuckDB has
+    // no GK sketch): driver records the rows-only check; the accuracy
+    // bound vs the exact q1 percentiles is pinned by
+    // `ApproxQuantileSpec`.
+    "q2_approx_quantiles" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)").as("ap"))
+        .select(col("flag"),
+          col("ap")(0).as("ap50"), col("ap")(1).as("ap95"), col("ap")(2).as("ap99"))
+        .orderBy("flag")
     }
   )
 

@@ -162,6 +162,25 @@ object SimilarityQueries {
         .select(col("label"), col("dim"),
           round(col("sq").cast("double") / col("n") / 1e6, 6).as("centroid"))
         .orderBy("label", "dim")
+    },
+
+    // ── s6: per-vector array statistics — dimension, exact quantized
+    // L2², component min/max. Pure per-row array math (size /
+    // compiled dot / array_min / array_max): no explode, no shuffle —
+    // the embarrassingly-parallel shape that survives any corpus
+    // size. The vec_id bound only keeps the oracle small.
+    "s6_vector_stats" -> { (s, d) =>
+      Tables.load(s, d, "embeddings")
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("qv"),
+          round(expr("CAST(array_min(embedding) AS DOUBLE)"), 4).as("min_c"),
+          round(expr("CAST(array_max(embedding) AS DOUBLE)"), 4).as("max_c"))
+        .withColumn("l2sq", dot_long(col("qv"), col("qv")))
+        .select("vec_id", "dim", "l2sq", "min_c", "max_c")
+        .orderBy("vec_id")
     }
   )
 
@@ -266,6 +285,18 @@ object SimilarityQueries {
          FROM (SELECT label, unnest(embedding) AS v,
                  generate_subscripts(embedding, 1) AS idx
                FROM embeddings)
-         GROUP BY 1, 2 ORDER BY label, dim"""
+         GROUP BY 1, 2 ORDER BY label, dim""",
+    "s6_vector_stats" ->
+      """WITH comps AS (
+           SELECT vec_id, CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS q
+           FROM (SELECT vec_id, unnest(embedding) AS v
+                 FROM embeddings WHERE vec_id < 100)),
+         agg AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS l2sq FROM comps GROUP BY 1)
+         SELECT e.vec_id, CAST(len(embedding) AS INT) AS dim, a.l2sq,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS min_c,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_c
+         FROM embeddings e JOIN agg a ON e.vec_id = a.vec_id
+         WHERE e.vec_id < 100
+         ORDER BY e.vec_id"""
   )
 }

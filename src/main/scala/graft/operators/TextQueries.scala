@@ -188,6 +188,51 @@ object TextQueries {
           explode(winnow(shingle_hashes(char_fold_array(tokenize(col("text"))), 3), 4)).as("fp"))
         .distinct()
         .orderBy("doc_id", "fp")
+    },
+
+    // ── t10: fuzzy string matching (edit distance ≤ 1) via pigeonhole
+    // half-banding. Equal-length strings within one substitution must
+    // agree EXACTLY on the left half or the right half, so candidate
+    // generation is an equi-join on (band, half-text, length) — the
+    // same banding shape as SimHash nibbles — and the quadratic
+    // levenshtein verify runs only inside bands, never all-pairs.
+    "t10_edit_distance" -> { (s, d) =>
+      val names = Tables.load(s, d, "customer")
+        .filter(col("c_custkey") < 150)
+        .select(col("c_custkey").as("k"), col("c_name").as("name"),
+          length(col("c_name")).as("len"))
+      val banded = names.select(
+        col("k"), col("name"), col("len"),
+        explode(array(
+          struct(lit(1).as("band"), expr("substring(name, 1, len div 2)").as("half")),
+          struct(lit(2).as("band"), expr("substring(name, len div 2 + 1)").as("half"))))
+          .as("bh"))
+        .select(col("k"), col("name"), col("len"),
+          col("bh.band").as("band"), col("bh.half").as("half"))
+      val a = banded.select(col("k").as("a_key"), col("name").as("a_name"),
+        col("len").as("len"), col("band"), col("half"))
+      val b = banded.select(col("k").as("b_key"), col("name").as("b_name"),
+        col("len").as("len"), col("band"), col("half"))
+      a.join(b, Seq("band", "half", "len"))
+        .filter(col("a_key") < col("b_key"))
+        .select("a_key", "b_key", "a_name", "b_name")
+        .distinct() // a pair agreeing on both halves matches in both bands
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("dist") <= 1)
+        .select("a_key", "b_key", "dist")
+        .orderBy("a_key", "b_key")
+    },
+
+    // ── t11: per-source lexical diversity — token totals, distinct
+    // vocabulary, and type-token ratio. One explode + one partial-agg
+    // groupBy; the distinct count shuffles only (source, token) pairs.
+    "t11_type_token_ratio" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("source"), explode(tokenize(col("text"))).as("tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct("tok").as("n_types"))
+        .withColumn("ttr", round(col("n_types") / col("n_tokens"), 4))
+        .orderBy("source")
     }
   )
 
@@ -320,6 +365,25 @@ object TextQueries {
            WINDOW fw AS (PARTITION BY doc_id ORDER BY idx
                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
          SELECT DISTINCT doc_id, fp FROM wins WHERE wn = 4
-         ORDER BY doc_id, fp"""
+         ORDER BY doc_id, fp""",
+
+    // brute-force reference for the banded fuzzy match: the banding is
+    // candidate generation only (complete for lev ≤ 1 at equal
+    // length), so the oracle states the SEMANTICS directly
+    "t10_edit_distance" ->
+      """WITH c AS (
+           SELECT c_custkey AS k, c_name AS name FROM customer WHERE c_custkey < 150)
+         SELECT a.k AS a_key, b.k AS b_key,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+         FROM c a JOIN c b ON a.k < b.k AND length(a.name) = length(b.name)
+         WHERE levenshtein(a.name, b.name) <= 1
+         ORDER BY a_key, b_key""",
+    "t11_type_token_ratio" ->
+      """WITH toks AS (
+           SELECT source, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+           FROM documents)
+         SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
+           ROUND(COUNT(DISTINCT tok) / COUNT(*), 4) AS ttr
+         FROM toks GROUP BY 1 ORDER BY source"""
   )
 }

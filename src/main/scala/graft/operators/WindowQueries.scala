@@ -24,6 +24,27 @@ object WindowQueries {
     "sw3_session_30m" -> { (s, d) =>
       EventWindows.sessions(Tables.events(s, d))
         .orderBy("user_id")
+    },
+
+    // ── w10: explicit-frame window — 7-row moving sum + row delta per
+    // supplier over ship order. ROWS frames are computed in one sort
+    // per partition key (no self-join); l_quantity is integer-valued,
+    // so the running double sum is exact and casts cleanly. lag uses
+    // a frameless spec: Spark rejects an explicit frame on offset
+    // functions.
+    "w10_moving_sum" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val wFrame = Window.partitionBy("l_suppkey").orderBy(order: _*).rowsBetween(-6, 0)
+      val wOrder = Window.partitionBy("l_suppkey").orderBy(order: _*)
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_suppkey") <= 50)
+        .withColumn("mv7_qty", sum(col("l_quantity")).over(wFrame).cast("long"))
+        .withColumn("qty_delta",
+          (col("l_quantity") - coalesce(lag(col("l_quantity"), 1).over(wOrder), lit(0.0)))
+            .cast("long"))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "mv7_qty", "qty_delta")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }
   )
 
@@ -64,6 +85,16 @@ object WindowQueries {
            FROM sess GROUP BY 1, 2)
          SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
            MAX(n_events) AS max_session_events
-         FROM per_session GROUP BY 1 ORDER BY user_id"""
+         FROM per_session GROUP BY 1 ORDER BY user_id""",
+    "w10_moving_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(l_quantity) OVER wf AS BIGINT) AS mv7_qty,
+           CAST(l_quantity - COALESCE(LAG(l_quantity) OVER wo, 0) AS BIGINT) AS qty_delta
+         FROM lineitem WHERE l_suppkey <= 50
+         WINDOW
+           wf AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+           wo AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+         ORDER BY l_suppkey, l_orderkey, l_linenumber"""
   )
 }

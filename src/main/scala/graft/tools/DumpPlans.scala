@@ -28,7 +28,11 @@ object DumpPlans {
     "q1_group_quantiles" -> "grouped exact percentiles: single hash-aggregate pass",
     "e1_hll_users" -> "HLL sketch agg: partial sketches map-side, register-max merge",
     "x10_lateral_topn" -> "LATERAL correlated top-N: decorrelated to a ranked join, no per-row re-execution",
-    "p7_profile_documents" -> "per-column profile: one scan, one wide agg row, stack pivot")
+    "p7_profile_documents" -> "per-column profile: one scan, one wide agg row, stack pivot",
+    "e2_heavy_tokens" -> "two-pass heavy hitters: MG sketch → broadcast candidates → exact count of candidates only",
+    "t10_edit_distance" -> "fuzzy match: half-band equi-join candidates, levenshtein verify only in-band",
+    "ts1_gap_fill" -> "calendar gap-fill: tiny spine broadcast against pre-aggregated facts",
+    "x11_json_agg" -> "JSON extraction inside the scan projection, partial agg after")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
