@@ -171,6 +171,22 @@ object AnalyticsQueries {
         .orderBy("bin")
     },
 
+    // ── x13: correlated EXISTS / NOT EXISTS — Catalyst rewrites both
+    // into semi/anti hash joins (never per-row re-execution), same
+    // ANSI text runs on the oracle.
+    "x13_exists" -> { (s, d) =>
+      Tables.load(s, d, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 450000)
+                 AND NOT EXISTS (SELECT 1 FROM orders o2
+                                 WHERE o2.o_custkey = c.c_custkey
+                                   AND o2.o_totalprice < 5000)
+               ORDER BY c_custkey""")
+    },
+
     "x10_lateral_topn" -> { (s, d) =>
       Tables.load(s, d, "nation").createOrReplaceTempView("nation")
       Tables.load(s, d, "customer").createOrReplaceTempView("customer")
@@ -377,6 +393,15 @@ object AnalyticsQueries {
          SELECT tok, COUNT(*) AS cnt FROM toks, tot
          GROUP BY tok, n HAVING COUNT(*) * 100 > n
          ORDER BY tok""",
+    "x13_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 450000)
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey
+                             AND o2.o_totalprice < 5000)
+         ORDER BY c_custkey""",
     "x10_lateral_topn" ->
       """SELECT n_name, c_custkey, c_acctbal
          FROM nation, LATERAL (

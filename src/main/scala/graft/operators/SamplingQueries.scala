@@ -86,6 +86,20 @@ object SamplingQueries {
         .orderBy("flag")
     },
 
+    // ── sp3: deterministic train/valid/test split (80/10/10 by the
+    // same key-derived draw) with per-(lang, split) counts — the
+    // assignment every training pipeline needs, reproducible under
+    // retries and identical across engines. The split label is a pure
+    // per-row function; the rollup is one partial-agg groupBy.
+    "sp3_train_split" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("split",
+          when(draw < 80, "train").when(draw < 90, "valid").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    },
+
     // approximate grouped quantiles — the 100 TB spelling of q1: a
     // single-pass mergeable rank sketch (Greenwald–Khanna) instead of
     // a per-group sort of distinct values. No SQL oracle (DuckDB has
@@ -119,6 +133,13 @@ object SamplingQueries {
               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $foldDoc, doc_id) AS rk
             FROM documents)
           WHERE rk <= 20 ORDER BY lang, rk""",
+    "sp3_train_split" ->
+      s"""SELECT lang,
+            CASE WHEN $foldDoc % 100 < 80 THEN 'train'
+                 WHEN $foldDoc % 100 < 90 THEN 'valid'
+                 ELSE 'test' END AS split,
+            COUNT(*) AS n
+          FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
     "q1_group_quantiles" ->
       """SELECT l_returnflag AS flag,
            ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS p25,

@@ -45,6 +45,23 @@ object WindowQueries {
             .cast("long"))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "mv7_qty", "qty_delta")
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // ── w11: value-RANGE frame — trailing 7-day totals per supplier
+    // over a day ordinal. RANGE includes all peers of the current
+    // value, so the result is deterministic without a tiebreak even
+    // when many rows ship the same day (ROWS frames are not).
+    "w11_range_frame" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey").orderBy("day_ord").rangeBetween(-7, 0)
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_suppkey") <= 30)
+        .withColumn("day_ord",
+          datediff(col("l_shipdate"), lit("2020-01-01").cast("date")))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity")).over(w).cast("long").as("qty_7d"),
+          count(lit(1)).over(w).as("n_7d"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }
   )
 
@@ -95,6 +112,15 @@ object WindowQueries {
            wf AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
            wo AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+         ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "w11_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(l_quantity) OVER w AS BIGINT) AS qty_7d,
+           COUNT(*) OVER w AS n_7d
+         FROM (SELECT *, date_diff('day', DATE '2020-01-01', CAST(l_shipdate AS DATE)) AS day_ord
+               FROM lineitem WHERE l_suppkey <= 30)
+         WINDOW w AS (PARTITION BY l_suppkey ORDER BY day_ord
+                      RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
          ORDER BY l_suppkey, l_orderkey, l_linenumber"""
   )
 }

@@ -68,4 +68,22 @@ object EventWindows {
       .agg(graft.functions.HllSketch.hll_distinct(col("user_id")).as("approx_users"))
       .select(expr("unix_timestamp(w.start)").as("window_start"), col("approx_users"))
   }
+
+  /** Windowed frequent-item candidates over the stream: the
+    * Misra–Gries summary lives in the streaming aggregation state and
+    * merges each micro-batch's partial summary (the mergeable-summary
+    * form, so cross-batch arrival order can't lose a heavy item).
+    * State is O(k) per window regardless of user cardinality, and the
+    * state store commits per batch — exactly-once w.r.t. the summary.
+    * Downstream, the candidate array feeds the exact second pass the
+    * same way as the batch pipeline (e2). */
+  def frequentUsersPerWindow(
+      events: DataFrame, k: Int = 20, withWatermarkCol: Boolean = false): DataFrame = {
+    val src = if (withWatermarkCol) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.FreqSketch.freq_candidates(
+        col("user_id").cast("string"), k).as("candidates"))
+      .select(expr("unix_timestamp(w.start)").as("window_start"), col("candidates"))
+  }
 }

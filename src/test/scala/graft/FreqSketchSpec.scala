@@ -8,6 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.MisraGries
 
+case class UEv(ts: java.sql.Timestamp, user_id: Long)
+
 /** The Misra–Gries guarantee (every item with frequency > n/(k+1)
   * survives), under sequential feed and under arbitrary merge trees —
   * the property the two-pass heavy-hitter pipeline (e2) rests on. */
@@ -70,6 +72,25 @@ class FreqSketchSpec extends AnyFunSuite {
       case (t, occ) if occ.length.toLong * 100 > n => t -> occ.length.toLong
     }.toMap
     assert(viaSketch == brute)
+  }
+
+  test("streaming windowed candidates keep the heavy user across micro-batches") {
+    import spark.implicits._
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UEv](spark)
+    val base = 1700002800000L // hour-aligned
+    def ev(min: Long, uid: Long) = UEv(new java.sql.Timestamp(base + min * 60000), uid)
+    // user 7 is heavy (appears every batch); background users rotate
+    val q = graft.streaming.EventWindows.frequentUsersPerWindow(stream.toDF(), k = 3)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("freq_win_out").start()
+    for (b <- 0 until 4) {
+      stream.addData((0 until 10).map(i => ev(b * 10 + i % 9, if (i < 6) 7L else 100L + b * 10 + i)): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val cands = spark.table("freq_win_out")
+      .selectExpr("explode(candidates) AS u").as[String].collect().toSet
+    assert(cands.contains("7"), s"heavy user lost from $cands")
   }
 
   test("freq_candidates is SQL-registered with arity checking") {
