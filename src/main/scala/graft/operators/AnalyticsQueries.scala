@@ -171,6 +171,20 @@ object AnalyticsQueries {
         .orderBy("bin")
     },
 
+    // ── x14: grouped collect — per-group ordered value list surfaced
+    // as a delimited string (cross-engine list representations differ;
+    // the joined string compares exactly). collect_list order is
+    // nondeterministic, so sort_array supplies the total order.
+    "x14_collect_sorted" -> { (s, d) =>
+      Tables.load(s, d, "customer")
+        .filter(col("c_custkey") <= 200)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          array_join(sort_array(collect_list(col("c_custkey").cast("string"))), ",")
+            .as("keys_csv"))
+        .orderBy("c_nationkey")
+    },
+
     // ── x13: correlated EXISTS / NOT EXISTS — Catalyst rewrites both
     // into semi/anti hash joins (never per-row re-execution), same
     // ANSI text runs on the oracle.
@@ -393,6 +407,12 @@ object AnalyticsQueries {
          SELECT tok, COUNT(*) AS cnt FROM toks, tot
          GROUP BY tok, n HAVING COUNT(*) * 100 > n
          ORDER BY tok""",
+    "x14_collect_sorted" ->
+      """SELECT c_nationkey, COUNT(*) AS n,
+           string_agg(CAST(c_custkey AS VARCHAR), ','
+             ORDER BY CAST(c_custkey AS VARCHAR)) AS keys_csv
+         FROM customer WHERE c_custkey <= 200
+         GROUP BY 1 ORDER BY c_nationkey""",
     "x13_exists" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o

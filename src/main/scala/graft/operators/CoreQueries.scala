@@ -329,6 +329,23 @@ object CoreQueries {
         .orderBy("user_id")
     },
 
+    // ── U5/U6: the ALL (multiset) variants — per-user row
+    // multiplicities survive: INTERSECT ALL keeps min(n_a, n_b)
+    // copies, EXCEPT ALL keeps n_a − n_b. Spark plans both as a
+    // count-compare aggregate join (one shuffle), not row-matching.
+    "u5_intersect_all" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersectAll(ev.filter(col("event_type") === "view").select("user_id"))
+        .orderBy("user_id")
+    },
+    "u6_except_all" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "purchase").select("user_id")
+        .exceptAll(ev.filter(col("event_type") === "error").select("user_id"))
+        .orderBy("user_id")
+    },
+
     // ── F3: string function suite (monitoring.ps1:524, insert.ps1:98)
     "f3_strings" -> { (s, d) =>
       Tables.load(s, d, "customer")
@@ -413,6 +430,40 @@ object CoreQueries {
       nation.join(supCounts, col("n_nationkey") === col("s_nationkey"), "left")
         .select(col("n_name"), coalesce(col("cnt"), lit(0L)).as("n_suppliers"))
         .orderBy("n_name")
+    },
+
+    // ── F11: extended string suite — split_part / translate / repeat /
+    // reverse / left / right / instr / ascii. All codegen'd built-ins;
+    // names differ per engine (instr↔strpos) but semantics align.
+    "f11_strings2" -> { (s, d) =>
+      Tables.load(s, d, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"),
+          expr("split_part(c_name, '#', 2)").as("key_part"),
+          translate(col("c_name"), "Cust", "Kost").as("translated"),
+          expr("repeat(left(c_mktsegment, 2), 3)").as("rep2"),
+          reverse(col("c_mktsegment")).as("rev"),
+          expr("right(c_name, 4)").as("tail4"),
+          instr(col("c_mktsegment"), "IL").as("pos_il"),
+          ascii(col("c_mktsegment")).as("first_cp"))
+        .orderBy("c_custkey")
+    },
+
+    // ── F12: extended date suite — month-end / quarter / day-of-year /
+    // ISO week / day-of-week / calendar-clamped add_months (Jan 31 + 1
+    // month = Feb 29 in both engines).
+    "f12_dates2" -> { (s, d) =>
+      Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"),
+          last_day(col("o_orderdate")).as("eom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          add_months(col("o_orderdate"), 1).as("next_m"))
+        .orderBy("o_orderkey")
     },
 
     // ── F10: bitwise function suite (AND/OR/XOR/shifts/popcount) —
@@ -582,6 +633,16 @@ object CoreQueries {
          EXCEPT
          SELECT user_id FROM events WHERE event_type = 'error' AND value > 90.0
          ORDER BY user_id""",
+    "u5_intersect_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT ALL
+         SELECT user_id FROM events WHERE event_type = 'view'
+         ORDER BY user_id""",
+    "u6_except_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT ALL
+         SELECT user_id FROM events WHERE event_type = 'error'
+         ORDER BY user_id""",
     "f3_strings" ->
       """SELECT c_custkey, UPPER(c_name) AS uname,
          LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
@@ -641,6 +702,26 @@ object CoreQueries {
          LEFT JOIN (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier GROUP BY 1) sc
            ON n_nationkey = s_nationkey
          ORDER BY n_name""",
+    "f11_strings2" ->
+      """SELECT c_custkey,
+           split_part(c_name, '#', 2) AS key_part,
+           translate(c_name, 'Cust', 'Kost') AS translated,
+           repeat(left(c_mktsegment, 2), 3) AS rep2,
+           reverse(c_mktsegment) AS rev,
+           right(c_name, 4) AS tail4,
+           CAST(strpos(c_mktsegment, 'IL') AS INT) AS pos_il,
+           CAST(ascii(c_mktsegment) AS INT) AS first_cp
+         FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""",
+    "f12_dates2" ->
+      """SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(weekofyear(o_orderdate) AS INT) AS woy,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_m
+         FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""",
     "f10_bitwise" ->
       """SELECT event_id, event_id & 255 AS lo8, xor(event_id, user_id) AS xored,
            event_id | 4096 AS ored, event_id << 3 AS shl3, user_id >> 2 AS shr2,
