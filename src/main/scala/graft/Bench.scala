@@ -99,12 +99,17 @@ object Bench {
     val budget = 1400 // chars for the queries dict; keeps the line ≤ ~1600
     val kept = new StringBuilder
     var nKept = 0
-    bySlow.foreach { kv =>
-      val e = entry(kv)
+    // stop at the FIRST entry that doesn't fit, so the kept set is a
+    // true prefix of the slowest-first ranking (a slow query with a
+    // long name must not be dropped in favor of faster short names)
+    val it = bySlow.iterator
+    var full_ = false
+    while (it.hasNext && !full_) {
+      val e = entry(it.next())
       if (kept.length + e.length + 1 <= budget) {
         if (nKept > 0) kept.append(',')
         kept.append(e); nKept += 1
-      }
+      } else full_ = true
     }
     val truncated = nKept < results.length
     val line =

@@ -47,13 +47,14 @@ object MisraGries {
       case None =>
         if (s.size < k) s.update(item, 1L)
         else {
-          // decrement-all; drop zeros (O(k), k is small and constant)
-          val dead = mutable.ArrayBuffer.empty[String]
-          s.keysIterator.foreach { key =>
+          // decrement-all; drop zeros (O(k), k is small and constant).
+          // Iterate over a key snapshot: mutating a HashMap (even
+          // value-only updates) while iterating it is undefined.
+          val ks = s.keys.toArray
+          ks.foreach { key =>
             val c = s(key) - 1
-            if (c <= 0) dead += key else s.update(key, c)
+            if (c <= 0) s.remove(key) else s.update(key, c)
           }
-          dead.foreach(s.remove)
         }
     }
   }
@@ -64,12 +65,11 @@ object MisraGries {
       val counts = a.values.toArray
       java.util.Arrays.sort(counts)
       val cut = counts(counts.length - k - 1) // (k+1)-th largest
-      val dead = mutable.ArrayBuffer.empty[String]
-      a.keysIterator.foreach { key =>
+      val ks = a.keys.toArray // snapshot: no mutation during iteration
+      ks.foreach { key =>
         val c = a(key) - cut
-        if (c <= 0) dead += key else a.update(key, c)
+        if (c <= 0) a.remove(key) else a.update(key, c)
       }
-      dead.foreach(a.remove)
     }
     a
   }

@@ -190,33 +190,41 @@ object TextQueries {
         .orderBy("doc_id", "fp")
     },
 
-    // ── t10: fuzzy string matching (edit distance ≤ 1) via pigeonhole
-    // half-banding. Equal-length strings within one substitution must
-    // agree EXACTLY on the left half or the right half, so candidate
-    // generation is an equi-join on (band, half-text, length) — the
-    // same banding shape as SimHash nibbles — and the quadratic
-    // levenshtein verify runs only inside bands, never all-pairs.
+    // ── t10: fuzzy string matching (FULL edit distance ≤ 1 —
+    // substitution, insertion, and deletion) via pigeonhole
+    // half-banding across length groups. Within a candidate group
+    // whose shorter length is n and k = n div 2, a single edit at
+    // position p leaves either the length-k prefix (p >= k) or the
+    // length-(n-k) suffix (p < k) EXACTLY equal. So each string of
+    // length L emits band keys in two groups — g = L (it is the
+    // shorter/equal side of a pair) and g = L-1 (it is the longer
+    // side of a ±1 pair) — and candidate generation is a complete
+    // equi-join on (g, band, key); the quadratic levenshtein verify
+    // runs only inside bands, never all-pairs.
     "t10_edit_distance" -> { (s, d) =>
       val names = Tables.load(s, d, "customer")
         .filter(col("c_custkey") < 150)
         .select(col("c_custkey").as("k"), col("c_name").as("name"),
           length(col("c_name")).as("len"))
       val banded = names.select(
-        col("k"), col("name"), col("len"),
-        explode(array(
-          struct(lit(1).as("band"), expr("substring(name, 1, len div 2)").as("half")),
-          struct(lit(2).as("band"), expr("substring(name, len div 2 + 1)").as("half"))))
+        col("k"), col("name"),
+        explode(expr(
+          """array(
+               named_struct('g', len,     'band', 1, 'key', substring(name, 1, len div 2)),
+               named_struct('g', len,     'band', 2, 'key', substring(name, len div 2 + 1)),
+               named_struct('g', len - 1, 'band', 1, 'key', substring(name, 1, (len - 1) div 2)),
+               named_struct('g', len - 1, 'band', 2, 'key', substring(name, (len - 1) div 2 + 2)))"""))
           .as("bh"))
-        .select(col("k"), col("name"), col("len"),
-          col("bh.band").as("band"), col("bh.half").as("half"))
+        .select(col("k"), col("name"),
+          col("bh.g").as("g"), col("bh.band").as("band"), col("bh.key").as("key"))
       val a = banded.select(col("k").as("a_key"), col("name").as("a_name"),
-        col("len").as("len"), col("band"), col("half"))
+        col("g"), col("band"), col("key"))
       val b = banded.select(col("k").as("b_key"), col("name").as("b_name"),
-        col("len").as("len"), col("band"), col("half"))
-      a.join(b, Seq("band", "half", "len"))
+        col("g"), col("band"), col("key"))
+      a.join(b, Seq("g", "band", "key"))
         .filter(col("a_key") < col("b_key"))
         .select("a_key", "b_key", "a_name", "b_name")
-        .distinct() // a pair agreeing on both halves matches in both bands
+        .distinct() // a pair can agree in both bands / both groups
         .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
         .filter(col("dist") <= 1)
         .select("a_key", "b_key", "dist")
@@ -368,14 +376,15 @@ object TextQueries {
          ORDER BY doc_id, fp""",
 
     // brute-force reference for the banded fuzzy match: the banding is
-    // candidate generation only (complete for lev ≤ 1 at equal
-    // length), so the oracle states the SEMANTICS directly
+    // candidate generation only (complete for the full lev ≤ 1
+    // neighborhood — substitution AND insert/delete), so the oracle
+    // states the SEMANTICS directly with an unrestricted pair scan
     "t10_edit_distance" ->
       """WITH c AS (
            SELECT c_custkey AS k, c_name AS name FROM customer WHERE c_custkey < 150)
          SELECT a.k AS a_key, b.k AS b_key,
            CAST(levenshtein(a.name, b.name) AS INT) AS dist
-         FROM c a JOIN c b ON a.k < b.k AND length(a.name) = length(b.name)
+         FROM c a JOIN c b ON a.k < b.k
          WHERE levenshtein(a.name, b.name) <= 1
          ORDER BY a_key, b_key""",
     "t11_type_token_ratio" ->

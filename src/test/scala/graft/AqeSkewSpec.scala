@@ -11,40 +11,32 @@ import org.scalatest.funsuite.AnyFunSuite
   * salted-join ([[graft.operators.Skew]]) remains for joins AQE can't
   * rewrite (e.g. some outer-join shapes).  */
 class AqeSkewSpec extends AnyFunSuite {
-  private lazy val spark = SparkTestSession.spark
 
   test("AQE splits a skewed sort-merge join partition at runtime") {
+    // Dedicated child session: shares the SparkContext but has its own
+    // SQLConf, so the skew-threshold overrides below can never leak
+    // into suites running concurrently on the shared test session.
+    val spark = SparkTestSession.spark.newSession()
     import spark.implicits._
     val conf = spark.conf
-    val saved = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.shuffle.partitions").map(k => k -> conf.getOption(k)).toMap
-    try {
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-      // thresholds scaled down so a ~MB-sized test partition counts as skewed
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
-      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
-      conf.set("spark.sql.shuffle.partitions", "8")
-      // 95% of fact rows share key 0; dim is uniform
-      val fact = spark.range(200000)
-        .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id") % 100).as("k"),
-          col("id").as("payload"))
-      val dim = spark.range(100).select(col("id").as("k"), (col("id") * 10).as("w"))
-      // global (partial-only) aggregate downstream: a grouped agg ON
-      // THE JOIN KEY would reuse the join's partitioning, and AQE
-      // declines to split the skewed partition when that breaks a
-      // required distribution (unless forceOptimizeSkewedJoin)
-      val joined = fact.join(dim, "k").agg(sum(col("payload") + col("w")).as("s"))
-      joined.collect()
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"), s"expected a skew-split SMJ, got:\n$plan")
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None)    => conf.unset(k)
-    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    // thresholds scaled down so a ~MB-sized test partition counts as skewed
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    // 95% of fact rows share key 0; dim is uniform
+    val fact = spark.range(200000)
+      .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id") % 100).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(100).select(col("id").as("k"), (col("id") * 10).as("w"))
+    // global (partial-only) aggregate downstream: a grouped agg ON
+    // THE JOIN KEY would reuse the join's partitioning, and AQE
+    // declines to split the skewed partition when that breaks a
+    // required distribution (unless forceOptimizeSkewedJoin)
+    val joined = fact.join(dim, "k").agg(sum(col("payload") + col("w")).as("s"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"), s"expected a skew-split SMJ, got:\n$plan")
   }
 }
