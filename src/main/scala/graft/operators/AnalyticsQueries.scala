@@ -287,6 +287,51 @@ object AnalyticsQueries {
         .filter(col("cnt") * lit(100L) > col("n"))
         .select("tok", "cnt")
         .orderBy("tok")
+    },
+
+    // ── x15: conditional aggregation with the ANSI FILTER clause —
+    // many segmented metrics in ONE scan + ONE hash aggregate, where
+    // the naive spelling is N self-joined subqueries. Quantities are
+    // integer-valued doubles, summed as BIGINT for exactness.
+    "x15_filter_agg" -> { (s, d) =>
+      Tables.load(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag,
+                 count(*) AS n_all,
+                 count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05)
+                   AS BIGINT) AS qty_discounted,
+                 count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25) AS n_supp_big
+               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+
+    // ── x16: NOT IN with ANSI three-valued-logic semantics — Catalyst
+    // plans a null-aware anti join (one pass), never a per-row
+    // subquery re-execution. Semantically distinct from NOT EXISTS
+    // (x13): a NULL anywhere in the subquery empties the result.
+    "x16_not_in" -> { (s, d) =>
+      Tables.load(s, d, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey NOT IN
+                 (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+               ORDER BY c_custkey""")
+    },
+
+    // ── a11: grouped argmax/argmin (max_by/min_by) — the single-agg
+    // replacement for the window-rank-filter idiom when only the
+    // extreme row is wanted: one partial-merging hash aggregate, no
+    // sort, no window. The ordering value is made unique
+    // (cents·10^7 + orderkey, both bounded) so ties cannot make the
+    // answer engine-dependent.
+    "a11_argmax" -> { (s, d) =>
+      Tables.load(s, d, "orders")
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .withColumn("rv", expr("cents * 10000000 + o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(expr("max_by(o_orderkey, rv)").as("top_orderkey"),
+          expr("min_by(o_orderkey, rv)").as("bottom_orderkey"),
+          max("cents").as("max_cents"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -438,6 +483,29 @@ object AnalyticsQueries {
            ntile(4) OVER w AS quartile
          FROM customer WHERE c_nationkey < 3
          WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
-         ORDER BY c_nationkey, rnk"""
+         ORDER BY c_nationkey, rnk""",
+    "x15_filter_agg" ->
+      """SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05)
+             AS BIGINT) AS qty_discounted,
+           count(DISTINCT l_suppkey) FILTER (WHERE l_quantity > 25) AS n_supp_big
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "x16_not_in" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "a11_argmax" ->
+      """WITH o AS (
+           SELECT o_orderpriority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderpriority,
+           max_by(o_orderkey, cents * 10000000 + o_orderkey) AS top_orderkey,
+           min_by(o_orderkey, cents * 10000000 + o_orderkey) AS bottom_orderkey,
+           max(cents) AS max_cents
+         FROM o GROUP BY 1 ORDER BY o_orderpriority"""
   )
 }

@@ -53,6 +53,86 @@ object TimeSeriesQueries {
         .groupBy("cohort_week", "week_offset")
         .agg(countDistinct("user_id").as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // ── ts3: batch sessionization (gaps-and-islands) — a new session
+    // starts after a >4 h silence. The batch complement of the
+    // streaming `session_window` (sw3): one shuffle on user_id, then
+    // lag + running sum + grouped rollup all reuse that partitioning
+    // (a single exchange at any scale). All time math in exact
+    // integer microseconds.
+    "ts3_sessionize" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 4L * 3600 * 1000000
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      ev.withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("us").as("start_us"),
+          expr("(max(us) - min(us)) div 1000000").as("duration_s"))
+        .orderBy("user_id", "session_idx")
+    },
+
+    // ── ts4: last-observation-carried-forward imputation. The
+    // observed series (last spike reading per type per day) is
+    // sparse; the calendar spine reinstates missing days and
+    // `last(_, ignoreNulls)` over an UNBOUNDED PRECEDING frame
+    // carries the latest reading across the gap. Pure value copy —
+    // no float arithmetic — so cross-engine exact.
+    "ts4_locf" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val wLast = Window.partitionBy("event_type", "day")
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      val lastSpike = ev.filter(col("value") > 480.0)
+        .withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day"), col("value").as("obs"))
+      val cal = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val types = ev.select("event_type").distinct()
+      val wFill = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.crossJoin(types)
+        .join(lastSpike, Seq("event_type", "day"), "left")
+        .withColumn("filled", last("obs", ignoreNulls = true).over(wFill))
+        .select(col("event_type"), col("day"), col("obs"), col("filled"))
+        .orderBy("event_type", "day")
+    },
+
+    // ── ts5: rolling anomaly flags — a day is anomalous when its
+    // event count deviates from the trailing-week mean by more than
+    // two standard deviations. The z-score test is algebraically
+    // rearranged into pure integer arithmetic over windowed sums
+    // ((cnt·x − s)² > 4·(cnt·q − s²), s = Σx, q = Σx² over the
+    // frame), so there is no float σ to diverge cross-engine, and
+    // the whole thing is two codegen'd window sums — no second scan.
+    "ts5_anomaly" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val cal = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val types = ev.select("event_type").distinct()
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+      cal.crossJoin(types)
+        .join(daily, Seq("event_type", "day"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("s", sum("n").over(w))
+        .withColumn("q", sum(expr("n * n")).over(w))
+        .withColumn("is_anomaly",
+          expr("cnt >= 4 AND (cnt*n - s)*(cnt*n - s) > 4*(cnt*q - s*s)"))
+        .select(col("event_type"), col("day"), col("n"), col("is_anomaly"))
+        .orderBy("event_type", "day")
     }
   )
 
@@ -78,6 +158,67 @@ object TimeSeriesQueries {
            CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
            COUNT(DISTINCT e.user_id) AS n_users
          FROM ev e JOIN cohort c USING (user_id)
-         GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // CAST(ts AS TIMESTAMP) truncates the nanosecond store to micros
+    // — the same floor Spark's `ts_ns div 1000` takes
+    "ts3_sessionize" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+         f AS (
+           SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 14400000000 THEN 1 ELSE 0 END AS new_s
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         se AS (
+           SELECT user_id, us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+           FROM f)
+         SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(us) AS start_us,
+           (MAX(us) - MIN(us)) // 1000000 AS duration_s
+         FROM se GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    "ts4_locf" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+           FROM events),
+         last_spike AS (
+           SELECT event_type, day, value AS obs FROM ev
+           WHERE value > 480.0
+           QUALIFY row_number() OVER (PARTITION BY event_type, day
+             ORDER BY us DESC, event_id DESC) = 1),
+         cal AS (
+           SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+           FROM (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev)),
+         types AS (SELECT DISTINCT event_type FROM ev)
+         SELECT t.event_type, c.day, l.obs,
+           last_value(l.obs IGNORE NULLS) OVER (PARTITION BY t.event_type ORDER BY c.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM cal c CROSS JOIN types t
+         LEFT JOIN last_spike l ON l.event_type = t.event_type AND l.day = c.day
+         ORDER BY t.event_type, c.day""",
+    "ts5_anomaly" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+         daily AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+         cal AS (
+           SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+           FROM (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev)),
+         types AS (SELECT DISTINCT event_type FROM ev),
+         series AS (
+           SELECT t.event_type, c.day, COALESCE(d.n, 0) AS n
+           FROM cal c CROSS JOIN types t
+           LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = c.day),
+         win AS (
+           SELECT event_type, day, n,
+             COUNT(*) OVER w AS cnt,
+             CAST(SUM(n) OVER w AS BIGINT) AS s,
+             CAST(SUM(n*n) OVER w AS BIGINT) AS q
+           FROM series
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, n,
+           (cnt >= 4 AND (cnt*n - s)*(cnt*n - s) > 4*(cnt*q - s*s)) AS is_anomaly
+         FROM win ORDER BY event_type, day"""
   )
 }
