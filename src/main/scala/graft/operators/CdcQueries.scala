@@ -58,6 +58,39 @@ object CdcQueries {
           when(col("lag") === 0, "SYNCED")
             .when(abs(col("lag")) <= 5, "NEAR_SYNC")
             .otherwise("LAG"))
+    },
+
+    // Incremental materialized-view maintenance
+    // ([[graft.streaming.AggMaintenance]]) as a batch projection: the
+    // feed splits into two "micro-batches" (event_id prefix / rest);
+    // batch 2 folds into batch 1's view via retract(−1, −cents) of
+    // each touched key's old image + assert(+1, +cents) of its new
+    // one. The oracle recomputes the aggregate DIRECTLY from the
+    // converged state — matching hashes prove the delta algebra, in
+    // exact integer cents, never rescanning the unchanged keys.
+    "cdc_mv_incremental" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def lastPer(feed: DataFrame): DataFrame = feed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1)
+      val cents = expr("CAST(round(value * 100) AS BIGINT)")
+      val state1 = lastPer(ev.filter(col("event_id") < 5000))
+        .filter(col("event_type") =!= "error")
+      val mv1 = state1.select(col("event_type").as("g"),
+        lit(1L).as("dn"), cents.as("ds"))
+      val changes2 = lastPer(ev.filter(col("event_id") >= 5000))
+      val touched = changes2.select("user_id").distinct()
+      val retract = state1.join(touched, Seq("user_id"), "left_semi")
+        .select(col("event_type").as("g"), lit(-1L).as("dn"), (-cents).as("ds"))
+      val assert_ = changes2.filter(col("event_type") =!= "error")
+        .select(col("event_type").as("g"), lit(1L).as("dn"), cents.as("ds"))
+      mv1.unionByName(retract).unionByName(assert_)
+        .groupBy("g")
+        .agg(sum("dn").as("n_rows"), sum("ds").as("sum_cents"))
+        .filter(col("n_rows") > 0)
+        .select(col("g").as("event_type"), col("n_rows"), col("sum_cents"))
+        .orderBy("event_type")
     }
   )
 
@@ -87,6 +120,16 @@ object CdcQueries {
                 CASE WHEN src_rows - tgt_rows = 0 THEN 'SYNCED'
                      WHEN ABS(src_rows - tgt_rows) <= 5 THEN 'NEAR_SYNC'
                      ELSE 'LAG' END AS sync_status
-         FROM src CROSS JOIN tgt"""
+         FROM src CROSS JOIN tgt""",
+    // the DIRECT recompute over the converged state — the incremental
+    // fold on the Spark side must hash-match it exactly
+    "cdc_mv_incremental" ->
+      """WITH state AS (
+           SELECT user_id, event_type, value FROM events
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+         SELECT event_type, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM state WHERE event_type <> 'error'
+         GROUP BY 1 ORDER BY event_type"""
   )
 }
