@@ -479,6 +479,26 @@ object CoreQueries {
           expr("shiftright(user_id, 2)").as("shr2"),
           expr("CAST(bit_count(event_id) AS INT)").as("nbits"))
         .orderBy("event_id")
+    },
+
+    // ── F13: higher-order array function suite — size/indexing/
+    // membership/position, lambda filter, in-row sort+distinct+slice.
+    // All per-row expressions: no shuffle beyond the final
+    // presentation sort, array work never leaves the row.
+    "f13_arrays" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("toks", graft.functions.HashExprs.tokenize(col("text")))
+        .select(col("doc_id"),
+          size(col("toks")).as("n"),
+          element_at(col("toks"), 1).as("first_tok"),
+          element_at(col("toks"), -1).as("last_tok"),
+          array_contains(col("toks"), "the").as("has_the"),
+          expr("array_position(toks, 'the')").as("pos_the"),
+          expr("array_join(slice(sort_array(array_distinct(toks)), 1, 3), ',')")
+            .as("top3_sorted"),
+          expr("size(filter(array('the','a','of'), w -> array_contains(toks, w)))")
+            .as("n_stop_kinds"))
+        .orderBy("doc_id")
     }
   )
 
@@ -726,7 +746,24 @@ object CoreQueries {
       """SELECT event_id, event_id & 255 AS lo8, xor(event_id, user_id) AS xored,
            event_id | 4096 AS ored, event_id << 3 AS shl3, user_id >> 2 AS shr2,
            CAST(bit_count(event_id) AS INT) AS nbits
-         FROM events WHERE event_id < 200 ORDER BY event_id"""
+         FROM events WHERE event_id < 200 ORDER BY event_id""",
+    // Spark's array_position returns 0 for a missing element; DuckDB's
+    // list_position returns NULL — coalesce to align
+    "f13_arrays" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents)
+         SELECT doc_id,
+           len(toks) AS n,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok,
+           list_contains(toks, 'the') AS has_the,
+           CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS top3_sorted,
+           CAST(len(list_filter(['the','a','of'], w -> list_contains(toks, w))) AS INT)
+             AS n_stop_kinds
+         FROM t ORDER BY doc_id"""
   )
 
   private def lagOracle(cutoff: String): String =

@@ -241,6 +241,48 @@ object TextQueries {
         .agg(count(lit(1)).as("n_tokens"), countDistinct("tok").as("n_types"))
         .withColumn("ttr", round(col("n_types") / col("n_tokens"), 4))
         .orderBy("source")
+    },
+
+    // ── t12: inverted-index posting lists — term → ordered doc-id
+    // list, restricted to the mid-frequency vocabulary band (df 3–8)
+    // that search/linking actually indexes. One distinct + one
+    // groupBy; the posting list is sorted IN the row (numeric sort
+    // before stringify — string sort would misorder ids).
+    "t12_posting_lists" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          expr("array_join(transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')")
+            .as("postings"))
+        .filter(col("df").between(3, 8))
+        .orderBy("term")
+    },
+
+    // ── t13: token co-occurrence counts. The all-pairs explosion is
+    // tamed the same way the dedup family tames hot shingles: pair
+    // generation runs only over a df-banded vocabulary (5 ≤ df ≤ 50 —
+    // broadcast-sized), so a stopword like 'the' can never fan out
+    // n_docs² pairs; the self-join is an equi-join on doc_id with
+    // per-doc token lists already deduplicated.
+    "t13_cooccur" -> { (s, d) =>
+      val toksD = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(tokenize(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 4)
+        .distinct()
+      val vocab = toksD.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(5, 50))
+        .select("tok")
+      val banded = toksD.join(broadcast(vocab), Seq("tok"))
+      val a = banded.select(col("doc_id"), col("tok").as("ta"))
+      val b = banded.select(col("doc_id"), col("tok").as("tb"))
+      a.join(b, Seq("doc_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 5)
+        .orderBy("ta", "tb")
     }
   )
 
@@ -393,6 +435,33 @@ object TextQueries {
            FROM documents)
          SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_types,
            ROUND(COUNT(DISTINCT tok) / COUNT(*), 4) AS ttr
-         FROM toks GROUP BY 1 ORDER BY source"""
+         FROM toks GROUP BY 1 ORDER BY source""",
+    "t12_posting_lists" ->
+      """WITH toks AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+           FROM documents)
+         SELECT term, COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+         FROM toks GROUP BY term
+         HAVING COUNT(*) BETWEEN 3 AND 8
+         ORDER BY term""",
+    "t13_cooccur" ->
+      """WITH toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+             FROM documents)
+           WHERE length(tok) >= 4),
+         vocab AS (
+           SELECT tok FROM toks GROUP BY tok
+           HAVING COUNT(*) BETWEEN 5 AND 50),
+         banded AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v USING (tok))
+         SELECT a.tok AS ta, b.tok AS tb, COUNT(*) AS n_docs
+         FROM banded a JOIN banded b
+           ON a.doc_id = b.doc_id AND a.tok < b.tok
+         GROUP BY 1, 2
+         HAVING COUNT(*) >= 5
+         ORDER BY ta, tb"""
   )
 }

@@ -133,6 +133,31 @@ object TimeSeriesQueries {
           expr("cnt >= 4 AND (cnt*n - s)*(cnt*n - s) > 4*(cnt*q - s*s)"))
         .select(col("event_type"), col("day"), col("n"), col("is_anomaly"))
         .orderBy("event_type", "day")
+    },
+
+    // ── ts6: time-weighted average — each reading weighted by how
+    // long it was the user's current value (the correct mean for
+    // irregularly-sampled gauges; the arithmetic mean over-weights
+    // bursts). Numerator and denominator accumulate as exact integer
+    // cent·microsecond products; ONE double division at the end.
+    // Same single user_id shuffle as ts3, reused by lead + groupBy.
+    "ts6_time_weighted" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("next_us", lead("us", 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(expr("cents * (next_us - us)")).as("wsum"),
+          sum(expr("next_us - us")).as("dsum"),
+          count(lit(1)).as("n_intervals"))
+        .filter(col("dsum") > 0)
+        .withColumn("twa", round(col("wsum") / (col("dsum") * lit(100.0)), 6))
+        .select("user_id", "n_intervals", "twa")
+        .orderBy("user_id")
     }
   )
 
@@ -219,6 +244,24 @@ object TimeSeriesQueries {
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
          SELECT event_type, day, n,
            (cnt >= 4 AND (cnt*n - s)*(cnt*n - s) > 4*(cnt*q - s*s)) AS is_anomaly
-         FROM win ORDER BY event_type, day"""
+         FROM win ORDER BY event_type, day""",
+    "ts6_time_weighted" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         iv AS (
+           SELECT user_id, cents, us,
+             lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_us
+           FROM ev),
+         agg AS (
+           SELECT user_id,
+             CAST(SUM(cents * (next_us - us)) AS BIGINT) AS wsum,
+             CAST(SUM(next_us - us) AS BIGINT) AS dsum,
+             COUNT(*) AS n_intervals
+           FROM iv WHERE next_us IS NOT NULL GROUP BY 1)
+         SELECT user_id, n_intervals,
+           ROUND(wsum / (dsum * 100.0), 6) AS twa
+         FROM agg WHERE dsum > 0 ORDER BY user_id"""
   )
 }
