@@ -32,7 +32,11 @@ object DumpPlans {
     "e2_heavy_tokens" -> "two-pass heavy hitters: MG sketch → broadcast candidates → exact count of candidates only",
     "t10_edit_distance" -> "fuzzy match: half-band equi-join candidates, levenshtein verify only in-band",
     "ts1_gap_fill" -> "calendar gap-fill: tiny spine broadcast against pre-aggregated facts",
-    "x11_json_agg" -> "JSON extraction inside the scan projection, partial agg after")
+    "x11_json_agg" -> "JSON extraction inside the scan projection, partial agg after",
+    "cdc_mv_incremental" -> "incremental MV fold: touched-key semi-join + delta union, no base rescan",
+    "ts3_sessionize" -> "sessionization: ONE user_id exchange reused by lag, running sum, and rollup",
+    "t13_cooccur" -> "co-occurrence: broadcast df-band gate before the pair join (no stopword blowup)",
+    "x16_not_in" -> "NOT IN: planned as a null-aware anti join, not a per-row subquery")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
