@@ -74,5 +74,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case es => throw new IllegalArgumentException(
         s"hll_distinct takes (value [, precision]), got ${es.length} args")
     })
+    inject("topk_keys", {
+      case Seq(key, ord, kLit) =>
+        TopKKeys(key, ord, intLit(kLit, "top-k count")).toAggregateExpression()
+      case es => throw new IllegalArgumentException(
+        s"topk_keys takes (key, ord, k), got ${es.length} args")
+    })
   }
 }

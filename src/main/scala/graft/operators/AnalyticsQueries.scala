@@ -317,6 +317,24 @@ object AnalyticsQueries {
                ORDER BY c_custkey""")
     },
 
+    // ── w12: grouped top-k as a BOUNDED-STATE aggregate
+    // ([[graft.functions.TopKKeys]]) — the scale spelling of the
+    // row_number-window idiom: map-side k-entry heaps discard below-
+    // threshold rows before the shuffle, the exchange carries ≤ k
+    // entries per (partition, group), and nothing is ever sorted but
+    // the k winners. Ordering value is unique (cents·10^7 + key) so
+    // the result is arrival-order-independent.
+    "w12_topk_agg" -> { (s, d) =>
+      Tables.load(s, d, "orders")
+        .withColumn("rv",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(graft.functions.TopK.topk_keys(col("o_orderkey"), col("rv"), 3).as("topk"))
+        .select(col("o_orderpriority"),
+          expr("array_join(transform(topk, x -> CAST(x AS STRING)), ',')").as("top3_csv"))
+        .orderBy("o_orderpriority")
+    },
+
     // ── a11: grouped argmax/argmin (max_by/min_by) — the single-agg
     // replacement for the window-rank-filter idiom when only the
     // extreme row is wanted: one partial-merging hash aggregate, no
@@ -497,6 +515,17 @@ object AnalyticsQueries {
          WHERE c_custkey NOT IN
            (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
          ORDER BY c_custkey""",
+    "w12_topk_agg" ->
+      """WITH o AS (
+           SELECT o_orderpriority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey AS rv
+           FROM orders),
+         r AS (
+           SELECT o_orderpriority, o_orderkey, rv FROM o
+           QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY rv DESC) <= 3)
+         SELECT o_orderpriority,
+           array_to_string(list(CAST(o_orderkey AS VARCHAR) ORDER BY rv DESC), ',') AS top3_csv
+         FROM r GROUP BY 1 ORDER BY o_orderpriority""",
     "a11_argmax" ->
       """WITH o AS (
            SELECT o_orderpriority, o_orderkey,
