@@ -350,6 +350,29 @@ object AnalyticsQueries {
           expr("min_by(o_orderkey, rv)").as("bottom_orderkey"),
           max("cents").as("max_cents"))
         .orderBy("o_orderpriority")
+    },
+
+    // ── x17: RECURSIVE CTE (Spark 4.1 UnionLoop execution) — the
+    // iterate-until-fixpoint surface inside one SQL statement:
+    // hierarchy walks, BOM rollups, transitive closure. Here each
+    // customer key walks its halving chain k → k div 2 → … → 1 (a
+    // synthetic parent edge), and the query returns the chain depth
+    // and the sum of visited keys. Each recursion step is one
+    // self-batch join over the PREVIOUS step's rows only (the frontier
+    // — not the accumulated result), so work per step tracks the
+    // frontier size exactly like d5's hand-rolled CC loop; the engine
+    // runs it without any driver-side iteration code.
+    "x17_recursive_cte" -> { (s, d) =>
+      Tables.load(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql("""WITH RECURSIVE chain AS (
+                 SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+                 FROM customer WHERE c_custkey <= 200
+                 UNION ALL
+                 SELECT start_key, cur div 2 AS cur, depth + 1 AS depth
+                 FROM chain WHERE cur > 1)
+               SELECT start_key, MAX(depth) AS chain_len,
+                 CAST(SUM(cur) AS BIGINT) AS key_path_sum
+               FROM chain GROUP BY start_key ORDER BY start_key""")
     }
   )
 
@@ -535,6 +558,16 @@ object AnalyticsQueries {
            max_by(o_orderkey, cents * 10000000 + o_orderkey) AS top_orderkey,
            min_by(o_orderkey, cents * 10000000 + o_orderkey) AS bottom_orderkey,
            max(cents) AS max_cents
-         FROM o GROUP BY 1 ORDER BY o_orderpriority"""
+         FROM o GROUP BY 1 ORDER BY o_orderpriority""",
+    "x17_recursive_cte" ->
+      """WITH RECURSIVE chain AS (
+           SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+           FROM customer WHERE c_custkey <= 200
+           UNION ALL
+           SELECT start_key, cur // 2 AS cur, depth + 1 AS depth
+           FROM chain WHERE cur > 1)
+         SELECT start_key, MAX(depth) AS chain_len,
+           CAST(SUM(cur) AS BIGINT) AS key_path_sum
+         FROM chain GROUP BY start_key ORDER BY start_key"""
   )
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{char_fold_array, shingle_hashes, simhash16, simhash64, tokenize}
+import graft.functions.HashExprs.{char_fold_array, shingle_hashes, simhash16, simhash64, tokenize, winnow}
 import graft.sources.Tables
 
 /** Deduplication operators for a training-data pipeline: exact,
@@ -264,6 +264,42 @@ object DedupQueries {
         .distinct() // a close pair can collide in several bands
         .orderBy("hamming", "da", "db")
         .limit(1000)
+    },
+
+    // ── d7: ASYMMETRIC containment dedup — "document A is (nearly) a
+    // subset of document B". Jaccard (d2/d3) misses the quote/extract
+    // case: a short doc wholly contained in a long one has tiny
+    // Jaccard but containment ≈ 1. Containment(A→B) =
+    // |FP(A) ∩ FP(B)| / |FP(A)| over winnowing fingerprints (t8's
+    // robust local minima — a shared run of ≥ 6 tokens guarantees a
+    // shared fingerprint, so containment over FPs tracks containment
+    // over text). Shape: fingerprint equi-join (posting-list
+    // intersection) → pair groupBy → ratio vs the per-doc FP count;
+    // a stop-fingerprint df-cap bounds the join fan-out exactly like
+    // d2's stop-shingle guard — no all-pairs stage anywhere.
+    "d7_containment" -> { (s, d) =>
+      val fps = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          explode(winnow(shingle_hashes(char_fold_array(tokenize(col("text"))), 3), 4))
+            .as("fp"))
+        .distinct()
+        .localCheckpoint(true) // feeds counts + df-guard + pair join
+      val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      // fingerprints shared by > 50 docs are boilerplate: no
+      // containment signal, quadratic pair cost — drop before joining
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select("fp")
+      val kept = fps.join(rare, Seq("fp"))
+      kept.as("a").join(kept.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("shared"))
+        .join(counts.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
+        // containment >= 0.8 with >= 5 fps, tested in EXACT integers
+        .filter(col("nf") >= 5 && col("shared") * 10 >= col("nf") * 8)
+        .select(col("a_id"), col("b_id"), col("shared"), col("nf").as("a_fps"),
+          round(col("shared") / col("nf").cast("double"), 4).as("containment"))
+        .orderBy("a_id", "b_id")
     }
   )
 
@@ -419,6 +455,24 @@ object DedupQueries {
             bit_count(xor(a.simhash, b.simhash)) AS hamming
           FROM sims a JOIN sims b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-          ORDER BY hamming, da, db LIMIT 1000"""
+          ORDER BY hamming, da, db LIMIT 1000""",
+    // containment over winnowing fingerprints; the fps CTE chain is
+    // the SAME string as the t8 oracle (TextQueries.winnowFpCtes) so
+    // the two replays cannot drift
+    "d7_containment" ->
+      s"""WITH ${TextQueries.winnowFpCtes},
+          counts AS (SELECT doc_id, COUNT(*) AS nf FROM fps GROUP BY 1),
+          rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
+          kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp)),
+          pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+            FROM kept a JOIN kept b
+              ON a.fp = b.fp AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2)
+          SELECT a_id, b_id, shared, nf AS a_fps,
+            ROUND(shared * 1.0 / nf, 4) AS containment
+          FROM pairs JOIN counts ON counts.doc_id = pairs.a_id
+          WHERE nf >= 5 AND shared * 10 >= nf * 8
+          ORDER BY a_id, b_id"""
   )
 }

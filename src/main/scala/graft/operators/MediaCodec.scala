@@ -171,6 +171,71 @@ object MediaCodec {
     Some(Decoded("audio/wav", sampleRate, channels, nFrames, brightness))
   }
 
+  /** Grayscale pixel matrix of a BMP or PPM payload: (width, height,
+    * gray) with gray(y * width + x) = r + g + b (0..765) in TOP-DOWN
+    * row order — BMP's bottom-up storage is flipped here so spatial
+    * operators (resize, cropping, grid features) see one orientation
+    * regardless of the container. None for non-image payloads. */
+  def grayPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    // BMP branch: same header fields decodeBmp validates
+    if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+      val pixelOff = le32(b, 10)
+      val width = le32(b, 18)
+      val heightRaw = le32(b, 22)
+      val height = math.abs(heightRaw)
+      val bpp = le16(b, 28)
+      if (width <= 0 || height == 0 || bpp != 24 || pixelOff < 54) return None
+      val rowBytesL = width.toLong * 3
+      val strideL = (rowBytesL + 3) / 4 * 4
+      if (pixelOff.toLong + strideL * height > b.length) return None
+      if (width.toLong * height > Int.MaxValue / 4) return None
+      val stride = strideL.toInt
+      val gray = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        // positive height = bottom-up storage; negative = top-down
+        val srcRow = if (heightRaw > 0) height - 1 - y else y
+        val base = pixelOff + srcRow * stride
+        var x = 0
+        while (x < width) {
+          val i = base + x * 3
+          gray(y * width + x) = (b(i) & 0xff) + (b(i + 1) & 0xff) + (b(i + 2) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      Some((width, height, gray))
+    } else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+      // PPM P6 is already top-down; re-walk the header like decodePpm
+      decodePpm(b) match {
+        case Some(d) if d.width.toLong * d.height <= Int.MaxValue / 4 =>
+          // find the pixel start again: header = "P6" ws w ws h ws maxv ws
+          var pos = 2
+          var fields = 0
+          while (fields < 3 && pos < b.length) {
+            while (pos < b.length && (b(pos) == ' ' || b(pos) == '\t' ||
+              b(pos) == '\n' || b(pos) == '\r' || b(pos) == '#')) {
+              if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+              else pos += 1
+            }
+            while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') pos += 1
+            fields += 1
+          }
+          pos += 1 // single whitespace after maxval
+          val (w, h) = (d.width, d.height)
+          val gray = new Array[Int](w * h)
+          var p = 0
+          while (p < w * h) {
+            val i = pos + p * 3
+            gray(p) = (b(i) & 0xff) + (b(i + 1) & 0xff) + (b(i + 2) & 0xff)
+            p += 1
+          }
+          Some((w, h, gray))
+        case _ => None
+      }
+    } else None
+  }
+
   /** Raw 16-bit PCM samples of a WAV payload: (sampleRate, channels,
     * interleaved samples). The frame-sampling/windowing operators need
     * the samples themselves, not the summary [[decode]] returns. Bounds
@@ -213,6 +278,70 @@ object MediaCodec {
       r += 1
     }
     out
+  }
+
+  /** 24-bpp BMP from a top-down per-pixel function (all three channels
+    * get `pix(x, y)`); rows are stored bottom-up as positive-height
+    * BMPs require, so [[grayPixels]] must flip them back. */
+  def encodeBmpPixels(width: Int, height: Int, pix: (Int, Int) => Byte): Array[Byte] = {
+    val out = encodeBmp(width, height, 0.toByte)
+    val stride = (width * 3 + 3) / 4 * 4
+    var y = 0
+    while (y < height) {
+      val base = 54 + (height - 1 - y) * stride // bottom-up storage
+      var x = 0
+      while (x < width) {
+        val v = pix(x, y)
+        out(base + x * 3) = v; out(base + x * 3 + 1) = v; out(base + x * 3 + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ---- multi-frame container (the "video" envelope for the
+  // frame-sampling path): "GFTV" + u32 frame count + per frame a u32
+  // length prefix and the raw frame payload (any decodable format) ----
+
+  /** Encode frames into the GFTV container. */
+  def encodeFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 8 + frames.map(4 + _.length).sum
+    val out = new Array[Byte](total)
+    out(0) = 'G'; out(1) = 'F'; out(2) = 'T'; out(3) = 'V'
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(4, frames.length)
+    var pos = 8
+    frames.foreach { f =>
+      putLe32(pos, f.length); pos += 4
+      System.arraycopy(f, 0, out, pos, f.length); pos += f.length
+    }
+    out
+  }
+
+  /** Split a GFTV container back into frame payloads; None if the
+    * magic is absent or any declared length walks out of bounds. */
+  def frames(b: Array[Byte]): Option[Array[Array[Byte]]] = {
+    if (b.length < 8 || b(0) != 'G' || b(1) != 'F' || b(2) != 'T' || b(3) != 'V')
+      return None
+    val n = le32(b, 4)
+    if (n < 0 || n > b.length) return None // a frame needs >= 4 bytes of header
+    val out = new Array[Array[Byte]](n)
+    var pos = 8
+    var i = 0
+    while (i < n) {
+      if (pos + 4 > b.length) return None
+      val len = le32(b, pos)
+      pos += 4
+      if (len < 0 || pos.toLong + len > b.length) return None
+      out(i) = java.util.Arrays.copyOfRange(b, pos, pos + len)
+      pos += len
+      i += 1
+    }
+    Some(out)
   }
 
   /** P6 PPM filled with one sample value, maxval 255. */

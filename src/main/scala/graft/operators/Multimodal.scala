@@ -171,6 +171,97 @@ object Multimodal {
       .toDF("doc_id", "win", "sample_rate", "n_samples", "rms", "peak")
   }
 
+  /** Average-pool thumbnail ("resize") over image payloads: the pixel
+    * matrix is decoded partition-locally ([[MediaCodec.grayPixels]],
+    * top-down orientation for both containers), then pooled into a
+    * `grid`×`grid` cell layout with integer-exact cell means
+    * (sum div count of the 0..765 gray values). Cells whose integer
+    * pixel range is empty (image smaller than the grid) are skipped —
+    * deterministic, never interpolated. Output is one narrow row per
+    * doc (means as csv), so 100 TB of pixels reduce map-side to a few
+    * bytes per image before anything shuffles. Non-image payloads
+    * yield no rows (a real pipeline routes by sniffed type first). */
+  def imageThumbnails(media: DataFrame, grid: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodec.grayPixels(bytes).map { case (w, h, gray) =>
+            val cells = for {
+              gy <- 0 until grid
+              gx <- 0 until grid
+              x0 = gx * w / grid; x1 = (gx + 1) * w / grid
+              y0 = gy * h / grid; y1 = (gy + 1) * h / grid
+              if x1 > x0 && y1 > y0
+            } yield {
+              var sum = 0L
+              var y = y0
+              while (y < h && y < y1) {
+                var x = x0
+                while (x < x1) { sum += gray(y * w + x); x += 1 }
+                y += 1
+              }
+              (sum / ((x1 - x0).toLong * (y1 - y0))).toString
+            }
+            (id, w, h, cells.mkString(","))
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "thumb")
+  }
+
+  /** Frame sampling over multi-frame (GFTV) containers: keep every
+    * `every`-th frame, decode each kept frame ([[MediaCodec.decode]]),
+    * emit per-frame features. The container split and the per-frame
+    * decode are both partition-local — the classic video path where
+    * sampling BEFORE decode is the difference between touching 1/k of
+    * the frames and all of them. */
+  def frameSamples(media: DataFrame, every: Int = 3): DataFrame = {
+    require(every >= 1, s"sampling interval must be >= 1, got $every")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodec.frames(bytes).toSeq.flatMap { fs =>
+            fs.iterator.zipWithIndex
+              .filter { case (_, i) => i % every == 0 }
+              .flatMap { case (f, i) =>
+                MediaCodec.decode(f).map { d =>
+                  (id, i, fs.length, d.width, d.height,
+                    math.rint(d.brightness * 10000) / 10000)
+                }
+              }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_frames_total", "width", "height", "brightness")
+  }
+
+  /** Synthetic multi-frame table: per document a GFTV container of
+    * 2 + (doc_id % 5) BMP frames whose size/fill derive from
+    * (doc_id, frame index) — decode output is ground truth by
+    * construction, like [[syntheticMedia]]. */
+  def syntheticVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (id % 5).toInt + 2
+          val frames = (0 until n).map { f =>
+            MediaCodec.encodeBmp(
+              (id % 9).toInt + 1, (f % 4) + 1, ((id * 31 + f * 17) % 251).toByte)
+          }
+          (id, MediaCodec.encodeFrames(frames))
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
   /** Oracle-checkable slice of the multimodal surface: byte length +
     * content digest of the binary payload (md5 is identical across
     * engines), grouped per fake-mime bucket. */
@@ -202,6 +293,19 @@ object Multimodal {
         .select(col("doc_id"), col("mime"), col("width"), col("height"),
           col("n_frames"), round(col("brightness"), 4).as("brightness"))
         .orderBy("doc_id")
+    },
+    // real resize: synthetic BMP/PPM payloads → pixel decode → 4×4
+    // average-pool thumbnail. Deterministic but binary-codec work, so
+    // no DuckDB oracle — cell-exactness is spec-checked
+    // (MediaCodecSpec); the driver records rows>0.
+    "m4_thumbnails" -> { (s, d) =>
+      imageThumbnails(syntheticMedia(s, d), 4).orderBy("doc_id")
+    },
+    // real frame sampling: GFTV multi-frame containers → every 3rd
+    // frame decoded. Same no-oracle rationale as m3/m4; exactness via
+    // MediaCodecSpec round-trips.
+    "m5_frame_sample" -> { (s, d) =>
+      frameSamples(syntheticVideo(s, d), 3).orderBy("doc_id", "frame_idx")
     }
   )
 

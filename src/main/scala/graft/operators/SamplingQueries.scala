@@ -35,6 +35,9 @@ object SamplingQueries {
     * engines compute identically). */
   private def draw = pmod(char_fold(col("doc_id").cast("string")), lit(100))
 
+  /** Finer-grained draw in [0, 10000) for weighted rates (sp4). */
+  private def draw1e4 = pmod(char_fold(col("doc_id").cast("string")), lit(10000))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // stratified sampling by language: keep row iff its deterministic
@@ -106,6 +109,24 @@ object SamplingQueries {
     // no GK sketch): driver records the rows-only check; the accuracy
     // bound vs the exact q1 percentiles is pinned by
     // `ApproxQuantileSpec`.
+    // ── sp4: deterministic weighted (probability-proportional-to-size)
+    // sampling — longer documents are kept with probability
+    // n_chars / max(n_chars), the PPS mix that over-samples
+    // information-dense documents without ever calling rand(). The
+    // per-row draw is the same replayable hash as sp1; the weight
+    // threshold is EXACT integer arithmetic (`div`), so Spark and the
+    // oracle agree bit-for-bit. Cost shape at 100 TB: one tiny
+    // scalar aggregate (max weight) broadcast to every task, then a
+    // pure map-side filter at scan speed — no shuffle of the corpus.
+    "sp4_weighted_sample" -> { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      docs
+        .crossJoin(broadcast(docs.agg(max(col("n_chars")).as("max_chars"))))
+        .filter(draw1e4 < expr("(n_chars * 10000) div max_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     "q2_approx_quantiles" -> { (s, d) =>
       Tables.load(s, d, "lineitem")
         .groupBy(col("l_returnflag").as("flag"))
@@ -140,6 +161,11 @@ object SamplingQueries {
                  ELSE 'test' END AS split,
             COUNT(*) AS n
           FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
+    "sp4_weighted_sample" ->
+      s"""WITH m AS (SELECT MAX(n_chars) AS max_chars FROM documents)
+          SELECT doc_id, lang, n_chars FROM documents, m
+          WHERE $foldDoc % 10000 < (n_chars * 10000) // max_chars
+          ORDER BY doc_id""",
     "q1_group_quantiles" ->
       """SELECT l_returnflag AS flag,
            ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS p25,

@@ -283,8 +283,76 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 5)
         .orderBy("ta", "tb")
+    },
+
+    // ── t14: token-window chunking with overlap — the transform that
+    // turns raw documents into fixed-size training examples (chunk
+    // size 50 tokens, stride 40 → 10-token overlap). Chunk windows
+    // are composed INSIDE the row (`sequence` of chunk starts →
+    // `slice` of the token array), so the only explode is one row per
+    // chunk — no window function, no per-doc sort, no shuffle at all
+    // until the output sort. At 100 TB this is a pure map-side
+    // transform that scales with input bytes; emitting the md5 digest
+    // of each chunk (rather than the chunk text) keeps the verified
+    // output narrow while still pinning the exact chunk CONTENT.
+    // Every document yields >= 1 chunk (short docs pass through
+    // whole), and the last window is the clamped tail — no token is
+    // dropped, adjacent chunks share exactly size-stride tokens.
+    "t14_chunking" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("toks", tokenize(col("text")))
+        .withColumn("n", size(col("toks")))
+        // ceil((n - size) / stride) + 1 clamped to >= 1, in exact
+        // integer arithmetic (`div`, not `/` which is double in Spark)
+        .withColumn("nchunks",
+          expr("CASE WHEN n <= 50 THEN 1 ELSE (n - 50 + 39) div 40 + 1 END"))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, nchunks - 1)")).as("chunk_id"), col("toks"))
+        .select(col("doc_id"), col("chunk_id"),
+          expr("slice(toks, chunk_id * 40 + 1, 50)").as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).as("chunk_len"),
+          md5(concat_ws(" ", col("chunk"))).as("digest"))
+        .orderBy("doc_id", "chunk_id")
     }
   )
+
+  /** Shared oracle CTE chain ending in `fps(doc_id, fp)` — the
+    * relational replay of `winnow(shingle_hashes(char_fold_array(
+    * tokenize(text)), 3), 4)` over `documents`. Used by the t8 oracle
+    * and by the d7 containment oracle in [[DedupQueries]], so the two
+    * can never drift apart. */
+  private[operators] val winnowFpCtes: String =
+    """tokens AS (
+           SELECT doc_id, generate_subscripts(ts, 1) AS idx, unnest(ts) AS token
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+                 FROM documents)),
+         tok_hash AS (
+           SELECT token,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split(token, ''), c -> CAST(ord(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+           FROM (SELECT DISTINCT token FROM tokens)),
+         tstream AS (
+           SELECT doc_id, idx, h FROM tokens JOIN tok_hash USING (token)),
+         shp AS (
+           SELECT doc_id, idx,
+             ((h * 1000003 + h2) % 1000000007 * 1000003 + h3) % 1000000007 AS shash
+           FROM (SELECT doc_id, idx, h,
+                   LEAD(h, 1) OVER w AS h2, LEAD(h, 2) OVER w AS h3
+                 FROM tstream
+                 WINDOW w AS (PARTITION BY doc_id ORDER BY idx))
+           WHERE h3 IS NOT NULL),
+         wins AS (
+           SELECT doc_id,
+             MIN(shash) OVER fw AS fp,
+             COUNT(*) OVER fw AS wn
+           FROM shp
+           WINDOW fw AS (PARTITION BY doc_id ORDER BY idx
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+         fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE wn = 4)"""
 
   def oracles: Map[String, String] = Map(
     "t1_token_count" ->
@@ -385,36 +453,8 @@ object TextQueries {
            FROM tf JOIN df USING (term))
          WHERE rank <= 3 ORDER BY doc_id, rank""",
     "t8_winnow_fp" ->
-      """WITH tokens AS (
-           SELECT doc_id, generate_subscripts(ts, 1) AS idx, unnest(ts) AS token
-           FROM (SELECT doc_id,
-                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
-                 FROM documents)),
-         tok_hash AS (
-           SELECT token,
-             list_reduce(
-               list_prepend(CAST(7 AS BIGINT),
-                 list_transform(string_split(token, ''), c -> CAST(ord(c) AS BIGINT))),
-               (acc, c) -> (acc * 31 + c) % 1000000007) AS h
-           FROM (SELECT DISTINCT token FROM tokens)),
-         tstream AS (
-           SELECT doc_id, idx, h FROM tokens JOIN tok_hash USING (token)),
-         shp AS (
-           SELECT doc_id, idx,
-             ((h * 1000003 + h2) % 1000000007 * 1000003 + h3) % 1000000007 AS shash
-           FROM (SELECT doc_id, idx, h,
-                   LEAD(h, 1) OVER w AS h2, LEAD(h, 2) OVER w AS h3
-                 FROM tstream
-                 WINDOW w AS (PARTITION BY doc_id ORDER BY idx))
-           WHERE h3 IS NOT NULL),
-         wins AS (
-           SELECT doc_id,
-             MIN(shash) OVER fw AS fp,
-             COUNT(*) OVER fw AS wn
-           FROM shp
-           WINDOW fw AS (PARTITION BY doc_id ORDER BY idx
-                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
-         SELECT DISTINCT doc_id, fp FROM wins WHERE wn = 4
+      s"""WITH $winnowFpCtes
+         SELECT doc_id, fp FROM fps
          ORDER BY doc_id, fp""",
 
     // brute-force reference for the banded fuzzy match: the banding is
@@ -462,6 +502,22 @@ object TextQueries {
            ON a.doc_id = b.doc_id AND a.tok < b.tok
          GROUP BY 1, 2
          HAVING COUNT(*) >= 5
-         ORDER BY ta, tb"""
+         ORDER BY ta, tb""",
+    "t14_chunking" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 50 THEN 1
+                  ELSE (len(toks) - 50 + 39) // 40 + 1 END AS nchunks
+           FROM t),
+         e AS (SELECT doc_id, toks, unnest(range(0, nchunks)) AS i FROM c)
+         SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           len(toks[CAST(i * 40 + 1 AS INT) : CAST(i * 40 + 50 AS INT)]) AS chunk_len,
+           md5(array_to_string(
+             toks[CAST(i * 40 + 1 AS INT) : CAST(i * 40 + 50 AS INT)], ' ')) AS digest
+         FROM e ORDER BY doc_id, chunk_id"""
   )
 }

@@ -122,6 +122,87 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("grayPixels: BMP bottom-up storage is flipped to top-down; PPM is passthrough") {
+    // gradient pix(x, y) = x + 10y: distinguishable per position, so a
+    // missed row flip or column swap cannot cancel out
+    val bmp = MediaCodec.encodeBmpPixels(3, 2, (x, y) => (x + 10 * y).toByte)
+    val (w, h, gray) = MediaCodec.grayPixels(bmp).get
+    assert(w == 3 && h == 2)
+    // top-down row-major, each gray = 3 * (x + 10y)
+    assert(gray.toSeq == Seq(0, 3, 6, 30, 33, 36))
+    val ppm = MediaCodec.encodePpm(2, 2, 50.toByte)
+    val (pw, ph, pg) = MediaCodec.grayPixels(ppm).get
+    assert(pw == 2 && ph == 2 && pg.toSeq == Seq(150, 150, 150, 150))
+    assert(MediaCodec.grayPixels("not an image".getBytes).isEmpty)
+    // WAV is decodable media but has no pixels
+    assert(MediaCodec.grayPixels(
+      MediaCodec.encodeWavPcm16(8000, 1, Array[Short](1))).isEmpty)
+  }
+
+  test("GFTV frame container round-trips and rejects corrupt lengths") {
+    val f0 = MediaCodec.encodeBmp(2, 2, 10.toByte)
+    val f1 = MediaCodec.encodePpm(1, 1, 20.toByte)
+    val f2 = Array[Byte](1, 2, 3)
+    val packed = MediaCodec.encodeFrames(Seq(f0, f1, f2))
+    val got = MediaCodec.frames(packed).get
+    assert(got.length == 3)
+    assert(got(0).toSeq == f0.toSeq && got(1).toSeq == f1.toSeq && got(2).toSeq == f2.toSeq)
+    assert(MediaCodec.frames(f0).isEmpty) // BMP magic != GFTV
+    assert(MediaCodec.frames(packed.take(packed.length - 1)).isEmpty) // truncated
+    val hostile = packed.clone()
+    hostile(4) = 100 // declared count way past the payload
+    assert(MediaCodec.frames(hostile).isEmpty)
+  }
+
+  test("imageThumbnails: exact integer average-pool cells, top-down orientation") {
+    import spark.implicits._
+    // 4×4 gradient pix(x, y) = 4y + x → gray = 3 * (4y + x); grid 2 →
+    // cell (gx, gy) mean over a 2×2 block, exact integer division
+    val bmp = MediaCodec.encodeBmpPixels(4, 4, (x, y) => (4 * y + x).toByte)
+    val media = Seq((7L, bmp), (8L, "junk".getBytes)).toDF("doc_id", "content")
+    val rows = graft.operators.Multimodal.imageThumbnails(media, grid = 2).collect()
+    assert(rows.length == 1) // junk row yields nothing
+    val r = rows(0)
+    assert(r.getAs[Long]("doc_id") == 7L)
+    assert(r.getAs[Int]("width") == 4 && r.getAs[Int]("height") == 4)
+    // block means of gray: top-left {0,1,4,5}*3 → 7 (30/4), top-right
+    // {2,3,6,7}*3 → 13 (54/4 = 13.5 → div → 13), bottom-left 31, bottom-right 37
+    assert(r.getAs[String]("thumb") == "7,13,31,37")
+    // a 1×1 image under grid 2 keeps only the one nonempty cell
+    val tiny = MediaCodec.encodeBmpPixels(1, 1, (_, _) => 100.toByte)
+    val t = graft.operators.Multimodal
+      .imageThumbnails(Seq((1L, tiny)).toDF("doc_id", "content"), grid = 2).collect()(0)
+    assert(t.getAs[String]("thumb") == "300")
+  }
+
+  test("frameSamples: every k-th frame decoded with exact per-frame features") {
+    import spark.implicits._
+    val frames = (0 until 7).map(i => MediaCodec.encodeBmp(i + 1, 2, (10 * i).toByte))
+    val media = Seq((3L, MediaCodec.encodeFrames(frames))).toDF("doc_id", "content")
+    val rows = graft.operators.Multimodal.frameSamples(media, every = 3)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 3, 6))
+    rows.foreach { r =>
+      val i = r.getAs[Int]("frame_idx")
+      assert(r.getAs[Int]("n_frames_total") == 7)
+      assert(r.getAs[Int]("width") == i + 1 && r.getAs[Int]("height") == 2)
+      assert(r.getAs[Double]("brightness") ==
+        math.rint(10.0 * i / 255.0 * 10000) / 10000)
+    }
+  }
+
+  test("m4/m5 queries run distributed over the synthetic corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val m4 = Multimodal.queries("m4_thumbnails")(spark, sf).collect()
+    // only BMP/PPM docs (2 of every 3) produce thumbnails
+    assert(m4.nonEmpty && m4.forall(_.getAs[String]("thumb").nonEmpty))
+    val m5 = Multimodal.queries("m5_frame_sample")(spark, sf)
+    val counts = m5.groupBy("doc_id").count().collect()
+    assert(counts.nonEmpty)
+    // 2 + (id % 5) frames sampled every 3rd → 1 or 2 sampled frames
+    counts.foreach(r => assert(r.getLong(1) == 1 || r.getLong(1) == 2))
+  }
+
   test("m3_decode_features query is deterministic and ordered") {
     val sf = "/root/testdata/sf0.001"
     val a = Multimodal.queries("m3_decode_features")(spark, sf).collect()
