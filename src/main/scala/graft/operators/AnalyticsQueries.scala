@@ -352,6 +352,54 @@ object AnalyticsQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ── a13: central-tendency suite — exact median (interpolating
+    // percentile_cont parity), discrete 25th percentile
+    // (percentile_disc WITHIN GROUP), and a DETERMINISTIC mode.
+    // Mode is spelled relationally (value-count argmax, ties to the
+    // smallest value) rather than via the engines' mode() aggregates,
+    // whose tie-breaking is implementation-defined — an
+    // arrival-order-dependent answer is exactly what a distributed
+    // engine must never return. Shape: one hash aggregate on
+    // (flag, qty) then a per-flag argmax — no sort of the fact table.
+    "a13_mode_median" -> { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+      val central = li.groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          round(expr("median(l_quantity)"), 4).as("med_qty"),
+          round(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)"), 4)
+            .as("p25_disc"))
+      val mode = li.groupBy(col("l_returnflag").as("flag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", expr(
+          "row_number() OVER (PARTITION BY flag ORDER BY n DESC, l_quantity ASC)"))
+        .filter(col("rn") === 1)
+        .select(col("flag"), col("l_quantity").cast("double").as("mode_qty"),
+          col("n").as("mode_n"))
+      central.join(mode, Seq("flag")).orderBy("flag")
+    },
+
+    // ── u7: union across EVOLVED schemas (unionByName with missing
+    // columns) — the ingest reality where yesterday's files lack
+    // today's column. Position-based UNION would silently misalign or
+    // reject; name-based union aligns by column name and null-fills
+    // the absent side (DuckDB spelling: UNION ALL BY NAME). The
+    // rollup proves the null-fill: only supplier-side rows have a
+    // NULL balance.
+    "u7_union_by_name" -> { (s, d) =>
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_acctbal").cast("double").as("bal"), lit("customer").as("side"))
+      val supp = Tables.load(s, d, "supplier")
+        .select(col("s_suppkey").as("key"), col("s_name").as("name"),
+          lit("supplier").as("side")) // no bal column: schema evolved
+      cust.unionByName(supp, allowMissingColumns = true)
+        .groupBy("side")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("bal").isNull, 1).otherwise(0)).as("n_null_bal"),
+          max("key").as("max_key"))
+        .orderBy("side")
+    },
+
     // ── x17: RECURSIVE CTE (Spark 4.1 UnionLoop execution) — the
     // iterate-until-fixpoint surface inside one SQL statement:
     // hierarchy walks, BOM rollups, transitive closure. Here each
@@ -559,6 +607,34 @@ object AnalyticsQueries {
            min_by(o_orderkey, cents * 10000000 + o_orderkey) AS bottom_orderkey,
            max(cents) AS max_cents
          FROM o GROUP BY 1 ORDER BY o_orderpriority""",
+    "a13_mode_median" ->
+      """WITH central AS (
+           SELECT l_returnflag AS flag,
+             ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS med_qty,
+             ROUND(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS p25_disc
+           FROM lineitem GROUP BY 1),
+         m AS (
+           SELECT flag, CAST(l_quantity AS DOUBLE) AS mode_qty, n AS mode_n FROM (
+             SELECT l_returnflag AS flag, l_quantity, COUNT(*) AS n,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+             FROM lineitem GROUP BY 1, 2)
+           WHERE rn = 1)
+         SELECT central.flag, med_qty, p25_disc, mode_qty, mode_n
+         FROM central JOIN m ON central.flag = m.flag
+         ORDER BY central.flag""",
+    "u7_union_by_name" ->
+      """WITH u AS (
+           SELECT c_custkey AS key, c_name AS name,
+             CAST(c_acctbal AS DOUBLE) AS bal, 'customer' AS side
+           FROM customer
+           UNION ALL BY NAME
+           SELECT s_suppkey AS key, s_name AS name, 'supplier' AS side
+           FROM supplier)
+         SELECT side, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_bal,
+           MAX(key) AS max_key
+         FROM u GROUP BY 1 ORDER BY side""",
     "x17_recursive_cte" ->
       """WITH RECURSIVE chain AS (
            SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth

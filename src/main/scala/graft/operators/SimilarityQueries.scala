@@ -164,6 +164,37 @@ object SimilarityQueries {
         .orderBy("label", "dim")
     },
 
+    // ── s7: k-NN label prediction — the classification read of the
+    // similarity surface: each query vector takes the majority label
+    // of its 10 nearest (cosine) neighbors, ties broken to the
+    // smallest label. Same broadcast-query + per-row compiled-dot
+    // shape as s1 — the label join adds one broadcast lookup, and the
+    // vote is a tiny (qid, label) hash aggregate. At 100 TB the
+    // neighbor search gates through s2/s4 buckets first; the voting
+    // stage is unchanged.
+    "s7_knn_label" -> { (s, d) =>
+      val lab = Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("vid"), col("label"))
+      val v = vecs(s, d)
+      val q = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("qv").as("va"), col("norm").as("qn"))
+      val t = v.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("vid"), col("qv").as("vb"), col("norm").as("vn"))
+      t.join(broadcast(q))
+        .withColumn("cos_raw", dotCol / (col("qn") * col("vn")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vid").asc)))
+        .filter(col("rank") <= 10)
+        .join(broadcast(lab), Seq("vid"))
+        .groupBy("qid", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("votes").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("label").as("pred_label"), col("votes"))
+        .orderBy("qid")
+    },
+
     // ── s6: per-vector array statistics — dimension, exact quantized
     // L2², component min/max. Pure per-row array math (size /
     // compiled dot / array_min / array_max): no explode, no shuffle —
@@ -286,6 +317,30 @@ object SimilarityQueries {
                  generate_subscripts(embedding, 1) AS idx
                FROM embeddings)
          GROUP BY 1, 2 ORDER BY label, dim""",
+    "s7_knn_label" ->
+      s"""WITH $compsSql,
+          dots AS (
+            SELECT qc.vec_id AS qid, vc.vec_id AS vid, SUM(qc.q * vc.q) AS dot
+            FROM c qc JOIN c vc ON qc.idx = vc.idx
+            WHERE qc.vec_id < 5 AND vc.vec_id >= 5
+            GROUP BY 1, 2),
+          topk AS (
+            SELECT qid, vid FROM (
+              SELECT qid, vid,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY dot / (qn.norm * vn.norm) DESC, vid ASC) AS rank
+              FROM dots JOIN n qn ON qid = qn.vec_id JOIN n vn ON vid = vn.vec_id)
+            WHERE rank <= 10),
+          votes AS (
+            SELECT qid, label, COUNT(*) AS votes
+            FROM topk JOIN embeddings e ON topk.vid = e.vec_id
+            GROUP BY 1, 2)
+          SELECT qid, label AS pred_label, votes FROM (
+            SELECT qid, label, votes,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY votes DESC, label ASC) AS rn
+            FROM votes)
+          WHERE rn = 1 ORDER BY qid""",
     "s6_vector_stats" ->
       """WITH comps AS (
            SELECT vec_id, CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS q

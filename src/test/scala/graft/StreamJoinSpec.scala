@@ -49,4 +49,41 @@ class StreamJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 11L), (3L, 13L)), s"got $got")
   }
+
+  test("LEFT OUTER stream-stream join emits null-padded unmatched clicks after watermark") {
+    import spark.implicits._
+    val clicks = MemoryStream[Click](spark)
+    val purchases = MemoryStream[Purchase](spark)
+
+    // outer side must wait until the watermark proves no match can
+    // still arrive — the null-padded row is emitted ONLY then. This is
+    // the semantics funnel-drop analysis needs: "clicks that never
+    // converted", streamed, with bounded state.
+    val joined = clicks.toDF().withWatermark("click_ts", "10 minutes")
+      .join(
+        purchases.toDF().withWatermark("purchase_ts", "10 minutes"),
+        expr("""user = buyer AND
+                purchase_ts >= click_ts AND
+                purchase_ts <= click_ts + INTERVAL 1 HOUR"""),
+        "leftOuter")
+      .select("click_id", "purchase_id", "user")
+
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer").start()
+
+    clicks.addData(Click(1, 100, t(0)), Click(2, 300, t(5)))
+    purchases.addData(Purchase(11, 100, t(30)))
+    q.processAllAvailable()
+    // advance both watermarks far past click 2's join window
+    clicks.addData(Click(9, 999, t(600)))
+    purchases.addData(Purchase(99, 998, t(600)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attr_outer").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // click 1 matched; click 2 expired unmatched → null purchase_id
+    assert(rows.contains((1L, 11L)), s"got ${rows.mkString(",")}")
+    assert(rows.contains((2L, -1L)), s"got ${rows.mkString(",")}")
+  }
 }
