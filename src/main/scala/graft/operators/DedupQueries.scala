@@ -278,30 +278,40 @@ object DedupQueries {
     // a stop-fingerprint df-cap bounds the join fan-out exactly like
     // d2's stop-shingle guard — no all-pairs stage anywhere.
     "d7_containment" -> { (s, d) =>
-      val fps = Tables.load(s, d, "documents")
-        .select(col("doc_id"),
-          explode(winnow(shingle_hashes(char_fold_array(tokenize(col("text"))), 3), 4))
-            .as("fp"))
-        .distinct()
-        .localCheckpoint(true) // feeds counts + df-guard + pair join
-      val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-      // fingerprints shared by > 50 docs are boilerplate: no
-      // containment signal, quadratic pair cost — drop before joining
-      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50).select("fp")
-      val kept = fps.join(rare, Seq("fp"))
-      kept.as("a").join(kept.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("shared"))
-        .join(counts.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
-        // containment >= 0.8 with >= 5 fps, tested in EXACT integers
-        .filter(col("nf") >= 5 && col("shared") * 10 >= col("nf") * 8)
-        .select(col("a_id"), col("b_id"), col("shared"), col("nf").as("a_fps"),
-          round(col("shared") / col("nf").cast("double"), 4).as("containment"))
-        .orderBy("a_id", "b_id")
+      containmentPairs(Tables.load(s, d, "documents"))
     }
   )
+
+  /** Core of d7 over any (doc_id, text) frame — see the query comment
+    * above for semantics and scale shape. `maxFpDf` is the
+    * stop-fingerprint guard (boilerplate FPs carry no containment
+    * signal but quadratic pair cost); `minFps`/`threshold10` gate the
+    * asymmetric ratio: shared·10 ≥ nf·threshold10, exact integers. */
+  def containmentPairs(
+      docs: DataFrame,
+      minFps: Int = 5,
+      threshold10: Int = 8,
+      maxFpDf: Int = 50): DataFrame = {
+    val fps = docs
+      .select(col("doc_id"),
+        explode(winnow(shingle_hashes(char_fold_array(tokenize(col("text"))), 3), 4))
+          .as("fp"))
+      .distinct()
+      .localCheckpoint(true) // feeds counts + df-guard + pair join
+    val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxFpDf).select("fp")
+    val kept = fps.join(rare, Seq("fp"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
+      .filter(col("nf") >= minFps && col("shared") * 10 >= col("nf") * threshold10)
+      .select(col("a_id"), col("b_id"), col("shared"), col("nf").as("a_fps"),
+        round(col("shared") / col("nf").cast("double"), 4).as("containment"))
+      .orderBy("a_id", "b_id")
+  }
 
   private[operators] def charFoldSqlOf(c: String): String =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split($c, ''), " +

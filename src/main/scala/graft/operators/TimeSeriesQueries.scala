@@ -158,6 +158,28 @@ object TimeSeriesQueries {
         .withColumn("twa", round(col("wsum") / (col("dsum") * lit(100.0)), 6))
         .select("user_id", "n_intervals", "twa")
         .orderBy("user_id")
+    },
+
+    // ── ts7: OHLC resampling — downsample the irregular event stream
+    // to 15-minute bars (open/high/low/close/count per event_type),
+    // the canonical time-series densification every monitoring and
+    // market pipeline runs. open/close are min_by/max_by on a
+    // (ts, event_id) struct — a tie-proof total order — so the bar is
+    // a SINGLE partial-merging hash aggregate: no window, no per-bar
+    // sort, map-side combine carries one candidate row per (type,
+    // bar) — the shape that holds at any stream volume. Values pass
+    // through unrounded (no double accumulation anywhere).
+    "ts7_ohlc_bars" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("ws", expr("ts_ns div 1000000000 div 900 * 900"))
+        .groupBy("event_type", "ws")
+        .agg(
+          expr("min_by(value, struct(ts_ns, event_id))").as("open"),
+          max("value").as("high"),
+          min("value").as("low"),
+          expr("max_by(value, struct(ts_ns, event_id))").as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "ws")
     }
   )
 
@@ -262,6 +284,15 @@ object TimeSeriesQueries {
            FROM iv WHERE next_us IS NOT NULL GROUP BY 1)
          SELECT user_id, n_intervals,
            ROUND(wsum / (dsum * 100.0), 6) AS twa
-         FROM agg WHERE dsum > 0 ORDER BY user_id"""
+         FROM agg WHERE dsum > 0 ORDER BY user_id""",
+    "ts7_ohlc_bars" ->
+      """SELECT event_type,
+           epoch_ns(ts) // 1000000000 // 900 * 900 AS ws,
+           first(value ORDER BY epoch_ns(ts), event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           last(value ORDER BY epoch_ns(ts), event_id) AS close,
+           COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY event_type, ws"""
   )
 }

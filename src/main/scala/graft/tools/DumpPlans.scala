@@ -36,7 +36,13 @@ object DumpPlans {
     "cdc_mv_incremental" -> "incremental MV fold: touched-key semi-join + delta union, no base rescan",
     "ts3_sessionize" -> "sessionization: ONE user_id exchange reused by lag, running sum, and rollup",
     "t13_cooccur" -> "co-occurrence: broadcast df-band gate before the pair join (no stopword blowup)",
-    "x16_not_in" -> "NOT IN: planned as a null-aware anti join, not a per-row subquery")
+    "x16_not_in" -> "NOT IN: planned as a null-aware anti join, not a per-row subquery",
+    "t14_chunking" -> "token chunking: windows composed in-row, one explode, no per-doc window sort",
+    "d7_containment" -> "containment dedup: fingerprint equi-join + df guard, never all-pairs",
+    "sp4_weighted_sample" -> "PPS weighted sample: scalar max broadcast, pure map-side integer filter",
+    "x17_recursive_cte" -> "recursive CTE: engine-iterated UnionLoop, per-step frontier joins",
+    "s7_knn_label" -> "kNN classify: broadcast queries + compiled dots, tiny vote aggregate",
+    "ts7_ohlc_bars" -> "OHLC bars: single hash aggregate, min_by/max_by carry open/close (no window)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

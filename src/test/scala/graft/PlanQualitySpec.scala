@@ -100,6 +100,46 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Filter"), plan)
   }
 
+  test("t14 chunking is explode-only: no window function, no per-doc sort") {
+    val df = SparkEntry.queries("t14_chunking")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // chunk windows are composed in-row (sequence+slice) and exploded
+    // once; a Window/Sort before the Generate would be the 100 TB
+    // token-stream-shuffle anti-pattern t5 was rewritten to avoid
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Window"), plan)
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"chunking should only exchange for the output sort:\n$plan")
+  }
+
+  test("d7 containment candidates come from the fingerprint equi-join, never all-pairs") {
+    val df = SparkEntry.queries("d7_containment")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x17 recursion executes as UnionLoop (engine-iterated, not unrolled)") {
+    val df = SparkEntry.queries("x17_recursive_cte")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"), plan)
+  }
+
+  test("sp4 weighted sample: one tiny scalar-agg broadcast, corpus never shuffled pre-sort") {
+    val df = SparkEntry.queries("sp4_weighted_sample")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // max(n_chars) arrives via broadcast; the PPS filter itself is
+    // map-side. Only the output ORDER BY may range-exchange the kept rows.
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    val shuffles = plan.linesIterator.count(l =>
+      l.trim.startsWith("Exchange") && !l.contains("SinglePartition"))
+    assert(shuffles <= 1, plan)
+  }
+
   test("HLL rollup ships partial sketches map-side (no distinct expansion)") {
     val df = SparkEntry.queries("e1_hll_users")(spark, sf)
     df.collect()
