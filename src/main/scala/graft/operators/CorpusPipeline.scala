@@ -63,6 +63,30 @@ object CorpusPipeline {
     "c1_corpus_clean" -> { (s, d) =>
       clean(Tables.load(s, d, "documents"),
         minTokens = 10, minDiversity = 0.3, jaccardThreshold = 0.8)
+    },
+
+    // ── c2: benchmark decontamination — the train/test overlap sweep
+    // every training corpus must run: a training doc is contaminated
+    // when it shares ≥ 3 distinct n-token shingles with the held-out
+    // benchmark set (here: doc_id < 10 as the stand-in benchmark;
+    // n = 3 to match this corpus's short-doc scale — production
+    // pipelines raise n to 8–13, same plan). Shape at 100 TB: the
+    // benchmark shingle set is tiny by definition → broadcast; the
+    // sweep is then one map-side semi-probe of the corpus shingle
+    // stream + a per-doc count — the corpus is never self-joined and
+    // never shuffled on content.
+    "c2_decontaminate" -> { (s, d) =>
+      val sh = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          explode(shingle_hashes(char_fold_array(tokenize(col("text"))), 3)).as("sh"))
+        .distinct()
+      val bench = sh.filter(col("doc_id") < 10).select("sh").distinct()
+      sh.filter(col("doc_id") >= 10)
+        .join(broadcast(bench), Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits")) // sh distinct per doc already
+        .filter(col("n_hits") >= 3)
+        .orderBy("doc_id")
     }
   )
 
@@ -115,6 +139,30 @@ object CorpusPipeline {
             ${charFoldSqlOf(TextQueries.scrubSqlOf("text"))} AS scrubbed_fp
           FROM q
           WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+          ORDER BY doc_id""",
+    "c2_decontaminate" ->
+      s"""WITH tokens AS (
+            SELECT doc_id, generate_subscripts(ts, 1) AS idx, unnest(ts) AS token
+            FROM (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+                  FROM documents)),
+          tok_hash AS (
+            SELECT token, ${charFoldSqlOf("token")} AS h
+            FROM (SELECT DISTINCT token FROM tokens)),
+          tstream AS (
+            SELECT doc_id, idx, h FROM tokens JOIN tok_hash USING (token)),
+          sh3 AS (
+            SELECT DISTINCT doc_id,
+              ((h * 1000003 + h2) % 1000000007 * 1000003 + h3) % 1000000007 AS sh
+            FROM (SELECT doc_id, h,
+                    LEAD(h, 1) OVER w AS h2, LEAD(h, 2) OVER w AS h3
+                  FROM tstream WINDOW w AS (PARTITION BY doc_id ORDER BY idx))
+            WHERE h3 IS NOT NULL),
+          bench AS (SELECT DISTINCT sh FROM sh3 WHERE doc_id < 10)
+          SELECT doc_id, COUNT(*) AS n_hits
+          FROM sh3 JOIN bench USING (sh)
+          WHERE doc_id >= 10
+          GROUP BY 1 HAVING COUNT(*) >= 3
           ORDER BY doc_id"""
   )
 }

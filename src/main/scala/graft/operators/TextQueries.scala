@@ -314,6 +314,57 @@ object TextQueries {
           size(col("chunk")).as("chunk_len"),
           md5(concat_ws(" ", col("chunk"))).as("digest"))
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // ── t15: sequence packing — greedy contiguous packing of chunks
+    // into 512-token training sequences, the step that turns a chunked
+    // corpus into fixed-budget batches without padding waste. Packing
+    // is SHARD-LOCAL (shard = doc_id mod 8): a global running sum
+    // would serialize the corpus through one partition; per-shard
+    // cumulative sums keep every shard independent — at 100 TB shard
+    // count scales with the cluster and each bin is still
+    // deterministic. bin = floor(tokens-before-this-chunk / 512) in
+    // exact integers; the rollup reports per-bin fill.
+    "t15_sequence_packing" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id", "chunk_id")
+      Tables.load(s, d, "documents")
+        .withColumn("toks", tokenize(col("text")))
+        .withColumn("n", size(col("toks")))
+        .withColumn("nchunks",
+          expr("CASE WHEN n <= 50 THEN 1 ELSE (n - 50 + 39) div 40 + 1 END"))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, nchunks - 1)")).as("chunk_id"), col("n"))
+        .withColumn("chunk_len",
+          expr("CASE WHEN n - chunk_id * 40 > 50 THEN 50 ELSE n - chunk_id * 40 END"))
+        .withColumn("shard", col("doc_id") % 8)
+        .withColumn("before",
+          sum("chunk_len").over(w) - col("chunk_len")) // running sum EXCLUSIVE
+        .withColumn("bin", expr("before div 512"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("chunk_len").as("n_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("shard", "bin")
+    },
+
+    // ── t16: repetition filter (Gopher-style quality rule): the
+    // fraction of bigram OCCURRENCES that are duplicates of an
+    // earlier one in the same doc. Spam/boilerplate scores high;
+    // prose scores near 0. All in-row relational math: bigrams
+    // composed inside the token array, one count-distinct vs count
+    // per doc — no window, no self-join.
+    "t16_repetition" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(token_ngrams(tokenize(col("text")), 2)).as("bg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("bg")).as("n_distinct"))
+        .withColumn("dup_ratio",
+          round((col("n_bigrams") - col("n_distinct")) / col("n_bigrams").cast("double"), 4))
+        .withColumn("flagged", col("dup_ratio") > 0.2)
+        .orderBy("doc_id")
     }
   )
 
@@ -518,6 +569,47 @@ object TextQueries {
            len(toks[CAST(i * 40 + 1 AS INT) : CAST(i * 40 + 50 AS INT)]) AS chunk_len,
            md5(array_to_string(
              toks[CAST(i * 40 + 1 AS INT) : CAST(i * 40 + 50 AS INT)], ' ')) AS digest
-         FROM e ORDER BY doc_id, chunk_id"""
+         FROM e ORDER BY doc_id, chunk_id""",
+    "t15_sequence_packing" ->
+      """WITH t AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, n,
+             CASE WHEN n <= 50 THEN 1 ELSE (n - 50 + 39) // 40 + 1 END AS nchunks
+           FROM t),
+         e AS (SELECT doc_id, n, unnest(range(0, nchunks)) AS chunk_id FROM c),
+         l AS (
+           SELECT doc_id, chunk_id,
+             CASE WHEN n - chunk_id * 40 > 50 THEN 50 ELSE n - chunk_id * 40 END AS chunk_len,
+             doc_id % 8 AS shard
+           FROM e),
+         b AS (
+           SELECT shard, doc_id, chunk_len,
+             CAST(SUM(chunk_len) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_len
+               AS BIGINT) AS bef
+           FROM l)
+         SELECT shard, bef // 512 AS bin, COUNT(*) AS n_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM b GROUP BY 1, 2 ORDER BY shard, bin""",
+    "t16_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bg
+           FROM t WHERE len(ts) >= 2),
+         agg AS (
+           SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT bg) AS n_distinct
+           FROM bg GROUP BY 1)
+         SELECT doc_id, n_bigrams, n_distinct,
+           ROUND((n_bigrams - n_distinct) / CAST(n_bigrams AS DOUBLE), 4) AS dup_ratio,
+           ROUND((n_bigrams - n_distinct) / CAST(n_bigrams AS DOUBLE), 4) > 0.2 AS flagged
+         FROM agg ORDER BY doc_id"""
   )
 }
