@@ -352,15 +352,17 @@ object TextQueries {
     // ── t16: repetition filter (Gopher-style quality rule): the
     // fraction of bigram OCCURRENCES that are duplicates of an
     // earlier one in the same doc. Spam/boilerplate scores high;
-    // prose scores near 0. All in-row relational math: bigrams
-    // composed inside the token array, one count-distinct vs count
-    // per doc — no window, no self-join.
+    // prose scores near 0. Entirely IN-ROW: bigrams composed inside
+    // the token array, counted with size/array_distinct — no explode,
+    // no groupBy, no shuffle anywhere before the output sort. The
+    // per-doc quality signals (t1/t2/t6/t16) all share this
+    // embarrassingly-parallel shape: at 100 TB they run at scan speed.
     "t16_repetition" -> { (s, d) =>
       Tables.load(s, d, "documents")
-        .select(col("doc_id"), explode(token_ngrams(tokenize(col("text")), 2)).as("bg"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          countDistinct(col("bg")).as("n_distinct"))
+        .withColumn("bgs", token_ngrams(tokenize(col("text")), 2))
+        .filter(size(col("bgs")) > 0)
+        .select(col("doc_id"), size(col("bgs")).as("n_bigrams"),
+          size(array_distinct(col("bgs"))).as("n_distinct"))
         .withColumn("dup_ratio",
           round((col("n_bigrams") - col("n_distinct")) / col("n_bigrams").cast("double"), 4))
         .withColumn("flagged", col("dup_ratio") > 0.2)
