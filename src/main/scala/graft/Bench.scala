@@ -55,6 +55,12 @@ object Bench {
         } finally {
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
           spark.sharedState.cacheManager.clearCache()
+          // GC OUTSIDE the timed window: without this, garbage from a
+          // heavy neighbor (checkpoint-heavy d-family) gets collected
+          // mid-measurement of whatever query runs next — the r6 x13
+          // reading (0.8 s steady-state, 3.1 s bench median) was
+          // exactly this cross-query attribution noise
+          System.gc()
         }
       }
       val med =
