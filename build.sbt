@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g forced multi-second GC storms into timed bench runs on the
+  // checkpoint-heavy dedup queries (d4 swung 3.1→10.7 s run-to-run);
+  // the bench box has 128 GiB — give the single-JVM "cluster" room
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -55,16 +55,21 @@ object Bench {
         } finally {
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
           spark.sharedState.cacheManager.clearCache()
-          // GC OUTSIDE the timed window: without this, garbage from a
-          // heavy neighbor (checkpoint-heavy d-family) gets collected
-          // mid-measurement of whatever query runs next — the r6 x13
-          // reading (0.8 s steady-state, 3.1 s bench median) was
-          // exactly this cross-query attribution noise
-          System.gc()
         }
       }
       val med =
         try {
+          // Collect the previous query's garbage at the QUERY boundary,
+          // BEFORE the warm run — never between timed runs: a full GC
+          // clears the soft-referenced codegen/JIT caches, and timing
+          // right after one measures recompilation, not the plan
+          // (+25% aggregate when the GC sat inside the run loop). Here
+          // the warm run rebuilds the caches, timed runs stay clean,
+          // and a heavy neighbor's garbage (checkpoint-laden d-family)
+          // still can't get attributed to this query's median — the r6
+          // x13 reading (0.8 s steady-state, 3.1 s median) was exactly
+          // that cross-query noise.
+          System.gc()
           once() // warm
           val ts = Seq.fill(runs)(once()).sorted
           val m = ts(ts.length / 2)

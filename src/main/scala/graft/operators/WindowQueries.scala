@@ -62,6 +62,27 @@ object WindowQueries {
           sum(col("l_quantity")).over(w).cast("long").as("qty_7d"),
           count(lit(1)).over(w).as("n_7d"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // ── w13: IGNORE NULLS navigation over a sparse series — the gauge
+    // reading every telemetry pipeline does: previous / next / first
+    // KNOWN observation around each row, nulls skipped by the window
+    // function itself (no self-join, no gaps-and-islands detour; one
+    // window sort serves all three). Complements ts4's LOCF (which
+    // fills); this NAVIGATES while keeping rows.
+    "w13_ignore_nulls" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""WITH sparse AS (
+                 SELECT user_id, event_id, ts_ns,
+                   CASE WHEN event_id % 5 = 0 THEN value END AS obs
+                 FROM events_v WHERE user_id <= 20)
+               SELECT user_id, event_id,
+                 ROUND(LAG(obs) IGNORE NULLS OVER w, 4) AS prev_obs,
+                 ROUND(LEAD(obs) IGNORE NULLS OVER w, 4) AS next_obs,
+                 ROUND(FIRST_VALUE(obs) IGNORE NULLS OVER w, 4) AS first_obs
+               FROM sparse
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+               ORDER BY user_id, event_id""")
     }
   )
 
@@ -121,6 +142,18 @@ object WindowQueries {
                FROM lineitem WHERE l_suppkey <= 30)
          WINDOW w AS (PARTITION BY l_suppkey ORDER BY day_ord
                       RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
-         ORDER BY l_suppkey, l_orderkey, l_linenumber"""
+         ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "w13_ignore_nulls" ->
+      """WITH sparse AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+             CASE WHEN event_id % 5 = 0 THEN value END AS obs
+           FROM events WHERE user_id <= 20)
+         SELECT user_id, event_id,
+           ROUND(LAG(obs IGNORE NULLS) OVER w, 4) AS prev_obs,
+           ROUND(LEAD(obs IGNORE NULLS) OVER w, 4) AS next_obs,
+           ROUND(FIRST_VALUE(obs IGNORE NULLS) OVER w, 4) AS first_obs
+         FROM sparse
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+         ORDER BY user_id, event_id"""
   )
 }

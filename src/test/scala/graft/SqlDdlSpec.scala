@@ -40,8 +40,12 @@ class SqlDdlSpec extends AnyFunSuite {
              SELECT id, email FROM graft_src.customers""")
       assert(sql("SELECT COUNT(*) FROM graft_src.emails").collect()(0).getLong(0) == 3)
 
-      // introspection parity (\dt / \d equivalents)
-      val tables = sql("SHOW TABLES IN graft_src").collect().map(_.getString(1)).toSet
+      // introspection parity (\dt / \d equivalents). SHOW TABLES also
+      // lists the session's TEMP VIEWS (isTemporary=true) — other
+      // suites register corpus views on the shared session, so filter
+      // to the namespace's own tables
+      val tables = sql("SHOW TABLES IN graft_src").collect()
+        .filterNot(_.getBoolean(2)).map(_.getString(1)).toSet
       assert(tables == Set("customers", "emails"))
       val cols = sql("DESCRIBE TABLE graft_src.customers")
         .collect().map(_.getString(0)).filterNot(_.startsWith("#")).toSet
