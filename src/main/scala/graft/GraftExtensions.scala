@@ -74,6 +74,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case es => throw new IllegalArgumentException(
         s"hll_distinct takes (value [, precision]), got ${es.length} args")
     })
+    inject("cms_build", {
+      case Seq(e, w, d) =>
+        CmsBuild(e, intLit(w, "cms width"), intLit(d, "cms depth"))
+          .toAggregateExpression()
+      case es => throw new IllegalArgumentException(
+        s"cms_build takes (value, width, depth), got ${es.length} args")
+    })
+    inject("cms_query", es => CmsQuery(es(0), es(1)))
     inject("topk_keys", {
       case Seq(key, ord, kLit) =>
         TopKKeys(key, ord, intLit(kLit, "top-k count")).toAggregateExpression()

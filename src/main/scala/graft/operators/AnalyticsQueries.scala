@@ -289,6 +289,31 @@ object AnalyticsQueries {
         .orderBy("tok")
     },
 
+    // ── e3: Count-Min two-pass heavy hitters — same exact-output
+    // shape as e2 but with the CMS ([[graft.functions.CountMin]]):
+    // pass 1 builds one d×w counter grid (map-side partial sketches
+    // sum losslessly), the candidate set = distinct tokens whose
+    // never-underestimating point query clears the threshold (a
+    // guaranteed SUPERSET of the true heavy set), pass 2 exact-counts
+    // only candidates and re-filters — so the result is EXACT and the
+    // oracle is plain SQL. vs e2's Misra–Gries: MG tracks top-k
+    // candidates adaptively; CMS answers arbitrary-key queries and
+    // lets the threshold be chosen AFTER the scan.
+    "e3_cms_heavy" -> { (s, d) =>
+      import graft.functions.CountMin.{cms_build, cms_query}
+      val toks = Tables.load(s, d, "documents")
+        .select(explode(graft.functions.HashExprs.tokenize(col("text"))).as("tok"))
+      val sk = toks.agg(cms_build(col("tok"), 1 << 14, 4).as("sk"))
+      val cand = toks.distinct()
+        .crossJoin(broadcast(sk))
+        .filter(cms_query(col("sk"), col("tok")) >= 200)
+        .select("tok")
+      toks.join(broadcast(cand), Seq("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 200)
+        .orderBy(col("cnt").desc, col("tok"))
+    },
+
     // ── x15: conditional aggregation with the ANSI FILTER clause —
     // many segmented metrics in ONE scan + ONE hash aggregate, where
     // the naive spelling is N self-joined subqueries. Quantities are
@@ -398,6 +423,39 @@ object AnalyticsQueries {
           sum(when(col("bal").isNull, 1).otherwise(0)).as("n_null_bal"),
           max("key").as("max_key"))
         .orderBy("side")
+    },
+
+    // ── x19: running DISTINCT count over an ordered window — Spark
+    // (like most engines) rejects COUNT(DISTINCT) OVER. The scalable
+    // idiom: mark each key's FIRST occurrence with one row_number
+    // window, then a running SUM of the 0/1 marker gives the distinct
+    // count so far. Two window passes over narrow columns — no
+    // per-row set state, no rescan; this is the cumulative-reach /
+    // unique-users-to-date curve every growth dashboard needs.
+    "x19_running_distinct" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""WITH daily AS (
+                 SELECT event_type, user_id,
+                   CAST(ts AS DATE) AS day,
+                   MIN(ts_ns) AS first_ns
+                 FROM events_v GROUP BY 1, 2, 3),
+               marked AS (
+                 SELECT event_type, day, user_id,
+                   CASE WHEN row_number() OVER (
+                     PARTITION BY event_type, user_id
+                     ORDER BY day, first_ns) = 1 THEN 1 ELSE 0 END AS is_first
+                 FROM daily),
+               per_day AS (
+                 SELECT event_type, day,
+                   COUNT(*) AS active_users,
+                   CAST(SUM(is_first) AS BIGINT) AS new_users
+                 FROM marked GROUP BY 1, 2)
+               SELECT event_type, day, active_users, new_users,
+                 CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS distinct_users_to_date
+               FROM per_day
+               ORDER BY event_type, day""")
     },
 
     // ── x17: RECURSIVE CTE (Spark 4.1 UnionLoop execution) — the
@@ -541,6 +599,13 @@ object AnalyticsQueries {
          SELECT tok, COUNT(*) AS cnt FROM toks, tot
          GROUP BY tok, n HAVING COUNT(*) * 100 > n
          ORDER BY tok""",
+    "e3_cms_heavy" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+           FROM documents)
+         SELECT tok, COUNT(*) AS cnt FROM toks
+         GROUP BY tok HAVING COUNT(*) >= 200
+         ORDER BY cnt DESC, tok""",
     "x14_collect_sorted" ->
       """SELECT c_nationkey, COUNT(*) AS n,
            string_agg(CAST(c_custkey AS VARCHAR), ','
@@ -635,6 +700,28 @@ object AnalyticsQueries {
            CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_bal,
            MAX(key) AS max_key
          FROM u GROUP BY 1 ORDER BY side""",
+    "x19_running_distinct" ->
+      """WITH daily AS (
+           SELECT event_type, user_id, CAST(ts AS DATE) AS day,
+             MIN(epoch_ns(ts)) AS first_ns
+           FROM events GROUP BY 1, 2, 3),
+         marked AS (
+           SELECT event_type, day, user_id,
+             CASE WHEN row_number() OVER (
+               PARTITION BY event_type, user_id
+               ORDER BY day, first_ns) = 1 THEN 1 ELSE 0 END AS is_first
+           FROM daily),
+         per_day AS (
+           SELECT event_type, day,
+             COUNT(*) AS active_users,
+             CAST(SUM(is_first) AS BIGINT) AS new_users
+           FROM marked GROUP BY 1, 2)
+         SELECT event_type, day, active_users, new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_users_to_date
+         FROM per_day
+         ORDER BY event_type, day""",
     "x17_recursive_cte" ->
       """WITH RECURSIVE chain AS (
            SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
