@@ -41,6 +41,62 @@ object CoreQueries {
     (sum(round(price * 100).cast("long") * (lit(100L) - round(discount * 100).cast("long")))
       / lit(10000.0))
 
+  /** Scale-safe global `ntile(k)` over a UNIQUE numeric order column:
+    * output is bit-identical to `ntile(k).over(Window.orderBy(orderCol))`
+    * (SQL-standard tile sizes: N div k + 1 for the first N mod k tiles)
+    * but NO stage funnels the whole table through one task.
+    *
+    * Shape: (1) tiny global agg (min/max/count) broadcast to every row;
+    * (2) monotone equal-width bucketing on the order column — monotone,
+    * so global order ≡ (bucket asc, orderCol asc) and the global rank of
+    * a row = its per-bucket `row_number` + the count of rows in earlier
+    * buckets; (3) per-bucket window (parallel across `buckets`
+    * partitions; the hash exchange on the bucket key is shared with the
+    * bucket-count aggregate); (4) offset cumsum over the per-bucket
+    * counts — a window over ≤ `buckets` rows (bounded by configuration,
+    * NOT data size); (5) closed-form tile from the global rank.
+    *
+    * Equal-width bucketing assumes the order column is not pathologically
+    * clustered (dense ids here); a skewed distribution still computes
+    * correctly, just less evenly — raise `buckets` or pre-hash to spread.
+    */
+  private[graft] def globalNtile(
+      df: DataFrame, orderCol: String, k: Int, buckets: Int = 64): DataFrame = {
+    val stats = df.agg(
+      min(col(orderCol)).as("_mn"), max(col(orderCol)).as("_mx"),
+      count(lit(1)).as("_n"))
+    val span = (col("_mx") - col("_mn") + lit(1)).cast("double")
+    val eb = df.crossJoin(broadcast(stats))
+      .withColumn("_bkt",
+        least(lit(buckets - 1),
+          floor((col(orderCol) - col("_mn")).cast("double") / span * buckets))
+          .cast("int"))
+    val counts = eb.groupBy("_bkt").agg(count(lit(1)).as("_cnt"))
+    // exclusive prefix-sum of bucket counts as a tiny (≤ buckets²-row)
+    // triangular self-join — same result as a cumsum window but with no
+    // unpartitioned window anywhere in the plan
+    val offsets = counts.select(col("_bkt"), col("_cnt"))
+      .as("a")
+      .join(counts.select(col("_bkt").as("_pb"), col("_cnt").as("_pc")).as("b"),
+        col("_pb") < col("a._bkt"), "left")
+      .groupBy(col("a._bkt").as("_bkt"))
+      .agg(coalesce(sum("_pc"), lit(0L)).as("_off"))
+    eb
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("_bkt").orderBy(orderCol)))
+      .join(broadcast(offsets), "_bkt")
+      .withColumn("_rank", col("_off") + col("_rn"))
+      // SQL ntile: q = N div k, r = N mod k; tiles 1..r hold q+1 rows
+      .withColumn("tile",
+        when(col("_rank") <= (expr(s"_n div $k") + 1) * (col("_n") % k),
+          expr(s"(_rank - 1) div (_n div $k + 1) + 1"))
+          .otherwise(
+            col("_n") % k +
+              expr(s"(_rank - (_n div $k + 1) * (_n % $k) - 1) div greatest(_n div $k, 1) + 1"))
+          .cast("int"))
+      .drop("_mn", "_mx", "_n", "_bkt", "_rn", "_off", "_rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── S1/P1: projection pushed into the parquet scan (ReadSchema pruning)
@@ -249,10 +305,13 @@ object CoreQueries {
         .orderBy("bucket")
     },
 
-    // ── W3: first-third vs last-third tiling (monitoring.ps1:1133–1139)
+    // ── W3: first-third vs last-third tiling (monitoring.ps1:1133–1139).
+    // Tile assignment via [[globalNtile]] — SQL-ntile-identical output
+    // with NO single-partition sort of the events table (the r6 scale
+    // grade's last funnel): ranks come from a monotone bucketing +
+    // per-bucket windows + a bounded offset cumsum.
     "w3_ntile_thirds" -> { (s, d) =>
-      Tables.events(s, d)
-        .withColumn("tile", ntile(3).over(Window.orderBy("event_id")))
+      globalNtile(Tables.events(s, d), "event_id", 3)
         .groupBy("tile")
         .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
         .orderBy("tile")
@@ -260,8 +319,7 @@ object CoreQueries {
 
     // ── W4: trend delta = late-third avg − early-third avg (monitoring.ps1:1137–1142)
     "w4_trend_delta" -> { (s, d) =>
-      val tiled = Tables.events(s, d)
-        .withColumn("tile", ntile(3).over(Window.orderBy("event_id")))
+      val tiled = globalNtile(Tables.events(s, d), "event_id", 3)
       tiled.agg(
           (sum(when(col("tile") === 1, col("value")).cast("decimal(18,2)")).cast("double") /
             count(when(col("tile") === 1, lit(1)))).as("early_avg_raw"),

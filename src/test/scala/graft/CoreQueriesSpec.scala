@@ -46,6 +46,21 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("efficiency_band") == "near real-time"))
   }
 
+  test("globalNtile matches SQL ntile() bit-for-bit across sizes and remainders") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (n <- Seq(1L, 2L, 3L, 7L, 100L, 101L, 1000L); k <- Seq(2, 3, 7)) {
+      // strictly increasing, unevenly spaced order values
+      val df = spark.range(n).selectExpr("id * (id + 3) AS v", "id AS payload")
+      val expected = df
+        .withColumn("tile", ntile(k).over(Window.orderBy("v")))
+        .select("v", "tile").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val actual = operators.CoreQueries.globalNtile(df, "v", k, buckets = 8)
+        .select("v", "tile").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(actual == expected, s"n=$n k=$k")
+    }
+  }
+
   test("next-key allocation null→1 on empty input") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

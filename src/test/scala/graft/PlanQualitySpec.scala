@@ -140,6 +140,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(shuffles <= 1, plan)
   }
 
+  test("w3/w4 tiling never sorts the events table in one task (no unpartitioned window)") {
+    for (name <- Seq("w3_ntile_thirds", "w4_trend_delta")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // every Window node must be partitioned by the tiling bucket; the
+      // old ntile(3).over(orderBy) spelling funneled the whole table
+      // through ONE task
+      val windows = plan.linesIterator.filter(_.contains("Window [")).toList
+      assert(windows.nonEmpty, plan)
+      windows.foreach(w =>
+        assert(w.contains("_bkt"), s"unpartitioned window in $name:\n$plan"))
+      assert(!plan.contains("ntile("), plan)
+    }
+  }
+
   test("HLL rollup ships partial sketches map-side (no distinct expansion)") {
     val df = SparkEntry.queries("e1_hll_users")(spark, sf)
     df.collect()
