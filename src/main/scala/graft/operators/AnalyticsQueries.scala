@@ -267,6 +267,28 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // ── e4: driver-verifiable HLL accuracy — e1's sketch estimate
+    // bracketed against the exact distinct count in one query, emitted
+    // as a boolean the DuckDB oracle hash-checks (a broken sketch
+    // hashes `false` and fails the gate). e1 stays the PRODUCTION
+    // spelling (sketch only — adding the exact count drags the plan
+    // through the distinct expansion this family exists to avoid);
+    // this harness query pays that cost deliberately at oracle scale.
+    // Bound: ±5% + 10 absolute, generous over the ±1.04/√2¹² ≈ 1.6%
+    // typical error HllSketchSpec pins (hash is deterministic, so the
+    // check is stable, not flaky).
+    "e4_hll_check" -> { (s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          graft.functions.HllSketch.hll_distinct(col("user_id")).as("approx"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users"))
+            <= col("exact_users") * 0.05 + 10).as("hll_ok"))
+        .orderBy("event_type")
+    },
+
     // ── e2: deterministic heavy hitters via the two-pass sketch
     // pipeline — Misra–Gries candidates (k=99 ⇒ superset of every
     // token above 1% frequency, O(k) state per partition), broadcast
@@ -589,6 +611,12 @@ object AnalyticsQueries {
       """SELECT CAST(FLOOR(value / 50) AS INT) AS bin, COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY bin""",
+    // the oracle checks the HLL bracket boolean (plus keys and exact
+    // counts); `true` is the contract — an out-of-bound estimate
+    // hashes as `false` and fails the gate
+    "e4_hll_check" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, true AS hll_ok
+         FROM events GROUP BY 1 ORDER BY event_type""",
     // brute-force semantics of the sketch-pruned pipeline: tokens
     // above strict 1% frequency with exact counts
     "e2_heavy_tokens" ->

@@ -285,9 +285,13 @@ object Multimodal {
         .orderBy("mime")
     },
     // real decode end-to-end: synthetic BMP/PPM/WAV payloads → sniff →
-    // header parse → features. Deterministic but not SQL-expressible
-    // (binary codecs), so no DuckDB oracle — exactness is spec-checked
-    // (MediaCodecSpec round-trips); the driver records rows>0.
+    // header parse → features. DuckDB can't decode the bytes, but the
+    // SYNTHETIC corpus's dimensions/amplitudes are closed-form in
+    // doc_id ([[syntheticMedia]]) — the oracle recomputes the expected
+    // feature table arithmetically, so the driver hash-checks the full
+    // decode path (sniff → header → pixel/sample statistics) without a
+    // SQL decoder. Byte-level exactness on hand-built payloads stays in
+    // MediaCodecSpec.
     "m3_decode_features" -> { (s, d) =>
       extractFeatures(syntheticMedia(s, d))
         .select(col("doc_id"), col("mime"), col("width"), col("height"),
@@ -295,15 +299,16 @@ object Multimodal {
         .orderBy("doc_id")
     },
     // real resize: synthetic BMP/PPM payloads → pixel decode → 4×4
-    // average-pool thumbnail. Deterministic but binary-codec work, so
-    // no DuckDB oracle — cell-exactness is spec-checked
-    // (MediaCodecSpec); the driver records rows>0.
+    // average-pool thumbnail. Solid-fill payloads make every pooled
+    // cell mean equal 3·fill exactly, and the non-empty-cell count is
+    // min(w,4)·min(h,4) — closed-form in doc_id, so the thumbnail csv
+    // is oracle-checkable end-to-end (see [[oracles]]).
     "m4_thumbnails" -> { (s, d) =>
       imageThumbnails(syntheticMedia(s, d), 4).orderBy("doc_id")
     },
     // real frame sampling: GFTV multi-frame containers → every 3rd
-    // frame decoded. Same no-oracle rationale as m3/m4; exactness via
-    // MediaCodecSpec round-trips.
+    // frame decoded. Frame sizes/fills are closed-form in
+    // (doc_id, frame_idx) ([[syntheticVideo]]) — oracle recomputes them.
     "m5_frame_sample" -> { (s, d) =>
       frameSamples(syntheticVideo(s, d), 3).orderBy("doc_id", "frame_idx")
     }
@@ -321,6 +326,62 @@ object Multimodal {
            COUNT(*) AS n_media,
            CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MAX(octet_length(encode(text))) AS max_bytes
-         FROM documents GROUP BY 1 ORDER BY mime"""
+         FROM documents GROUP BY 1 ORDER BY mime""",
+    // m3–m5 oracles recompute the SYNTHETIC corpus's expected decode
+    // output arithmetically (no SQL byte decoder needed): syntheticMedia
+    // derives every dimension/fill from doc_id, so the expected feature
+    // table is closed-form. Solid fills make image brightness fill/255
+    // exactly; WAV mean-abs-amplitude is Σ((id·31+i·7)%2048)/32768/ns
+    // with every partial term exactly representable (k·2⁻¹⁵), so Spark's
+    // per-sample accumulation and the oracle's integer-sum-then-divide
+    // are bit-identical.
+    "m3_decode_features" ->
+      """WITH img AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
+                  ELSE 'image/x-portable-pixmap' END AS mime,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 13 ELSE doc_id % 11 END + 1 AS INT) AS width,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 7 ELSE doc_id % 5 END + 1 AS INT) AS height,
+             CAST(1 AS INT) AS n_frames,
+             ROUND((doc_id % 251) / 255.0, 4) AS brightness
+           FROM documents WHERE doc_id % 3 IN (0, 1)
+         ), wav AS (
+           SELECT d.doc_id, 'audio/wav' AS mime,
+             CAST(8000 AS INT) AS width, CAST(1 AS INT) AS height,
+             CAST(d.doc_id % 50 + 1 AS INT) AS n_frames,
+             ROUND(CAST(SUM((d.doc_id * 31 + t.i * 7) % 2048) AS DOUBLE)
+               / 32768.0 / (d.doc_id % 50 + 1), 4) AS brightness
+           FROM documents d,
+             LATERAL (SELECT unnest(range(0, d.doc_id % 50 + 1)) AS i) t
+           WHERE d.doc_id % 3 = 2
+           GROUP BY d.doc_id
+         )
+         SELECT * FROM img UNION ALL SELECT * FROM wav ORDER BY doc_id""",
+    // every pooled cell of a solid-fill image = 3·fill; non-empty cells
+    // = min(w,4)·min(h,4) (integer cell bounds collapse when the image
+    // is smaller than the grid)
+    "m4_thumbnails" ->
+      """SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           rtrim(repeat(CAST(3 * (doc_id % 251) AS VARCHAR) || ',',
+             CAST(LEAST(w, 4) * LEAST(h, 4) AS INT)), ',') AS thumb
+         FROM (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN doc_id % 13 ELSE doc_id % 11 END + 1 AS w,
+             CASE WHEN doc_id % 3 = 0 THEN doc_id % 7 ELSE doc_id % 5 END + 1 AS h
+           FROM documents WHERE doc_id % 3 IN (0, 1))
+         ORDER BY doc_id""",
+    // container holds 2+(id%5) BMP frames; sampling keeps i ∈ {0, 3}
+    "m5_frame_sample" ->
+      """SELECT d.doc_id,
+           CAST(f.frame_idx AS INT) AS frame_idx,
+           CAST(d.doc_id % 5 + 2 AS INT) AS n_frames_total,
+           CAST(d.doc_id % 9 + 1 AS INT) AS width,
+           CAST(f.frame_idx % 4 + 1 AS INT) AS height,
+           ROUND(((d.doc_id * 31 + f.frame_idx * 17) % 251) / 255.0, 4) AS brightness
+         FROM documents d
+         CROSS JOIN (SELECT unnest([0, 3]) AS frame_idx) f
+         WHERE f.frame_idx < d.doc_id % 5 + 2
+         ORDER BY doc_id, frame_idx"""
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -103,12 +103,6 @@ object SamplingQueries {
         .orderBy("lang", "split")
     },
 
-    // approximate grouped quantiles — the 100 TB spelling of q1: a
-    // single-pass mergeable rank sketch (Greenwald–Khanna) instead of
-    // a per-group sort of distinct values. No SQL oracle (DuckDB has
-    // no GK sketch): driver records the rows-only check; the accuracy
-    // bound vs the exact q1 percentiles is pinned by
-    // `ApproxQuantileSpec`.
     // ── sp4: deterministic weighted (probability-proportional-to-size)
     // sampling — longer documents are kept with probability
     // n_chars / max(n_chars), the PPS mix that over-samples
@@ -127,13 +121,33 @@ object SamplingQueries {
         .orderBy("doc_id")
     },
 
+    // approximate grouped quantiles with a DRIVER-VERIFIABLE contract:
+    // the production spelling at 100 TB is the GK sketch aggregate
+    // alone (single-pass, mergeable, O(1/ε) state — no per-group sort);
+    // here each estimate is additionally bracketed by the EXACT
+    // percentiles at p ± 3ε (ε = 1/accuracy = 1/1000, GK's rank-error
+    // guarantee, with 3× margin covering interpolation slack), so the
+    // DuckDB oracle can hash-check the booleans: a broken sketch emits
+    // `false` and fails the gate. The exact brackets are verification
+    // scaffolding at oracle scale, not part of the scale plan — raw
+    // estimate accuracy is also pinned by ApproxQuantileSpec.
     "q2_approx_quantiles" -> { (s, d) =>
+      val eps = 0.001
+      val ps = Seq(0.5, 0.95, 0.99)
+      def clamp(p: Double): Double = math.min(1.0, math.max(0.0, p))
+      val lows = ps.map(p => clamp(p - 3 * eps)).mkString(", ")
+      val highs = ps.map(p => clamp(p + 3 * eps)).mkString(", ")
+      def ok(i: Int): Column =
+        (col("ap")(i) >= col("lo")(i) && col("ap")(i) <= col("hi")(i))
       Tables.load(s, d, "lineitem")
         .groupBy(col("l_returnflag").as("flag"))
-        .agg(expr(
-          "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)").as("ap"))
-        .select(col("flag"),
-          col("ap")(0).as("ap50"), col("ap")(1).as("ap95"), col("ap")(2).as("ap99"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)").as("ap"),
+          expr(s"percentile(l_extendedprice, array($lows))").as("lo"),
+          expr(s"percentile(l_extendedprice, array($highs))").as("hi"))
+        .select(col("flag"), col("n"),
+          ok(0).as("ok50"), ok(1).as("ok95"), ok(2).as("ok99"))
         .orderBy("flag")
     }
   )
@@ -166,6 +180,14 @@ object SamplingQueries {
           SELECT doc_id, lang, n_chars FROM documents, m
           WHERE $foldDoc % 10000 < (n_chars * 10000) // max_chars
           ORDER BY doc_id""",
+    // the oracle checks the GK bracket booleans (and the group keys +
+    // counts); `true` literals are the CONTRACT — a sketch whose
+    // estimate leaves the exact p±3ε bracket hashes as `false` and
+    // fails the gate
+    "q2_approx_quantiles" ->
+      """SELECT l_returnflag AS flag, COUNT(*) AS n,
+           true AS ok50, true AS ok95, true AS ok99
+         FROM lineitem GROUP BY 1 ORDER BY flag""",
     "q1_group_quantiles" ->
       """SELECT l_returnflag AS flag,
            ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS p25,
