@@ -3,7 +3,7 @@ package graft.gen
 import java.sql.{Date, Timestamp}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 
 import graft.streaming.{CdcPipeline, KeyedParquetStore}
@@ -66,11 +66,14 @@ object Workload {
   }
 
   /** (idx → key) lookup: dense 0-based index over a dimension's ids.
-    * Window over a single ordered column — dimension-sized, broadcast
-    * downstream; never applied to fact tables. */
+    * Rank assignment goes through [[graft.operators.Ranks.globalRank]]
+    * (bucketed, no single-partition sort) — the index build stays
+    * parallel even for a dimension that outgrows one task, and the
+    * result is identical to the old global `row_number` spelling. */
   private def indexed(dim: DataFrame, idxName: String, keyName: String): DataFrame =
-    dim.select(col("id").as(keyName))
-      .withColumn(idxName, row_number().over(Window.orderBy(keyName)) - 1)
+    graft.operators.Ranks.globalRank(dim.select(col("id").as(keyName)), keyName, idxName)
+      .withColumn(idxName, (col(idxName) - 1).cast("int"))
+      .drop("_total")
 
   /** Seeded mixed I/U/D change stream — extends the reference's
     * insert-only stress surface (insert.ps1) to full CDC churn.
@@ -91,8 +94,12 @@ object Workload {
       afterJson: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
       mix: (Double, Double) = (0.4, 0.2)): DataFrame = {
     val (pI, pD) = mix
-    val keyIdx = existingKeys.select(col("id").cast("long").as("existing_key"))
-      .withColumn("key_idx", row_number().over(Window.orderBy("existing_key")) - 1)
+    // same de-funneled rank assignment as [[indexed]]
+    val keyIdx = graft.operators.Ranks.globalRank(
+        existingKeys.select(col("id").cast("long").as("existing_key")),
+        "existing_key", "key_idx")
+      .withColumn("key_idx", (col("key_idx") - 1).cast("int"))
+      .drop("_total")
     val nKeys = keyIdx.count()
     val maxKey = existingKeys.agg(max(col("id").cast("long"))).collect().head.getLong(0)
     require(nKeys > 0, "change generation needs a non-empty key domain")

@@ -44,48 +44,14 @@ object CoreQueries {
   /** Scale-safe global `ntile(k)` over a UNIQUE numeric order column:
     * output is bit-identical to `ntile(k).over(Window.orderBy(orderCol))`
     * (SQL-standard tile sizes: N div k + 1 for the first N mod k tiles)
-    * but NO stage funnels the whole table through one task.
-    *
-    * Shape: (1) tiny global agg (min/max/count) broadcast to every row;
-    * (2) monotone equal-width bucketing on the order column — monotone,
-    * so global order ≡ (bucket asc, orderCol asc) and the global rank of
-    * a row = its per-bucket `row_number` + the count of rows in earlier
-    * buckets; (3) per-bucket window (parallel across `buckets`
-    * partitions; the hash exchange on the bucket key is shared with the
-    * bucket-count aggregate); (4) offset cumsum over the per-bucket
-    * counts — a window over ≤ `buckets` rows (bounded by configuration,
-    * NOT data size); (5) closed-form tile from the global rank.
-    *
-    * Equal-width bucketing assumes the order column is not pathologically
-    * clustered (dense ids here); a skewed distribution still computes
-    * correctly, just less evenly — raise `buckets` or pre-hash to spread.
-    */
+    * but NO stage funnels the whole table through one task — the global
+    * rank comes from [[Ranks.globalRank]] (monotone bucketing +
+    * per-bucket windows + bounded offset join), the tile is closed-form
+    * in (rank, N). */
   private[graft] def globalNtile(
-      df: DataFrame, orderCol: String, k: Int, buckets: Int = 64): DataFrame = {
-    val stats = df.agg(
-      min(col(orderCol)).as("_mn"), max(col(orderCol)).as("_mx"),
-      count(lit(1)).as("_n"))
-    val span = (col("_mx") - col("_mn") + lit(1)).cast("double")
-    val eb = df.crossJoin(broadcast(stats))
-      .withColumn("_bkt",
-        least(lit(buckets - 1),
-          floor((col(orderCol) - col("_mn")).cast("double") / span * buckets))
-          .cast("int"))
-    val counts = eb.groupBy("_bkt").agg(count(lit(1)).as("_cnt"))
-    // exclusive prefix-sum of bucket counts as a tiny (≤ buckets²-row)
-    // triangular self-join — same result as a cumsum window but with no
-    // unpartitioned window anywhere in the plan
-    val offsets = counts.select(col("_bkt"), col("_cnt"))
-      .as("a")
-      .join(counts.select(col("_bkt").as("_pb"), col("_cnt").as("_pc")).as("b"),
-        col("_pb") < col("a._bkt"), "left")
-      .groupBy(col("a._bkt").as("_bkt"))
-      .agg(coalesce(sum("_pc"), lit(0L)).as("_off"))
-    eb
-      .withColumn("_rn",
-        row_number().over(Window.partitionBy("_bkt").orderBy(orderCol)))
-      .join(broadcast(offsets), "_bkt")
-      .withColumn("_rank", col("_off") + col("_rn"))
+      df: DataFrame, orderCol: String, k: Int, buckets: Int = 64): DataFrame =
+    Ranks.globalRank(df, orderCol, "_rank", buckets)
+      .withColumnRenamed("_total", "_n")
       // SQL ntile: q = N div k, r = N mod k; tiles 1..r hold q+1 rows
       .withColumn("tile",
         when(col("_rank") <= (expr(s"_n div $k") + 1) * (col("_n") % k),
@@ -94,8 +60,7 @@ object CoreQueries {
             col("_n") % k +
               expr(s"(_rank - (_n div $k + 1) * (_n % $k) - 1) div greatest(_n div $k, 1) + 1"))
           .cast("int"))
-      .drop("_mn", "_mx", "_n", "_bkt", "_rn", "_off", "_rank")
-  }
+      .drop("_n", "_rank")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
