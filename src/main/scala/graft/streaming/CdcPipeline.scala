@@ -106,18 +106,26 @@ object CdcPipeline {
       .foreach(_.unpersist(blocking = false))
   }
 
+  /** `dropPolicy`: change images are parsed with the source's DECLARED
+    * schema (`schemas`), so a stored column absent from it means the
+    * source dropped the column — under `DropPolicy.Error` the merge
+    * rejects loudly and the operator re-syncs
+    * ([[KeyedParquetStore.resync]]); the default keeps the pre-r7
+    * null-fill behavior. */
   def applyBatch(
       batch: DataFrame,
       store: KeyedParquetStore,
       schemas: Map[String, StructType],
-      keyCols: Map[String, String]): Unit =
+      keyCols: Map[String, String],
+      dropPolicy: KeyedParquetStore.DropPolicy =
+        KeyedParquetStore.DropPolicy.KeepNullFill): Unit =
     withPinnedBatch(batch) { pinned =>
       val spark = pinned.sparkSession
       val present = pinned.select("table").distinct().collect().map(_.getString(0))
       present.foreach { table =>
         val changes = lastImagePerKey(
           pinned.filter(col("table") === table), schemas(table), keyCols(table))
-        store.merge(spark, table, changes, keyCols(table))
+        store.merge(spark, table, changes, keyCols(table), dropPolicy)
       }
     }
 

@@ -24,7 +24,30 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * the other buckets are never opened (partition pruning on the
   * `bucket` directory column). Reads prune the same way.
   */
+object KeyedParquetStore {
+  /** Policy for a batch whose declared schema OMITS stored columns —
+    * the observable shape of a source column DROP (the CDC path parses
+    * change images with the source's declared schema, so an omitted
+    * column there means the source no longer has it).
+    *
+    * Type CHANGES are never subject to policy: they always reject
+    * loudly (silent coercion corrupts a mirror) and the operator runs
+    * [[KeyedParquetStore.resync]] — the reference workflow's answer to
+    * non-additive DDL (PeerDB resync, /root/reference/README.md:231–238). */
+  sealed trait DropPolicy
+  object DropPolicy {
+    /** Pre-r7 default: the stored column survives, rows from narrower
+      * batches read as null. Safe for intentionally-partial batches;
+      * silently masks a real source drop. */
+    case object KeepNullFill extends DropPolicy
+    /** Reject the merge loudly, listing the dropped columns; the
+      * operator chooses re-sync or an explicit KeepNullFill merge. */
+    case object Error extends DropPolicy
+  }
+}
+
 class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
+  import KeyedParquetStore.DropPolicy
 
   private def path(table: String) = s"$root/$table"
   private def schemaPath(table: String) = new Path(s"${path(table)}/_graft_schema.json")
@@ -100,7 +123,9 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
       stored.find(_.name == f.name).foreach { old =>
         require(old.dataType == f.dataType,
           s"schema evolution cannot change type of '${f.name}': " +
-            s"${old.dataType.simpleString} -> ${f.dataType.simpleString}")
+            s"${old.dataType.simpleString} -> ${f.dataType.simpleString}. " +
+            "Retypes are non-additive - re-sync the table from the source " +
+            "image (KeyedParquetStore.resync) as the reference workflow does")
       }
     }
     StructType(stored.fields ++
@@ -129,12 +154,22 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     * is a no-op — effective exactly-once on top of Spark's
     * at-least-once foreachBatch (SURVEY.md §2.8 C5).
     */
-  def merge(spark: SparkSession, table: String, changes: DataFrame, keyCol: String): Unit = {
+  def merge(spark: SparkSession, table: String, changes: DataFrame, keyCol: String,
+      dropPolicy: DropPolicy = DropPolicy.KeepNullFill): Unit = {
     require(!changes.columns.contains("bucket"),
       s"table '$table' has a 'bucket' column — it collides with the store's partition column")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val keyed = changes.withColumn("bucket", bucketOf(col(keyCol)))
     val dataSchema = StructType(changes.schema.filterNot(_.name == "op"))
+    if (dropPolicy == DropPolicy.Error && exists(spark, table)) {
+      val dropped = schemaOf(spark, table).fieldNames
+        .filterNot(dataSchema.fieldNames.contains)
+      require(dropped.isEmpty,
+        s"table '$table': batch schema omits stored column(s) " +
+          s"${dropped.mkString("[", ", ", "]")} under DropPolicy.Error - " +
+          "a source column drop is non-additive; re-sync the table " +
+          "(KeyedParquetStore.resync) or merge with DropPolicy.KeepNullFill")
+    }
 
     if (!exists(spark, table) || bucketsOnDisk(spark, table).isEmpty) {
       keyed.filter(col("op") =!= "D").drop("op")
@@ -190,6 +225,17 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     // columns) rather than a sidecar promising columns no file carries
     // in rewritten buckets
     if (target != schema) writeSchema(spark, table, target)
+  }
+
+  /** Non-additive evolution path — the reference workflow's RESYNC
+    * (drop the target table, re-snapshot from the source with the new
+    * schema, then resume the stream; /root/reference/README.md:231–238).
+    * Column drops and retypes both land here: the stored files and the
+    * schema sidecar are replaced wholesale, so no file on disk ever
+    * disagrees with the sidecar about a column's type. */
+  def resync(spark: SparkSession, table: String, source: DataFrame, keyCol: String): Unit = {
+    fs(spark).delete(new Path(path(table)), true)
+    snapshot(spark, table, source, keyCol)
   }
 
   /** Per-bucket file statistics — drives compaction decisions and the

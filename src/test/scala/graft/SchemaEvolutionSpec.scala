@@ -57,6 +57,44 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("schema evolution"), e.getMessage)
   }
 
+  test("DropPolicy.Error rejects a batch that omits stored columns, naming them") {
+    import spark.implicits._
+    val store = new KeyedParquetStore(
+      Files.createTempDirectory("evo5").toString, nBuckets = 2)
+    store.snapshot(spark, "t", Seq((1L, "a", 9L)).toDF("id", "v", "w"), "id")
+    val e = intercept[IllegalArgumentException] {
+      store.merge(spark, "t", Seq(("I", 2L, "b")).toDF("op", "id", "v"), "id",
+        KeyedParquetStore.DropPolicy.Error)
+    }
+    assert(e.getMessage.contains("w") && e.getMessage.contains("resync"), e.getMessage)
+    // the rejected merge left the store untouched and mergeable
+    store.merge(spark, "t", Seq(("I", 2L, "b", 8L)).toDF("op", "id", "v", "w"), "id",
+      KeyedParquetStore.DropPolicy.Error)
+    assert(store.read(spark, "t").count() == 2)
+  }
+
+  test("retype error names the resync path; resync replaces schema and data wholesale") {
+    import spark.implicits._
+    val store = new KeyedParquetStore(
+      Files.createTempDirectory("evo6").toString, nBuckets = 2)
+    store.snapshot(spark, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id")
+    val bad = Seq(("U", 1L, 42)).toDF("op", "id", "v") // v: string -> int
+    val e = intercept[IllegalArgumentException] {
+      store.merge(spark, "t", bad, "id")
+    }
+    assert(e.getMessage.contains("resync"), e.getMessage)
+    // operator answer to non-additive DDL: re-snapshot with the new shape
+    store.resync(spark, "t", Seq((1L, 42), (2L, 43)).toDF("id", "v"), "id")
+    assert(store.schemaOf(spark, "t")("v").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val rows = store.read(spark, "t").orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 42), (2L, 43)))
+    // stream resumes post-resync: a normal merge applies cleanly
+    store.merge(spark, "t", Seq(("U", 2L, 44)).toDF("op", "id", "v"), "id")
+    assert(store.read(spark, "t").filter(col("id") === 2L)
+      .collect().head.getInt(1) == 44)
+  }
+
   test("widening then further merges keeps the widened schema") {
     import spark.implicits._
     val store = new KeyedParquetStore(
