@@ -81,7 +81,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case es => throw new IllegalArgumentException(
         s"cms_build takes (value, width, depth), got ${es.length} args")
     })
-    inject("cms_query", es => CmsQuery(es(0), es(1)))
+    inject("cms_query", {
+      case Seq(sketch, v) => CmsQuery(sketch, v)
+      case es => throw new IllegalArgumentException(
+        s"cms_query takes (sketch, value), got ${es.length} args")
+    })
     inject("topk_keys", {
       case Seq(key, ord, kLit) =>
         TopKKeys(key, ord, intLit(kLit, "top-k count")).toAggregateExpression()

@@ -67,10 +67,13 @@ object MediaCodec {
     Some(Decoded("image/bmp", width, height, 1, sum.toDouble / n / 255.0))
   }
 
-  /** Binary PPM: "P6" <ws> width <ws> height <ws> maxval <single ws>
-    * then width*height*3 raw bytes; '#' comments allowed in the header.
-    * Brightness = mean sample / maxval. */
-  private def decodePpm(b: Array[Byte]): Option[Decoded] = {
+  /** ONE P6 header parse shared by [[decodePpm]] and [[grayPixels]]:
+    * "P6" <ws> width <ws> height <ws> maxval <single ws>, '#' comments
+    * allowed; returns (width, height, maxval, pixelStart) with the
+    * `pixelStart + 3·w·h <= length` bound already validated — the two
+    * consumers can't drift apart on bounds (r6 advice). */
+  private def ppmHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
     var pos = 2
     def skipWs(): Unit = {
       var in = true
@@ -95,18 +98,23 @@ object MediaCodec {
       w <- readInt()
       h <- readInt()
       maxv <- readInt()
-      if w > 0 && h > 0 && maxv > 0 && maxv < 65536 && pos < b.length
+      // 8-bit samples only (maxval < 256); 2-byte samples not needed here
+      if w > 0 && h > 0 && maxv > 0 && maxv < 256 && pos < b.length
       _ = { pos += 1 } // the single whitespace after maxval
-      n = w.toLong * h * 3
-      if pos + n <= b.length && maxv < 256 // 2-byte samples not needed here
-    } yield {
+      if pos + w.toLong * h * 3 <= b.length
+    } yield (w, h, maxv, pos)
+  }
+
+  /** Binary PPM: header via [[ppmHeader]]; brightness = mean sample /
+    * maxval. */
+  private def decodePpm(b: Array[Byte]): Option[Decoded] =
+    ppmHeader(b).map { case (w, h, maxv, start) =>
+      val n = w.toLong * h * 3
       var sum = 0L
       var i = 0
-      val start = pos
       while (i < n) { sum += b(start + i) & 0xff; i += 1 }
       Decoded("image/x-portable-pixmap", w, h, 1, sum.toDouble / n / maxv)
     }
-  }
 
   /** RIFF/WAVE with PCM "fmt " + "data" chunks. 8-bit unsigned or
     * 16-bit signed little-endian samples. */
@@ -206,27 +214,15 @@ object MediaCodec {
       }
       Some((width, height, gray))
     } else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
-      // PPM P6 is already top-down; re-walk the header like decodePpm
-      decodePpm(b) match {
-        case Some(d) if d.width.toLong * d.height <= Int.MaxValue / 4 =>
-          // find the pixel start again: header = "P6" ws w ws h ws maxv ws
-          var pos = 2
-          var fields = 0
-          while (fields < 3 && pos < b.length) {
-            while (pos < b.length && (b(pos) == ' ' || b(pos) == '\t' ||
-              b(pos) == '\n' || b(pos) == '\r' || b(pos) == '#')) {
-              if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
-              else pos += 1
-            }
-            while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') pos += 1
-            fields += 1
-          }
-          pos += 1 // single whitespace after maxval
-          val (w, h) = (d.width, d.height)
+      // PPM P6 is already top-down; pixel start + bounds come from the
+      // SAME header parse decodePpm uses (ppmHeader validates
+      // start + 3·w·h <= length, so the loop below can't walk off the end)
+      ppmHeader(b) match {
+        case Some((w, h, _, start)) if w.toLong * h <= Int.MaxValue / 4 =>
           val gray = new Array[Int](w * h)
           var p = 0
           while (p < w * h) {
-            val i = pos + p * 3
+            val i = start + p * 3
             gray(p) = (b(i) & 0xff) + (b(i + 1) & 0xff) + (b(i + 2) & 0xff)
             p += 1
           }

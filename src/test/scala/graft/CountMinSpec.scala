@@ -51,11 +51,12 @@ class CountMinSpec extends AnyFunSuite {
     val shared = SparkTestSession.spark // ensure the context exists
     org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()
+    // the builder reuses the JVM's existing SparkContext — ONLY the
+    // extensions differ from the shared test session (no master/appName
+    // settings here: they'd be silently ignored)
     val ext =
       try org.apache.spark.sql.SparkSession.builder()
-        .master("local[2]").appName("graft-cms-test")
         .withExtensions(new GraftExtensions)
-        .config("spark.ui.enabled", "false")
         .getOrCreate()
       finally {
         org.apache.spark.sql.SparkSession.setActiveSession(shared)

@@ -27,7 +27,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     "e2_heavy_tokens",       // Misra–Gries candidates → exact pass
     "ts7_ohlc_bars")         // min_by/max_by open/close
 
-  test("query results are invariant to shuffle partitioning and core count") {
+  // core-count invariance is NOT claimed here: newSession() shares the
+  // JVM's SparkContext, so only the shuffle-partition conf actually
+  // varies between the two runs
+  test("query results are invariant to shuffle partitioning") {
     val alt = spark.newSession()
     alt.conf.set("spark.sql.shuffle.partitions", "3")
     for (name <- picks) {
