@@ -90,9 +90,12 @@ object LogAnalytics {
   def topBatches(batches: DataFrame, metric: String, k: Int = 1): DataFrame =
     batches.orderBy(col(metric).desc, col("batch").asc).limit(k)
 
-  /** First-third vs last-third trend — monitoring.ps1:1133–1142. */
+  /** First-third vs last-third trend — monitoring.ps1:1133–1142.
+    * Input is the (small) per-batch metrics table, but the tiling goes
+    * through the same scale-safe [[graft.operators.CoreQueries.globalNtile]]
+    * as w3/w4 — no unpartitioned window anywhere in the library. */
   def trend(batches: DataFrame, metric: String): DataFrame = {
-    val tiled = batches.withColumn("tile", ntile(3).over(Window.orderBy("batch")))
+    val tiled = graft.operators.CoreQueries.globalNtile(batches, "batch", 3)
     tiled.agg(
         avg(when(col("tile") === 1, col(metric))).as("early_avg"),
         avg(when(col("tile") === 3, col(metric))).as("late_avg"))

@@ -42,7 +42,8 @@ object DumpPlans {
     "sp4_weighted_sample" -> "PPS weighted sample: scalar max broadcast, pure map-side integer filter",
     "x17_recursive_cte" -> "recursive CTE: engine-iterated UnionLoop, per-step frontier joins",
     "s7_knn_label" -> "kNN classify: broadcast queries + compiled dots, tiny vote aggregate",
-    "ts7_ohlc_bars" -> "OHLC bars: single hash aggregate, min_by/max_by carry open/close (no window)")
+    "ts7_ohlc_bars" -> "OHLC bars: single hash aggregate, min_by/max_by carry open/close (no window)",
+    "w3_ntile_thirds" -> "global ntile WITHOUT a single-partition sort: bucketed rank + bounded offset join (r7)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Dev tool: scale-proof the dedup/corpus family against a 10×
+  * documents corpus derived from sf0.1 (the r6 verdict's ask — all the
+  * d-family guards are tuned at sf0.1; a hidden superlinear term would
+  * only show at a bigger SF, and the driver ships no sf1 testdata).
+  *
+  * Corpus construction: `factor` copies of sf0.1's documents, doc_ids
+  * offset per copy, and every token of copies k>0 suffixed `_ck`.
+  * The suffix makes copies pairwise DISSIMILAR (disjoint shingle/
+  * fingerprint/simhash spaces) while preserving each copy's internal
+  * near-dup structure — so the true pair population grows ~linearly
+  * (×factor) and any super-linear runtime is the ALGORITHM, not the
+  * data. (A verbatim ×10 copy would square the pair count by
+  * construction — that would measure the data, not the plan.)
+  *
+  * Output: one JSON line per query with base/scaled seconds + ratio,
+  * then a summary line. Recorded in SCALE.md.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale_x10"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docsOut = new java.io.File(s"$out/documents.parquet")
+    if (!docsOut.exists()) {
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      val span = base.agg(max("doc_id")).collect().head.getLong(0) + 1
+      (0 until factor).map { k =>
+        base.select(
+          (col("doc_id") + lit(k * span)).as("doc_id"),
+          (if (k == 0) col("text")
+           else expr(s"array_join(transform(split(text, ' '), x -> concat(x, '_c$k')), ' ')"))
+            .as("text"),
+          col("lang"), col("source"))
+      }.reduce(_ unionByName _)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      System.err.println(s"[scale] built ${factor}x corpus at $out")
+    }
+
+    val names = Seq(
+      "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh", "d4_simhash_pairs",
+      "d5_dedup_clusters", "d6_simhash64_pairs", "d7_containment",
+      "c1_corpus_clean", "c2_decontaminate")
+
+    def time(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          spark.sharedState.cacheManager.clearCache()
+        }
+      }
+      System.gc()
+      once() // warm
+      Seq.fill(2)(once()).min
+    }
+
+    val rows = names.map { n =>
+      val b = time(n, src)
+      val s = time(n, out)
+      val line = f"""{"query":"$n","base_s":$b%.3f,"x${factor}_s":$s%.3f,"ratio":${s / b}%.2f}"""
+      println(line)
+      (n, b, s)
+    }
+    val worst = rows.maxBy(r => r._3 / r._2)
+    println(f"""{"summary":"scale_probe","factor":$factor,"worst_query":"${worst._1}","worst_ratio":${worst._3 / worst._2}%.2f}""")
+    spark.stop()
+  }
+}
