@@ -279,6 +279,28 @@ object DedupQueries {
     // d2's stop-shingle guard — no all-pairs stage anywhere.
     "d7_containment" -> { (s, d) =>
       containmentPairs(Tables.load(s, d, "documents"))
+    },
+
+    // ── d8: cluster representatives — the step after d5 every dedup
+    // pipeline actually ships: per near-dup cluster, keep ONE canonical
+    // document (min doc_id — deterministic, matches d1's keeper rule)
+    // with the cluster size and the representative's metadata. Shape:
+    // d5's CC output → one tiny per-cluster aggregate → broadcast-size
+    // join back to the documents row of each representative. The
+    // n_members aggregate is the piece that lets the pipeline drop
+    // |cluster|−1 docs per cluster without re-deriving pairs.
+    "d8_cluster_reps" -> { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val sh = shingleSets(s, d).localCheckpoint(true)
+      val pairs = jaccardPairs(sh, 0.8, StopShingleMaxDf)
+        .select("da", "db").localCheckpoint(true)
+      connectedComponents(pairs)
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .join(docs.select(col("doc_id").as("cluster_id"),
+          col("lang"), col("source"), col("n_chars")), Seq("cluster_id"))
+        .select(col("cluster_id").as("rep_doc_id"), col("n_members"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("rep_doc_id")
     }
   )
 
@@ -339,6 +361,36 @@ object DedupQueries {
                 FROM tstream)
           WHERE h3 IS NOT NULL)"""
 
+  /** Shared CTE chain for the connected-components oracles (d5, d8):
+    * shingles → stop-shingle prune → Jaccard pairs → symmetric edges →
+    * recursive reachability `reach(doc_id, r)`. */
+  private val ccCtes: String =
+    s"""$shingleSql,
+        hot AS (
+          SELECT shash FROM sh GROUP BY shash
+          HAVING COUNT(*) > $StopShingleMaxDf),
+        pruned AS (
+          SELECT * FROM sh WHERE shash NOT IN (SELECT shash FROM hot)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
+          FROM pruned x JOIN pruned y
+            ON x.shash = y.shash AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT da, db FROM (
+            SELECT da, db, i * 1.0 / (ca.n + cb.n - i) AS j
+            FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)
+          WHERE j >= 0.8),
+        edges AS (
+          SELECT da AS a, db AS b FROM pairs
+          UNION SELECT db, da FROM pairs),
+        nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+        reach(doc_id, r) AS (
+          SELECT doc_id, doc_id FROM nodes
+          UNION
+          SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a)"""
+
   private def jaccardSql(candCte: String): String =
     s"""cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
         inter AS (
@@ -380,33 +432,19 @@ object DedupQueries {
     // recursive-CTE reachability mirror of the iterative CC loop:
     // cluster_id = MIN over all reachable nodes
     "d5_dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleSql,
-          hot AS (
-            SELECT shash FROM sh GROUP BY shash
-            HAVING COUNT(*) > $StopShingleMaxDf),
-          pruned AS (
-            SELECT * FROM sh WHERE shash NOT IN (SELECT shash FROM hot)),
-          cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-          inter AS (
-            SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
-            FROM pruned x JOIN pruned y
-              ON x.shash = y.shash AND x.doc_id < y.doc_id
-            GROUP BY 1, 2),
-          pairs AS (
-            SELECT da, db FROM (
-              SELECT da, db, i * 1.0 / (ca.n + cb.n - i) AS j
-              FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)
-            WHERE j >= 0.8),
-          edges AS (
-            SELECT da AS a, db AS b FROM pairs
-            UNION SELECT db, da FROM pairs),
-          nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
-          reach(doc_id, r) AS (
-            SELECT doc_id, doc_id FROM nodes
-            UNION
-            SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+      s"""WITH RECURSIVE $ccCtes
           SELECT doc_id, MIN(r) AS cluster_id FROM reach
           GROUP BY 1 ORDER BY doc_id""",
+    // d8 = d5's clusters aggregated to one row per cluster + the
+    // representative's documents row (same CTE chain — the two oracles
+    // cannot drift)
+    "d8_cluster_reps" ->
+      s"""WITH RECURSIVE $ccCtes,
+          cc AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1)
+          SELECT cluster_id AS rep_doc_id, n_members, lang, source, n_chars
+          FROM (SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY 1)
+          JOIN documents ON cluster_id = doc_id
+          ORDER BY rep_doc_id""",
     "d3_minhash_lsh" ->
       s"""WITH $shingleSql,
           minhash AS (

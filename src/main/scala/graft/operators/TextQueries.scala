@@ -367,6 +367,43 @@ object TextQueries {
           round((col("n_bigrams") - col("n_distinct")) / col("n_bigrams").cast("double"), 4))
         .withColumn("flagged", col("dup_ratio") > 0.2)
         .orderBy("doc_id")
+    },
+
+    // ── t17: BM25 retrieval (Okapi k1=1.2, b=0.75) — top-20 documents
+    // for a fixed term query, the relevance ranking a training-data
+    // pipeline uses for targeted corpus slicing. Follows t9's
+    // integer-exact discipline: with k1=6/5, b=3/4 and avgdl=T/N, the
+    // tf-saturation term clears to 22·tf·T / (10·T·tf + 3·T + 9·N·dl)
+    // (pure integers), and the idf is the log-free rational surrogate
+    // (2N−2df+1)/(2df+1) — the ln() of textbook BM25 is a monotone
+    // per-term transform both engines would round differently, so the
+    // score here is the rational form scaled ×10⁴ and floor-divided:
+    // bit-identical across engines and order-independent under
+    // partial aggregation (integer sum). Magnitudes stay < 2⁶³ up to
+    // ~sf10 (numer ≤ 2N·22·tf·T·10⁴); a larger corpus moves the
+    // arithmetic to DECIMAL(38,0). Scale shape: one token explode
+    // filtered to the query terms AT THE SCAN (predicate pushdown on
+    // the exploded term), a 3-row df broadcast, a scalar stats
+    // broadcast, one partial-agg groupBy, TakeOrdered top-20.
+    "t17_bm25" -> { (s, d) =>
+      val qterms = Seq("spark", "join", "vector")
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), tokenize(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_toks"))
+      val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qterms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df_), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("c", expr(
+          "((2*n_docs - 2*df + 1) * 22 * tf * t_toks * 10000) div " +
+            "((2*df + 1) * (10*t_toks*tf + 3*t_toks + 9*n_docs*dl))"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("score10k"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score10k").desc, col("doc_id").asc)
+        .limit(20)
     }
   )
 
@@ -612,6 +649,28 @@ object TextQueries {
          SELECT doc_id, n_bigrams, n_distinct,
            ROUND((n_bigrams - n_distinct) / CAST(n_bigrams AS DOUBLE), 4) AS dup_ratio,
            ROUND((n_bigrams - n_distinct) / CAST(n_bigrams AS DOUBLE), 4) > 0.2 AS flagged
-         FROM agg ORDER BY doc_id"""
+         FROM agg ORDER BY doc_id""",
+    // integer-exact BM25 (rational idf surrogate) — see the query
+    // comment; every quantity is a BIGINT so `//` matches Spark `div`
+    "t17_bm25" ->
+      """WITH dd AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS dl,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         stats AS (
+           SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_toks FROM dd),
+         tf AS (
+           SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+             SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+           WHERE term IN ('spark', 'join', 'vector')
+           GROUP BY 1, 2, 3),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score10k, COUNT(*) AS n_terms FROM (
+           SELECT doc_id,
+             ((2*n_docs - 2*df + 1) * 22 * tf * t_toks * 10000) //
+             ((2*df + 1) * (10*t_toks*tf + 3*t_toks + 9*n_docs*dl)) AS c
+           FROM tf JOIN df USING (term) CROSS JOIN stats)
+         GROUP BY 1 ORDER BY score10k DESC, doc_id LIMIT 20"""
   )
 }
