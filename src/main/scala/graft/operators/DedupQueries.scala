@@ -98,12 +98,16 @@ object DedupQueries {
     * every node gets its component's MIN node id as `cluster_id` —
     * the canonical representative for transitive near-dup clusters.
     *
-    * Iterative min-label propagation: each round, a node's label
-    * drops to the minimum of its own and its neighbors' labels;
-    * converges in O(component diameter) rounds. Each round is one
-    * shuffle join + hash aggregate over (edges ⋈ labels) — the
-    * standard large-graph CC shape (no driver-side graph, only a
-    * scalar convergence check per round). */
+    * Iterative min-label propagation with pointer jumping: each
+    * round, a node's label drops to the minimum of its own and its
+    * neighbors' labels (hooking), then to its label's label (path
+    * halving — every cluster_id is itself a node id, so the self-join
+    * is total). Hooking alone converges in O(component diameter)
+    * rounds; the jump step short-circuits long chains to O(log
+    * diameter) — the Hash-to-Min / large-star shape from the
+    * map-reduce CC literature. Each round is one shuffle join + hash
+    * aggregate over (edges ⋈ labels) plus one labels self-join (no
+    * driver-side graph, only a scalar convergence check per round). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("da"), col("db"))
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
@@ -126,10 +130,19 @@ object DedupQueries {
     while (!converged) {
       val nbrMin = edges.join(labels, edges("db") === labels("doc_id"))
         .groupBy(edges("da").as("doc_id")).agg(min("cluster_id").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val hooked = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
+      // pointer jump: label ← label(label). Inner join is total: a
+      // label is a MIN over node ids, so it is always a node id, and
+      // doc_id is unique in `hooked` — row count is preserved. The
+      // parent's label can only be ≤ the child's (labels never
+      // increase), so `pl` alone is the new minimum.
+      val parents = hooked
+        .select(col("doc_id").as("pid"), col("cluster_id").as("pl"))
+      val next = hooked.join(parents, hooked("cluster_id") === parents("pid"))
+        .select(hooked("doc_id"), col("pl").as("cluster_id"))
         .localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0

@@ -212,6 +212,32 @@ object SimilarityQueries {
         .withColumn("l2sq", dot_long(col("qv"), col("qv")))
         .select("vec_id", "dim", "l2sq", "min_c", "max_c")
         .orderBy("vec_id")
+    },
+
+    // ── s8: semantic clusters — the embedding-space analog of
+    // d5+d8: LSH-bucketed cosine pairs (the s2 scale path, never
+    // all-pairs) → connected components → one representative per
+    // cluster (min vec_id) with size and label. This is the "semantic
+    // dedup" read of the similarity surface: at 100 TB the candidate
+    // generation is the bucket equi-join, the CC loop is the
+    // pointer-jumped O(log diameter) iteration shared with d5, and
+    // the rep join touches |clusters| rows.
+    "s8_semantic_clusters" -> { (s, d) =>
+      val v = vecs(s, d).withColumn("bucket", hyperplane_bucket(col("qv"), 6))
+      val a = v.select(col("vec_id").as("da"), col("qv").as("va"),
+        col("norm").as("na"), col("bucket"))
+      val b = v.select(col("vec_id").as("db"), col("qv").as("vb"),
+        col("norm").as("nb"), col("bucket"))
+      val pairs = a.join(b, Seq("bucket")).filter(col("da") < col("db"))
+        .withColumn("cos_raw", dotCol / (col("na") * col("nb")))
+        .filter(col("cos_raw") >= 0.40)
+        .select("da", "db").localCheckpoint(true)
+      DedupQueries.connectedComponents(pairs)
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .join(Tables.load(s, d, "embeddings")
+          .select(col("vec_id").as("cluster_id"), col("label")), Seq("cluster_id"))
+        .select(col("cluster_id").as("rep_vec_id"), col("n_members"), col("label"))
+        .orderBy("rep_vec_id")
     }
   )
 
@@ -352,6 +378,47 @@ object SimilarityQueries {
            ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_c
          FROM embeddings e JOIN agg a ON e.vec_id = a.vec_id
          WHERE e.vec_id < 100
-         ORDER BY e.vec_id"""
+         ORDER BY e.vec_id""",
+    // s8 = s2's bucket CTEs → thresholded pairs → recursive-CTE CC →
+    // per-cluster count + representative label (same reach() shape as
+    // the d5/d8 oracles)
+    "s8_semantic_clusters" ->
+      s"""WITH RECURSIVE $compsSql,
+          planes AS (
+            SELECT j, pd, (j * 64 + pd) * 2654435761 % 97 - 48 AS w
+            FROM range(6) a(j) CROSS JOIN range(64) b(pd)),
+          proj AS (
+            SELECT vec_id, j, SUM(q * w) AS proj
+            FROM c JOIN planes ON c.idx = planes.pd GROUP BY 1, 2),
+          buckets AS (
+            SELECT vec_id,
+              CAST(SUM(CASE WHEN proj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY 1),
+          cand AS (
+            SELECT a.vec_id AS da, b.vec_id AS db
+            FROM buckets a JOIN buckets b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          dots AS (
+            SELECT da, db, SUM(ac.q * bc.q) AS dot
+            FROM cand JOIN c ac ON da = ac.vec_id
+            JOIN c bc ON db = bc.vec_id AND ac.idx = bc.idx
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT da, db FROM dots
+            JOIN n na ON da = na.vec_id JOIN n nb ON db = nb.vec_id
+            WHERE dot / (na.norm * nb.norm) >= 0.40),
+          edges AS (
+            SELECT da AS ea, db AS eb FROM pairs
+            UNION SELECT db, da FROM pairs),
+          nodes AS (SELECT DISTINCT ea AS vec_id FROM edges),
+          reach(vec_id, r) AS (
+            SELECT vec_id, vec_id FROM nodes
+            UNION
+            SELECT reach.vec_id, e.eb FROM reach JOIN edges e ON reach.r = e.ea),
+          cc AS (SELECT vec_id, MIN(r) AS cluster_id FROM reach GROUP BY 1)
+          SELECT cluster_id AS rep_vec_id, n_members, label
+          FROM (SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY 1)
+          JOIN embeddings ON cluster_id = vec_id
+          ORDER BY rep_vec_id"""
   )
 }

@@ -381,18 +381,23 @@ object TextQueries {
     // bit-identical across engines and order-independent under
     // partial aggregation (integer sum). Magnitudes stay < 2⁶³ up to
     // ~sf10 (numer ≤ 2N·22·tf·T·10⁴); a larger corpus moves the
-    // arithmetic to DECIMAL(38,0). Scale shape: one token explode
-    // filtered to the query terms AT THE SCAN (predicate pushdown on
-    // the exploded term), a 3-row df broadcast, a scalar stats
-    // broadcast, one partial-agg groupBy, TakeOrdered top-20.
+    // arithmetic to DECIMAL(38,0). Scale shape: tf, df and the corpus
+    // stats all need the tokenized corpus, so the expensive pass —
+    // tokenize + per-doc reduction to (dl, query-term hits) — runs
+    // ONCE and materializes distributed (eager localCheckpoint; tiny:
+    // two longs + ≤|query| tokens per doc, vs 3 full re-tokenizes of
+    // a 100 TB scan without it). Everything downstream is a 3-row df
+    // broadcast, a scalar stats broadcast, one partial-agg groupBy,
+    // TakeOrdered top-20.
     "t17_bm25" -> { (s, d) =>
       val qterms = Seq("spark", "join", "vector")
-      val docs = Tables.load(s, d, "documents")
+      val base = Tables.load(s, d, "documents")
         .select(col("doc_id"), tokenize(col("text")).as("toks"))
-        .withColumn("dl", size(col("toks")).cast("long"))
-      val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_toks"))
-      val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .filter(col("term").isin(qterms: _*))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          filter(col("toks"), t => t.isin(qterms: _*)).as("qtoks"))
+        .localCheckpoint(true)
+      val stats = base.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_toks"))
+      val tf = base.select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
         .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       tf.join(broadcast(df_), Seq("term"))

@@ -43,7 +43,9 @@ object DumpPlans {
     "x17_recursive_cte" -> "recursive CTE: engine-iterated UnionLoop, per-step frontier joins",
     "s7_knn_label" -> "kNN classify: broadcast queries + compiled dots, tiny vote aggregate",
     "ts7_ohlc_bars" -> "OHLC bars: single hash aggregate, min_by/max_by carry open/close (no window)",
-    "w3_ntile_thirds" -> "global ntile WITHOUT a single-partition sort: bucketed rank + bounded offset join (r7)")
+    "w3_ntile_thirds" -> "global ntile WITHOUT a single-partition sort: bucketed rank + bounded offset join (r7)",
+    "t17_bm25" -> "BM25 top-20: filtered token explode, broadcast df/stats, TakeOrdered — no global sort",
+    "d8_cluster_reps" -> "cluster representatives: CC labels → tiny per-cluster agg → join back on rep ids")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

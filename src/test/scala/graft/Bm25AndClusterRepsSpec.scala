@@ -76,4 +76,19 @@ class Bm25AndClusterRepsSpec extends AnyFunSuite {
     // members dropped by keeping one rep per cluster = Σ(n−1)
     assert(expected.values.map(_ - 1).sum == d5.length - expected.size)
   }
+
+  test("s8 semantic clusters: reps are cluster minima, labels from embeddings") {
+    val got = SparkEntry.queries("s8_semantic_clusters")(spark, sf).collect()
+    assert(got.nonEmpty, "bucketed cosine pairs must exist at sf0.001")
+    val labels = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      val (rep, n) = (r.getLong(0), r.getLong(1))
+      assert(n >= 2, s"a cluster has at least one edge, so ≥2 members: $rep")
+      assert(r.getInt(2) == labels(rep), s"label of rep $rep")
+    }
+    // representatives are distinct cluster ids
+    assert(got.map(_.getLong(0)).distinct.length == got.length)
+  }
 }
