@@ -87,8 +87,43 @@ object CorpusPipeline {
         .agg(count(lit(1)).as("n_hits")) // sh distinct per doc already
         .filter(col("n_hits") >= 3)
         .orderBy("doc_id")
+    },
+
+    // ── c3: leakage-safe train/valid/test split — sp3's deterministic
+    // 80/10/10 hash split with one crucial change: the hash is drawn
+    // from the document's NEAR-DUP CLUSTER REPRESENTATIVE (its d5
+    // cluster_id; its own doc_id when unclustered), so every member of
+    // a cluster draws the same value and lands in the same split. A
+    // plain per-doc split leaks: a near-duplicate of a training doc
+    // lands in test with probability ~20% per clustered doc, and the
+    // eval is contaminated. Scale shape: the cluster-label map covers
+    // only clustered docs → broadcast join; the split itself stays a
+    // pure per-row hash — no shuffle beyond the final tiny rollup.
+    "c3_leakage_safe_split" -> { (s, d) =>
+      leakageSafeSplit(s, d)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split_key")).as("n_keys"))
+        .orderBy("lang", "split")
     }
   )
+
+  /** Doc-level split assignment behind c3: (doc_id, lang, split_key,
+    * split). Exposed for the no-straddle spec — the invariant is that
+    * `split` is constant within every near-dup cluster. */
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val labels = DedupQueries.clusterLabels(s, d)
+    Tables.load(s, d, "documents").select("doc_id", "lang")
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("draw",
+        pmod(char_fold(col("split_key").cast("string")), lit(100)))
+      .withColumn("split",
+        when(col("draw") < 80, "train")
+          .when(col("draw") < 90, "valid")
+          .otherwise("test"))
+      .select("doc_id", "lang", "split_key", "split")
+  }
 
   private def charFoldSqlOf(e: String): String = DedupQueries.charFoldSqlOf(e)
 
@@ -163,6 +198,26 @@ object CorpusPipeline {
           FROM sh3 JOIN bench USING (sh)
           WHERE doc_id >= 10
           GROUP BY 1 HAVING COUNT(*) >= 3
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+    // c3 = d5's CC chain → cluster-representative split key → the
+    // sp3 hash split over the key → per-(lang, split) rollup
+    "c3_leakage_safe_split" -> {
+      val fold = DedupQueries.charFoldSqlOf("CAST(split_key AS VARCHAR)")
+      s"""WITH RECURSIVE ${DedupQueries.ccCtes},
+          cc AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+          assigned AS (
+            SELECT d.doc_id, d.lang,
+              COALESCE(cc.cluster_id, d.doc_id) AS split_key
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+          drawn AS (
+            SELECT lang, split_key,
+              CASE WHEN $fold % 100 < 80 THEN 'train'
+                   WHEN $fold % 100 < 90 THEN 'valid'
+                   ELSE 'test' END AS split
+            FROM assigned)
+          SELECT lang, split, COUNT(*) AS n_docs,
+            COUNT(DISTINCT split_key) AS n_keys
+          FROM drawn GROUP BY 1, 2 ORDER BY lang, split"""
+    }
   )
 }

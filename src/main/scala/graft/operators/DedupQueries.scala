@@ -158,6 +158,18 @@ object DedupQueries {
     labels
   }
 
+  /** (doc_id, cluster_id) labels over the standard d2/d5 near-dup
+    * graph (3-token-shingle Jaccard ≥ 0.8, stop-shingle guard) — one
+    * row per doc that appears in at least one near-dup pair. The
+    * shared front half of d5/d8/d9 and the leakage-safe split (c3):
+    * shingle once, pair once, CC once. */
+  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(s, d).localCheckpoint(true)
+    val pairs = jaccardPairs(sh, 0.8, StopShingleMaxDf)
+      .select("da", "db").localCheckpoint(true)
+    connectedComponents(pairs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: hash-groupBy on content; keeper = min(doc_id)
@@ -209,10 +221,7 @@ object DedupQueries {
     // deduper would keep). Pairs (a,b) and (b,c) ⇒ a,b,c all cluster
     // to min(a,b,c) even though a,c were never directly compared.
     "d5_dedup_clusters" -> { (s, d) =>
-      val sh = shingleSets(s, d).localCheckpoint(true)
-      val pairs = jaccardPairs(sh, 0.8, StopShingleMaxDf)
-        .select("da", "db").localCheckpoint(true)
-      connectedComponents(pairs).orderBy("doc_id")
+      clusterLabels(s, d).orderBy("doc_id")
     },
 
     // SimHash: 16-bit weighted-token signature (computed in-row, one
@@ -304,16 +313,35 @@ object DedupQueries {
     // |cluster|−1 docs per cluster without re-deriving pairs.
     "d8_cluster_reps" -> { (s, d) =>
       val docs = Tables.load(s, d, "documents")
-      val sh = shingleSets(s, d).localCheckpoint(true)
-      val pairs = jaccardPairs(sh, 0.8, StopShingleMaxDf)
-        .select("da", "db").localCheckpoint(true)
-      connectedComponents(pairs)
+      clusterLabels(s, d)
         .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
         .join(docs.select(col("doc_id").as("cluster_id"),
           col("lang"), col("source"), col("n_chars")), Seq("cluster_id"))
         .select(col("cluster_id").as("rep_doc_id"), col("n_members"),
           col("lang"), col("source"), col("n_chars"))
         .orderBy("rep_doc_id")
+    },
+
+    // ── d9: duplicate down-weighting — the alternative to dropping
+    // near-dups a lot of training pipelines prefer: every document
+    // keeps weight 1/|cluster|, so a cluster contributes exactly one
+    // document-equivalent to the mix (soft dedup preserves coverage;
+    // unclustered docs weigh 1). Scale shape: the label + size maps
+    // cover only clustered docs — a small fraction of any real corpus
+    // — so both enrichment joins BROADCAST; the corpus itself is
+    // scanned once and never shuffled.
+    "d9_dup_weights" -> { (s, d) =>
+      val labels = clusterLabels(s, d).localCheckpoint(true)
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      Tables.load(s, d, "documents").select("doc_id", "lang")
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .join(broadcast(sizes), Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("n_members"), lit(1L)).as("n_members"),
+          round(lit(1.0) / coalesce(col("n_members"), lit(1L)), 4).as("weight"),
+          col("lang"))
+        .orderBy("doc_id")
     }
   )
 
@@ -377,7 +405,7 @@ object DedupQueries {
   /** Shared CTE chain for the connected-components oracles (d5, d8):
     * shingles → stop-shingle prune → Jaccard pairs → symmetric edges →
     * recursive reachability `reach(doc_id, r)`. */
-  private val ccCtes: String =
+  private[operators] val ccCtes: String =
     s"""$shingleSql,
         hot AS (
           SELECT shash FROM sh GROUP BY shash
@@ -458,6 +486,21 @@ object DedupQueries {
           FROM (SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY 1)
           JOIN documents ON cluster_id = doc_id
           ORDER BY rep_doc_id""",
+    // d9 = the same CC chain, inverted to a per-document weight:
+    // LEFT joins keep the unclustered corpus at weight 1
+    "d9_dup_weights" ->
+      s"""WITH RECURSIVE $ccCtes,
+          cc AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+          sz AS (SELECT cluster_id, COUNT(*) AS n FROM cc GROUP BY 1)
+          SELECT d.doc_id,
+            COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+            CAST(COALESCE(sz.n, 1) AS BIGINT) AS n_members,
+            ROUND(CAST(1 AS DOUBLE) / COALESCE(sz.n, 1), 4) AS weight,
+            d.lang
+          FROM documents d
+          LEFT JOIN cc ON d.doc_id = cc.doc_id
+          LEFT JOIN sz ON cc.cluster_id = sz.cluster_id
+          ORDER BY d.doc_id""",
     "d3_minhash_lsh" ->
       s"""WITH $shingleSql,
           minhash AS (

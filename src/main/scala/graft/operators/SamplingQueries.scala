@@ -149,6 +149,34 @@ object SamplingQueries {
         .select(col("flag"), col("n"),
           ok(0).as("ok50"), ok(1).as("ok95"), ok(2).as("ok99"))
         .orderBy("flag")
+    },
+
+    // ── sp6: deterministic corpus shuffle — the global training-data
+    // order. A training run must consume the corpus in a "random"
+    // order that is reproducible (elastic re-runs, resume-from-step,
+    // identical across engines), so the permutation is a pure function
+    // of the key: h = (doc_id · 654435747) mod 1e9+7 — a Knuth-style
+    // multiplicative hash by a unit of the prime field, i.e. a TRUE
+    // permutation of Z_p with strong mixing of consecutive ids. (The
+    // char_fold of the DECIMAL STRING is deliberately not used here:
+    // a polynomial fold of decimal digits is order-preserving within a
+    // digit count — it would "shuffle" the corpus into its original
+    // order.) The global position comes from [[Ranks.globalRank]] over
+    // the composite key h·2³³ + doc_id — unique (h < 2³⁰,
+    // doc_id < 2³³), ordered exactly like (h, doc_id) — so the plan is
+    // the bucketed two-pass rank: NO single-partition sort of the
+    // corpus anywhere, the same scale spelling as w3/w4's ntile, and
+    // the hash keys are uniform so globalRank's equal-width buckets
+    // stay balanced.
+    "sp6_corpus_shuffle" -> { (s, d) =>
+      val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(654435747L),
+        lit(1000000007L))
+      val keyed = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("skey", h * lit(8589934592L) + col("doc_id"))
+      Ranks.globalRank(keyed, "skey", "pos")
+        .select(col("pos"), col("doc_id"), col("lang"))
+        .orderBy("pos")
     }
   )
 
@@ -188,6 +216,11 @@ object SamplingQueries {
       """SELECT l_returnflag AS flag, COUNT(*) AS n,
            true AS ok50, true AS ok95, true AS ok99
          FROM lineitem GROUP BY 1 ORDER BY flag""",
+    "sp6_corpus_shuffle" ->
+      """SELECT ROW_NUMBER() OVER
+            (ORDER BY (doc_id % 1000000007) * 654435747 % 1000000007, doc_id)
+            AS pos, doc_id, lang
+          FROM documents ORDER BY pos""",
     "q1_group_quantiles" ->
       """SELECT l_returnflag AS flag,
            ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS p25,

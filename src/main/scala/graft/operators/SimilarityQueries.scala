@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -238,6 +238,54 @@ object SimilarityQueries {
           .select(col("vec_id").as("cluster_id"), col("label")), Seq("cluster_id"))
         .select(col("cluster_id").as("rep_vec_id"), col("n_members"), col("label"))
         .orderBy("rep_vec_id")
+    },
+
+    // ── s9: ANN quality harness — recall@1 of the LSH bucket search
+    // (s2's index) against brute-force ground truth on a query sample
+    // (vec_id < 50), for single-probe AND Hamming-1 multi-probe (the
+    // production recall knob: probe the exact bucket plus the 6
+    // one-bit-flip neighbors — 7 equi-join keys, not a distance join).
+    // This is how index quality is actually monitored at 100 TB: the
+    // query sample is tiny by definition → broadcast to BOTH sides;
+    // the exact side is one corpus sweep per batch of queries (never
+    // an all-pairs self-join), the LSH sides answer from buckets, and
+    // the comparison is a one-row aggregate. A query whose probed
+    // buckets hold no other vector scores a miss — recall measures the
+    // index as served, not just its rerank.
+    "s9_ann_recall" -> { (s, d) =>
+      val base = vecs(s, d)
+        .withColumn("bucket", hyperplane_bucket(col("qv"), 6))
+        .localCheckpoint(true) // feeds the query sample + both candidate sides
+      val q = base.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("qv").as("va"),
+          col("norm").as("qn"), col("bucket").as("qbucket"))
+      // probe set: the query's bucket XOR {0, 1, 2, 4, 8, 16, 32}
+      val qProbes = q.withColumn("pbucket",
+        explode(array((lit(0L) +: (0 until 6).map(j => lit(1L << j))): _*)))
+        .withColumn("pbucket", col("qbucket").bitwiseXOR(col("pbucket")))
+      val t = base.select(col("vec_id").as("vid"), col("qv").as("vb"),
+        col("norm").as("vn"), col("bucket").as("vbucket"))
+      def top1(cand: DataFrame, out: String): DataFrame = cand
+        .filter(col("qid") =!= col("vid"))
+        .withColumn("cos_raw", dotCol / (col("qn") * col("vn")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vid").asc)))
+        .filter(col("rank") === 1)
+        .select(col("qid"), col("vid").as(out))
+      val brute = top1(t.crossJoin(broadcast(q)), "bvid")
+      val lsh1 = top1(t.join(broadcast(q), col("qbucket") === col("vbucket")), "lvid")
+      val lshM = top1(t.join(broadcast(qProbes), col("pbucket") === col("vbucket")), "mvid")
+      def hits(c: Column): Column = sum(when(c === col("bvid"), 1L).otherwise(0L))
+      brute.join(lsh1, Seq("qid"), "left").join(lshM, Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          hits(col("lvid")).as("n_hits_1probe"),
+          hits(col("mvid")).as("n_hits_multiprobe"))
+        .select(col("n_queries"), col("n_hits_1probe"),
+          round(col("n_hits_1probe") / col("n_queries").cast("double"), 4)
+            .as("recall_1probe"),
+          col("n_hits_multiprobe"),
+          round(col("n_hits_multiprobe") / col("n_queries").cast("double"), 4)
+            .as("recall_multiprobe"))
     }
   )
 
@@ -249,6 +297,20 @@ object SimilarityQueries {
                  generate_subscripts(embedding, 1) AS idx
                FROM embeddings)),
        n AS (SELECT vec_id, sqrt(SUM(q * q)) AS norm FROM c GROUP BY 1)"""
+
+  /** Shared CTE chain for the LSH-bucket oracles (s2, s8, s9):
+    * hyperplane weights → projections → sign-pattern bucket. */
+  private val lshBucketsSql =
+    """planes AS (
+         SELECT j, pd, (j * 64 + pd) * 2654435761 % 97 - 48 AS w
+         FROM range(6) a(j) CROSS JOIN range(64) b(pd)),
+       proj AS (
+         SELECT vec_id, j, SUM(q * w) AS proj
+         FROM c JOIN planes ON c.idx = planes.pd GROUP BY 1, 2),
+       buckets AS (
+         SELECT vec_id,
+           CAST(SUM(CASE WHEN proj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         FROM proj GROUP BY 1)"""
 
   def oracles: Map[String, String] = Map(
     "s1_cosine_topk" ->
@@ -268,16 +330,7 @@ object SimilarityQueries {
           WHERE rank <= 5 ORDER BY qid, rank""",
     "s2_lsh_ann" ->
       s"""WITH $compsSql,
-          planes AS (
-            SELECT j, pd, (j * 64 + pd) * 2654435761 % 97 - 48 AS w
-            FROM range(6) a(j) CROSS JOIN range(64) b(pd)),
-          proj AS (
-            SELECT vec_id, j, SUM(q * w) AS proj
-            FROM c JOIN planes ON c.idx = planes.pd GROUP BY 1, 2),
-          buckets AS (
-            SELECT vec_id,
-              CAST(SUM(CASE WHEN proj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-            FROM proj GROUP BY 1),
+          $lshBucketsSql,
           pairs AS (
             SELECT a.vec_id AS qid, b.vec_id AS vid, a.bucket
             FROM buckets a JOIN buckets b
@@ -384,16 +437,7 @@ object SimilarityQueries {
     // the d5/d8 oracles)
     "s8_semantic_clusters" ->
       s"""WITH RECURSIVE $compsSql,
-          planes AS (
-            SELECT j, pd, (j * 64 + pd) * 2654435761 % 97 - 48 AS w
-            FROM range(6) a(j) CROSS JOIN range(64) b(pd)),
-          proj AS (
-            SELECT vec_id, j, SUM(q * w) AS proj
-            FROM c JOIN planes ON c.idx = planes.pd GROUP BY 1, 2),
-          buckets AS (
-            SELECT vec_id,
-              CAST(SUM(CASE WHEN proj > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-            FROM proj GROUP BY 1),
+          $lshBucketsSql,
           cand AS (
             SELECT a.vec_id AS da, b.vec_id AS db
             FROM buckets a JOIN buckets b
@@ -419,6 +463,69 @@ object SimilarityQueries {
           SELECT cluster_id AS rep_vec_id, n_members, label
           FROM (SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY 1)
           JOIN embeddings ON cluster_id = vec_id
-          ORDER BY rep_vec_id"""
+          ORDER BY rep_vec_id""",
+    // s9 = brute top-1 (exact dots over the query sample × corpus)
+    // LEFT JOIN lsh top-1 (bucket-restricted), counted into one row;
+    // a query with an empty bucket has no lsh row → NULL ≠ bvid → miss
+    "s9_ann_recall" ->
+      s"""WITH $compsSql,
+          $lshBucketsSql,
+          bdots AS (
+            SELECT qc.vec_id AS qid, vc.vec_id AS vid, SUM(qc.q * vc.q) AS dot
+            FROM c qc JOIN c vc ON qc.idx = vc.idx AND qc.vec_id <> vc.vec_id
+            WHERE qc.vec_id < 50
+            GROUP BY 1, 2),
+          bcos AS (
+            SELECT qid, vid, dot / (nq.norm * nv.norm) AS cos_raw
+            FROM bdots JOIN n nq ON qid = nq.vec_id JOIN n nv ON vid = nv.vec_id),
+          brute AS (
+            SELECT qid, vid AS bvid FROM (
+              SELECT qid, vid, row_number() OVER
+                (PARTITION BY qid ORDER BY cos_raw DESC, vid ASC) AS rk
+              FROM bcos) WHERE rk = 1),
+          lcand AS (
+            SELECT a.vec_id AS qid, b.vec_id AS vid
+            FROM buckets a JOIN buckets b
+              ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            WHERE a.vec_id < 50),
+          ldots AS (
+            SELECT qid, vid, SUM(ac.q * bc.q) AS dot
+            FROM lcand JOIN c ac ON qid = ac.vec_id
+            JOIN c bc ON vid = bc.vec_id AND ac.idx = bc.idx
+            GROUP BY 1, 2),
+          lcos AS (
+            SELECT qid, vid, dot / (nq.norm * nv.norm) AS cos_raw
+            FROM ldots JOIN n nq ON qid = nq.vec_id JOIN n nv ON vid = nv.vec_id),
+          lsh AS (
+            SELECT qid, vid AS lvid FROM (
+              SELECT qid, vid, row_number() OVER
+                (PARTITION BY qid ORDER BY cos_raw DESC, vid ASC) AS rk
+              FROM lcos) WHERE rk = 1),
+          mcand AS (
+            SELECT a.vec_id AS qid, b.vec_id AS vid
+            FROM buckets a JOIN buckets b
+              ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id <> b.vec_id
+            WHERE a.vec_id < 50),
+          mdots AS (
+            SELECT qid, vid, SUM(ac.q * bc.q) AS dot
+            FROM mcand JOIN c ac ON qid = ac.vec_id
+            JOIN c bc ON vid = bc.vec_id AND ac.idx = bc.idx
+            GROUP BY 1, 2),
+          mcos AS (
+            SELECT qid, vid, dot / (nq.norm * nv.norm) AS cos_raw
+            FROM mdots JOIN n nq ON qid = nq.vec_id JOIN n nv ON vid = nv.vec_id),
+          mlsh AS (
+            SELECT qid, vid AS mvid FROM (
+              SELECT qid, vid, row_number() OVER
+                (PARTITION BY qid ORDER BY cos_raw DESC, vid ASC) AS rk
+              FROM mcos) WHERE rk = 1)
+          SELECT COUNT(*) AS n_queries,
+            CAST(SUM(CASE WHEN lvid = bvid THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_1probe,
+            ROUND(CAST(SUM(CASE WHEN lvid = bvid THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*), 4) AS recall_1probe,
+            CAST(SUM(CASE WHEN mvid = bvid THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_multiprobe,
+            ROUND(CAST(SUM(CASE WHEN mvid = bvid THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*), 4) AS recall_multiprobe
+          FROM brute LEFT JOIN lsh USING (qid) LEFT JOIN mlsh USING (qid)"""
   )
 }

@@ -30,6 +30,13 @@ object TextQueries {
   val UrlRe = "https?://[^ \\t\\n\\x0B\\f\\r]+"
   val DigitsRe = "[0-9]{4,}"
 
+  /** GPT-2-style pre-tokenizer pattern (t18): contraction suffixes,
+    * then optionally-space-prefixed letter / digit / symbol runs.
+    * Character classes are explicit ASCII ranges — no \s or \w — so
+    * Java regex (Spark) and RE2 (DuckDB) segment identically. */
+  val BpePretokenRe: String =
+    "'(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r]+"
+
   /** Fixed-order redaction chain (emails → URLs → digit runs) shared
     * by t7 and [[CorpusPipeline]] — one definition so implementation
     * and oracle can't drift apart. */
@@ -409,6 +416,25 @@ object TextQueries {
         .agg(sum("c").as("score10k"), count(lit(1)).as("n_terms"))
         .orderBy(col("score10k").desc, col("doc_id").asc)
         .limit(20)
+    },
+
+    // ── t18: BPE-style pre-tokenization counts — the second half of
+    // the "token counting" north star (t1 is the whitespace half).
+    // The pattern is the GPT-2 pre-tokenizer shape: contraction
+    // suffixes, then optionally-space-prefixed letter runs / digit
+    // runs / symbol runs. Pure per-row regex inside whole-stage
+    // codegen + one partial-agg rollup over ≤ |langs| keys — scan
+    // speed at any corpus size, no shuffle of the text.
+    "t18_bpe_pretokens" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("lang"),
+          size(regexp_extract_all(col("text"), lit(BpePretokenRe), lit(0)))
+            .cast("long").as("n"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n").as("total_pieces"),
+          round(sum("n") / count(lit(1)).cast("double"), 4).as("avg_pieces"))
+        .orderBy("lang")
     }
   )
 
@@ -676,6 +702,20 @@ object TextQueries {
              ((2*n_docs - 2*df + 1) * 22 * tf * t_toks * 10000) //
              ((2*df + 1) * (10*t_toks*tf + 3*t_toks + 9*n_docs*dl)) AS c
            FROM tf JOIN df USING (term) CROSS JOIN stats)
-         GROUP BY 1 ORDER BY score10k DESC, doc_id LIMIT 20"""
+         GROUP BY 1 ORDER BY score10k DESC, doc_id LIMIT 20""",
+    // t18 — same RE2/Java-safe pattern, regexp_extract_all is global
+    // in DuckDB by default; SUM cast back to BIGINT (DuckDB sums to
+    // HUGEINT)
+    "t18_bpe_pretokens" -> {
+      val re = BpePretokenRe.replace("'", "''")
+      s"""WITH nn AS (
+            SELECT lang,
+              CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n
+            FROM documents)
+          SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(n) AS BIGINT) AS total_pieces,
+            ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 4) AS avg_pieces
+          FROM nn GROUP BY 1 ORDER BY lang"""
+    }
   )
 }

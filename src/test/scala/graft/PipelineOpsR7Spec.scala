@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants for the round-7 pipeline operators — each
+  * pinned by something other than the DuckDB oracle it also has:
+  *
+  *  - d9  duplicate down-weighting: cluster weight-mass ≈ 1
+  *  - c3  leakage-safe split: no near-dup cluster straddles splits
+  *  - sp6 corpus shuffle: exact permutation, replay-stable
+  *  - t18 BPE pre-tokens: agrees with a driver-side Java-regex count
+  *  - s9  ANN recall: bounded, consistent with its own counters
+  */
+class PipelineOpsR7Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d9: every cluster carries one document-equivalent of weight") {
+    val rows = SparkEntry.queries("d9_dup_weights")(spark, sf).collect()
+    val docs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(rows.length == docs, "one weight row per document")
+    // group by cluster: n_members consistent, weight = round(1/n, 4)
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      val n = members.head.getLong(2)
+      assert(members.forall(_.getLong(2) == n), s"cluster $cid sizes agree")
+      assert(members.length == n, s"cluster $cid membership count = n_members")
+      val w = math.rint(10000.0 / n) / 10000.0
+      assert(members.forall(_.getDouble(3) == w), s"cluster $cid weight 1/$n")
+    }
+    val unclustered = rows.filter(r => r.getLong(0) == r.getLong(1) && r.getLong(2) == 1)
+    assert(unclustered.forall(_.getDouble(3) == 1.0))
+  }
+
+  test("c3: split is constant within every near-dup cluster") {
+    val assigned = graft.operators.CorpusPipeline.leakageSafeSplit(spark, sf).collect()
+    val docs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(assigned.length == docs)
+    // the leakage invariant: one split per split_key
+    assigned.groupBy(_.getLong(2)).foreach { case (key, members) =>
+      assert(members.map(_.getString(3)).distinct.length == 1,
+        s"cluster $key must not straddle splits")
+    }
+    // clustered docs exist at this SF (planted near-dups) and share keys
+    assert(assigned.groupBy(_.getLong(2)).exists(_._2.length > 1),
+      "at least one multi-doc cluster shares a split key")
+    assert(assigned.map(_.getString(3)).toSet.subsetOf(Set("train", "valid", "test")))
+  }
+
+  test("sp6: a replay-stable exact permutation of the corpus") {
+    val a = SparkEntry.queries("sp6_corpus_shuffle")(spark, sf).collect()
+    val n = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(a.length == n)
+    assert(a.map(_.getLong(0)).toSeq == (1L to n).toSeq, "pos is 1..N in order")
+    assert(a.map(_.getLong(1)).distinct.length == n, "every doc exactly once")
+    // replay: identical output on a second run (pure function of keys)
+    val b = SparkEntry.queries("sp6_corpus_shuffle")(spark, sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // and the permutation actually shuffles: not the identity order
+    assert(a.take(100).map(_.getLong(1)).toSeq != a.take(100).map(_.getLong(1)).sorted.toSeq)
+  }
+
+  test("t18: matches a driver-side Java-regex recount") {
+    val re = graft.operators.TextQueries.BpePretokenRe.r
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("lang", "text").collect()
+    val expected = docs.groupBy(_.getString(0)).map { case (lang, g) =>
+      val counts = g.map(r => re.findAllIn(r.getString(1)).size.toLong)
+      (lang, g.length.toLong, counts.sum,
+        math.rint(counts.sum.toDouble / g.length * 10000) / 10000)
+    }
+    val got = SparkEntry.queries("t18_bpe_pretokens")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == expected.toSet)
+  }
+
+  test("s9: recall counters are self-consistent; multi-probe dominates") {
+    val r = SparkEntry.queries("s9_ann_recall")(spark, sf).collect()
+    assert(r.length == 1)
+    val nq = r(0).getLong(0)
+    val (h1, rec1) = (r(0).getLong(1), r(0).getDouble(2))
+    val (hm, recm) = (r(0).getLong(3), r(0).getDouble(4))
+    assert(nq == 50, "one ground-truth row per sampled query")
+    assert(h1 >= 0 && h1 <= nq && hm >= 0 && hm <= nq)
+    assert(rec1 == math.rint(h1.toDouble / nq * 10000) / 10000)
+    assert(recm == math.rint(hm.toDouble / nq * 10000) / 10000)
+    // the 1-probe candidate set is a subset of the multi-probe set,
+    // but top-1 within a SUPERSET can only match ground truth at
+    // least as often (brute top-1 ∈ probed set ⇒ it wins the rerank)
+    assert(hm >= h1, s"multi-probe recall ($hm) below 1-probe ($h1)")
+    // on this corpus 1-probe is known-coarse (6 planes ⇒ per-plane
+    // agreement^6); multi-probe must find SOMETHING
+    assert(hm > 0, "multi-probe found no true neighbors at all")
+  }
+}
