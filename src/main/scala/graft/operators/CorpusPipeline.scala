@@ -105,8 +105,83 @@ object CorpusPipeline {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("split_key")).as("n_keys"))
         .orderBy("lang", "split")
+    },
+
+    // ── c4: cluster-expanded decontamination — c2 catches documents
+    // that DIRECTLY share ≥3 shingles with the benchmark; this closes
+    // the near-dup loophole: a doc whose near-dup CLUSTER contains a
+    // direct hit (or a benchmark doc) is contamination too, even when
+    // its own overlap sits below the threshold — the standard
+    // "expand through the duplicate graph" step after any n-gram
+    // decontamination pass. Scale shape: benchmark shingles, direct
+    // hits, cluster labels, and bad keys are all small by construction
+    // → every enrichment join broadcasts; the corpus is never
+    // self-joined on content here (the pair graph is d5's, with its
+    // own guards).
+    "c4_contamination_clusters" -> { (s, d) =>
+      contaminationClusters(Tables.load(s, d, "documents"))
+    },
+
+    // ── c5: filter-funnel observability — how many documents survive
+    // each stage of c1's cleaning pipeline (total → exact dedup →
+    // quality gate → near-dup removal). Pipelines live and die by this
+    // report: a threshold change that silently drops 40% of a source
+    // shows up here first. Four scalar aggregates unioned — each stage
+    // count is one partial-agg reduction, nothing is collected.
+    "c5_filter_funnel" -> { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val keepers = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      val qualified = keepers
+        .withColumn("tokens", tokenize(col("text")))
+        .withColumn("n_tokens", size(col("tokens")))
+        .filter(col("n_tokens") >= 10 &&
+          size(array_distinct(col("tokens"))) / col("n_tokens").cast("double") >= 0.3)
+        .localCheckpoint(true) // feeds the shingle pass + two counts
+      val sh = qualified
+        .select(col("doc_id"),
+          explode(shingle_hashes(char_fold_array(col("tokens")), 3)).as("shash"))
+        .distinct()
+        .localCheckpoint(true)
+      val dropped = DedupQueries
+        .jaccardPairs(sh, 0.8, DedupQueries.StopShingleMaxDf)
+        .select(col("db").as("doc_id")).distinct()
+      def stage(df: DataFrame, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_kept")).select(lit(name).as("stage"), col("n_kept"))
+      stage(docs, "0_total")
+        .union(stage(keepers, "1_exact_dedup"))
+        .union(stage(qualified, "2_quality"))
+        .union(stage(qualified.join(broadcast(dropped), Seq("doc_id"), "left_anti"),
+          "3_near_dup"))
+        .orderBy("stage")
     }
   )
+
+  /** Core of c4 over any (doc_id, text) frame — benchmark = doc_id
+    * < 10, direct hit = ≥3 shared distinct shingles, then expansion
+    * through the near-dup cluster key. See the query comment for the
+    * scale shape. */
+  def contaminationClusters(docs: DataFrame): DataFrame = {
+    val sh = DedupQueries.shinglesOf(docs)
+    val bench = sh.filter(col("doc_id") < 10).select("shash").distinct()
+    val hits = sh.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), Seq("shash"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= 3)
+      .select("doc_id")
+      .localCheckpoint(true) // feeds bad-key derivation + the reason flag
+    val keyed = docs.select("doc_id")
+      .join(broadcast(DedupQueries.clusterLabelsOf(docs)), Seq("doc_id"), "left")
+      .withColumn("key", coalesce(col("cluster_id"), col("doc_id")))
+    val badSeeds = hits.union(docs.filter(col("doc_id") < 10).select("doc_id"))
+    val badKeys = keyed.join(broadcast(badSeeds), Seq("doc_id"))
+      .select("key").distinct()
+    keyed.filter(col("doc_id") >= 10)
+      .join(broadcast(badKeys), Seq("key"))
+      .join(broadcast(hits.withColumn("direct", lit(true))), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("direct"), lit("direct")).otherwise(lit("cluster")).as("reason"))
+      .orderBy("doc_id")
+  }
 
   /** Doc-level split assignment behind c3: (doc_id, lang, split_key,
     * split). Exposed for the no-straddle spec — the invariant is that
@@ -218,6 +293,80 @@ object CorpusPipeline {
           SELECT lang, split, COUNT(*) AS n_docs,
             COUNT(DISTINCT split_key) AS n_keys
           FROM drawn GROUP BY 1, 2 ORDER BY lang, split"""
-    }
+    },
+    // c4 = the d5 CC chain + c2's hit rule (over the same distinct
+    // shingle CTE), expanded through cluster keys
+    "c4_contamination_clusters" ->
+      s"""WITH RECURSIVE ${DedupQueries.ccCtes},
+          cc AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+          bench AS (SELECT DISTINCT shash FROM sh WHERE doc_id < 10),
+          hits AS (
+            SELECT doc_id FROM sh JOIN bench USING (shash)
+            WHERE doc_id >= 10 GROUP BY doc_id HAVING COUNT(*) >= 3),
+          keyed AS (
+            SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS key
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+          badkeys AS (
+            SELECT DISTINCT key FROM keyed
+            WHERE doc_id IN (SELECT doc_id FROM hits) OR doc_id < 10)
+          SELECT k.doc_id,
+            CASE WHEN k.doc_id IN (SELECT doc_id FROM hits)
+                 THEN 'direct' ELSE 'cluster' END AS reason
+          FROM keyed k JOIN badkeys USING (key)
+          WHERE k.doc_id >= 10
+          ORDER BY k.doc_id""",
+    // c5 = stage counts over c1's exact CTE chain (same thresholds)
+    "c5_filter_funnel" ->
+      s"""WITH keepers AS (
+            SELECT MIN(doc_id) AS doc_id, text
+            FROM documents GROUP BY text),
+          kd AS (
+            SELECT doc_id,
+              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+            FROM keepers),
+          q AS (
+            SELECT doc_id, ts FROM kd
+            WHERE len(ts) >= 10
+              AND len(list_distinct(ts)) * 1.0 / len(ts) >= 0.3),
+          tokens AS (
+            SELECT doc_id, generate_subscripts(ts, 1) AS idx, unnest(ts) AS token
+            FROM q),
+          tok_hash AS (
+            SELECT token, ${charFoldSqlOf("token")} AS h
+            FROM (SELECT DISTINCT token FROM tokens)),
+          tstream AS (
+            SELECT doc_id, idx, h FROM tokens JOIN tok_hash USING (token)),
+          sh AS (
+            SELECT DISTINCT doc_id,
+              ((h * 1000003 + h2) % 1000000007 * 1000003 + h3) % 1000000007 AS shash
+            FROM (SELECT doc_id, h,
+                    LEAD(h, 1) OVER w AS h2, LEAD(h, 2) OVER w AS h3
+                  FROM tstream WINDOW w AS (PARTITION BY doc_id ORDER BY idx))
+            WHERE h3 IS NOT NULL),
+          hot AS (
+            SELECT shash FROM sh GROUP BY shash
+            HAVING COUNT(*) > ${DedupQueries.StopShingleMaxDf}),
+          pruned AS (
+            SELECT * FROM sh WHERE shash NOT IN (SELECT shash FROM hot)),
+          cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
+            FROM pruned x JOIN pruned y ON x.shash = y.shash AND x.doc_id < y.doc_id
+            GROUP BY 1, 2),
+          dropped AS (
+            SELECT DISTINCT db AS doc_id FROM (
+              SELECT da, db, i * 1.0 / (ca.n + cb.n - i) AS j
+              FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)
+            WHERE j >= 0.8)
+          SELECT stage, n_kept FROM (
+            SELECT '0_total' AS stage, COUNT(*) AS n_kept FROM documents
+            UNION ALL
+            SELECT '1_exact_dedup', COUNT(*) FROM keepers
+            UNION ALL
+            SELECT '2_quality', COUNT(*) FROM q
+            UNION ALL
+            SELECT '3_near_dup', COUNT(*) FROM q
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+          ORDER BY stage"""
   )
 }

@@ -43,8 +43,12 @@ object DedupQueries {
   /** (doc_id, shash): distinct 3-token shingle hashes per document.
     * Hashing + composition happen in-row (compiled expressions); the
     * only shuffle is the distinct on (doc_id, shash). */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
+  private[operators] def shingleSets(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.load(s, d, "documents"))
+
+  /** Same derivation over any (doc_id, text) frame. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(shingle_hashes(char_fold_array(tokenize(col("text"))), 3)).as("shash"))
       .distinct()
@@ -163,8 +167,12 @@ object DedupQueries {
     * row per doc that appears in at least one near-dup pair. The
     * shared front half of d5/d8/d9 and the leakage-safe split (c3):
     * shingle once, pair once, CC once. */
-  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(s, d).localCheckpoint(true)
+  private[operators] def clusterLabels(s: SparkSession, d: String): DataFrame =
+    clusterLabelsOf(Tables.load(s, d, "documents"))
+
+  /** Same derivation over any (doc_id, text) frame. */
+  private[graft] def clusterLabelsOf(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs).localCheckpoint(true)
     val pairs = jaccardPairs(sh, 0.8, StopShingleMaxDf)
       .select("da", "db").localCheckpoint(true)
     connectedComponents(pairs)

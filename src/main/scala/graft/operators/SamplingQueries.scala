@@ -177,8 +177,40 @@ object SamplingQueries {
       Ranks.globalRank(keyed, "skey", "pos")
         .select(col("pos"), col("doc_id"), col("lang"))
         .orderBy("pos")
+    },
+
+    // ── sp7: mixture plan — the arithmetic every training run does
+    // before sampling: given target shares per language and a total
+    // character budget, compare each stratum's AVAILABLE mass against
+    // its TARGET and emit the sampling rate (capped at 1) plus the
+    // uncapped oversample factor (how many epochs of the stratum the
+    // target implies when the source is too small). All EXACT integer
+    // arithmetic (basis points, `div`) so the plan is bit-identical in
+    // both engines. Cost: one partial-agg groupBy over ≤|langs| keys —
+    // scan speed at any corpus size.
+    "sp7_mix_plan" -> { (s, d) =>
+      val budget = 2000000L // target corpus size, chars
+      val shares = MixShares.toSeq
+        .foldLeft(lit(0L)) { case (acc, (l, bp)) =>
+          when(col("lang") === l, lit(bp)).otherwise(acc)
+        }
+      Tables.load(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("avail_chars"))
+        .withColumn("share_bp", shares)
+        .withColumn("target_chars", expr(s"share_bp * $budget div 10000"))
+        .withColumn("epochs_bp",
+          expr("target_chars * 10000 div avail_chars"))
+        .withColumn("rate_bp", least(lit(10000L), col("epochs_bp")))
+        .select("lang", "n_docs", "avail_chars", "target_chars", "rate_bp", "epochs_bp")
+        .orderBy("lang")
     }
   )
+
+  /** Target mixture shares in basis points (sums to 10000): the
+    * training-mix recipe sp7 plans against. */
+  val MixShares: Map[String, Long] =
+    Map("en" -> 4000L, "de" -> 1500L, "fr" -> 1500L, "es" -> 1500L, "zh" -> 1500L)
 
   private def foldDoc: String = DedupQueries.charFoldSqlOf("CAST(doc_id AS VARCHAR)")
 
@@ -216,6 +248,23 @@ object SamplingQueries {
       """SELECT l_returnflag AS flag, COUNT(*) AS n,
            true AS ok50, true AS ok95, true AS ok99
          FROM lineitem GROUP BY 1 ORDER BY flag""",
+    "sp7_mix_plan" -> {
+      val cases = MixShares.toSeq.sortBy(_._1)
+        .map { case (l, bp) => s"WHEN lang = '$l' THEN $bp" }.mkString(" ")
+      s"""WITH agg AS (
+            SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS avail_chars,
+              CAST(CASE $cases ELSE 0 END AS BIGINT) AS share_bp
+            FROM documents GROUP BY lang),
+          t AS (
+            SELECT lang, n_docs, avail_chars, share_bp,
+              share_bp * 2000000 // 10000 AS target_chars
+            FROM agg)
+          SELECT lang, n_docs, avail_chars, target_chars,
+            LEAST(10000, target_chars * 10000 // avail_chars) AS rate_bp,
+            target_chars * 10000 // avail_chars AS epochs_bp
+          FROM t ORDER BY lang"""
+    },
     "sp6_corpus_shuffle" ->
       """SELECT ROW_NUMBER() OVER
             (ORDER BY (doc_id % 1000000007) * 654435747 % 1000000007, doc_id)

@@ -45,7 +45,13 @@ object DumpPlans {
     "ts7_ohlc_bars" -> "OHLC bars: single hash aggregate, min_by/max_by carry open/close (no window)",
     "w3_ntile_thirds" -> "global ntile WITHOUT a single-partition sort: bucketed rank + bounded offset join (r7)",
     "t17_bm25" -> "BM25 top-20: filtered token explode, broadcast df/stats, TakeOrdered — no global sort",
-    "d8_cluster_reps" -> "cluster representatives: CC labels → tiny per-cluster agg → join back on rep ids")
+    "d8_cluster_reps" -> "cluster representatives: CC labels → tiny per-cluster agg → join back on rep ids",
+    "sp6_corpus_shuffle" -> "deterministic corpus shuffle: bucketed global rank over a hash permutation — no single-partition sort",
+    "d9_dup_weights" -> "duplicate down-weighting: broadcast cluster label/size maps, corpus scanned once",
+    "c3_leakage_safe_split" -> "leakage-safe split: broadcast cluster labels, pure per-row hash split, tiny rollup",
+    "t18_bpe_pretokens" -> "BPE pre-token counts: per-row regex in codegen, partial-agg rollup over ≤|langs| keys",
+    "s9_ann_recall" -> "ANN recall harness: query sample broadcast to brute + probed-bucket sides, one-row aggregate",
+    "c4_contamination_clusters" -> "cluster-expanded decontamination: every enrichment join broadcasts, corpus never content-joined")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

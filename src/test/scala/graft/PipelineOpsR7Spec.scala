@@ -74,6 +74,47 @@ class PipelineOpsR7Spec extends AnyFunSuite {
     assert(got.toSet == expected.toSet)
   }
 
+  test("c4: contamination expands through near-dup clusters") {
+    import spark.implicits._
+    val tail = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, "q1 q2 q3 q4 q5 q6"),          // benchmark doc
+      (20L, s"q1 q2 q3 q4 q5 q6 $tail"),  // direct hit: shares 4 bench shingles
+      (21L, s"x1 x2 $tail"),              // near-dup of 20 (shared tail), 0 bench shingles
+      (22L, (1 to 20).map(i => s"z$i").mkString(" ")) // clean
+    ).toDF("doc_id", "text")
+    val got = graft.operators.CorpusPipeline.contaminationClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(20L -> "direct", 21L -> "cluster"),
+      s"doc 21 must be dropped via its cluster, doc 22 kept: $got")
+  }
+
+  test("c5: funnel counts are monotone non-increasing") {
+    val stages = SparkEntry.queries("c5_filter_funnel")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(stages.map(_._1).toSeq ==
+      Seq("0_total", "1_exact_dedup", "2_quality", "3_near_dup"))
+    val ns = stages.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"funnel must only shrink: ${ns.mkString(",")}")
+    // final stage must agree with c1's surviving row count
+    val c1 = SparkEntry.queries("c1_corpus_clean")(spark, sf).count()
+    assert(ns.last == c1, "funnel tail = c1 survivors")
+  }
+
+  test("sp7: plan arithmetic is exact and covers every stratum") {
+    val rows = SparkEntry.queries("sp7_mix_plan")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      graft.operators.SamplingQueries.MixShares.keySet)
+    rows.foreach { r =>
+      val (lang, avail, target) = (r.getString(0), r.getLong(2), r.getLong(3))
+      val (rate, epochs) = (r.getLong(4), r.getLong(5))
+      assert(target == graft.operators.SamplingQueries.MixShares(lang) * 2000000L / 10000L)
+      assert(epochs == target * 10000L / avail, s"$lang epochs")
+      assert(rate == math.min(10000L, epochs), s"$lang rate cap")
+    }
+  }
+
   test("s9: recall counters are self-consistent; multi-probe dominates") {
     val r = SparkEntry.queries("s9_ann_recall")(spark, sf).collect()
     assert(r.length == 1)
