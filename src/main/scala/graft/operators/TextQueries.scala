@@ -435,6 +435,27 @@ object TextQueries {
           sum("n").as("total_pieces"),
           round(sum("n") / count(lit(1)).cast("double"), 4).as("avg_pieces"))
         .orderBy("lang")
+    },
+
+    // ── t19: BPE merge candidates — the first round of tokenizer
+    // vocabulary induction at corpus scale: count adjacent character
+    // pairs WITHIN words, weighted by word frequency, and rank the
+    // top-20 (each is a candidate first merge of a BPE training run).
+    // Scale shape: the corpus collapses to its VOCABULARY first (one
+    // hash agg — words repeat heavily, so this is the big reduction),
+    // then pairs explode only over distinct words × their length, and
+    // the final rollup is a TakeOrdered top-20. Both engines slice by
+    // codepoints, so the pair strings agree byte-for-byte.
+    "t19_bpe_merge_candidates" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(explode(tokenize(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+        .filter(length(col("w")) >= 2)
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("wf").as("freq"))
+        .orderBy(col("freq").desc, col("pair").asc)
+        .limit(20)
     }
   )
 
@@ -716,6 +737,20 @@ object TextQueries {
             CAST(SUM(n) AS BIGINT) AS total_pieces,
             ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 4) AS avg_pieces
           FROM nn GROUP BY 1 ORDER BY lang"""
-    }
+    },
+    // t19 — vocab rollup then per-word pair explode; substring is
+    // codepoint-based in both engines
+    "t19_bpe_merge_candidates" ->
+      """WITH words AS (
+           SELECT token AS w, COUNT(*) AS wf FROM (
+             SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+             FROM documents)
+           GROUP BY 1),
+         pairs AS (
+           SELECT substring(w, i, 2) AS pair, wf
+           FROM (SELECT w, wf, unnest(generate_series(1, length(w) - 1)) AS i
+                 FROM words WHERE length(w) >= 2))
+         SELECT pair, CAST(SUM(wf) AS BIGINT) AS freq
+         FROM pairs GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20"""
   )
 }

@@ -51,7 +51,9 @@ object DumpPlans {
     "c3_leakage_safe_split" -> "leakage-safe split: broadcast cluster labels, pure per-row hash split, tiny rollup",
     "t18_bpe_pretokens" -> "BPE pre-token counts: per-row regex in codegen, partial-agg rollup over ≤|langs| keys",
     "s9_ann_recall" -> "ANN recall harness: query sample broadcast to brute + probed-bucket sides, one-row aggregate",
-    "c4_contamination_clusters" -> "cluster-expanded decontamination: every enrichment join broadcasts, corpus never content-joined")
+    "c4_contamination_clusters" -> "cluster-expanded decontamination: every enrichment join broadcasts, corpus never content-joined",
+    "d10_repeated_spans" -> "repeated spans: hash-grouped rollup + top-50 cut BEFORE text recovery (span text never shuffles)",
+    "t19_bpe_merge_candidates" -> "BPE merges: corpus → vocab hash-agg first, pair explode over distinct words only, TakeOrdered")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

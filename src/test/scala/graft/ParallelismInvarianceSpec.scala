@@ -25,7 +25,11 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     "t15_sequence_packing",  // running-sum binning
     "a13_mode_median",       // mode/median tie handling
     "e2_heavy_tokens",       // Misra–Gries candidates → exact pass
-    "ts7_ohlc_bars")         // min_by/max_by open/close
+    "ts7_ohlc_bars",         // min_by/max_by open/close
+    "sp6_corpus_shuffle",    // bucketed global rank (offset cumsum)
+    "d10_repeated_spans",    // hash-first top-k cut + text recovery
+    "d9_dup_weights",        // iterative CC labels + broadcast joins
+    "t19_bpe_merge_candidates") // vocab rollup + weighted pair top-k
 
   // core-count invariance is NOT claimed here: newSession() shares the
   // JVM's SparkContext, so only the shuffle-partition conf actually

@@ -115,6 +115,61 @@ class PipelineOpsR7Spec extends AnyFunSuite {
     }
   }
 
+  test("d10: every reported span truly recurs, verbatim, in ≥2 docs") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq)
+    // driver-side ground truth: distinct (doc, 5-token span)
+    val byDocSpans = docs.map { case (id, ts) =>
+      id -> ts.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }
+    val df = collection.mutable.Map.empty[String, (Long, Long)] // span -> (count, firstDoc)
+    byDocSpans.foreach { case (id, spans) =>
+      spans.foreach { sp =>
+        val (c, f) = df.getOrElse(sp, (0L, Long.MaxValue))
+        df(sp) = (c + 1, math.min(f, id))
+      }
+    }
+    val got = SparkEntry.queries("d10_repeated_spans")(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 50)
+    got.foreach { r =>
+      val (span, n, first) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (c, f) = df(span)
+      assert(c == n, s"span '$span' claimed in $n docs, truly $c")
+      assert(f == first, s"span '$span' first doc")
+      assert(n >= 2)
+    }
+    // the cut keeps the max-df spans: no excluded span may beat the
+    // included minimum
+    val minKept = got.map(_.getLong(1)).min
+    val excludedMax = df.filterNot { case (sp, _) => got.exists(_.getString(0) == sp) }
+      .values.map(_._1).maxOption.getOrElse(0L)
+    assert(excludedMax <= minKept || got.length < 50,
+      "an excluded span out-ranks a kept one")
+  }
+
+  test("t19: matches a driver-side vocabulary recount") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val vocab = collection.mutable.Map.empty[String, Long]
+    docs.foreach(_.split("\\s+").filter(_.nonEmpty)
+      .foreach(w => vocab(w) = vocab.getOrElse(w, 0L) + 1))
+    val pairFreq = collection.mutable.Map.empty[String, Long]
+    // driver recount slices by CODEPOINTS to match both engines
+    vocab.foreach { case (w, wf) =>
+      val cps = w.codePoints().toArray
+      if (cps.length >= 2)
+        cps.sliding(2).foreach { p =>
+          val pair = new String(p, 0, 2)
+          pairFreq(pair) = pairFreq.getOrElse(pair, 0L) + wf
+        }
+    }
+    val expected = pairFreq.toSeq.sortBy { case (p, f) => (-f, p) }.take(20)
+    val got = SparkEntry.queries("t19_bpe_merge_candidates")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("s9: recall counters are self-consistent; multi-probe dominates") {
     val r = SparkEntry.queries("s9_ann_recall")(spark, sf).collect()
     assert(r.length == 1)
