@@ -161,7 +161,9 @@ object CorpusPipeline {
     * through the near-dup cluster key. See the query comment for the
     * scale shape. */
   def contaminationClusters(docs: DataFrame): DataFrame = {
-    val sh = DedupQueries.shinglesOf(docs)
+    // ONE tokenize+shingle pass feeds the bench probe, the direct-hit
+    // count, and the cluster-label derivation
+    val sh = DedupQueries.shinglesOf(docs).localCheckpoint(true)
     val bench = sh.filter(col("doc_id") < 10).select("shash").distinct()
     val hits = sh.filter(col("doc_id") >= 10)
       .join(broadcast(bench), Seq("shash"))
@@ -170,7 +172,7 @@ object CorpusPipeline {
       .select("doc_id")
       .localCheckpoint(true) // feeds bad-key derivation + the reason flag
     val keyed = docs.select("doc_id")
-      .join(broadcast(DedupQueries.clusterLabelsOf(docs)), Seq("doc_id"), "left")
+      .join(broadcast(DedupQueries.clusterLabelsFromShingles(sh)), Seq("doc_id"), "left")
       .withColumn("key", coalesce(col("cluster_id"), col("doc_id")))
     val badSeeds = hits.union(docs.filter(col("doc_id") < 10).select("doc_id"))
     val badKeys = keyed.join(broadcast(badSeeds), Seq("doc_id"))

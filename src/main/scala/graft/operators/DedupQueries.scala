@@ -171,8 +171,13 @@ object DedupQueries {
     clusterLabelsOf(Tables.load(s, d, "documents"))
 
   /** Same derivation over any (doc_id, text) frame. */
-  private[graft] def clusterLabelsOf(docs: DataFrame): DataFrame = {
-    val sh = shinglesOf(docs).localCheckpoint(true)
+  private[graft] def clusterLabelsOf(docs: DataFrame): DataFrame =
+    clusterLabelsFromShingles(shinglesOf(docs).localCheckpoint(true))
+
+  /** CC labels from an already-materialized (doc_id, shash) frame —
+    * callers that need the shingles for other passes too (c4) hand in
+    * one checkpointed frame instead of re-tokenizing the corpus. */
+  private[graft] def clusterLabelsFromShingles(sh: DataFrame): DataFrame = {
     val pairs = jaccardPairs(sh, 0.8, StopShingleMaxDf)
       .select("da", "db").localCheckpoint(true)
     connectedComponents(pairs)

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExprs.{char_fold_array, shingle_hashes, tokenize}
+
+/** Stateless per-document guards for a streaming ingest pipeline —
+  * the map-side filters that must run BEFORE any stateful stage
+  * (dedup, windowing) because they are pure row functions: admitting
+  * then retracting a contaminated document would poison downstream
+  * state.
+  *
+  * Benchmark decontamination (the streaming face of c2): a document is
+  * dropped when it shares ≥ `minHits` distinct n-token shingles with
+  * the held-out benchmark set. The benchmark's shingle hashes are a
+  * BOUNDED static set by definition, so they ride inside the plan and
+  * the whole guard is one in-row expression — no shuffle, no state, no
+  * stream-static join to re-plan per micro-batch; throughput is scan
+  * speed. At benchmark sizes where the literal array gets unwieldy
+  * (≳10⁶ shingles), the same shape swaps the exact set for
+  * `bloom_build`/`bloom_probe` (functions/BloomFilter): zero false
+  * negatives means no contamination slips through; false positives
+  * drop a few clean docs — the safe direction.
+  */
+object StreamGuards {
+
+  /** Distinct shingle hashes of a static benchmark corpus, collected
+    * to ride in-plan. Driver-side collect is intentional and bounded:
+    * this runs ONCE at stream start over the (small) benchmark set,
+    * never per batch and never over the corpus. */
+  def benchmarkShingles(bench: DataFrame, n: Int = 3): Array[Long] =
+    bench
+      .select(explode(shingle_hashes(char_fold_array(tokenize(col("text"))), n))
+        .as("shash"))
+      .distinct()
+      .collect().map(_.getLong(0)).sorted
+
+  /** Number of distinct shingles of `text` present in the benchmark
+    * set — the same count c2 computes relationally, as one compiled
+    * in-row expression. */
+  def benchHits(text: Column, benchShingles: Array[Long], n: Int = 3): Column =
+    size(array_intersect(
+      array_distinct(shingle_hashes(char_fold_array(tokenize(text)), n)),
+      typedlit(benchShingles.toSeq)))
+
+  /** Streaming-safe decontamination filter: keep documents with fewer
+    * than `minHits` benchmark shingle hits. Works identically on batch
+    * and streaming frames (stateless projection + filter). */
+  def decontaminated(
+      docs: DataFrame,
+      benchShingles: Array[Long],
+      minHits: Int = 3,
+      n: Int = 3): DataFrame =
+    docs.filter(benchHits(col("text"), benchShingles, n) < minHits)
+}
