@@ -153,6 +153,49 @@ object CorpusPipeline {
         .union(stage(qualified.join(broadcast(dropped), Seq("doc_id"), "left_anti"),
           "3_near_dup"))
         .orderBy("stage")
+    },
+
+    // ── c6: per-source corpus health — the dashboard row a data-ops
+    // team reads every morning: for each ingestion source, how many
+    // docs, what share are exact duplicates, what share fail the
+    // quality gate, what share are benchmark-contaminated. Each signal
+    // is a pure per-doc flag: in-row quality arithmetic, the broadcast
+    // benchmark probe, and a window-free exact-dup marker (join to the
+    // per-text keeper — content grouping needs one shuffle by design,
+    // exactly d1's; at 100 TB the join key becomes the text hash so
+    // the exchange never carries full text). Everything else is small
+    // broadcast enrichment + a ≤|sources| rollup. Rates in exact basis
+    // points — no float accumulation order to disagree about.
+    "c6_source_health" -> { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      // exact-dup flag: doc is a duplicate iff it is not its text's keeper
+      val keepers = docs.groupBy("text").agg(min("doc_id").as("keeper"))
+      val sh = DedupQueries.shinglesOf(docs)
+      val bench = sh.filter(col("doc_id") < 10).select("shash").distinct()
+      val contaminated = sh.filter(col("doc_id") >= 10)
+        .join(broadcast(bench), Seq("shash"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .filter(col("n_hits") >= 3).select("doc_id")
+        .withColumn("contam", lit(1L))
+      docs
+        .withColumn("toks", tokenize(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("low_quality",
+          when(col("n_tokens") < 10 ||
+            size(array_distinct(col("toks"))) / col("n_tokens").cast("double") < 0.3,
+            1L).otherwise(0L))
+        .join(keepers, Seq("text"))
+        .withColumn("dup", when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+        .join(broadcast(contaminated), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("dup").as("n_dups"),
+          sum("low_quality").as("n_low_quality"),
+          sum(coalesce(col("contam"), lit(0L))).as("n_contaminated"))
+        .withColumn("dup_bp", expr("n_dups * 10000 div n_docs"))
+        .withColumn("lowq_bp", expr("n_low_quality * 10000 div n_docs"))
+        .withColumn("contam_bp", expr("n_contaminated * 10000 div n_docs"))
+        .orderBy("source")
     }
   )
 
@@ -369,6 +412,35 @@ object CorpusPipeline {
             UNION ALL
             SELECT '3_near_dup', COUNT(*) FROM q
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
-          ORDER BY stage"""
+          ORDER BY stage""",
+    // c6 — the same distinct-shingle CTE chain as d2/c4 feeds the
+    // contamination flag; dup/quality flags are per-row arithmetic
+    "c6_source_health" ->
+      s"""WITH ${DedupQueries.shingleSql},
+          bench AS (SELECT DISTINCT shash FROM sh WHERE doc_id < 10),
+          contam AS (
+            SELECT doc_id FROM sh JOIN bench USING (shash)
+            WHERE doc_id >= 10 GROUP BY 1 HAVING COUNT(*) >= 3),
+          keepers AS (SELECT text, MIN(doc_id) AS keeper FROM documents GROUP BY text),
+          flags AS (
+            SELECT d.source,
+              CASE WHEN d.doc_id <> k.keeper THEN 1 ELSE 0 END AS dup,
+              CASE WHEN len(ts) < 10
+                     OR len(list_distinct(ts)) * 1.0 / len(ts) < 0.3
+                   THEN 1 ELSE 0 END AS lowq,
+              CASE WHEN d.doc_id IN (SELECT doc_id FROM contam)
+                   THEN 1 ELSE 0 END AS contam
+            FROM (SELECT doc_id, source, text,
+                    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+                  FROM documents) d
+            JOIN keepers k USING (text))
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(dup) AS BIGINT) AS n_dups,
+            CAST(SUM(lowq) AS BIGINT) AS n_low_quality,
+            CAST(SUM(contam) AS BIGINT) AS n_contaminated,
+            CAST(SUM(dup) AS BIGINT) * 10000 // COUNT(*) AS dup_bp,
+            CAST(SUM(lowq) AS BIGINT) * 10000 // COUNT(*) AS lowq_bp,
+            CAST(SUM(contam) AS BIGINT) * 10000 // COUNT(*) AS contam_bp
+          FROM flags GROUP BY source ORDER BY source"""
   )
 }

@@ -429,7 +429,7 @@ object DedupQueries {
 
   /** Shared CTEs: positioned token hashes + distinct shingle hashes —
     * the exact relational mirror of the Spark pipeline. */
-  private val shingleSql =
+  private[operators] val shingleSql =
     s"""tokens AS (
           SELECT doc_id, generate_subscripts(ts, 1) AS idx, unnest(ts) AS token
           FROM (SELECT doc_id,
