@@ -286,6 +286,42 @@ object SimilarityQueries {
           col("n_hits_multiprobe"),
           round(col("n_hits_multiprobe") / col("n_queries").cast("double"), 4)
             .as("recall_multiprobe"))
+    },
+
+    // ── s10: product-quantization codes — the compression layer a
+    // 100 TB vector store actually serves from: each 64-d vector is
+    // split into M=8 sub-vectors, each assigned to its nearest of K=4
+    // per-subspace centroids (deterministic stand-in codebook = the
+    // first K vectors' sub-vectors, s4's convention), packing a
+    // 256-byte embedding into a 16-bit code (2 bits × 8). The exact
+    // integer reconstruction error per vector is emitted as the
+    // codebook-quality monitor. Shape: one in-row explode to (vector,
+    // subspace), a broadcast of the K×M codebook, compiled integer
+    // dot products for the distances, min_by with a total (dist, k)
+    // order (tie → lowest code, engine-independent), and two partial
+    // aggregates keyed by vec_id — nothing quadratic, nothing
+    // interpreted.
+    "s10_pq_codes" -> { (s, d) =>
+      val (mSub, kCent, dSub) = (8, 4, 8)
+      val parts = vecs(s, d).select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${mSub - 1}), m -> struct(m AS m, slice(qv, m * $dSub + 1, $dSub) AS x))"))
+        .as("p"))
+        .select(col("vec_id"), col("p.m").as("m"), col("p.x").as("x"))
+        .localCheckpoint(true) // feeds the codebook side + the assignment side
+      val cents = parts.filter(col("vec_id") < kCent)
+        .select(col("vec_id").as("k"), col("m"), col("x").as("c"))
+      parts.join(broadcast(cents), Seq("m"))
+        .withColumn("dist2",
+          dot_long(col("x"), col("x")) - lit(2L) * dot_long(col("x"), col("c")) +
+            dot_long(col("c"), col("c")))
+        .groupBy("vec_id", "m")
+        .agg(min_by(struct(col("k"), col("dist2")),
+          struct(col("dist2"), col("k"))).as("b"))
+        .select(col("vec_id"), col("m"), col("b.k").as("k"), col("b.dist2").as("dist2"))
+        .groupBy("vec_id")
+        .agg(sum(expr("k * CAST(shiftleft(1, 2 * m) AS BIGINT)")).as("pq_code"),
+          sum("dist2").as("recon_err"))
+        .orderBy("vec_id")
     }
   )
 
@@ -526,6 +562,28 @@ object SimilarityQueries {
             CAST(SUM(CASE WHEN mvid = bvid THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_multiprobe,
             ROUND(CAST(SUM(CASE WHEN mvid = bvid THEN 1 ELSE 0 END) AS DOUBLE)
               / COUNT(*), 4) AS recall_multiprobe
-          FROM brute LEFT JOIN lsh USING (qid) LEFT JOIN mlsh USING (qid)"""
+          FROM brute LEFT JOIN lsh USING (qid) LEFT JOIN mlsh USING (qid)""",
+    // s10 — exploded-component spelling of the same exact integer
+    // arithmetic: (x−c)·(x−c) summed per (vector, subspace, centroid)
+    "s10_pq_codes" ->
+      s"""WITH $compsSql,
+          parts AS (
+            SELECT vec_id, idx // 8 AS m, idx % 8 AS j, q FROM c),
+          cents AS (
+            SELECT vec_id AS k, m, j, q AS cq FROM parts WHERE vec_id < 4),
+          dists AS (
+            SELECT p.vec_id, p.m, ce.k,
+              SUM((p.q - ce.cq) * (p.q - ce.cq)) AS dist2
+            FROM parts p JOIN cents ce ON p.m = ce.m AND p.j = ce.j
+            GROUP BY 1, 2, 3),
+          best AS (
+            SELECT vec_id, m, k, dist2 FROM (
+              SELECT vec_id, m, k, dist2,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist2, k) AS rk
+              FROM dists) WHERE rk = 1)
+          SELECT vec_id,
+            CAST(SUM(k * (CAST(1 AS BIGINT) << (2 * m))) AS BIGINT) AS pq_code,
+            CAST(SUM(dist2) AS BIGINT) AS recon_err
+          FROM best GROUP BY 1 ORDER BY vec_id"""
   )
 }

@@ -170,6 +170,24 @@ class PipelineOpsR7Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("s10: codebook vectors quantize to themselves with zero error") {
+    val rows = SparkEntry.queries("s10_pq_codes")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    assert(rows.length == n, "one code per vector")
+    // each code digit ∈ [0,4): code < 4^8; errors non-negative
+    assert(rows.forall { case (_, code, err) => code >= 0 && code < 65536 && err >= 0 })
+    // a centroid-source vector's every sub-vector is its own centroid:
+    // digit = k in all 8 subspaces (code = k·Σ4^m = k·21845), err = 0
+    (0L until 4L).foreach { k =>
+      val (_, code, err) = rows(k.toInt)
+      assert(err == 0, s"centroid vector $k reconstruction error")
+      assert(code == k * 21845L, s"centroid vector $k code")
+    }
+    // compression is non-trivial: codes are not all identical
+    assert(rows.map(_._2).distinct.length > 1)
+  }
+
   test("s9: recall counters are self-consistent; multi-probe dominates") {
     val r = SparkEntry.queries("s9_ann_recall")(spark, sf).collect()
     assert(r.length == 1)
