@@ -302,18 +302,7 @@ object SimilarityQueries {
     // aggregates keyed by vec_id — nothing quadratic, nothing
     // interpreted.
     "s10_pq_codes" -> { (s, d) =>
-      val (mSub, kCent, dSub) = (8, 4, 8)
-      val parts = vecs(s, d).select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${mSub - 1}), m -> struct(m AS m, slice(qv, m * $dSub + 1, $dSub) AS x))"))
-        .as("p"))
-        .select(col("vec_id"), col("p.m").as("m"), col("p.x").as("x"))
-        .localCheckpoint(true) // feeds the codebook side + the assignment side
-      val cents = parts.filter(col("vec_id") < kCent)
-        .select(col("vec_id").as("k"), col("m"), col("x").as("c"))
-      parts.join(broadcast(cents), Seq("m"))
-        .withColumn("dist2",
-          dot_long(col("x"), col("x")) - lit(2L) * dot_long(col("x"), col("c")) +
-            dot_long(col("c"), col("c")))
+      pqDists(s, d)
         .groupBy("vec_id", "m")
         .agg(min_by(struct(col("k"), col("dist2")),
           struct(col("dist2"), col("k"))).as("b"))
@@ -322,8 +311,56 @@ object SimilarityQueries {
         .agg(sum(expr("k * CAST(shiftleft(1, 2 * m) AS BIGINT)")).as("pq_code"),
           sum("dist2").as("recon_err"))
         .orderBy("vec_id")
+    },
+
+    // ── s11: PQ asymmetric-distance (ADC) top-k — the serving path of
+    // a PQ index: targets exist ONLY as their 2-bit-per-subspace codes
+    // (s10), a query precomputes its 8×4 distance table to the
+    // codebook, and the approximate distance is 8 table lookups summed
+    // — the raw target vectors are never touched at query time. Shape:
+    // the distance table (|queries|×8×4 rows) broadcasts; the code
+    // join is an equi-join on (subspace, code digit); per-(query,
+    // target) sums are partial aggregates; WindowGroupLimit takes
+    // top-5 per query. All integer-exact, so the engines agree on
+    // every distance and tie.
+    "s11_pq_adc_topk" -> { (s, d) =>
+      val dists = pqDists(s, d).localCheckpoint(true) // feeds codes + the distance table
+      val assign = dists.filter(col("vec_id") >= 5)
+        .groupBy("vec_id", "m")
+        .agg(min_by(col("k"), struct(col("dist2"), col("k"))).as("k"))
+      val dtable = dists.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("m"), col("k"), col("dist2"))
+      assign.join(broadcast(dtable), Seq("m", "k"))
+        .groupBy(col("qid"), col("vec_id").as("vid"))
+        .agg(sum("dist2").as("adist"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adist").asc, col("vid").asc)))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vid", "adist")
+        .orderBy("qid", "rank")
     }
   )
+
+  /** Shared PQ front end for s10/s11: exact integer L2² from every
+    * vector's M=8 sub-vectors to each of the K=4 per-subspace
+    * centroids (codebook = the first K vectors' sub-vectors, s4's
+    * stand-in convention). One in-row explode + a broadcast codebook
+    * join + compiled dots. */
+  private def pqDists(s: SparkSession, d: String): DataFrame = {
+    val (mSub, kCent, dSub) = (8, 4, 8)
+    val parts = vecs(s, d).select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${mSub - 1}), m -> struct(m AS m, slice(qv, m * $dSub + 1, $dSub) AS x))"))
+      .as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.x").as("x"))
+      .localCheckpoint(true) // feeds the codebook side + the assignment side
+    val cents = parts.filter(col("vec_id") < kCent)
+      .select(col("vec_id").as("k"), col("m"), col("x").as("c"))
+    parts.join(broadcast(cents), Seq("m"))
+      .withColumn("dist2",
+        dot_long(col("x"), col("x")) - lit(2L) * dot_long(col("x"), col("c")) +
+          dot_long(col("c"), col("c")))
+      .select("vec_id", "m", "k", "dist2")
+  }
 
   private val compsSql =
     """c AS (
@@ -584,6 +621,35 @@ object SimilarityQueries {
           SELECT vec_id,
             CAST(SUM(k * (CAST(1 AS BIGINT) << (2 * m))) AS BIGINT) AS pq_code,
             CAST(SUM(dist2) AS BIGINT) AS recon_err
-          FROM best GROUP BY 1 ORDER BY vec_id"""
+          FROM best GROUP BY 1 ORDER BY vec_id""",
+    // s11 — same parts/cents/dists chain; ADC = per-(query, target)
+    // sum of the query's table entries at the target's code digits
+    "s11_pq_adc_topk" ->
+      s"""WITH $compsSql,
+          parts AS (
+            SELECT vec_id, idx // 8 AS m, idx % 8 AS j, q FROM c),
+          cents AS (
+            SELECT vec_id AS k, m, j, q AS cq FROM parts WHERE vec_id < 4),
+          dists AS (
+            SELECT p.vec_id, p.m, ce.k,
+              SUM((p.q - ce.cq) * (p.q - ce.cq)) AS dist2
+            FROM parts p JOIN cents ce ON p.m = ce.m AND p.j = ce.j
+            GROUP BY 1, 2, 3),
+          best AS (
+            SELECT vec_id, m, k FROM (
+              SELECT vec_id, m, k,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist2, k) AS rk
+              FROM dists) WHERE rk = 1),
+          adc AS (
+            SELECT qd.vec_id AS qid, b.vec_id AS vid,
+              CAST(SUM(qd.dist2) AS BIGINT) AS adist
+            FROM best b JOIN dists qd ON b.m = qd.m AND b.k = qd.k
+            WHERE b.vec_id >= 5 AND qd.vec_id < 5
+            GROUP BY 1, 2)
+          SELECT qid, rank, vid, adist FROM (
+            SELECT qid, vid, adist,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+            FROM adc)
+          WHERE rank <= 5 ORDER BY qid, rank"""
   )
 }

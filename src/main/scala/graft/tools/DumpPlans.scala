@@ -55,7 +55,8 @@ object DumpPlans {
     "d10_repeated_spans" -> "repeated spans: hash-grouped rollup + top-50 cut BEFORE text recovery (span text never shuffles)",
     "t19_bpe_merge_candidates" -> "BPE merges: corpus → vocab hash-agg first, pair explode over distinct words only, TakeOrdered",
     "c6_source_health" -> "source health: one corpus scan, broadcast enrichments, basis-point rollup per source",
-    "s10_pq_codes" -> "PQ codes: in-row subspace explode, broadcast codebook, compiled dots, two partial aggs")
+    "s10_pq_codes" -> "PQ codes: in-row subspace explode, broadcast codebook, compiled dots, two partial aggs",
+    "s11_pq_adc_topk" -> "PQ ADC search: broadcast distance table, code equi-join, WindowGroupLimit top-5 — raw vectors untouched")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -188,6 +188,20 @@ class PipelineOpsR7Spec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.length > 1)
   }
 
+  test("s11: ADC serves 5 ranked candidates per query, distances monotone") {
+    val rows = SparkEntry.queries("s11_pq_adc_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5).toSeq, "dense ranks")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        "adist non-decreasing in rank")
+      assert(sorted.forall(_._3 >= 5L), "targets only")
+    }
+  }
+
   test("s9: recall counters are self-consistent; multi-probe dominates") {
     val r = SparkEntry.queries("s9_ann_recall")(spark, sf).collect()
     assert(r.length == 1)
