@@ -164,4 +164,49 @@ class PlanQualitySpec extends AnyFunSuite {
     // exact-distinct would add an expand + a (group, key) exchange
     assert(!plan.contains("Expand"), plan)
   }
+
+  test("sp6 shuffle never sorts the corpus in one task (bucketed rank only)") {
+    val plan = planOf("sp6_corpus_shuffle")
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toList
+    assert(windows.nonEmpty, plan)
+    windows.foreach(w =>
+      assert(w.contains("_bkt"), s"unpartitioned window in sp6:\n$plan"))
+  }
+
+  test("cluster-enrichment joins broadcast (d9, c3, c4); no NL join anywhere") {
+    for (name <- Seq("d9_dup_weights", "c3_leakage_safe_split",
+        "c4_contamination_clusters")) {
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$name:\n$plan")
+    }
+  }
+
+  test("d10 repeated spans: the top-k cut happens on hashes before text recovery") {
+    val plan = planOf("d10_repeated_spans")
+    // the heavy rollup groups by the 8-byte hash; the final join that
+    // re-attaches span text builds from the ≤50-row broadcast side
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("t18/t19 tokenizer analytics stay partial-agg + TakeOrdered, no window") {
+    val t18 = planOf("t18_bpe_pretokens")
+    assert("HashAggregate".r.findAllIn(t18).length >= 2, t18)
+    assert(!t18.contains("Window ["), t18)
+    val t19 = planOf("t19_bpe_merge_candidates")
+    assert(t19.contains("TakeOrderedAndProject"), t19)
+    assert(!t19.contains("Window ["), t19)
+  }
+
+  test("s10/s11 PQ: codebook and distance table broadcast; no NL join") {
+    for (name <- Seq("s10_pq_codes", "s11_pq_adc_topk")) {
+      val plan = planOf(name)
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$name:\n$plan")
+    }
+  }
 }
