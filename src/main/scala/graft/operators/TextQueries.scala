@@ -50,6 +50,41 @@ object TextQueries {
     s"regexp_replace(regexp_replace(regexp_replace($e, " +
       s"'$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'), '$DigitsRe', '<NUM>', 'g')"
 
+  /** Shared t3/t20 front end: per-doc stopword scores + the guess
+    * cascade, with the ground-truth label carried alongside. */
+  private def langGuess(s: SparkSession, d: String): DataFrame = {
+    val en = regexp_count(col("text"), lit("\\b(the|a|of)\\b"))
+    val fr = regexp_count(col("text"), lit("\\b(le|la|et|un)\\b"))
+    val es = regexp_count(col("text"), lit("\\b(el|los|y|una)\\b"))
+    val de = regexp_count(col("text"), lit("\\b(der|die|und|ein)\\b"))
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        en.as("s_en"), fr.as("s_fr"), es.as("s_es"), de.as("s_de"))
+      .withColumn("lang_guess",
+        when(col("s_en") >= greatest(col("s_fr"), col("s_es"), col("s_de")), "en")
+          .when(col("s_fr") >= greatest(col("s_es"), col("s_de")), "fr")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+  }
+
+  /** DuckDB spelling of [[langGuess]]'s score CTE + guess cascade —
+    * one definition feeds both the t3 and t20 oracles. */
+  private val langGuessSql: String =
+    """s AS (
+         SELECT doc_id, lang,
+           len(regexp_extract_all(text, '\b(the|a|of)\b')) AS s_en,
+           len(regexp_extract_all(text, '\b(le|la|et|un)\b')) AS s_fr,
+           len(regexp_extract_all(text, '\b(el|los|y|una)\b')) AS s_es,
+           len(regexp_extract_all(text, '\b(der|die|und|ein)\b')) AS s_de
+         FROM documents),
+       g AS (
+         SELECT doc_id, lang, s_en, s_fr, s_es, s_de,
+           CASE WHEN s_en >= GREATEST(s_fr, s_es, s_de) THEN 'en'
+                WHEN s_fr >= GREATEST(s_es, s_de) THEN 'fr'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS lang_guess
+         FROM s)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // token counting: whitespace tokens + distinct + a BPE-ish
@@ -90,18 +125,8 @@ object TextQueries {
     // with a fixed tie-break order. Deterministic classification —
     // the oracle checks the classifier, not ground truth.
     "t3_lang_id" -> { (s, d) =>
-      val en = regexp_count(col("text"), lit("\\b(the|a|of)\\b"))
-      val fr = regexp_count(col("text"), lit("\\b(le|la|et|un)\\b"))
-      val es = regexp_count(col("text"), lit("\\b(el|los|y|una)\\b"))
-      val de = regexp_count(col("text"), lit("\\b(der|die|und|ein)\\b"))
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"),
-          en.as("s_en"), fr.as("s_fr"), es.as("s_es"), de.as("s_de"))
-        .withColumn("lang_guess",
-          when(col("s_en") >= greatest(col("s_fr"), col("s_es"), col("s_de")), "en")
-            .when(col("s_fr") >= greatest(col("s_es"), col("s_de")), "fr")
-            .when(col("s_es") >= col("s_de"), "es")
-            .otherwise("de"))
+      langGuess(s, d)
+        .select("doc_id", "s_en", "s_fr", "s_es", "s_de", "lang_guess")
         .orderBy("doc_id")
     },
 
@@ -437,6 +462,21 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // ── t20: language-ID confusion matrix — the evaluation harness
+    // for t3's n-gram classifier, in the same mold as s9's ANN recall:
+    // the corpus carries ground-truth labels, so the guess quality is
+    // measurable in-engine. One scan (guess derives in the same
+    // projection as the label — no join), one ≤|langs|² rollup. The
+    // matrix makes the classifier's known blind spot legible: zh has
+    // no Latin stopwords, scores 0 everywhere, and falls to the 'en'
+    // tie-break arm — exactly what the report shows.
+    "t20_langid_confusion" -> { (s, d) =>
+      langGuess(s, d)
+        .groupBy("lang", "lang_guess")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_guess")
+    },
+
     // ── t19: BPE merge candidates — the first round of tokenizer
     // vocabulary induction at corpus scale: count adjacent character
     // pairs WITHIN words, weighted by word frequency, and rank the
@@ -523,19 +563,13 @@ object TextQueries {
              + (1.0 - n_stop * 1.0 / n_tokens) * 0.2, 4) AS quality
          FROM m ORDER BY doc_id""",
     "t3_lang_id" ->
-      """WITH s AS (
-           SELECT doc_id,
-             len(regexp_extract_all(text, '\b(the|a|of)\b')) AS s_en,
-             len(regexp_extract_all(text, '\b(le|la|et|un)\b')) AS s_fr,
-             len(regexp_extract_all(text, '\b(el|los|y|una)\b')) AS s_es,
-             len(regexp_extract_all(text, '\b(der|die|und|ein)\b')) AS s_de
-           FROM documents)
-         SELECT doc_id, s_en, s_fr, s_es, s_de,
-           CASE WHEN s_en >= GREATEST(s_fr, s_es, s_de) THEN 'en'
-                WHEN s_fr >= GREATEST(s_es, s_de) THEN 'fr'
-                WHEN s_es >= s_de THEN 'es'
-                ELSE 'de' END AS lang_guess
-         FROM s ORDER BY doc_id""",
+      s"""WITH $langGuessSql
+          SELECT doc_id, s_en, s_fr, s_es, s_de, lang_guess
+          FROM g ORDER BY doc_id""",
+    "t20_langid_confusion" ->
+      s"""WITH $langGuessSql
+          SELECT lang, lang_guess, COUNT(*) AS n
+          FROM g GROUP BY 1, 2 ORDER BY lang, lang_guess""",
     "t5_bigram_freq" ->
       """WITH tokens AS (
            SELECT doc_id, generate_subscripts(ts, 1) AS idx, unnest(ts) AS token

@@ -41,4 +41,32 @@ class StreamQuotaSpec extends AnyFunSuite {
       assert(de.map(_.rankInStratum).toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("composed ingest: the decontamination guard runs BEFORE quota admission") {
+    import spark.implicits._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = Seq((0L, benchText)).toDF("doc_id", "text")
+    val shingles = graft.streaming.StreamGuards.benchmarkShingles(bench)
+
+    val in = MemoryStream[Doc](spark)
+    // stateless guard first, stateful quota second — a contaminated
+    // doc must never consume a quota slot
+    val guarded = graft.streaming.StreamGuards
+      .decontaminated(in.toDF, shingles, minHits = 3).as[Doc]
+    val q = StreamQuota.quotaAdmit(guarded, quota = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("guarded_quota").start()
+    try {
+      in.addData(
+        Doc(10, "en", benchText + " extra tail"), // contaminated — must not take a slot
+        Doc(11, "en", "clean one two three four five"),
+        Doc(12, "en", "clean six seven eight nine ten"),
+        Doc(13, "en", "clean eleven twelve thirteen fourteen"))
+      q.processAllAvailable()
+      val admitted = spark.table("guarded_quota")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      // both slots go to clean docs: 11, 12 (doc_id order within batch)
+      assert(admitted.toSeq == Seq(11L, 12L))
+    } finally q.stop()
+  }
 }

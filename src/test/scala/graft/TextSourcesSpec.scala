@@ -80,4 +80,22 @@ class TextSourcesSpec extends AnyFunSuite {
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(readSchema.contains("batch_id") && !readSchema.contains("latency_ms"), plan)
   }
+
+  test("ORC round-trip preserves schema, values, and pushes filters down") {
+    val dir = Files.createTempDirectory("orc").toString + "/docs.orc"
+    val src = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    src.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema, "ORC must preserve the exact schema")
+    assert(back.count() == src.count())
+    // spot-check content equality on a deterministic slice
+    val a = src.filter(col("doc_id") < 20).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val b = back.filter(col("doc_id") < 20).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+    // predicate pushdown reaches the ORC scan too
+    val plan = back.filter(col("doc_id") === 7).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"), plan)
+  }
 }
