@@ -11,6 +11,26 @@ import graft.sources.Tables
   * aggregation order could otherwise leak in. */
 object AnalyticsQueries {
 
+  /** a14's moment formulas over the power sums (n, s1..s4) — ONE
+    * definition pasted verbatim into BOTH engines, so each computes
+    * the identical IEEE operation sequence. Only +,-,*,/ and sqrt
+    * (all correctly-rounded per IEEE 754) — no pow()/exp()/ln(),
+    * whose last-ulp behavior is libm-specific. */
+  private[operators] object MomentSql {
+    val mean = "(CAST(s1 AS DOUBLE) / n)"
+    val m2 = s"(CAST(s2 AS DOUBLE) / n - $mean * $mean)"
+    private val m3 =
+      s"(CAST(s3 AS DOUBLE) / n - 3 * $mean * (CAST(s2 AS DOUBLE) / n) + 2 * $mean * $mean * $mean)"
+    private val m4 =
+      s"(CAST(s4 AS DOUBLE) / n - 4 * $mean * (CAST(s3 AS DOUBLE) / n) + 6 * $mean * $mean * (CAST(s2 AS DOUBLE) / n) - 3 * $mean * $mean * $mean * $mean)"
+    val projections: Seq[String] = Seq(
+      s"ROUND($mean, 4) AS mean_qty",
+      s"ROUND($m2, 4) AS var_qty",
+      s"ROUND($m3 / ($m2 * sqrt($m2)), 4) AS skew_qty",
+      s"ROUND($m4 / ($m2 * $m2) - 3, 4) AS kurt_qty")
+    val finalCols: Seq[String] = Seq("flag", "n") ++ projections
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // HAVING: post-aggregation filter
@@ -425,6 +445,31 @@ object AnalyticsQueries {
       central.join(mode, Seq("flag")).orderBy("flag")
     },
 
+    // ── a14: higher central moments (variance / skewness / excess
+    // kurtosis) per group — distribution-shape profiling for mixture
+    // planning. NOT the engines' skewness()/kurtosis() aggregates:
+    // those differ between engines (sample vs population bias
+    // correction) and sum doubles in arrival order. Instead the four
+    // POWER SUMS Σq..Σq⁴ accumulate in exact BIGINT (l_quantity is
+    // integer-valued; Σq⁴ ≤ 50⁴·|lineitem| stays inside int64 up to
+    // ~10¹² rows), so partial aggregation order is free, and the
+    // moment formulas are ONE shared expression string (`MomentSql`)
+    // pasted into both engines — identical IEEE op sequence, identical
+    // doubles, no drift possible. Shape: one map-side-combined hash
+    // agg over a 3-key space; the moments are per-group scalar math.
+    "a14_higher_moments" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .selectExpr("l_returnflag AS flag", "CAST(l_quantity AS BIGINT) AS q")
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("s1"),
+          sum(col("q") * col("q")).as("s2"),
+          sum(col("q") * col("q") * col("q")).as("s3"),
+          sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+        .selectExpr(MomentSql.finalCols: _*)
+        .orderBy("flag")
+    },
+
     // ── u7: union across EVOLVED schemas (unionByName with missing
     // columns) — the ingest reality where yesterday's files lack
     // today's column. Position-based UNION would silently misalign or
@@ -716,6 +761,17 @@ object AnalyticsQueries {
          SELECT central.flag, med_qty, p25_disc, mode_qty, mode_n
          FROM central JOIN m ON central.flag = m.flag
          ORDER BY central.flag""",
+    // a14 — exact BIGINT power sums, then the SAME MomentSql formula
+    // text Spark evaluates (shared constant — cannot drift)
+    "a14_higher_moments" ->
+      s"""WITH a AS (
+           SELECT l_returnflag AS flag, COUNT(*) AS n,
+             SUM(q) AS s1, SUM(q * q) AS s2,
+             SUM(q * q * q) AS s3, SUM(q * q * q * q) AS s4
+           FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+           GROUP BY 1)
+         SELECT flag, n, ${MomentSql.projections.mkString(",\n           ")}
+         FROM a ORDER BY flag""",
     "u7_union_by_name" ->
       """WITH u AS (
            SELECT c_custkey AS key, c_name AS name,

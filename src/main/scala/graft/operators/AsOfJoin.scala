@@ -72,6 +72,46 @@ object AsOfJoin {
           col("asof.click_id").as("click_id"),
           expr("(ts_ns - asof.ts_ns) div 1000000000").as("gap_s"))
         .orderBy("purchase_id")
+    },
+
+    // ── j7: NEAREST-event join — as-of's bidirectional sibling (the
+    // "closest sensor reading" / session-attribution shape): each
+    // purchase matches the click of the same user with the smallest
+    // |Δt|, whichever side of it that click falls on. Same union +
+    // one-sort composition as [[asOf]] — a backward `last(ignoreNulls)`
+    // and a forward `first(ignoreNulls)` share ONE per-user sort (one
+    // shuffle, no range-join explosion, optimal at any scale). Every
+    // tie is total-ordered: sort is (t, side, event_id) so a click at
+    // the exact purchase time lands in the BACKWARD frame (gap 0,
+    // dir 'before'); equal-|Δt| prev/next resolves to prev; duplicate-
+    // ts clicks resolve to the highest id backward / lowest forward —
+    // both engines replay the identical rule.
+    "j7_nearest_click" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts_ns").as("t"),
+          when(col("event_type") === "click", 0).otherwise(1).as("side"))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("t").asc, col("side").asc, col("event_id").asc)
+      val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // (t, id) travel as ONE struct per direction → two Window
+      // operators instead of four, still a single per-user sort
+      val click = when(col("side") === 0, struct(col("t"), col("event_id").as("id")))
+      val pickPrev = col("prev").isNotNull &&
+        (col("next").isNull || (col("t") - col("prev.t")) <= (col("next.t") - col("t")))
+      ev
+        .withColumn("prev", last(click, ignoreNulls = true).over(wPrev))
+        .withColumn("next", first(click, ignoreNulls = true).over(wNext))
+        .filter(col("side") === 1 && (col("prev").isNotNull || col("next").isNotNull))
+        .select(
+          col("event_id").as("purchase_id"),
+          when(pickPrev, col("prev.id")).otherwise(col("next.id")).as("click_id"),
+          when(pickPrev, lit("before")).otherwise(lit("after")).as("dir"),
+          when(pickPrev, col("t") - col("prev.t"))
+            .otherwise(col("next.t") - col("t")).as("gap_ns"))
+        .selectExpr("purchase_id", "click_id", "dir", "gap_ns div 1000000000 AS gap_s")
+        .orderBy("purchase_id")
     }
   )
 
@@ -82,6 +122,40 @@ object AsOfJoin {
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts
-         ORDER BY purchase_id"""
+         ORDER BY purchase_id""",
+    // j7 — the identical union-window replay (DuckDB's ASOF JOIN is
+    // one-directional, so the oracle spells the same two frames over
+    // the same (t, side, event_id) total order).
+    "j7_nearest_click" ->
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_ns(ts) AS t,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         w AS (
+           SELECT *,
+             LAST_VALUE(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY t, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+             LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY t, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_id,
+             FIRST_VALUE(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY t, side, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t,
+             FIRST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY t, side, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_id
+           FROM e),
+         p AS (
+           SELECT *,
+             (prev_t IS NOT NULL AND (next_t IS NULL OR (t - prev_t) <= (next_t - t)))
+               AS pick_prev
+           FROM w
+           WHERE side = 1 AND (prev_t IS NOT NULL OR next_t IS NOT NULL))
+         SELECT event_id AS purchase_id,
+           CASE WHEN pick_prev THEN prev_id ELSE next_id END AS click_id,
+           CASE WHEN pick_prev THEN 'before' ELSE 'after' END AS dir,
+           (CASE WHEN pick_prev THEN t - prev_t ELSE next_t - t END) // 1000000000 AS gap_s
+         FROM p ORDER BY purchase_id"""
   )
 }

@@ -338,6 +338,44 @@ object SimilarityQueries {
         .filter(col("rank") <= 5)
         .select("qid", "rank", "vid", "adist")
         .orderBy("qid", "rank")
+    },
+
+    // ── s12: scalar (uint8) quantization codes — PQ's simpler sibling
+    // and the other standard vector-store compression: per-DIMENSION
+    // global [min, max] over the corpus, each component mapped to its
+    // nearest of 256 evenly spaced levels. Everything stays integer-
+    // exact: components are already integer millionths (qv), and
+    // nearest-level rounding is spelled as the integer floor division
+    // ((x−mn)·510 + (mx−mn)) div (2·(mx−mn)) — i.e. ⌊(x−mn)·255/(mx−mn)
+    // + ½⌋ with no floating point, so both engines agree on every code
+    // and every tie. The reconstruction residual is carried ×255 so it
+    // is also an exact integer; recon_err is its summed square (the
+    // codebook-quality monitor, in (millionth/255)² units). Shape: one
+    // 64-row per-dim min/max agg collapsed to a single broadcast
+    // bounds row, then pure in-row transforms — one scan, one tiny
+    // shuffle, nothing quadratic, no driver collect.
+    "s12_sq_codes" -> { (s, d) =>
+      val q = vecs(s, d).select(col("vec_id"), col("qv"))
+      val bounds = q
+        .select(posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("b"))
+      q.crossJoin(broadcast(bounds))
+        .withColumn("codes", expr(
+          """transform(qv, (x, i) ->
+               CASE WHEN b[i].mx = b[i].mn THEN 0
+                    ELSE CAST(((x - b[i].mn) * 510 + (b[i].mx - b[i].mn))
+                              DIV (2 * (b[i].mx - b[i].mn)) AS INT) END)"""))
+        .withColumn("errs", expr(
+          """transform(sequence(0, size(qv) - 1), i ->
+               (qv[i] - b[i].mn) * 255 - CAST(codes[i] AS BIGINT) * (b[i].mx - b[i].mn))"""))
+        // codes ship as the joined string — the one cross-engine-safe
+        // spelling of an array cell in the driver's hash compare
+        .select(col("vec_id"),
+          expr("array_join(codes, ',')").as("codes"),
+          expr("aggregate(transform(errs, e -> e * e), CAST(0 AS BIGINT), (a, e) -> a + e)")
+            .as("recon_err"))
+        .orderBy("vec_id")
     }
   )
 
@@ -650,6 +688,26 @@ object SimilarityQueries {
             SELECT qid, vid, adist,
               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
             FROM adc)
-          WHERE rank <= 5 ORDER BY qid, rank"""
+          WHERE rank <= 5 ORDER BY qid, rank""",
+    // s12 — relational replay of the scalar quantizer: per-dim bounds,
+    // the same integer floor-division nearest-level rounding, ×255
+    // integer residuals. All-BIGINT, so order of summation is free.
+    "s12_sq_codes" ->
+      s"""WITH $compsSql,
+          b AS (SELECT idx, MIN(q) AS mn, MAX(q) AS mx FROM c GROUP BY 1),
+          q1 AS (
+            SELECT c.vec_id, c.idx, c.q, b.mn, b.mx,
+              CASE WHEN mx = mn THEN 0
+                   ELSE CAST(((q - mn) * 510 + (mx - mn)) // (2 * (mx - mn)) AS INT)
+              END AS code
+            FROM c JOIN b USING (idx)),
+          e AS (
+            SELECT vec_id, idx, code,
+              (q - mn) * 255 - CAST(code AS BIGINT) * (mx - mn) AS err
+            FROM q1)
+          SELECT vec_id,
+            array_to_string(list(code ORDER BY idx), ',') AS codes,
+            CAST(SUM(err * err) AS BIGINT) AS recon_err
+          FROM e GROUP BY 1 ORDER BY vec_id"""
   )
 }

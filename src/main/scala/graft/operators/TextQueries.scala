@@ -496,6 +496,48 @@ object TextQueries {
         .groupBy("pair").agg(sum("wf").as("freq"))
         .orderBy(col("freq").desc, col("pair").asc)
         .limit(20)
+    },
+
+    // ── t21: corpus bigram-LM fluency/novelty score — the CCNet-style
+    // quality filter: fit an add-one-smoothed bigram model ON the
+    // corpus itself, then score each document by (a) the fraction of
+    // its bigrams that are corpus-rare (df ≤ 2) and (b) its mean
+    // smoothed bigram probability P(w2|w1) = (c+1)/(u+V), in ppm.
+    // House rule applies — no ln() (libm last-ulp differences between
+    // engines would poison the hash); the mean probability is the
+    // monotone-equivalent integer-ratio signal, and the per-doc sum
+    // runs over a SORTED probability list via a sequential left fold
+    // so both engines add identical doubles in an identical order.
+    // Scale shape: two hash aggs (bigram df, unigram df — vocabulary-
+    // sized, not corpus-sized), two shuffled equi-joins back onto the
+    // bigram stream, a broadcast 1-row vocab scalar, one per-doc agg.
+    // No all-pairs, no windows, no driver collect.
+    "t21_lm_novelty" -> { (s, d) =>
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), tokenize(col("text")).as("ts"))
+      val bi = toks
+        .select(col("doc_id"), explode(token_ngrams(col("ts"), 2)).as("bigram"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      val cdf = bi.groupBy("bigram").agg(count(lit(1)).as("c"))
+      val uni = toks.select(explode(col("ts")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("u"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      bi.join(cdf, "bigram")
+        .join(uni, "w1")
+        .crossJoin(broadcast(vocab))
+        .withColumn("p",
+          (col("c") + lit(1)).cast("double") / (col("u") + col("v")).cast("double"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(sum(when(col("c") <= 2, 1).otherwise(0)).cast("double") /
+            count(lit(1)).cast("double"), 4).as("rare_ratio"),
+          sort_array(collect_list(col("p"))).as("ps"))
+        .withColumn("mean_p_ppm",
+          round(lit(1000000.0) * aggregate(col("ps"), lit(0.0), (acc, x) => acc + x) /
+            col("n_bigrams").cast("double"), 4))
+        .select("doc_id", "n_bigrams", "rare_ratio", "mean_p_ppm")
+        .orderBy("doc_id")
     }
   )
 
@@ -785,6 +827,41 @@ object TextQueries {
            FROM (SELECT w, wf, unnest(generate_series(1, length(w) - 1)) AS i
                  FROM words WHERE length(w) >= 2))
          SELECT pair, CAST(SUM(wf) AS BIGINT) AS freq
-         FROM pairs GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20"""
+         FROM pairs GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""",
+    // t21 — the relational replay of the smoothed-bigram scorer. The
+    // per-doc probability sum folds over a SORTED list (list_reduce is
+    // a sequential left fold, matching Spark's `aggregate`), so both
+    // engines add identical IEEE doubles in an identical order.
+    "t21_lm_novelty" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         tok AS (
+           SELECT doc_id, generate_subscripts(ts, 1) AS idx, unnest(ts) AS token
+           FROM t),
+         bi AS (
+           SELECT doc_id, token AS w1, token || ' ' || next AS bigram FROM (
+             SELECT doc_id, idx, token,
+               LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS next
+             FROM tok)
+           WHERE next IS NOT NULL),
+         cdf AS (SELECT bigram, COUNT(*) AS c FROM bi GROUP BY 1),
+         uni AS (SELECT token, COUNT(*) AS u FROM tok GROUP BY 1),
+         vv AS (SELECT COUNT(*) AS v FROM uni),
+         p AS (
+           SELECT bi.doc_id, c, (c + 1) * 1.0 / (u + v) AS p
+           FROM bi JOIN cdf USING (bigram)
+                   JOIN uni ON uni.token = bi.w1
+                   CROSS JOIN vv),
+         g AS (
+           SELECT doc_id, COUNT(*) AS n_bigrams,
+             SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS n_rare,
+             list_sort(list(p)) AS ps
+           FROM p GROUP BY 1)
+         SELECT doc_id, n_bigrams,
+           ROUND(n_rare * 1.0 / n_bigrams, 4) AS rare_ratio,
+           ROUND(1000000.0 * list_reduce(ps, (a, b) -> a + b) / n_bigrams, 4) AS mean_p_ppm
+         FROM g ORDER BY doc_id"""
   )
 }
