@@ -33,7 +33,8 @@ object SparkEntry {
       operators.CorpusPipeline.queries ++
       operators.SamplingQueries.queries ++
       operators.ProfileQueries.queries ++
-      operators.TimeSeriesQueries.queries
+      operators.TimeSeriesQueries.queries ++
+      operators.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
       operators.CorpusPipeline.oracles ++
       operators.SamplingQueries.oracles ++
       operators.ProfileQueries.oracles ++
-      operators.TimeSeriesQueries.oracles
+      operators.TimeSeriesQueries.oracles ++
+      operators.GraphQueries.oracles
 }

@@ -91,6 +91,32 @@ object CdcQueries {
         .filter(col("n_rows") > 0)
         .select(col("g").as("event_type"), col("n_rows"), col("sum_cents"))
         .orderBy("event_type")
+    },
+
+    // ── SCD2 history build — the OTHER standard CDC sink shape beside
+    // the converged mirror (cdc_apply_state): instead of keeping only
+    // each key's last image, keep EVERY image as a versioned validity
+    // interval. An upsert at LSN t opens a version [t, next-change-t);
+    // the key's next change of ANY type (new upsert or delete) closes
+    // it; a version nothing closes is current (valid_to null). Deletes
+    // open nothing — a deleted key simply has no current row, matching
+    // the mirror exactly. One lead() window per key and a version
+    // counter over the kept rows — a single user_id exchange, integer
+    // LSNs and cents end to end.
+    "cdc_scd2_history" -> { (s, d) =>
+      val byKey = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
+        .withColumn("valid_to", lead(col("event_id"), 1).over(byKey))
+        .filter(col("event_type") =!= "error")
+        .withColumn("version", row_number().over(byKey))
+        .select(
+          col("user_id"), col("version"),
+          col("event_id").as("valid_from"), col("valid_to"),
+          col("value_cents"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "version")
     }
   )
 
@@ -130,6 +156,21 @@ object CdcQueries {
          SELECT event_type, COUNT(*) AS n_rows,
            CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM state WHERE event_type <> 'error'
-         GROUP BY 1 ORDER BY event_type"""
+         GROUP BY 1 ORDER BY event_type""",
+    // SCD2 — identical lead-then-filter replay: any next change closes
+    // the interval, only upserts open one
+    "cdc_scd2_history" ->
+      """WITH h AS (
+           SELECT user_id, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents,
+             LEAD(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+           FROM events),
+         k AS (
+           SELECT user_id, event_id AS valid_from, valid_to, value_cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS version
+           FROM h WHERE event_type <> 'error')
+         SELECT user_id, version, valid_from, valid_to, value_cents,
+           (valid_to IS NULL) AS is_current
+         FROM k ORDER BY user_id, version"""
   )
 }

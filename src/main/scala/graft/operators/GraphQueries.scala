@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Iterative graph analytics as dataflow — the second graph operator
+  * family beside connected components ([[DedupQueries]] d5): PageRank
+  * over the bipartite part↔supplier graph induced by lineitem.
+  *
+  * The BSP round (message = rank/out-degree along each edge, new rank
+  * = damped sum of incoming messages) is exactly one equi-join + one
+  * hash aggregate per iteration — the GraphX/Pregel shape spelled as
+  * DataFrames, so Catalyst handles partial aggregation and AQE the
+  * skew. Ranks live in integer MICRO-units with floor division at
+  * both division points, which makes every iteration bit-exact across
+  * engines and partitionings (no float accumulation order anywhere).
+  * Overflow headroom: a node's incoming sum is bounded by the total
+  * rank mass ≈ |V|·10⁶, so the ×850 000 step stays inside int64 up to
+  * ~10¹⁰ vertices; beyond that, a DECIMAL(38,0) accumulator is the
+  * swap (x5's pattern). A fixed 3 iterations keeps the lineage
+  * shallow; long-horizon runs would `localCheckpoint` per round like
+  * d5's label propagation.
+  *
+  * Node encoding: part → 2·partkey, supplier → 2·suppkey+1 — a single
+  * BIGINT join key, no string concat in the hot path.
+  */
+object GraphQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_pagerank" -> { (s, d) =>
+      val e = Tables.load(s, d, "lineitem")
+        .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val und = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val deg = und.groupBy("src").agg(count(lit(1)).as("outd"))
+      var rank = deg.select(col("src").as("nid"),
+        lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        rank = und
+          .join(rank.withColumnRenamed("nid", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst"), expr("r div outd").as("m"))
+          .groupBy("dst").agg(sum("m").as("acc"))
+          .select(col("dst").as("nid"),
+            expr("CAST(150000 AS BIGINT) + (CAST(850000 AS BIGINT) * acc) div 1000000")
+              .as("r"))
+      }
+      rank
+        .select(
+          when(col("nid") % 2 === 0, "part").otherwise("supplier").as("node_type"),
+          expr("nid div 2").as("node_id"),
+          col("r").as("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("node_type"), col("node_id"))
+        .limit(20)
+    }
+  )
+
+  def oracles: Map[String, String] = {
+    // one unrolled BSP round: identical integer message/damp math
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+            SELECT dst AS nid,
+              CAST(150000 + (850000 * CAST(SUM(r // outd) AS BIGINT)) // 1000000
+                AS BIGINT) AS r
+            FROM und JOIN $prev ON und.src = $prev.nid
+                     JOIN deg ON und.src = deg.src
+            GROUP BY dst)"""
+    Map(
+      "g1_pagerank" ->
+        s"""WITH e AS (
+              SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+              FROM lineitem),
+            und AS (
+              SELECT a AS src, b AS dst FROM e
+              UNION ALL
+              SELECT b AS src, a AS dst FROM e),
+            deg AS (SELECT src, COUNT(*) AS outd FROM und GROUP BY 1),
+            r0 AS (SELECT src AS nid, CAST(1000000 AS BIGINT) AS r FROM deg),
+            ${round("r0", "r1")},
+            ${round("r1", "r2")},
+            ${round("r2", "r3")}
+            SELECT CASE WHEN nid % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+              nid // 2 AS node_id, r AS rank_micro
+            FROM r3
+            ORDER BY rank_micro DESC, node_type, node_id LIMIT 20""")
+  }
+}

@@ -49,6 +49,54 @@ object ProfileQueries {
     "p7_profile_documents" -> { (s, d) =>
       profile(Tables.load(s, d, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))
+    },
+
+    // ── dq1: cross-table constraint report — the validation gate a
+    // pipeline runs before trusting a snapshot: referential integrity
+    // (LEFT-join null probes, so the FK check is one equi-join, never
+    // a per-row subquery), key uniqueness (count vs distinct), domain
+    // ranges, and a stored-vs-derived consistency probe. One row per
+    // check so downstream alerting consumes data, not logs. Each check
+    // is a single scan + agg; the dimension side of the FK probes
+    // broadcasts. At 100 TB the big-big FK probe (lineitem→orders) is
+    // the standard shuffled equi-join — nothing quadratic anywhere.
+    "dq1_constraint_report" -> { (s, d) =>
+      def checked(name: String, df: DataFrame, violation: Column): DataFrame =
+        df.agg(count(lit(1)).as("n_checked"),
+            count(when(violation, lit(1))).as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
+      val customer = Tables.load(s, d, "customer")
+      val orders = Tables.load(s, d, "orders")
+      val lineitem = Tables.load(s, d, "lineitem")
+      val fkOrders = checked("fk_orders_custkey",
+        orders.join(broadcast(customer.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left"),
+        col("c_custkey").isNull)
+      val fkLineitem = checked("fk_lineitem_orderkey",
+        lineitem.join(orders.select(col("o_orderkey").as("ref_okey")),
+          col("l_orderkey") === col("ref_okey"), "left"),
+        col("ref_okey").isNull)
+      val uniqCust = customer
+        .agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col("c_custkey"))).as("n_violations"))
+        .select(lit("unique_customer_key").as("check_name"),
+          col("n_checked"), col("n_violations"))
+      val uniqOrder = orders
+        .agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+        .select(lit("unique_order_key").as("check_name"),
+          col("n_checked"), col("n_violations"))
+      val rangeQty = checked("range_lineitem_qty", lineitem,
+        col("l_quantity").isNull || col("l_quantity") < 1 || col("l_quantity") > 50)
+      val nonnegValue = checked("nonneg_events_value", Tables.events(s, d),
+        col("value").isNull || col("value") < 0)
+      val docChars = checked("consistent_doc_nchars", Tables.load(s, d, "documents"),
+        col("n_chars") =!= length(col("text")))
+      Seq(fkOrders, fkLineitem, uniqCust, uniqOrder, rangeQty, nonnegValue, docChars)
+        .reduce(_ unionByName _)
+        .withColumn("status",
+          when(col("n_violations") === 0, "PASS").otherwise("FAIL"))
+        .orderBy("check_name")
     }
   )
 
@@ -63,6 +111,36 @@ object ProfileQueries {
   def oracles: Map[String, String] = Map(
     "p7_profile_documents" -> (
       Seq("doc_id", "lang", "source", "n_chars")
-        .map(colProfileSql).mkString("", " UNION ALL ", " ORDER BY column_name"))
+        .map(colProfileSql).mkString("", " UNION ALL ", " ORDER BY column_name")),
+    "dq1_constraint_report" ->
+      """WITH r AS (
+           SELECT 'fk_orders_custkey' AS check_name, COUNT(*) AS n_checked,
+             COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_violations
+           FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           UNION ALL
+           SELECT 'fk_lineitem_orderkey', COUNT(*),
+             COUNT(CASE WHEN oo.o_orderkey IS NULL THEN 1 END)
+           FROM lineitem l LEFT JOIN orders oo ON l.l_orderkey = oo.o_orderkey
+           UNION ALL
+           SELECT 'unique_customer_key', COUNT(*),
+             COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
+           UNION ALL
+           SELECT 'unique_order_key', COUNT(*),
+             COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+           UNION ALL
+           SELECT 'range_lineitem_qty', COUNT(*),
+             COUNT(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+                   THEN 1 END)
+           FROM lineitem
+           UNION ALL
+           SELECT 'nonneg_events_value', COUNT(*),
+             COUNT(CASE WHEN value IS NULL OR value < 0 THEN 1 END) FROM events
+           UNION ALL
+           SELECT 'consistent_doc_nchars', COUNT(*),
+             COUNT(CASE WHEN n_chars <> length(text) THEN 1 END) FROM documents)
+         SELECT check_name, n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CASE WHEN n_violations = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+         FROM r ORDER BY check_name"""
   )
 }
