@@ -43,7 +43,11 @@ object Bench {
     // (64-bit/16-bit bands) is, and stays benched. Timing d4 just
     // re-measures the shape d6 measures done right (r6 verdict item 4).
     val demoOnly = Set("d4_simhash_pairs")
+    // dev loop only: SPARK_GRAFT_BENCH_ONLY=q1,q2 re-times a subset
+    // (the driver never sets it, so its runs always cover everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = (SparkEntry.queries.keySet -- demoOnly).toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {

@@ -30,12 +30,17 @@ object GraphQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> { (s, d) =>
+      // edges and degrees feed EVERY iteration — pin them once
+      // (localCheckpoint truncates lineage; Bench's registry sweep
+      // frees the blocks after the run, same pattern as d5/s11)
       val e = Tables.load(s, d, "lineitem")
         .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
+        .localCheckpoint(true)
       val und = e.select(col("a").as("src"), col("b").as("dst"))
         .union(e.select(col("b").as("src"), col("a").as("dst")))
       val deg = und.groupBy("src").agg(count(lit(1)).as("outd"))
+        .localCheckpoint(true)
       var rank = deg.select(col("src").as("nid"),
         lit(1000000L).as("r"))
       for (_ <- 1 to 3) {

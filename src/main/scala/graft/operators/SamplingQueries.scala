@@ -135,17 +135,20 @@ object SamplingQueries {
       val eps = 0.001
       val ps = Seq(0.5, 0.95, 0.99)
       def clamp(p: Double): Double = math.min(1.0, math.max(0.0, p))
-      val lows = ps.map(p => clamp(p - 3 * eps)).mkString(", ")
-      val highs = ps.map(p => clamp(p + 3 * eps)).mkString(", ")
+      // ONE exact-percentile aggregate for all six bracket points —
+      // the per-group value map (the expensive part: ~|group| entries
+      // sorted once per group) is built and merged ONCE instead of
+      // twice; bounds are array slots [i] (lows) and [i+3] (highs)
+      val bracket = (ps.map(p => clamp(p - 3 * eps)) ++
+        ps.map(p => clamp(p + 3 * eps))).mkString(", ")
       def ok(i: Int): Column =
-        (col("ap")(i) >= col("lo")(i) && col("ap")(i) <= col("hi")(i))
+        (col("ap")(i) >= col("b")(i) && col("ap")(i) <= col("b")(i + 3))
       Tables.load(s, d, "lineitem")
         .groupBy(col("l_returnflag").as("flag"))
         .agg(
           count(lit(1)).as("n"),
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)").as("ap"),
-          expr(s"percentile(l_extendedprice, array($lows))").as("lo"),
-          expr(s"percentile(l_extendedprice, array($highs))").as("hi"))
+          expr(s"percentile(l_extendedprice, array($bracket))").as("b"))
         .select(col("flag"), col("n"),
           ok(0).as("ok50"), ok(1).as("ok95"), ok(2).as("ok99"))
         .orderBy("flag")

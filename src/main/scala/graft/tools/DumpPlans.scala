@@ -56,7 +56,14 @@ object DumpPlans {
     "t19_bpe_merge_candidates" -> "BPE merges: corpus → vocab hash-agg first, pair explode over distinct words only, TakeOrdered",
     "c6_source_health" -> "source health: one corpus scan, broadcast enrichments, basis-point rollup per source",
     "s10_pq_codes" -> "PQ codes: in-row subspace explode, broadcast codebook, compiled dots, two partial aggs",
-    "s11_pq_adc_topk" -> "PQ ADC search: broadcast distance table, code equi-join, WindowGroupLimit top-5 — raw vectors untouched")
+    "s11_pq_adc_topk" -> "PQ ADC search: broadcast distance table, code equi-join, WindowGroupLimit top-5 — raw vectors untouched",
+    "t21_lm_novelty" -> "bigram-LM scoring: vocabulary-sized df aggs, equi-joins back onto the bigram stream, sorted per-doc fold",
+    "s12_sq_codes" -> "scalar quantization: 64-row bounds agg broadcast as ONE row, in-row integer transforms, no explode in output",
+    "j7_nearest_click" -> "nearest-event join: backward+forward frames over ONE per-user sort, no range-join explosion",
+    "a14_higher_moments" -> "higher moments: exact BIGINT power sums in one map-side-combined agg, scalar math after",
+    "g1_pagerank" -> "PageRank: checkpointed edge/degree sets, per-iteration join+agg (BSP as dataflow), integer ranks",
+    "cdc_scd2_history" -> "SCD2 history: lead + row_number share one user_id exchange, intervals in pure integers",
+    "dq1_constraint_report" -> "constraint report: FK checks as LEFT-join null probes (dim side broadcasts), one agg row per check")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

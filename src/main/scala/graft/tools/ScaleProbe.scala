@@ -58,7 +58,7 @@ object ScaleProbe {
       "d5_dedup_clusters", "d6_simhash64_pairs", "d7_containment",
       "d8_cluster_reps", "d9_dup_weights",
       "c1_corpus_clean", "c2_decontaminate", "c3_leakage_safe_split",
-      "sp6_corpus_shuffle")
+      "sp6_corpus_shuffle", "t21_lm_novelty")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
