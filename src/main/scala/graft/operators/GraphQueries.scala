@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** Iterative graph analytics as dataflow — the second graph operator
-  * family beside connected components ([[DedupQueries]] d5): PageRank
-  * over the bipartite part↔supplier graph induced by lineitem.
+/** Graph analytics as dataflow — the graph operator family beside
+  * connected components ([[DedupQueries]] d5): PageRank over the
+  * bipartite part↔supplier graph induced by lineitem (g1), and exact
+  * degree-oriented triangle counting / clustering coefficient over
+  * the supplier co-supply projection (g2).
   *
   * The BSP round (message = rank/out-degree along each edge, new rank
   * = damped sum of incoming messages) is exactly one equi-join + one
@@ -60,6 +62,64 @@ object GraphQueries {
           col("r").as("rank_micro"))
         .orderBy(col("rank_micro").desc, col("node_type"), col("node_id"))
         .limit(20)
+    },
+
+    // ── g2: exact triangle count + global clustering coefficient over
+    // the supplier co-supply graph (suppliers adjacent iff they supply
+    // a common part). The classic MapReduce-era scale trap is wedge
+    // enumeration from high-degree vertices; the fix here is the
+    // standard degree-ordered orientation: each undirected edge points
+    // from the (degree, id)-smaller endpoint to the larger, so every
+    // wedge is enumerated at its LOWEST-degree vertex — out-degrees are
+    // O(√m)-bounded and the wedge self-join never explodes on hubs.
+    // Each triangle is counted exactly once (at its unique minimum
+    // vertex). Edge building has its own guard: a part with > 64
+    // suppliers would emit C(df,2) pairs, so hot parts are dropped via
+    // broadcast anti-join (d2's stop-shingle pattern; none trip at
+    // TPC-H shape — it is the 100 TB insurance, mirrored in the
+    // oracle). Wedge totals come from the degree table in closed form
+    // (Σ d·(d−1)/2), and the coefficient is integer micro-units — the
+    // whole query is exact at any parallelism. The oracle skips the
+    // orientation (DuckDB just 3-way-joins u<v<w) — same count, which
+    // is exactly the point: orientation is a physical optimization,
+    // not a semantic one.
+    "g2_triangles" -> { (s, d) =>
+      val sp = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val hot = sp.groupBy("pk").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 64)
+      val cold = sp.join(broadcast(hot.select("pk")), Seq("pk"), "left_anti")
+      val edges = cold.as("x").join(cold.as("y"), "pk")
+        .where(col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("u"), col("y.sk").as("v"))
+        .distinct()
+        .localCheckpoint(true) // feeds degrees, orientation AND the closing join
+      val deg = edges.select(col("u").as("n"))
+        .union(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val e2 = edges
+        .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      val lowFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = e2.select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("src"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
+      val wedges = oriented.as("o1")
+        .join(oriented.as("o2"), col("o1.src") === col("o2.src"))
+        .where(col("o1.dst") < col("o2.dst"))
+        .select(col("o1.dst").as("u"), col("o2.dst").as("v"))
+      val tri = wedges.join(edges, Seq("u", "v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      val ecnt = edges.agg(count(lit(1)).as("n_edges"))
+      stats.crossJoin(ecnt).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          expr("CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE (CAST(3000000 AS BIGINT) * n_triangles) div n_wedges END")
+            .as("cc_micro"))
     }
   )
 
@@ -90,6 +150,33 @@ object GraphQueries {
             SELECT CASE WHEN nid % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
               nid // 2 AS node_id, r AS rank_micro
             FROM r3
-            ORDER BY rank_micro DESC, node_type, node_id LIMIT 20""")
+            ORDER BY rank_micro DESC, node_type, node_id LIMIT 20""",
+      "g2_triangles" ->
+        """WITH sp AS (
+             SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+           hot AS (SELECT pk FROM sp GROUP BY pk HAVING COUNT(*) > 64),
+           cold AS (SELECT * FROM sp WHERE pk NOT IN (SELECT pk FROM hot)),
+           e AS (
+             SELECT DISTINCT x.sk AS u, y.sk AS v
+             FROM cold x JOIN cold y ON x.pk = y.pk AND x.sk < y.sk),
+           deg AS (
+             SELECT n, COUNT(*) AS deg
+             FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+             GROUP BY 1),
+           tri AS (
+             SELECT COUNT(*) AS n_triangles
+             FROM e e1
+             JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+           st AS (
+             SELECT COUNT(*) AS n_nodes,
+               CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+             FROM deg),
+           ec AS (SELECT COUNT(*) AS n_edges FROM e)
+           SELECT n_nodes, n_edges, n_wedges, n_triangles,
+             CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST((3000000 * n_triangles) // n_wedges AS BIGINT) END
+               AS cc_micro
+           FROM st, ec, tri""")
   }
 }

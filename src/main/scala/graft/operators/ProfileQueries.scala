@@ -97,6 +97,39 @@ object ProfileQueries {
         .withColumn("status",
           when(col("n_violations") === 0, "PASS").otherwise("FAIL"))
         .orderBy("check_name")
+    },
+
+    // ── dq2: robust outlier report — median/MAD price screening per
+    // supplier, the outlier gate that survives the heavy tails that
+    // break mean/stddev z-scores. Everything is exact integer cents:
+    // the medians are `percentile_disc` (an order statistic, so no
+    // interpolated doubles), |x−med| and the 3·MAD fence stay in
+    // BIGINT, and the result is bit-stable at any parallelism. Shape:
+    // the two-level median is the honest cost — two grouped aggregates
+    // and two equi-joins, ALL keyed on s_suppkey, so one hash
+    // partitioning serves every stage (supplier count grows with the
+    // corpus → no low-cardinality funnel; per-group sorts inside
+    // percentile_disc are group-local). Nothing is driver-side.
+    "dq2_outlier_mad" -> { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_suppkey").as("supp_id"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val med = li.groupBy("supp_id")
+        .agg(count(lit(1)).as("n_items"),
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)").as("med_cents"))
+      val dev = li.join(med, "supp_id")
+        .select(col("supp_id"), col("n_items"), col("med_cents"),
+          abs(col("cents") - col("med_cents")).as("adev"))
+      val mad = dev.groupBy("supp_id")
+        .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS BIGINT)").as("mad_cents"))
+      dev.join(mad, "supp_id")
+        .groupBy("supp_id")
+        .agg(first("n_items").as("n_items"),
+          first("med_cents").as("med_cents"),
+          first("mad_cents").as("mad_cents"),
+          count(when(col("adev") > col("mad_cents") * 3, lit(1))).as("n_out"))
+        .orderBy(col("n_out").desc, col("supp_id"))
+        .limit(15)
     }
   )
 
@@ -141,6 +174,32 @@ object ProfileQueries {
          SELECT check_name, n_checked,
            CAST(n_violations AS BIGINT) AS n_violations,
            CASE WHEN n_violations = 0 THEN 'PASS' ELSE 'FAIL' END AS status
-         FROM r ORDER BY check_name"""
+         FROM r ORDER BY check_name""",
+    "dq2_outlier_mad" ->
+      """WITH li AS (
+           SELECT l_suppkey AS supp_id,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+         med AS (
+           SELECT supp_id, COUNT(*) AS n_items,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+               AS med_cents
+           FROM li GROUP BY 1),
+         dev AS (
+           SELECT li.supp_id, n_items, med_cents,
+             abs(cents - med_cents) AS adev
+           FROM li JOIN med ON li.supp_id = med.supp_id),
+         mad AS (
+           SELECT supp_id,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS BIGINT)
+               AS mad_cents
+           FROM dev GROUP BY 1)
+         SELECT dev.supp_id AS supp_id, ANY_VALUE(n_items) AS n_items,
+           ANY_VALUE(med_cents) AS med_cents,
+           ANY_VALUE(mad.mad_cents) AS mad_cents,
+           COUNT(CASE WHEN adev > mad.mad_cents * 3 THEN 1 END) AS n_out
+         FROM dev JOIN mad ON dev.supp_id = mad.supp_id
+         GROUP BY dev.supp_id
+         ORDER BY n_out DESC, supp_id LIMIT 15"""
   )
 }

@@ -207,6 +207,34 @@ object SamplingQueries {
         .withColumn("rate_bp", least(lit(10000L), col("epochs_bp")))
         .select("lang", "n_docs", "avail_chars", "target_chars", "rate_bp", "epochs_bp")
         .orderBy("lang")
+    },
+
+    // ── sp8: temperature-scaled source rebalancing (α = 0.5) — the
+    // multilingual-training trick of sampling sources ∝ n^α so small
+    // sources are up-weighted without drowning large ones. α = 0.5 is
+    // deliberate: √n is the ONE non-integer op, and IEEE-754 requires
+    // sqrt to be exactly rounded, so `floor(sqrt(n)·10⁶)` is
+    // bit-identical in every engine — from there shares, boosts and
+    // doc targets stay in exact integer basis points. Shape: one
+    // hash aggregate over the corpus; the windowed share normalization
+    // runs over the HANDFUL of post-aggregation source rows (the
+    // unpartitioned window is over |sources| rows, not the corpus —
+    // deliberately after the agg, never before).
+    "sp8_temperature_mix" -> { (s, d) =>
+      val agg = Tables.load(s, d, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("sq_micro",
+          expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"))
+        .withColumn("tot_sq", sum("sq_micro").over())
+        .withColumn("tot_n", sum("n_docs").over())
+      agg.select(col("source"), col("n_docs"),
+          expr("sq_micro * 10000 div tot_sq").as("share_bp"),
+          expr("n_docs * 10000 div tot_n").as("natural_bp"))
+        .withColumn("boost_bp",
+          expr("CASE WHEN natural_bp = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE share_bp * 10000 div natural_bp END"))
+        .withColumn("target_docs", expr("share_bp * 500000 div 10000"))
+        .orderBy("source")
     }
   )
 
@@ -268,6 +296,25 @@ object SamplingQueries {
             target_chars * 10000 // avail_chars AS epochs_bp
           FROM t ORDER BY lang"""
     },
+    "sp8_temperature_mix" ->
+      """WITH a AS (
+           SELECT source, COUNT(*) AS n_docs,
+             CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT)
+               AS sq_micro
+           FROM documents GROUP BY 1),
+         t AS (
+           SELECT source, n_docs, sq_micro,
+             CAST(SUM(sq_micro) OVER () AS BIGINT) AS tot_sq,
+             CAST(SUM(n_docs) OVER () AS BIGINT) AS tot_n
+           FROM a)
+         SELECT source, n_docs,
+           sq_micro * 10000 // tot_sq AS share_bp,
+           n_docs * 10000 // tot_n AS natural_bp,
+           CASE WHEN n_docs * 10000 // tot_n = 0 THEN CAST(0 AS BIGINT)
+             ELSE (sq_micro * 10000 // tot_sq) * 10000 // (n_docs * 10000 // tot_n)
+             END AS boost_bp,
+           (sq_micro * 10000 // tot_sq) * 500000 // 10000 AS target_docs
+         FROM t ORDER BY source""",
     "sp6_corpus_shuffle" ->
       """SELECT ROW_NUMBER() OVER
             (ORDER BY (doc_id % 1000000007) * 654435747 % 1000000007, doc_id)
