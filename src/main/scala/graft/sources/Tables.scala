@@ -23,17 +23,31 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** The events table carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects by default; read nanos as a long (`ts_ns`) and
-    * derive a micros-truncated `ts` TimestampType column. Oracle-side
-    * (DuckDB) equivalents: `epoch_ns(ts)` and `ts` itself. */
+  /** The events table's `ts` has shipped in two physical spellings:
+    * TIMESTAMP(NANOS), which Spark's parquet reader rejects by default
+    * (read nanos as a long via `nanosAsLong`), and plain
+    * TIMESTAMP(MICROS) without a timezone, which Spark reads as
+    * TIMESTAMP_NTZ. Both normalize to the same logical schema:
+    * `ts_ns` BIGINT epoch-nanos + `ts` TimestampType (micros) —
+    * sessions pin UTC, so the NTZ cast is epoch-faithful and the
+    * DuckDB oracle equivalents stay `epoch_ns(ts)` / `ts`. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val normalized = raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TIMESTAMP_NTZ / TIMESTAMP micros
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * CAST(1000 AS BIGINT)"))
+    }
+    // stable column order regardless of source spelling
+    normalized.select("event_id", "ts_ns", "user_id", "event_type",
+      "value", "props", "ts")
   }
 
   /** Register every corpus table as a temp view so `spark.sql` text
