@@ -130,6 +130,72 @@ object ProfileQueries {
           count(when(col("adev") > col("mad_cents") * 3, lit(1))).as("n_out"))
         .orderBy(col("n_out").desc, col("supp_id"))
         .limit(15)
+    },
+
+    // ── dq3: Benford first-significant-digit audit — the fraud/
+    // corruption screen for financial-looking columns: the observed
+    // digit distribution of order totals vs Benford's law, with the
+    // per-digit χ² contribution. The first digit comes from the STRING
+    // head of exact integer cents (no log10 anywhere — libm log10 is
+    // not bit-identical across engines), the percentage is integer
+    // half-up at 4 dp (a7's `(2·s·n + d) div (2d)` idiom), and the
+    // Benford expectations are pinned 4-dp integer constants, so every
+    // output double is derived from integers by one IEEE division —
+    // bit-stable on any engine and any parallelism. Shape: one scan →
+    // 9-row hash agg → broadcast scalar total; nothing grows with the
+    // corpus after the first agg.
+    "dq3_benford" -> { (s, d) =>
+      val counts = Tables.load(s, d, "orders")
+        .select(substring(
+            expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("pct4", expr("(2 * n * 1000000 + total) div (2 * total)"))
+        .withColumn("b4", expr(
+          "element_at(map(1, 301030L, 2, 176091L, 3, 124939L, 4, 96910L, " +
+            "5, 79181L, 6, 66947L, 7, 57992L, 8, 51153L, 9, 45757L), digit)"))
+        .select(col("digit"), col("n"),
+          (col("pct4").cast("double") / 10000).as("pct"),
+          (col("b4").cast("double") / 10000).as("benford_pct"),
+          (expr("CAST((pct4 - b4) * (pct4 - b4) AS DOUBLE)") /
+            expr("CAST(b4 * 10000 AS DOUBLE)")).as("chi2"))
+        .orderBy("digit")
+    },
+
+    // ── dq4: schema-drift report — the regression check between two
+    // snapshots of the same feed: split events at the midpoint of its
+    // time range and compare the halves column-wise. Per event_type:
+    // share of each half (integer 4-dp percent), the share drift in
+    // percentage points, and the mean value of each half in exact
+    // integer micros. A training pipeline runs exactly this before
+    // appending a new crawl: distribution shift shows up as drift_pp,
+    // a silent unit change as a mean jump. Shape: a min/max pass
+    // broadcast as the split point, then one scan with conditional
+    // aggregates — per-type rows, totals re-broadcast; no shuffle
+    // beyond the event_type hash agg in either pass.
+    "dq4_schema_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("ts_ns"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vmicro"))
+      val mid = ev.agg(expr("(min(ts_ns) + max(ts_ns)) div 2").as("mid"))
+      val g = ev.crossJoin(broadcast(mid))
+        .groupBy("event_type")
+        .agg(count(when(col("ts_ns") <= col("mid"), lit(1))).as("n_a"),
+          count(when(col("ts_ns") > col("mid"), lit(1))).as("n_b"),
+          sum(when(col("ts_ns") <= col("mid"), col("vmicro"))).as("va"),
+          sum(when(col("ts_ns") > col("mid"), col("vmicro"))).as("vb"))
+      val tot = g.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("pa4", expr("(2 * n_a * 1000000 + ta) div (2 * ta)"))
+        .withColumn("pb4", expr("(2 * n_b * 1000000 + tb) div (2 * tb)"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          (col("pa4").cast("double") / 10000).as("pct_a"),
+          (col("pb4").cast("double") / 10000).as("pct_b"),
+          (abs(col("pa4") - col("pb4")).cast("double") / 10000).as("drift_pp"),
+          expr("va div n_a").as("mean_a_micro"),
+          expr("vb div n_b").as("mean_b_micro"))
+        .orderBy("event_type")
     }
   )
 
@@ -200,6 +266,56 @@ object ProfileQueries {
            COUNT(CASE WHEN adev > mad.mad_cents * 3 THEN 1 END) AS n_out
          FROM dev JOIN mad ON dev.supp_id = mad.supp_id
          GROUP BY dev.supp_id
-         ORDER BY n_out DESC, supp_id LIMIT 15"""
+         ORDER BY n_out DESC, supp_id LIMIT 15""",
+    "dq3_benford" ->
+      """WITH c AS (
+           SELECT CAST(substring(
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+             AS INTEGER) AS digit,
+             COUNT(*) AS n
+           FROM orders GROUP BY 1),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+         b(bdigit, b4) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+           (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+           (9, 45757)),
+         p AS (
+           SELECT digit, n,
+             (2 * n * 1000000 + total) // (2 * total) AS pct4,
+             CAST(b4 AS BIGINT) AS b4
+           FROM c CROSS JOIN t JOIN b ON b.bdigit = c.digit)
+         SELECT digit, n,
+           CAST(pct4 AS DOUBLE) / 10000 AS pct,
+           CAST(b4 AS DOUBLE) / 10000 AS benford_pct,
+           CAST((pct4 - b4) * (pct4 - b4) AS DOUBLE)
+             / CAST(b4 * 10000 AS DOUBLE) AS chi2
+         FROM p ORDER BY digit""",
+    "dq4_schema_drift" ->
+      """WITH ev AS (
+           SELECT event_type, epoch_ns(ts) AS ts_ns,
+             CAST(round(value * 1000000) AS BIGINT) AS vmicro
+           FROM events),
+         m AS (SELECT (MIN(ts_ns) + MAX(ts_ns)) // 2 AS mid FROM ev),
+         g AS (
+           SELECT event_type,
+             COUNT(CASE WHEN ts_ns <= mid THEN 1 END) AS n_a,
+             COUNT(CASE WHEN ts_ns > mid THEN 1 END) AS n_b,
+             SUM(CASE WHEN ts_ns <= mid THEN vmicro END) AS va,
+             SUM(CASE WHEN ts_ns > mid THEN vmicro END) AS vb
+           FROM ev CROSS JOIN m GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                      CAST(SUM(n_b) AS BIGINT) AS tb FROM g),
+         p AS (
+           SELECT event_type, n_a, n_b,
+             (2 * n_a * 1000000 + ta) // (2 * ta) AS pa4,
+             (2 * n_b * 1000000 + tb) // (2 * tb) AS pb4,
+             CAST(va // n_a AS BIGINT) AS mean_a_micro,
+             CAST(vb // n_b AS BIGINT) AS mean_b_micro
+           FROM g CROSS JOIN t)
+         SELECT event_type, n_a, n_b,
+           CAST(pa4 AS DOUBLE) / 10000 AS pct_a,
+           CAST(pb4 AS DOUBLE) / 10000 AS pct_b,
+           CAST(abs(pa4 - pb4) AS DOUBLE) / 10000 AS drift_pp,
+           mean_a_micro, mean_b_micro
+         FROM p ORDER BY event_type"""
   )
 }
