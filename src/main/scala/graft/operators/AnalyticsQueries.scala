@@ -191,6 +191,39 @@ object AnalyticsQueries {
         .orderBy("bin")
     },
 
+    // ── a15: equi-DEPTH histogram — a10's complement and the shape
+    // query optimizers and data profilers actually want (equal mass
+    // per bucket, not equal width). Two passes by construction:
+    // (1) one ordered-set aggregate computes all seven OCTILE
+    // boundaries (exact integer cents via percentile_disc — order
+    // statistics, never interpolated doubles; k/8 fractions are exact
+    // binary doubles, so the ⌈p·n⌉ rank index can never straddle an
+    // integer boundary differently across engines — k/10 deciles
+    // could), broadcast as a single row; (2) one scan assigns bucket
+    // = #boundaries strictly below the value (seven codegen'd
+    // comparisons, no sort, no window) and hash-aggregates
+    // count/lo/hi per bucket. At 100 TB the exact octile pass is the
+    // only global sort — swap percentile_disc for approx_percentile
+    // (mergeable t-digest) and the same two-pass shape holds with no
+    // other change.
+    "a15_equidepth_hist" -> { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val boundAggs = (1 to 7).map(k =>
+        expr(s"CAST(percentile_disc(${k / 8.0}) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
+          .as(s"b$k"))
+      val bounds = li.agg(boundAggs.head, boundAggs.tail: _*)
+      val bucket = (1 to 7)
+        .map(k => when(col("cents") > col(s"b$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      li.crossJoin(broadcast(bounds))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+        .orderBy("bucket")
+    },
+
     // ── x14: grouped collect — per-group ordered value list surfaced
     // as a delimited string (cross-engine list representations differ;
     // the joined string compares exactly). collect_list order is
@@ -656,6 +689,24 @@ object AnalyticsQueries {
       """SELECT CAST(FLOOR(value / 50) AS INT) AS bin, COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY bin""",
+    "a15_equidepth_hist" -> {
+      val boundDefs = (1 to 7).map(k =>
+        s"CAST(percentile_disc(${k / 8.0}) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS b$k")
+        .mkString(",\n             ")
+      val bucketExpr = (1 to 7)
+        .map(k => s"(CASE WHEN cents > b$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH li AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+         b AS (
+           SELECT $boundDefs
+           FROM li)
+         SELECT CAST($bucketExpr AS INTEGER) AS bucket,
+           COUNT(*) AS n, MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+         FROM li CROSS JOIN b
+         GROUP BY 1 ORDER BY bucket"""
+    },
     // the oracle checks the HLL bracket boolean (plus keys and exact
     // counts); `true` is the contract — an out-of-bound estimate
     // hashes as `false` and fails the gate

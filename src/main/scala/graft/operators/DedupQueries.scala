@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashExprs.{char_fold, char_fold_array, shingle_hashes, simhash16, simhash64, tokenize, winnow}
@@ -203,6 +204,39 @@ object DedupQueries {
       // joins on explicit keys, no broadcast decision to lose)
       val sh = shingleSets(s, d).localCheckpoint(true)
       jaccardPairs(sh, 0.8, StopShingleMaxDf)
+    },
+
+    // ── d11: prefix-filtered set-similarity join (the PPJoin family,
+    // Xiao et al.) — the EXACT-threshold spelling that scales without
+    // d2's lossy frequency cut. Under one global token order (rarest
+    // first: ascending document frequency, shash tie-break), any pair
+    // with Jaccard ≥ t must share a token inside both docs' PREFIXES
+    // of length |d| − ⌈t·|d|⌉ + 1 (pigeonhole on the ≥ t·|d| overlap
+    // that J ≥ t forces). So the candidate join touches only prefix
+    // tokens — by construction the RAREST tokens of each doc, whose
+    // per-key fan-out is smallest — and exact verification runs only
+    // on candidates. Same output as d2 with its guard inert, but the
+    // join volume shrinks by the t-fraction suffix instead of by
+    // dropping hot keys: no lower-bound caveat, still no O(n²)
+    // anywhere. Cost shape: one df aggregate, one per-doc window
+    // (group-local sort, partitioned by doc_id — never global), one
+    // equi-join on prefix tokens, then the shared verify join.
+    "d11_prefix_filter" -> { (s, d) =>
+      val sh = shingleSets(s, d).localCheckpoint(true) // positions + verify + sizes
+      val dfreq = sh.groupBy("shash").agg(count(lit(1)).as("df"))
+      val pos = sh.join(dfreq, "shash")
+        .withColumn("p", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("shash"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      // prefix length for t = 0.8: n − ⌈4n/5⌉ + 1, all-integer
+      val pref = pos
+        .filter(col("p") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+        .select("doc_id", "shash")
+      val cand = pref.as("x").join(pref.as("y"),
+          col("x.shash") === col("y.shash") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      jaccardOf(cand, sh, 0.8)
     },
 
     // MinHash + LSH banding: K=8 signature, 4 bands × 2 rows;
@@ -517,6 +551,25 @@ object DedupQueries {
             SELECT da, db, i * 1.0 / (ca.n + cb.n - i) AS j
             FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)
           WHERE j >= 0.8 ORDER BY da, db""",
+    // same global (df, shash) order, same ⌈4n/5⌉ prefix bound, same
+    // verify chain — the oracle replays the prefix filter end to end
+    "d11_prefix_filter" ->
+      s"""WITH $shingleSql,
+          dfreq AS (SELECT shash, COUNT(*) AS df FROM sh GROUP BY 1),
+          pos AS (
+            SELECT doc_id, sh.shash,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY dfreq.df, sh.shash) AS p,
+              COUNT(*) OVER (PARTITION BY doc_id) AS n
+            FROM sh JOIN dfreq ON sh.shash = dfreq.shash),
+          pref AS (
+            SELECT doc_id, shash FROM pos
+            WHERE p <= n - ((4 * n + 4) // 5) + 1),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+            FROM pref x JOIN pref y
+              ON x.shash = y.shash AND x.doc_id < y.doc_id),
+          ${jaccardSql("cand")}""",
     // recursive-CTE reachability mirror of the iterative CC loop:
     // cluster_id = MIN over all reachable nodes
     "d5_dedup_clusters" ->

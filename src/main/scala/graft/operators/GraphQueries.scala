@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -120,6 +121,59 @@ object GraphQueries {
           expr("CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) " +
             "ELSE (CAST(3000000 AS BIGINT) * n_triangles) div n_wedges END")
             .as("cc_micro"))
+    },
+
+    // ── g3: co-purchase recommendations — item-to-item collaborative
+    // filtering over the part co-purchase graph (parts adjacent iff
+    // they appear in a common order): for each FOCUS part, the top-5
+    // non-adjacent parts ranked by the resource-allocation link-
+    // prediction index (Zhou–Lü–Zhang: Σ 1/deg(w) over shared
+    // neighbors w), plus the raw common-neighbor count. RA stays in
+    // exact integer micros (1000000 div deg — no log, no float), so
+    // the ranking is bit-stable. The scale story is the FOCUS SET:
+    // full all-pairs link prediction is Θ(Σ deg²) wedges (~150 M at
+    // sf0.1 and growing with the corpus), but recommendations are
+    // served per seed item, and restricting wedge enumeration to
+    // centers adjacent to a focus part bounds the work at
+    // |focus|·deg² regardless of corpus size. Guards mirror g2: hot
+    // orders (> 64 distinct parts) are cut from edge building, and
+    // hub centers (degree > 256) contribute no wedges — RA weight
+    // ≤ 1/256 is noise at exactly the point where C(deg,2) explodes.
+    // Weights still use TRUE degrees; both guards live in the oracle
+    // too. The per-focus top-5 is a window PARTITIONED by the focus
+    // part — never a global sort.
+    "g3_copurchase_recs" -> { (s, d) =>
+      val op = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val hot = op.groupBy("ok").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 64)
+      val cold = op.join(broadcast(hot.select("ok")), Seq("ok"), "left_anti")
+      val edges = cold.as("x").join(cold.as("y"), "ok")
+        .where(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("u"), col("y.pk").as("v"))
+        .distinct()
+        .localCheckpoint(true) // feeds adjacency twice + the novelty anti-join
+      val und = edges.select(col("u").as("w"), col("v").as("n"))
+        .union(edges.select(col("v").as("w"), col("u").as("n")))
+      val deg = und.groupBy("w").agg(count(lit(1)).as("deg"))
+      val ctr = und.join(deg, "w").filter(col("deg") <= 256)
+      val fromFocus = ctr.filter(col("n") < 50)
+        .select(col("w"), col("n").as("seed"), col("deg").as("degw"))
+      val scored = fromFocus.join(ctr.select(col("w"), col("n").as("rec")), "w")
+        .where(col("seed") =!= col("rec"))
+        .groupBy("seed", "rec")
+        .agg(count(lit(1)).as("cn"),
+          sum(expr("1000000 div degw")).as("ra_micro"))
+      val adjacent = und.select(col("w").as("seed"), col("n").as("rec"))
+      scored.join(adjacent, Seq("seed", "rec"), "left_anti")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("seed")
+            .orderBy(col("ra_micro").desc, col("rec"))))
+        .filter(col("rk") <= 5)
+        .select(col("seed").as("part_id"), col("rec").as("rec_part_id"),
+          col("cn"), col("ra_micro"), col("rk"))
+        .orderBy("part_id", "rk")
     }
   )
 
@@ -177,6 +231,39 @@ object GraphQueries {
              CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
                ELSE CAST((3000000 * n_triangles) // n_wedges AS BIGINT) END
                AS cc_micro
-           FROM st, ec, tri""")
+           FROM st, ec, tri""",
+      "g3_copurchase_recs" ->
+        """WITH op AS (
+             SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           hot AS (SELECT ok FROM op GROUP BY ok HAVING COUNT(*) > 64),
+           cold AS (SELECT * FROM op WHERE ok NOT IN (SELECT ok FROM hot)),
+           e AS (
+             SELECT DISTINCT x.pk AS u, y.pk AS v
+             FROM cold x JOIN cold y ON x.ok = y.ok AND x.pk < y.pk),
+           und AS (
+             SELECT u AS w, v AS n FROM e
+             UNION ALL
+             SELECT v AS w, u AS n FROM e),
+           deg AS (SELECT w, COUNT(*) AS deg FROM und GROUP BY 1),
+           ctr AS (
+             SELECT und.w, n, deg FROM und JOIN deg ON und.w = deg.w
+             WHERE deg <= 256),
+           ff AS (SELECT w, n AS seed, deg AS degw FROM ctr WHERE n < 50),
+           sc AS (
+             SELECT seed, b.n AS rec, COUNT(*) AS cn,
+               CAST(SUM(1000000 // degw) AS BIGINT) AS ra_micro
+             FROM ff JOIN ctr b ON ff.w = b.w AND ff.seed <> b.n
+             GROUP BY 1, 2),
+           nov AS (
+             SELECT sc.seed, sc.rec, cn, ra_micro
+             FROM sc LEFT JOIN und ON sc.seed = und.w AND sc.rec = und.n
+             WHERE und.w IS NULL),
+           rk AS (
+             SELECT seed, rec, cn, ra_micro,
+               row_number() OVER (PARTITION BY seed
+                 ORDER BY ra_micro DESC, rec) AS rk
+             FROM nov)
+           SELECT seed AS part_id, rec AS rec_part_id, cn, ra_micro, rk
+           FROM rk WHERE rk <= 5 ORDER BY part_id, rk""")
   }
 }

@@ -376,6 +376,40 @@ object SimilarityQueries {
           expr("aggregate(transform(errs, e -> e * e), CAST(0 AS BIGINT), (a, e) -> a + e)")
             .as("recon_err"))
         .orderBy("vec_id")
+    },
+
+    // ── s13: one Lloyd assignment step (k-means, k = 8, seeds =
+    // vec_id < 8) — the clustering primitive under IVF cell builds
+    // (s4) and corpus bucketing: every vector goes to its nearest
+    // centroid by exact quantized L2², reported per centroid as
+    // population + inertia. Identity |v−c|² = v·v + c·c − 2·v·c keeps
+    // every distance in the compiled DotLong expression (three per-row
+    // integer dots, no explode, no 64× component shuffle); the seed
+    // side broadcasts, so assignment is map-side over the corpus and
+    // the only shuffle carries k rows. Ties break to the lowest
+    // centroid id via a lexicographic struct-min. A full k-means run
+    // is this step iterated with s5-style centroid recomputation;
+    // inertia is the convergence scalar. Overflow: worst-case |v−c|²
+    // for unit-scale 64-d quantized vectors is 4·(10⁶)²·64 ≈ 2.6e14,
+    // so an int64 inertia is safe to ~3.6e4 worst-case vectors per
+    // centroid (real nearest-centroid distances sit far below worst
+    // case); a corpus-scale run swaps the accumulator to
+    // DECIMAL(38,0) (x5's pattern).
+    "s13_kmeans_assign" -> { (s, d) =>
+      val v = vecs(s, d).select(col("vec_id"), col("qv"),
+        dot_long(col("qv"), col("qv")).as("vv"))
+      val seeds = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("sid"), col("qv").as("sv"), col("vv").as("ss"))
+      v.crossJoin(broadcast(seeds))
+        .withColumn("d2",
+          col("vv") + col("ss") - lit(2L) * dot_long(col("qv"), col("sv")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("sid"))).as("m"))
+        .select(col("vec_id"), col("m.sid").as("centroid_id"), col("m.d2").as("d2"))
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_assigned"), sum("d2").as("inertia"))
+        .withColumn("mean_dist", expr("inertia div n_assigned"))
+        .orderBy("centroid_id")
     }
   )
 
@@ -708,6 +742,24 @@ object SimilarityQueries {
           SELECT vec_id,
             array_to_string(list(code ORDER BY idx), ',') AS codes,
             CAST(SUM(err * err) AS BIGINT) AS recon_err
-          FROM e GROUP BY 1 ORDER BY vec_id"""
+          FROM e GROUP BY 1 ORDER BY vec_id""",
+    "s13_kmeans_assign" ->
+      s"""WITH $compsSql,
+          seeds AS (SELECT vec_id AS sid, idx, q FROM c WHERE vec_id < 8),
+          dist AS (
+            SELECT c.vec_id AS vid, s.sid,
+              SUM((c.q - s.q) * (c.q - s.q)) AS d2
+            FROM c JOIN seeds s ON c.idx = s.idx
+            GROUP BY 1, 2),
+          best AS (
+            SELECT vid, sid, d2 FROM (
+              SELECT vid, sid, d2,
+                row_number() OVER (PARTITION BY vid ORDER BY d2, sid) AS rn
+              FROM dist)
+            WHERE rn = 1)
+          SELECT sid AS centroid_id, COUNT(*) AS n_assigned,
+            CAST(SUM(d2) AS BIGINT) AS inertia,
+            CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_dist
+          FROM best GROUP BY 1 ORDER BY centroid_id"""
   )
 }

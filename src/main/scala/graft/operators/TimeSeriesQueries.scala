@@ -180,6 +180,36 @@ object TimeSeriesQueries {
           expr("max_by(value, struct(ts_ns, event_id))").as("close"),
           count(lit(1)).as("n"))
         .orderBy("event_type", "ws")
+    },
+
+    // ── ts8: exponentially-weighted moving average, α = ½, truncated
+    // at 8 terms — the trend smoother beside ts5's z-anomaly. The
+    // infinite EWMA recursion can't be windowed AND its (1−α)^(n−i)
+    // factors explode doubles; the standard fix is the truncated
+    // form: weights halve per step back (128, 64, …, 1 — exact
+    // powers of two), the denominator renormalizes over the terms
+    // actually present (256 − 2^(8−cnt), via shiftleft — no float
+    // pow), and the whole thing is eight lag() reads inside ONE
+    // compiled window frame over exact integer micros. Scale: one
+    // shuffle on user_id, group-local sort, no unbounded state — the
+    // same single-exchange shape as ts3/ts5; window start-up rows
+    // renormalize instead of emitting nulls.
+    "ts8_ewma" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_ns"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("v_micro"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      val num = (0 to 7)
+        .map(k => coalesce(lag(col("v_micro"), k).over(w), lit(0L)) *
+          lit(1L << (7 - k)))
+        .reduce(_ + _)
+      ev.withColumn("cnt", least(row_number().over(w), lit(8)))
+        .withColumn("num", num)
+        .withColumn("ewma_micro",
+          expr("num div (256 - shiftleft(1, 8 - cnt))"))
+        .select("user_id", "event_id", "v_micro", "ewma_micro")
+        .orderBy("user_id", "event_id")
     }
   )
 
@@ -293,6 +323,24 @@ object TimeSeriesQueries {
            MIN(value) AS low,
            last(value ORDER BY epoch_ns(ts), event_id) AS close,
            COUNT(*) AS n
-         FROM events GROUP BY 1, 2 ORDER BY event_type, ws"""
+         FROM events GROUP BY 1, 2 ORDER BY event_type, ws""",
+    "ts8_ewma" -> {
+      val numSql = (0 to 7)
+        .map(k => s"COALESCE(lag(v_micro, $k) OVER w, 0) * ${1L << (7 - k)}")
+        .mkString(" +\n             ")
+      s"""WITH ev AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+             CAST(round(value * 1000000) AS BIGINT) AS v_micro
+           FROM events),
+         l AS (
+           SELECT user_id, event_id, v_micro,
+             LEAST(row_number() OVER w, 8) AS cnt,
+             $numSql AS num
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id))
+         SELECT user_id, event_id, v_micro,
+           CAST(num // (256 - (1 << (8 - cnt))) AS BIGINT) AS ewma_micro
+         FROM l ORDER BY user_id, event_id"""
+    }
   )
 }
