@@ -191,6 +191,36 @@ object AnalyticsQueries {
         .orderBy("bin")
     },
 
+    // ── a16: weighted median — the order statistic that answers
+    // "what price does the MEDIAN UNIT ship at" (each row weighted by
+    // its quantity), which the plain median cannot. Spelled scale-
+    // first: collapse to distinct (group, value) cells with summed
+    // weights FIRST (bounded by value cardinality, not row count),
+    // then one group-partitioned running-sum window over the cells
+    // and the smallest value whose cumulative weight crosses half the
+    // total. All exact integers (cents × integral quantities) — the
+    // 2·cumw ≥ totw crossing has no float anywhere, so the answer is
+    // bit-stable at any parallelism.
+    "a16_weighted_median" -> { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      val cells = li.groupBy("flag", "cents").agg(sum("qty").as("w"))
+      val cum = org.apache.spark.sql.expressions.Window
+        .partitionBy("flag").orderBy("cents")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = li.groupBy("flag").agg(sum("qty").as("totw"))
+      cells
+        .withColumn("cumw", sum("w").over(cum))
+        .join(tot, "flag")
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("flag")
+        .agg(min("cents").as("wmedian_cents"), first("totw").as("total_qty"))
+        .orderBy("flag")
+    },
+
     // ── a15: equi-DEPTH histogram — a10's complement and the shape
     // query optimizers and data profilers actually want (equal mass
     // per bucket, not equal width). Two passes by construction:
@@ -209,10 +239,15 @@ object AnalyticsQueries {
     "a15_equidepth_hist" -> { (s, d) =>
       val li = Tables.load(s, d, "lineitem")
         .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-      val boundAggs = (1 to 7).map(k =>
-        expr(s"CAST(percentile_disc(${k / 8.0}) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
-          .as(s"b$k"))
-      val bounds = li.agg(boundAggs.head, boundAggs.tail: _*)
+      // ONE percentile_disc call with the percentage ARRAY: a single
+      // sort buffer serves all seven bounds (seven scalar calls each
+      // buffer the full column — 7× the memory and merge cost)
+      val pcts = (1 to 7).map(k => k / 8.0).mkString(", ")
+      val bounds = li
+        .agg(expr(s"percentile_disc(array($pcts)) WITHIN GROUP (ORDER BY cents)")
+          .as("bs"))
+        .select((1 to 7).map(k =>
+          expr(s"CAST(bs[${k - 1}] AS BIGINT)").as(s"b$k")): _*)
       val bucket = (1 to 7)
         .map(k => when(col("cents") > col(s"b$k"), 1).otherwise(0))
         .reduce(_ + _)
@@ -689,6 +724,26 @@ object AnalyticsQueries {
       """SELECT CAST(FLOOR(value / 50) AS INT) AS bin, COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY bin""",
+    "a16_weighted_median" ->
+      """WITH li AS (
+           SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem),
+         cells AS (
+           SELECT flag, cents, CAST(SUM(qty) AS BIGINT) AS w
+           FROM li GROUP BY 1, 2),
+         cum AS (
+           SELECT flag, cents,
+             SUM(w) OVER (PARTITION BY flag ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+           FROM cells),
+         tot AS (SELECT flag, CAST(SUM(qty) AS BIGINT) AS totw FROM li GROUP BY 1)
+         SELECT cum.flag AS flag, MIN(cents) AS wmedian_cents,
+           ANY_VALUE(totw) AS total_qty
+         FROM cum JOIN tot ON cum.flag = tot.flag
+         WHERE cumw * 2 >= totw
+         GROUP BY 1 ORDER BY flag""",
     "a15_equidepth_hist" -> {
       val boundDefs = (1 to 7).map(k =>
         s"CAST(percentile_disc(${k / 8.0}) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS b$k")

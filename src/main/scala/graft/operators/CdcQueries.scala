@@ -117,6 +117,35 @@ object CdcQueries {
           col("value_cents"),
           col("valid_to").isNull.as("is_current"))
         .orderBy("user_id", "version")
+    },
+
+    // ── Log compaction — the Kafka-compacted-topic shape, and what a
+    // long-running CDC feed must do to stop growing without losing
+    // replayability: below a compaction watermark (LSN 5000), keep
+    // only each key's LATEST image and drop superseded images AND
+    // tombstones; above it, keep the raw tail verbatim. Replaying
+    // baseline + tail converges to exactly the same state as
+    // replaying the full feed (pinned by spec against
+    // cdc_apply_state): a key whose last old change was a delete has
+    // no baseline row and is re-created only if the tail says so.
+    // Shape: one user_id-partitioned row_number over the old segment
+    // (group-local sort), a verbatim filter for the tail, one union —
+    // nothing global anywhere.
+    "cdc_compact" -> { (s, d) =>
+      val wm = 5000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
+      val baseline = ev.filter(col("event_id") < wm)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value_cents"), lit("baseline").as("segment"))
+      val tail = ev.filter(col("event_id") >= wm)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value_cents"), lit("tail").as("segment"))
+      baseline.unionByName(tail).orderBy("event_id")
     }
   )
 
@@ -171,6 +200,23 @@ object CdcQueries {
            FROM h WHERE event_type <> 'error')
          SELECT user_id, version, valid_from, valid_to, value_cents,
            (valid_to IS NULL) AS is_current
-         FROM k ORDER BY user_id, version"""
+         FROM k ORDER BY user_id, version""",
+    "cdc_compact" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+           FROM events),
+         base AS (
+           SELECT user_id, event_id, event_type, value_cents,
+             'baseline' AS segment
+           FROM (SELECT *,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY event_id DESC) AS rn
+                 FROM ev WHERE event_id < 5000)
+           WHERE rn = 1 AND event_type <> 'error'),
+         tl AS (
+           SELECT user_id, event_id, event_type, value_cents, 'tail' AS segment
+           FROM ev WHERE event_id >= 5000)
+         SELECT * FROM base UNION ALL SELECT * FROM tl ORDER BY event_id"""
   )
 }

@@ -66,35 +66,47 @@ object GraphQueries {
     },
 
     // ── g2: exact triangle count + global clustering coefficient over
-    // the supplier co-supply graph (suppliers adjacent iff they supply
-    // a common part). The classic MapReduce-era scale trap is wedge
-    // enumeration from high-degree vertices; the fix here is the
-    // standard degree-ordered orientation: each undirected edge points
-    // from the (degree, id)-smaller endpoint to the larger, so every
-    // wedge is enumerated at its LOWEST-degree vertex — out-degrees are
+    // the part co-purchase graph (parts adjacent iff they co-occur in
+    // ≥ 2 orders). Graph choice matters as much as the join shape:
+    // the supplier co-supply graph (r6's spelling) DENSIFIES with
+    // scale — at sf0.1 it is literally complete (K₁₀₀₀, 499 500
+    // edges, ~5·10⁸ wedges, 69 s of wedge join for a clustering
+    // coefficient that is trivially 1) because supplier count grows
+    // far slower than part-pair draws. The co-purchase graph with a
+    // SUPPORT ≥ 2 threshold (the frequent-itemset cut: one shared
+    // order is noise, two is signal) stays sparse at every SF —
+    // ~3.5 k edges from sf0.001 to sf0.1 — so the wedge join is
+    // bounded by real co-occurrence structure, not corpus size. The
+    // classic MapReduce-era scale trap is wedge enumeration from
+    // high-degree vertices; the fix here is the standard
+    // degree-ordered orientation: each undirected edge points from
+    // the (degree, id)-smaller endpoint to the larger, so every wedge
+    // is enumerated at its LOWEST-degree vertex — out-degrees are
     // O(√m)-bounded and the wedge self-join never explodes on hubs.
     // Each triangle is counted exactly once (at its unique minimum
-    // vertex). Edge building has its own guard: a part with > 64
-    // suppliers would emit C(df,2) pairs, so hot parts are dropped via
-    // broadcast anti-join (d2's stop-shingle pattern; none trip at
-    // TPC-H shape — it is the 100 TB insurance, mirrored in the
-    // oracle). Wedge totals come from the degree table in closed form
+    // vertex). Edge building has its own guard: an order with > 64
+    // distinct parts would emit C(df,2) pairs, so hot orders are
+    // dropped via broadcast anti-join (d2's stop-shingle pattern;
+    // none trip at TPC-H shape — it is the 100 TB insurance, mirrored
+    // in the oracle). Wedge totals come from the degree table in closed form
     // (Σ d·(d−1)/2), and the coefficient is integer micro-units — the
     // whole query is exact at any parallelism. The oracle skips the
     // orientation (DuckDB just 3-way-joins u<v<w) — same count, which
     // is exactly the point: orientation is a physical optimization,
     // not a semantic one.
     "g2_triangles" -> { (s, d) =>
-      val sp = Tables.load(s, d, "lineitem")
-        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      val op = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val hot = sp.groupBy("pk").agg(count(lit(1)).as("df"))
+      val hot = op.groupBy("ok").agg(count(lit(1)).as("df"))
         .filter(col("df") > 64)
-      val cold = sp.join(broadcast(hot.select("pk")), Seq("pk"), "left_anti")
-      val edges = cold.as("x").join(cold.as("y"), "pk")
-        .where(col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("u"), col("y.sk").as("v"))
-        .distinct()
+      val cold = op.join(broadcast(hot.select("ok")), Seq("ok"), "left_anti")
+      val edges = cold.as("x").join(cold.as("y"), "ok")
+        .where(col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select("u", "v")
         .localCheckpoint(true) // feeds degrees, orientation AND the closing join
       val deg = edges.select(col("u").as("n"))
         .union(edges.select(col("v").as("n")))
@@ -206,13 +218,16 @@ object GraphQueries {
             FROM r3
             ORDER BY rank_micro DESC, node_type, node_id LIMIT 20""",
       "g2_triangles" ->
-        """WITH sp AS (
-             SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
-           hot AS (SELECT pk FROM sp GROUP BY pk HAVING COUNT(*) > 64),
-           cold AS (SELECT * FROM sp WHERE pk NOT IN (SELECT pk FROM hot)),
+        """WITH op AS (
+             SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           hot AS (SELECT ok FROM op GROUP BY ok HAVING COUNT(*) > 64),
+           cold AS (SELECT * FROM op WHERE ok NOT IN (SELECT ok FROM hot)),
            e AS (
-             SELECT DISTINCT x.sk AS u, y.sk AS v
-             FROM cold x JOIN cold y ON x.pk = y.pk AND x.sk < y.sk),
+             SELECT u, v FROM (
+               SELECT x.pk AS u, y.pk AS v, COUNT(*) AS support
+               FROM cold x JOIN cold y ON x.ok = y.ok AND x.pk < y.pk
+               GROUP BY 1, 2)
+             WHERE support >= 2),
            deg AS (
              SELECT n, COUNT(*) AS deg
              FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)

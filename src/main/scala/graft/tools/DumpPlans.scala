@@ -63,7 +63,15 @@ object DumpPlans {
     "a14_higher_moments" -> "higher moments: exact BIGINT power sums in one map-side-combined agg, scalar math after",
     "g1_pagerank" -> "PageRank: checkpointed edge/degree sets, per-iteration join+agg (BSP as dataflow), integer ranks",
     "cdc_scd2_history" -> "SCD2 history: lead + row_number share one user_id exchange, intervals in pure integers",
-    "dq1_constraint_report" -> "constraint report: FK checks as LEFT-join null probes (dim side broadcasts), one agg row per check")
+    "dq1_constraint_report" -> "constraint report: FK checks as LEFT-join null probes (dim side broadcasts), one agg row per check",
+    "dq4_schema_drift" -> "schema drift: midpoint + totals as broadcast scalars, ONE conditional-agg pass per scan, no join on event rows",
+    "a15_equidepth_hist" -> "equi-depth histogram: one ordered-set agg for all octile bounds, broadcast row, codegen'd bucket comparisons",
+    "g3_copurchase_recs" -> "co-purchase recs: focus-bounded wedge join (|focus|*deg^2, corpus-independent), per-seed window top-5",
+    "d11_prefix_filter" -> "prefix-filter join: per-doc window on doc_id (group-local), candidates only where rarest-token prefixes collide",
+    "s13_kmeans_assign" -> "k-means step: broadcast seeds, three compiled dots per row (|v-c|2 identity), k-row shuffle only",
+    "ts8_ewma" -> "truncated EWMA: eight lags in ONE compiled window frame, single user_id exchange",
+    "a16_weighted_median" -> "weighted median: distinct-value cells first, group-partitioned running sum, integer crossing",
+    "cdc_compact" -> "log compaction: per-key row_number below the watermark, verbatim tail, one union")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for cdc_compact and a16_weighted_median beyond their DuckDB
+  * oracles:
+  *
+  *  - cdc_compact: REPLAY EQUIVALENCE — applying the last-per-key /
+  *    drop-tombstone fold over the compacted log (baseline + tail)
+  *    must converge to exactly cdc_apply_state's output over the full
+  *    feed; that equivalence is the entire point of compaction.
+  *    Segment invariants pin the watermark split.
+  *  - a16_weighted_median: exact integer replica of the cumulative-
+  *    weight crossing, plus the defining property |w(< m) | ≤ W/2 and
+  *    w(≤ m) ≥ W/2.
+  */
+class CompactWmedianSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cdc_compact: replaying the compacted log converges to cdc_apply_state") {
+    val compacted = SparkEntry.queries("cdc_compact")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getString(4)))
+    // replay: per key take the highest-LSN row; drop if it's a tombstone
+    val replayed = compacted.groupBy(_._1).flatMap { case (_, rows) =>
+      val last = rows.maxBy(_._2)
+      if (last._3 == "error") None else Some((last._1, last._2, last._4))
+    }.toSeq.sortBy(_._1)
+    val state = SparkEntry.queries("cdc_apply_state")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSeq.sortBy(_._1)
+    assert(replayed == state)
+    // watermark split invariants
+    val (base, tail) = compacted.partition(_._5 == "baseline")
+    assert(base.forall(_._2 < 5000) && tail.forall(_._2 >= 5000))
+    assert(base.groupBy(_._1).forall(_._2.length == 1),
+      "baseline must hold at most one image per key")
+    assert(base.forall(_._3 != "error"), "baseline must not carry tombstones")
+    // sf0.001's feed ends below the watermark — the tail is legitimately
+    // empty there; compaction itself (the baseline) must never be
+    assert(base.nonEmpty)
+  }
+
+  test("a16: exact cumulative-weight replica; crossing property holds") {
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100),
+        r.getDouble(2).toLong))
+    val expected = li.groupBy(_._1).map { case (flag, xs) =>
+      val tot = xs.map(_._3).sum
+      val cells = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val m = cells.collectFirst {
+        case (cents, w) if { cum += w; 2 * cum >= tot } => cents
+      }.get
+      (flag, m, tot)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("a16_weighted_median")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // defining property of the weighted median m: strictly-below mass
+    // < half total, at-or-below mass ≥ half total
+    got.foreach { case (flag, m, tot) =>
+      val xs = li.filter(_._1 == flag)
+      val below = xs.filter(_._2 < m).map(_._3).sum
+      val atOrBelow = xs.filter(_._2 <= m).map(_._3).sum
+      assert(2 * below < tot && 2 * atOrBelow >= tot, s"$flag: $m")
+    }
+  }
+}

@@ -19,15 +19,17 @@ class TriangleMadMixSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("g2: brute-force triangle/wedge/coefficient replica matches exactly") {
-    val sp = graft.sources.Tables.load(spark, sf, "lineitem")
-      .select("l_partkey", "l_suppkey").collect()
+    val op = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val byPart = sp.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      .filter(_._2.size <= 64) // hot-part guard, mirrored from the query
-    val edges: Set[(Long, Long)] = byPart.values.flatMap { sks =>
-      val v = sks.toSeq.sorted
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .filter(_._2.size <= 64) // hot-order guard, mirrored from the query
+    val pairSupport = byOrder.values.toSeq.flatMap { pks =>
+      val v = pks.toSeq.sorted
       for (i <- v.indices; j <- (i + 1) until v.length) yield (v(i), v(j))
-    }.toSet
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    // support ≥ 2: a pair must co-occur in at least two orders
+    val edges: Set[(Long, Long)] = pairSupport.filter(_._2 >= 2).keySet.toSet
     val adj: Map[Long, Set[Long]] = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val nNodes = adj.size.toLong
