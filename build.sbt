@@ -31,7 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 8g forced multi-second GC storms into timed bench runs on the
-  // checkpoint-heavy dedup queries (d4 swung 3.1→10.7 s run-to-run);
-  // the bench box has 128 GiB — give the single-JVM "cluster" room
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // checkpoint-heavy dedup queries (d4 swung 3.1→10.7 s run-to-run),
+  // and at 24g a 167-query session still inflated the late/heavy
+  // queries ~2-4x vs isolated runs (d5 8.5 s in-session vs 2.1 s
+  // isolated — old-gen pressure, not the plan); the bench box has
+  // 128 GiB — give the single-JVM "cluster" room
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
