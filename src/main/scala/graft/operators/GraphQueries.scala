@@ -10,7 +10,7 @@ import graft.sources.Tables
   * connected components ([[DedupQueries]] d5): PageRank over the
   * bipartite part↔supplier graph induced by lineitem (g1), and exact
   * degree-oriented triangle counting / clustering coefficient over
-  * the supplier co-supply projection (g2).
+  * the support-thresholded part co-purchase projection (g2).
   *
   * The BSP round (message = rank/out-degree along each edge, new rank
   * = damped sum of incoming messages) is exactly one equi-join + one

@@ -49,7 +49,7 @@ class TriangleMadMixSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("n_wedges")) == nWedges)
     assert(r.getLong(r.fieldIndex("n_triangles")) == nTri)
     assert(r.getLong(r.fieldIndex("cc_micro")) == ccMicro)
-    assert(nTri > 0, "sf0.001 co-supply graph should contain triangles")
+    assert(nTri > 0, "sf0.001 co-purchase graph should contain triangles")
   }
 
   test("g2 plan: banded equi-joins only — no nested-loop/cartesian anywhere") {
