@@ -211,10 +211,12 @@ object AnalyticsQueries {
         .partitionBy("flag").orderBy("cents")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      val tot = li.groupBy("flag").agg(sum("qty").as("totw"))
+      // totals come from the SAME flag partition the running sum
+      // already shuffles on — never a second fact-table scan + join
+      val whole = org.apache.spark.sql.expressions.Window.partitionBy("flag")
       cells
         .withColumn("cumw", sum("w").over(cum))
-        .join(tot, "flag")
+        .withColumn("totw", sum("w").over(whole))
         .filter(col("cumw") * 2 >= col("totw"))
         .groupBy("flag")
         .agg(min("cents").as("wmedian_cents"), first("totw").as("total_qty"))

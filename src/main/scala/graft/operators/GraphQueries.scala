@@ -31,6 +31,33 @@ import graft.sources.Tables
   */
 object GraphQueries {
 
+  /** Part co-purchase edges (u < v, parts sharing ≥ `minSupport`
+    * orders), with the hot-order guard (> 64 distinct parts per order
+    * dropped via broadcast anti-join — C(df,2) insurance, inert at
+    * TPC-H shape). g2 uses minSupport = 2 — the frequent-itemset cut
+    * that keeps the TRIANGLE graph sparse at every SF (one shared
+    * order is noise when counting closed triads). g3 deliberately
+    * uses minSupport = 1: its wedge work is already bounded by the
+    * focus set, and recommendation recall wants the full
+    * co-occurrence signal (RA weighting already discounts promiscuous
+    * neighbors by 1/deg). The frame is localCheckpoint'd — every
+    * caller fans it into several downstream joins. */
+  private def coPurchaseEdges(s: SparkSession, d: String, minSupport: Long): DataFrame = {
+    val op = Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val hot = op.groupBy("ok").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 64)
+    val cold = op.join(broadcast(hot.select("ok")), Seq("ok"), "left_anti")
+    cold.as("x").join(cold.as("y"), "ok")
+      .where(col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select("u", "v")
+      .localCheckpoint(true)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> { (s, d) =>
       // edges and degrees feed EVERY iteration — pin them once
@@ -95,19 +122,8 @@ object GraphQueries {
     // is exactly the point: orientation is a physical optimization,
     // not a semantic one.
     "g2_triangles" -> { (s, d) =>
-      val op = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val hot = op.groupBy("ok").agg(count(lit(1)).as("df"))
-        .filter(col("df") > 64)
-      val cold = op.join(broadcast(hot.select("ok")), Seq("ok"), "left_anti")
-      val edges = cold.as("x").join(cold.as("y"), "ok")
-        .where(col("x.pk") < col("y.pk"))
-        .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select("u", "v")
-        .localCheckpoint(true) // feeds degrees, orientation AND the closing join
+      // feeds degrees, orientation AND the closing join
+      val edges = coPurchaseEdges(s, d, minSupport = 2)
       val deg = edges.select(col("u").as("n"))
         .union(edges.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -155,17 +171,9 @@ object GraphQueries {
     // too. The per-focus top-5 is a window PARTITIONED by the focus
     // part — never a global sort.
     "g3_copurchase_recs" -> { (s, d) =>
-      val op = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val hot = op.groupBy("ok").agg(count(lit(1)).as("df"))
-        .filter(col("df") > 64)
-      val cold = op.join(broadcast(hot.select("ok")), Seq("ok"), "left_anti")
-      val edges = cold.as("x").join(cold.as("y"), "ok")
-        .where(col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("u"), col("y.pk").as("v"))
-        .distinct()
-        .localCheckpoint(true) // feeds adjacency twice + the novelty anti-join
+      // feeds adjacency twice + the novelty anti-join; minSupport = 1
+      // (full co-occurrence signal — see coPurchaseEdges)
+      val edges = coPurchaseEdges(s, d, minSupport = 1)
       val und = edges.select(col("u").as("w"), col("v").as("n"))
         .union(edges.select(col("v").as("w"), col("u").as("n")))
       val deg = und.groupBy("w").agg(count(lit(1)).as("deg"))

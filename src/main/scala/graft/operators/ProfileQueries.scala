@@ -145,9 +145,14 @@ object ProfileQueries {
     // 9-row hash agg → broadcast scalar total; nothing grows with the
     // corpus after the first agg.
     "dq3_benford" -> { (s, d) =>
+      // Benford's law is defined over positive magnitudes — the cents
+      // guard keeps zero/negative totals (refunds) out of the digit
+      // domain on BOTH engines instead of emitting a null-expectation
+      // row here and a dropped row in the oracle's inner join
       val counts = Tables.load(s, d, "orders")
-        .select(substring(
-            expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1)
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1)
           .cast("int").as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("n"))
       val total = counts.agg(sum(col("n")).as("total"))
@@ -268,12 +273,13 @@ object ProfileQueries {
          GROUP BY dev.supp_id
          ORDER BY n_out DESC, supp_id LIMIT 15""",
     "dq3_benford" ->
-      """WITH c AS (
-           SELECT CAST(substring(
-               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
-             AS INTEGER) AS digit,
+      """WITH cents AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         c AS (
+           SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
              COUNT(*) AS n
-           FROM orders GROUP BY 1),
+           FROM cents WHERE cents > 0 GROUP BY 1),
          t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
          b(bdigit, b4) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
            (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),

@@ -18,28 +18,37 @@ class CompactWmedianSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("cdc_compact: replaying the compacted log converges to cdc_apply_state") {
-    val compacted = SparkEntry.queries("cdc_compact")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
-        r.getString(4)))
-    // replay: per key take the highest-LSN row; drop if it's a tombstone
-    val replayed = compacted.groupBy(_._1).flatMap { case (_, rows) =>
-      val last = rows.maxBy(_._2)
-      if (last._3 == "error") None else Some((last._1, last._2, last._4))
-    }.toSeq.sortBy(_._1)
-    val state = SparkEntry.queries("cdc_apply_state")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1),
-        math.round(r.getDouble(2) * 100))).toSeq.sortBy(_._1)
-    assert(replayed == state)
-    // watermark split invariants
-    val (base, tail) = compacted.partition(_._5 == "baseline")
-    assert(base.forall(_._2 < 5000) && tail.forall(_._2 >= 5000))
-    assert(base.groupBy(_._1).forall(_._2.length == 1),
-      "baseline must hold at most one image per key")
-    assert(base.forall(_._3 != "error"), "baseline must not carry tombstones")
-    // sf0.001's feed ends below the watermark — the tail is legitimately
-    // empty there; compaction itself (the baseline) must never be
-    assert(base.nonEmpty)
+  // sf0.001's feed ends below the watermark (every row is baseline);
+  // sf0.01 (max event_id 9999) exercises BOTH segments — tail rows,
+  // the watermark boundary, and tombstone keys re-created by the tail
+  for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test(s"cdc_compact: replaying the compacted log converges to cdc_apply_state ($sfDir)") {
+      val compacted = SparkEntry.queries("cdc_compact")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getString(4)))
+      // replay: per key take the highest-LSN row; drop if it's a tombstone
+      val replayed = compacted.groupBy(_._1).flatMap { case (_, rows) =>
+        val last = rows.maxBy(_._2)
+        if (last._3 == "error") None else Some((last._1, last._2, last._4))
+      }.toSeq.sortBy(_._1)
+      val state = SparkEntry.queries("cdc_apply_state")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 100))).toSeq.sortBy(_._1)
+      assert(replayed == state)
+      // watermark split invariants
+      val (base, tail) = compacted.partition(_._5 == "baseline")
+      assert(base.forall(_._2 < 5000) && tail.forall(_._2 >= 5000))
+      assert(base.groupBy(_._1).forall(_._2.length == 1),
+        "baseline must hold at most one image per key")
+      assert(base.forall(_._3 != "error"), "baseline must not carry tombstones")
+      assert(base.nonEmpty)
+      if (sfDir.endsWith("sf0.01")) {
+        assert(tail.nonEmpty, "sf0.01 must exercise the tail segment")
+        // the tail keeps tombstones verbatim — compaction must not
+        // have dropped them above the watermark
+        assert(tail.exists(_._3 == "error"), "tail should retain tombstones")
+      }
+    }
   }
 
   test("a16: exact cumulative-weight replica; crossing property holds") {
