@@ -191,6 +191,43 @@ object AnalyticsQueries {
         .orderBy("bin")
     },
 
+    // ── a17: Pareto / ABC classification — "which parts make 80 % of
+    // revenue", the warehouse-classification read of a global
+    // cumulative share. The scale problem is the global running sum
+    // in revenue order: the textbook window (`SUM OVER (ORDER BY
+    // cents DESC)`) funnels every part through ONE task. Here it goes
+    // through [[Ranks.globalCumSum]] — monotone bucketing + parallel
+    // per-bucket prefix sums + a ≤ buckets² offset join — so no
+    // unpartitioned window touches data that grows with the corpus
+    // (the oracle keeps the textbook window spelling: physical
+    // optimization, not semantic). Class boundaries use the PREVIOUS
+    // cumulative share (strictly-before mass), all in integer basis
+    // points; the descending order key is the unique composite
+    // `part_id − cents·10⁹` (cents desc, part asc — valid while
+    // part_id < 10⁹; beyond that widen the multiplier). Overflow:
+    // cum·10⁴ stays in int64 below ~9·10¹⁴ total cents; a corpus-scale
+    // run swaps the share math to DECIMAL(38,0) (x5's pattern).
+    "a17_pareto_abc" -> { (s, d) =>
+      val rev = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("part_id"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+      val keyed = rev.withColumn("_ok",
+        col("part_id") - col("cents") * lit(1000000000L))
+      val tot = rev.agg(sum("cents").as("total"))
+      Ranks.globalCumSum(keyed, "_ok", "cents", "cum")
+        .crossJoin(broadcast(tot))
+        .withColumn("prev_bp", expr("(cum - cents) * 10000 div total"))
+        .withColumn("abc_class",
+          when(col("prev_bp") < 8000, "A")
+            .when(col("prev_bp") < 9500, "B").otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"), sum("cents").as("revenue_cents"),
+          first("total").as("total"))
+        .withColumn("share_bp", expr("revenue_cents * 10000 div total"))
+        .select("abc_class", "n_parts", "revenue_cents", "share_bp")
+        .orderBy("abc_class")
+    },
+
     // ── a16: weighted median — the order statistic that answers
     // "what price does the MEDIAN UNIT ship at" (each row weighted by
     // its quantity), which the plain median cannot. Spelled scale-
@@ -726,6 +763,31 @@ object AnalyticsQueries {
       """SELECT CAST(FLOOR(value / 50) AS INT) AS bin, COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY bin""",
+    // textbook global-window spelling — the Spark side's bucketed
+    // two-pass cumsum must be hash-identical to it
+    "a17_pareto_abc" ->
+      """WITH rev AS (
+           SELECT l_partkey AS part_id,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+         cum AS (
+           SELECT part_id, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, part_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM rev),
+         cls AS (
+           SELECT part_id, cents,
+             CASE WHEN (cum - cents) * 10000 // total < 8000 THEN 'A'
+                  WHEN (cum - cents) * 10000 // total < 9500 THEN 'B'
+                  ELSE 'C' END AS abc_class
+           FROM cum CROSS JOIN tot)
+         SELECT abc_class, COUNT(*) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(cents) * 10000 // total AS BIGINT) AS share_bp
+         FROM cls CROSS JOIN tot
+         GROUP BY abc_class, total ORDER BY abc_class""",
     "a16_weighted_median" ->
       """WITH li AS (
            SELECT l_returnflag AS flag,

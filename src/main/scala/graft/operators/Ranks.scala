@@ -56,4 +56,40 @@ object Ranks {
       .withColumn(rankCol, col("_off") + col("_rn"))
       .drop("_mn", "_mx", "_bkt", "_rn", "_off")
   }
+
+  /** Global running SUM of `weightCol` in `orderCol`-ascending order —
+    * the same two-pass monotone-bucket shape as [[globalRank]], for
+    * cumulative aggregates (Pareto/ABC shares, cumulative
+    * distribution) instead of ranks: per-bucket windowed prefix sums
+    * run in parallel, and the cross-bucket offset is a prefix sum
+    * over the ≤ `buckets` per-bucket totals. Long→double bucketing is
+    * order-preserving (monotone cast + floor of a monotone map), so
+    * bucket boundaries can be imprecise at extreme magnitudes without
+    * ever mis-ordering a pair — exact ordering within a bucket uses
+    * the exact column. `orderCol` must be numeric and unique. */
+  private[graft] def globalCumSum(
+      df: DataFrame, orderCol: String, weightCol: String, cumCol: String,
+      buckets: Int = 64): DataFrame = {
+    val stats = df.agg(
+      min(col(orderCol)).as("_mn"), max(col(orderCol)).as("_mx"))
+    val span = (col("_mx") - col("_mn") + lit(1)).cast("double")
+    val eb = df.crossJoin(broadcast(stats))
+      .withColumn("_bkt",
+        least(lit(buckets - 1),
+          floor((col(orderCol) - col("_mn")).cast("double") / span * buckets))
+          .cast("int"))
+    val sums = eb.groupBy("_bkt").agg(sum(col(weightCol)).as("_wsum"))
+    val offsets = sums.as("a")
+      .join(sums.select(col("_bkt").as("_pb"), col("_wsum").as("_pw")).as("b"),
+        col("_pb") < col("a._bkt"), "left")
+      .groupBy(col("a._bkt").as("_bkt"))
+      .agg(coalesce(sum("_pw"), lit(0L)).as("_off"))
+    eb
+      .withColumn("_rs",
+        sum(col(weightCol)).over(Window.partitionBy("_bkt").orderBy(orderCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), "_bkt")
+      .withColumn(cumCol, col("_off") + col("_rs"))
+      .drop("_mn", "_mx", "_bkt", "_rs", "_off")
+  }
 }

@@ -71,7 +71,8 @@ object DumpPlans {
     "s13_kmeans_assign" -> "k-means step: broadcast seeds, three compiled dots per row (|v-c|2 identity), k-row shuffle only",
     "ts8_ewma" -> "truncated EWMA: eight lags in ONE compiled window frame, single user_id exchange",
     "a16_weighted_median" -> "weighted median: distinct-value cells first, group-partitioned running sum, integer crossing",
-    "cdc_compact" -> "log compaction: per-key row_number below the watermark, verbatim tail, one union")
+    "cdc_compact" -> "log compaction: per-key row_number below the watermark, verbatim tail, one union",
+    "a17_pareto_abc" -> "Pareto/ABC: global revenue cumsum via bucketed two-pass (globalCumSum) — no unpartitioned window")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

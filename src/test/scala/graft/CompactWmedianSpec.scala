@@ -2,8 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins for cdc_compact and a16_weighted_median beyond their DuckDB
-  * oracles:
+/** Pins for cdc_compact, a16_weighted_median and a17_pareto_abc
+  * beyond their DuckDB oracles:
   *
   *  - cdc_compact: REPLAY EQUIVALENCE — applying the last-per-key /
   *    drop-tombstone fold over the compacted log (baseline + tail)
@@ -13,6 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - a16_weighted_median: exact integer replica of the cumulative-
   *    weight crossing, plus the defining property |w(< m) | ≤ W/2 and
   *    w(≤ m) ≥ W/2.
+  *  - a17_pareto_abc: exact replica of the descending cumulative
+  *    shares and class boundaries, plus the plan gate that the global
+  *    cumsum goes through Ranks.globalCumSum's bucketed two-pass (no
+  *    unpartitioned window node anywhere).
   */
 class CompactWmedianSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -49,6 +53,59 @@ class CompactWmedianSpec extends AnyFunSuite {
         assert(tail.exists(_._3 == "error"), "tail should retain tombstones")
       }
     }
+  }
+
+  test("a17: descending cumulative-share replica matches classes exactly") {
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    val rev = li.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (pid, c) => (-c, pid) } // cents desc, part asc
+    val total = rev.map(_._2).sum
+    var cum = 0L
+    val classes = rev.map { case (pid, c) =>
+      val prevBp = cum * 10000 / total
+      cum += c
+      val cls = if (prevBp < 8000) "A" else if (prevBp < 9500) "B" else "C"
+      (cls, pid, c)
+    }
+    val expected = classes.groupBy(_._1).map { case (cls, xs) =>
+      (cls, xs.length.toLong, xs.map(_._3).sum,
+        xs.map(_._3).sum * 10000 / total)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("a17_pareto_abc")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // Pareto sanity: A-class revenue share dominates its part share
+    val a = got.find(_._1 == "A").get
+    assert(a._4 >= 8000 - 10000 / a._2.max(1), s"A share too small: $a")
+  }
+
+  test("a17 plan: global cumsum is bucketed — no unpartitioned window node") {
+    val plan = SparkEntry.queries("a17_pareto_abc")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the cumsum window must ride the _bkt hash partitioning; scalar
+    // aggregates (stats/total) legitimately use SinglePartition
+    // exchanges for their one-row results, so the gate is specific:
+    // no Window node may sit on a single-partition exchange
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("hashpartitioning(_bkt"), plan)
+    val lines = plan.linesIterator.toSeq
+    lines.sliding(2).foreach {
+      case Seq(win, ex)
+        if win.contains("Window") && ex.contains("SinglePartition") =>
+        fail(s"global window on a single partition:\n$win\n$ex\n$plan")
+      case _ => ()
+    }
+  }
+
+  test("a16 plan: one fact-table scan — totals ride the window partition, not a join") {
+    val plan = SparkEntry.queries("a16_weighted_median")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"expected exactly one lineitem scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
   }
 
   test("a16: exact cumulative-weight replica; crossing property holds") {
