@@ -119,6 +119,43 @@ object CdcQueries {
         .orderBy("user_id", "version")
     },
 
+    // ── Snapshot reconciliation — the "diff two tables" primitive a
+    // migration validates with: the converged state of the LSN-5000
+    // prefix ("yesterday") full-outer-joined against the converged
+    // state of the whole feed ("today"), every key classified
+    // added / removed / updated / unchanged, with a value-change
+    // subcount (a key can be touched without its payload moving) and
+    // a deterministic sample key per class. One full-outer equi-join
+    // on the key + a 4-row rollup — the reconciliation report costs
+    // one shuffle regardless of table width, and at 100 TB both
+    // inputs are the SAME keyed store read twice, so the join
+    // co-locates if the store is bucketed (Tables.saveBucketed).
+    "cdc_snapshot_diff" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def state(feed: DataFrame): DataFrame = feed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val y = state(ev.filter(col("event_id") < 5000))
+        .select(col("user_id"), col("event_id").as("y_lsn"), col("cents").as("y_cents"))
+      val t = state(ev)
+        .select(col("user_id"), col("event_id").as("t_lsn"), col("cents").as("t_cents"))
+      y.join(t, Seq("user_id"), "full_outer")
+        .withColumn("change_type",
+          when(col("y_lsn").isNull, "added")
+            .when(col("t_lsn").isNull, "removed")
+            .when(col("t_lsn") =!= col("y_lsn"), "updated")
+            .otherwise("unchanged"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_keys"),
+          count(when(col("y_cents").isNotNull && col("t_cents").isNotNull &&
+            col("y_cents") =!= col("t_cents"), lit(1))).as("n_value_changed"),
+          min("user_id").as("sample_key"))
+        .orderBy("change_type")
+    },
+
     // ── Log compaction — the Kafka-compacted-topic shape, and what a
     // long-running CDC feed must do to stop growing without losing
     // replayability: below a compaction watermark (LSN 5000), keep
@@ -201,6 +238,38 @@ object CdcQueries {
          SELECT user_id, version, valid_from, valid_to, value_cents,
            (valid_to IS NULL) AS is_current
          FROM k ORDER BY user_id, version""",
+    "cdc_snapshot_diff" ->
+      """WITH y AS (
+           SELECT user_id, event_id AS y_lsn,
+             CAST(round(value * 100) AS BIGINT) AS y_cents
+           FROM (SELECT * FROM events WHERE event_id < 5000
+                 QUALIFY row_number() OVER (PARTITION BY user_id
+                   ORDER BY event_id DESC) = 1)
+           WHERE event_type <> 'error'),
+         t AS (
+           SELECT user_id, event_id AS t_lsn,
+             CAST(round(value * 100) AS BIGINT) AS t_cents
+           FROM (SELECT * FROM events
+                 QUALIFY row_number() OVER (PARTITION BY user_id
+                   ORDER BY event_id DESC) = 1)
+           WHERE event_type <> 'error'),
+         j AS (
+           SELECT COALESCE(y.user_id, t.user_id) AS user_id,
+             y_lsn, y_cents, t_lsn, t_cents
+           FROM y FULL OUTER JOIN t ON y.user_id = t.user_id),
+         c AS (
+           SELECT user_id,
+             CASE WHEN y_lsn IS NULL THEN 'added'
+                  WHEN t_lsn IS NULL THEN 'removed'
+                  WHEN t_lsn <> y_lsn THEN 'updated'
+                  ELSE 'unchanged' END AS change_type,
+             CASE WHEN y_cents IS NOT NULL AND t_cents IS NOT NULL
+                       AND y_cents <> t_cents THEN 1 END AS vc
+           FROM j)
+         SELECT change_type, COUNT(*) AS n_keys,
+           COUNT(vc) AS n_value_changed,
+           CAST(MIN(user_id) AS BIGINT) AS sample_key
+         FROM c GROUP BY 1 ORDER BY change_type""",
     "cdc_compact" ->
       """WITH ev AS (
            SELECT user_id, event_id, event_type,

@@ -234,6 +234,31 @@ object CoreQueries {
         .orderBy("n_name")
     },
 
+    // ── J9: salted fact⋈dim join, oracle-PROVED semantics-free — the
+    // skew mitigation ([[Skew.saltedJoin]]: random per-row salt,
+    // dim exploded ×8 so every (key, salt) bucket matches) feeding the
+    // same revenue rollup a plain join would. The salt is genuinely
+    // random per task attempt, yet the oracle is the plain three-way
+    // join: matching hashes prove salting changes ONLY the physical
+    // row distribution, never the result — the property that lets an
+    // operator swap it in under a hot key without re-validating
+    // semantics. Revenue stays in exact integer 10⁻⁴ units, so the
+    // aggregate is order-independent at any parallelism (a float sum
+    // would make this test meaningless).
+    "j9_salted_agg" -> { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val supp = Tables.load(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val nation = Tables.load(s, d, "nation")
+      Skew.saltedJoin(li, supp, "s_suppkey", 8)
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(centsRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
     // ── J5: left-semi (EXISTS)
     "j5_semi_join" -> { (s, d) =>
       val customer = Tables.load(s, d, "customer")
@@ -615,6 +640,16 @@ object CoreQueries {
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY c_mktsegment""",
+    // the PLAIN three-way join — hash-matching it proves the salted
+    // physical plan is semantics-free
+    "j9_salted_agg" ->
+      """SELECT n_name,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY n_name""",
     "j4_revenue_per_nation" ->
       """SELECT n_name,
          SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
