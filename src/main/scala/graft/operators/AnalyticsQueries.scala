@@ -416,6 +416,77 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // ── e5: HLL set algebra — distinct-count INTERSECTIONS from
+    // mergeable sketches via inclusion–exclusion (|A∩B| ≈ Ȃ + B̂ −
+    // Â∪B, where the union sketch is the register-max merge HLL is
+    // built for). The sketch path never shuffles user ids — per-type
+    // and per-pair union sketches are 4 KiB blobs; the exact
+    // intersection (the oracle's half) pays the self-join
+    // deliberately at oracle scale, exactly e4's bargain. The bracket
+    // is ±15 % + 20 absolute — inclusion–exclusion compounds three
+    // sketch errors — and the sketch is deterministic on fixed data,
+    // so the boolean is stable, not flaky. Pair cardinality is
+    // #types², so every frame after the first agg is tiny.
+    "e5_hll_setops" -> { (s, d) =>
+      val ut = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint(true) // exact pairs + per-type + union sketches
+      val exact = ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val per = ut.groupBy("event_type")
+        .agg(graft.functions.HllSketch.hll_distinct(col("user_id")).as("h"))
+      val pairs = exact.select("ta", "tb")
+      val un = ut.join(broadcast(pairs),
+          col("event_type") === col("ta") || col("event_type") === col("tb"))
+        .groupBy("ta", "tb")
+        .agg(graft.functions.HllSketch.hll_distinct(col("user_id")).as("hu"))
+      exact
+        .join(broadcast(per.select(col("event_type").as("ta"), col("h").as("ha"))), "ta")
+        .join(broadcast(per.select(col("event_type").as("tb"), col("h").as("hb"))), "tb")
+        .join(un, Seq("ta", "tb"))
+        .select(col("ta"), col("tb"), col("exact_inter"),
+          (abs(col("ha") + col("hb") - col("hu") - col("exact_inter"))
+            <= col("exact_inter") * 0.15 + 20).as("hll_ok"))
+        .orderBy("ta", "tb")
+    },
+
+    // ── x20: UNPIVOT (wide → long) — the inverse of x4's PIVOT:
+    // per-priority aggregates melted into (metric, value) rows via
+    // stack, so downstream checks consume metrics as DATA. All values
+    // in exact integer cents; DuckDB spells it as a UNION ALL.
+    "x20_unpivot" -> { (s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sum_cents"),
+          max(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("max_cents"))
+        .selectExpr("priority",
+          "stack(3, 'n', n, 'sum_cents', sum_cents, 'max_cents', max_cents)" +
+            " AS (metric, value)")
+        .orderBy("priority", "metric")
+    },
+
+    // ── x21: NULL-ordering pin — Spark's ASC default is NULLS FIRST,
+    // DuckDB's is NULLS LAST; a query that sorts a nullable key and
+    // trusts the engine default silently diverges across engines.
+    // This query fixes the semantics (ASC NULLS FIRST, explicit in
+    // the oracle's text) and hash-pins it. The global window is over
+    // a LITERAL-bounded input (event_id < 200) — constant size at any
+    // corpus scale, the one case a single-partition sort is fine.
+    "x21_nulls_order" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).filter(col("event_id") < 200)
+        .select(col("event_id"),
+          when(col("value") > 250, lit(null))
+            .otherwise(expr("CAST(round(value * 100) AS BIGINT)")).as("v"))
+      ev.withColumn("rk", row_number().over(
+          Window.orderBy(col("v").asc_nulls_first, col("event_id"))))
+        .orderBy("rk")
+    },
+
     // ── e2: deterministic heavy hitters via the two-pass sketch
     // pipeline — Misra–Gries candidates (k=99 ⇒ superset of every
     // token above 1% frequency, O(k) state per partition), broadcast
@@ -832,6 +903,37 @@ object AnalyticsQueries {
     "e4_hll_check" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, true AS hll_ok
          FROM events GROUP BY 1 ORDER BY event_type""",
+    // exact pairwise intersections; `true` is the sketch-algebra contract
+    "e5_hll_setops" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+         SELECT a.event_type AS ta, b.event_type AS tb,
+           COUNT(*) AS exact_inter, true AS hll_ok
+         FROM ut a JOIN ut b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY 1, 2 ORDER BY ta, tb""",
+    "x20_unpivot" -> {
+      val agg = """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+           FROM orders GROUP BY 1"""
+      s"""WITH w AS ($agg)
+         SELECT priority, 'n' AS metric, n AS value FROM w
+         UNION ALL
+         SELECT priority, 'sum_cents', sum_cents FROM w
+         UNION ALL
+         SELECT priority, 'max_cents', max_cents FROM w
+         ORDER BY priority, metric"""
+    },
+    // explicit NULLS FIRST — DuckDB's ASC default is NULLS LAST,
+    // Spark's is NULLS FIRST; the pin is the point
+    "x21_nulls_order" ->
+      """SELECT event_id, v,
+           row_number() OVER (ORDER BY v ASC NULLS FIRST, event_id) AS rk
+         FROM (SELECT event_id,
+                 CASE WHEN value > 250 THEN NULL
+                      ELSE CAST(round(value * 100) AS BIGINT) END AS v
+               FROM events WHERE event_id < 200)
+         ORDER BY rk""",
     // brute-force semantics of the sketch-pruned pipeline: tokens
     // above strict 1% frequency with exact counts
     "e2_heavy_tokens" ->
