@@ -31,11 +31,32 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  // Blanket plan discipline, enforced on EVERY query while the smoke
+  // loop has the plan in hand anyway:
+  //  - no CartesianProduct ever (a cross join must broadcast or band);
+  //  - no Window fed by a single-partition exchange (the global-sort
+  //    funnel w3/w4 were rewritten to avoid), except where the window
+  //    provably runs over bounded input: an aggregated/limited frame
+  //    or a literal-bounded filter.
+  private val boundedGlobalWindowOk = Set(
+    "sp8_temperature_mix", // window over the per-source aggregate (≤|sources| rows)
+    "x21_nulls_order" // literal event_id < 200 bound — constant at any SF
+  )
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name runs at sf0.001") {
       val df = SparkEntry.queries(name)(spark, sf)
       assert(df.columns.nonEmpty)
       df.count() // materialize — throws on bad plans
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in $name:\n$plan")
+      if (!boundedGlobalWindowOk(name)) {
+        plan.linesIterator.toSeq.sliding(2).foreach {
+          case Seq(win, ex)
+            if win.contains("Window") && ex.contains("SinglePartition") =>
+            fail(s"unpartitioned window in $name:\n$win\n$ex")
+          case _ => ()
+        }
+      }
     }
   }
 
