@@ -196,6 +196,34 @@ object CorpusPipeline {
         .withColumn("lowq_bp", expr("n_low_quality * 10000 div n_docs"))
         .withColumn("contam_bp", expr("n_contaminated * 10000 div n_docs"))
         .orderBy("source")
+    },
+
+    // ── c7: dataset card — the documentation artifact a released
+    // corpus ships with (datasheet/dataset-card practice), produced
+    // AS A QUERY so it can never drift from the data: corpus size,
+    // token counts, language/source diversity, exact-dup mass, all
+    // in one wide aggregate melted to (stat, value) rows. One scan
+    // with a single tokenize pass; the stack pivot is p7's pattern.
+    // Integer division for the mean keeps the card cross-engine
+    // exact.
+    "c7_dataset_card" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("nt", size(tokenize(col("text"))).cast("long"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nt").as("n_tokens"),
+          countDistinct("lang").as("n_langs"),
+          countDistinct("source").as("n_sources"),
+          (count(lit(1)) - countDistinct("text")).as("n_exact_dups"),
+          max("n_chars").as("max_doc_chars"))
+        .selectExpr("stack(7, " +
+          "'n_docs', n_docs, " +
+          "'n_tokens', n_tokens, " +
+          "'mean_doc_tokens', n_tokens div n_docs, " +
+          "'n_langs', n_langs, " +
+          "'n_sources', n_sources, " +
+          "'n_exact_dups', n_exact_dups, " +
+          "'max_doc_chars', max_doc_chars) AS (stat, value)")
+        .orderBy("stat")
     }
   )
 
@@ -441,6 +469,28 @@ object CorpusPipeline {
             CAST(SUM(dup) AS BIGINT) * 10000 // COUNT(*) AS dup_bp,
             CAST(SUM(lowq) AS BIGINT) * 10000 // COUNT(*) AS lowq_bp,
             CAST(SUM(contam) AS BIGINT) * 10000 // COUNT(*) AS contam_bp
-          FROM flags GROUP BY source ORDER BY source"""
+          FROM flags GROUP BY source ORDER BY source""",
+    "c7_dataset_card" ->
+      """WITH t AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nt
+           FROM documents),
+         w AS (
+           SELECT
+             (SELECT COUNT(*) FROM documents) AS n_docs,
+             CAST((SELECT SUM(nt) FROM t) AS BIGINT) AS n_tokens,
+             (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,
+             (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources,
+             (SELECT COUNT(*) - COUNT(DISTINCT text) FROM documents) AS n_exact_dups,
+             (SELECT MAX(n_chars) FROM documents) AS max_doc_chars)
+         SELECT stat, CAST(value AS BIGINT) AS value FROM (
+           SELECT 'n_docs' AS stat, n_docs AS value FROM w
+           UNION ALL SELECT 'n_tokens', n_tokens FROM w
+           UNION ALL SELECT 'mean_doc_tokens', n_tokens // n_docs FROM w
+           UNION ALL SELECT 'n_langs', n_langs FROM w
+           UNION ALL SELECT 'n_sources', n_sources FROM w
+           UNION ALL SELECT 'n_exact_dups', n_exact_dups FROM w
+           UNION ALL SELECT 'max_doc_chars', max_doc_chars FROM w)
+         ORDER BY stat"""
   )
 }
