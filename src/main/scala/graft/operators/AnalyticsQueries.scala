@@ -228,6 +228,31 @@ object AnalyticsQueries {
         .orderBy("abc_class")
     },
 
+    // ── a18: fixed-threshold CDF report — the empirical distribution
+    // function read at ten pinned price points, as conditional counts
+    // in ONE aggregate pass (the inverse read of a15's equi-depth
+    // histogram: there the buckets move and the mass is fixed, here
+    // the thresholds are fixed and the mass moves). Shares in integer
+    // basis points. This is the scale-perfect distribution report:
+    // no sort, no window, no second pass — a single map-side-combined
+    // aggregate whatever the corpus size.
+    "a18_cdf_report" -> { (s, d) =>
+      val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+      val thresholds = (1 to 10).map(_ * 5000000L) // 50k..500k dollars in cents
+      val aggs = count(lit(1)).as("n") +:
+        thresholds.zipWithIndex.map { case (t, i) =>
+          count(when(cents <= t, lit(1))).as(s"c$i")
+        }
+      val wide = Tables.load(s, d, "orders").agg(aggs.head, aggs.tail: _*)
+      val stackArgs = thresholds.zipWithIndex
+        .map { case (t, i) => s"${t}L, c$i, (2 * c$i * 10000 + n) div (2 * n)" }
+        .mkString(", ")
+      wide.selectExpr(
+        s"stack(${thresholds.length}, $stackArgs)" +
+          " AS (threshold_cents, n_below, share_bp)")
+        .orderBy("threshold_cents")
+    },
+
     // ── a16: weighted median — the order statistic that answers
     // "what price does the MEDIAN UNIT ship at" (each row weighted by
     // its quantity), which the plain median cannot. Spelled scale-
@@ -834,6 +859,20 @@ object AnalyticsQueries {
       """SELECT CAST(FLOOR(value / 50) AS INT) AS bin, COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY bin""",
+    "a18_cdf_report" -> {
+      val rows = (1 to 10).map { i =>
+        val t = i * 5000000L
+        s"""SELECT CAST($t AS BIGINT) AS threshold_cents,
+              COUNT(CASE WHEN cents <= $t THEN 1 END) AS n_below,
+              (2 * COUNT(CASE WHEN cents <= $t THEN 1 END) * 10000 + COUNT(*))
+                // (2 * COUNT(*)) AS share_bp
+            FROM c"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH c AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+          SELECT threshold_cents, n_below, CAST(share_bp AS BIGINT) AS share_bp
+          FROM ($rows) ORDER BY threshold_cents"""
+    },
     // textbook global-window spelling — the Spark side's bucketed
     // two-pass cumsum must be hash-identical to it
     "a17_pareto_abc" ->
