@@ -41,14 +41,40 @@ object GraphQueries {
     * focus set, and recommendation recall wants the full
     * co-occurrence signal (RA weighting already discounts promiscuous
     * neighbors by 1/deg). The frame is localCheckpoint'd — every
-    * caller fans it into several downstream joins. */
-  private def coPurchaseEdges(s: SparkSession, d: String, minSupport: Long): DataFrame = {
+    * caller fans it into several downstream joins.
+    *
+    * `focusPred` (g3's path) cuts the dominant pair aggregation down
+    * to the focus 2-hop neighborhood BEFORE the self-join: orders
+    * touching a focus part define the 1-hop part set, and only orders
+    * touching a 1-hop part can contribute an edge g3 ever reads —
+    * every edge incident to a 1-hop part is preserved EXACTLY (all
+    * orders containing that part survive the semi-join), and g3 only
+    * consumes degrees/neighbors of 1-hop centers and focus-incident
+    * adjacency. So this is a physical optimization with bit-identical
+    * output (the oracle builds the full graph — deliberately, same as
+    * g2's orientation): work scales with |focus|·deg², not corpus
+    * size. The two inner builds (focus orders, 1-hop parts) are
+    * focus-bounded; the reachable-order set is left to AQE to
+    * broadcast-or-shuffle since its size is data-dependent. */
+  private def coPurchaseEdges(s: SparkSession, d: String, minSupport: Long,
+      focusPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val op = Tables.load(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     val hot = op.groupBy("ok").agg(count(lit(1)).as("df"))
       .filter(col("df") > 64)
-    val cold = op.join(broadcast(hot.select("ok")), Seq("ok"), "left_anti")
+    val cold0 = op.join(broadcast(hot.select("ok")), Seq("ok"), "left_anti")
+      .localCheckpoint(true)
+    val cold = focusPred match {
+      case None => cold0
+      case Some(pred) =>
+        val focusOrders = cold0.filter(pred).select("ok").distinct()
+        val oneHopParts = cold0.join(broadcast(focusOrders), "ok")
+          .select("pk").distinct()
+        val reachOrders = cold0.join(broadcast(oneHopParts), "pk")
+          .select("ok").distinct()
+        cold0.join(reachOrders, Seq("ok"), "left_semi")
+    }
     cold.as("x").join(cold.as("y"), "ok")
       .where(col("x.pk") < col("y.pk"))
       .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
@@ -172,21 +198,36 @@ object GraphQueries {
     // part — never a global sort.
     "g3_copurchase_recs" -> { (s, d) =>
       // feeds adjacency twice + the novelty anti-join; minSupport = 1
-      // (full co-occurrence signal — see coPurchaseEdges)
-      val edges = coPurchaseEdges(s, d, minSupport = 1)
+      // (full co-occurrence signal) with the edge build semi-joined
+      // down to the focus 2-hop reachable orders — see coPurchaseEdges
+      val edges = coPurchaseEdges(s, d, minSupport = 1,
+        focusPred = Some(col("pk") < 50))
       val und = edges.select(col("u").as("w"), col("v").as("n"))
         .union(edges.select(col("v").as("w"), col("u").as("n")))
+      // deg is PART-DIMENSION-sized (one row per part), broadcastable
+      // until the part dim itself outgrows executor memory — at that
+      // point drop the hint and AQE falls back to sort-merge; the
+      // load-bearing broadcast is fromFocus (focus-bounded,
+      // ≤ |focus|·maxdeg rows): with both broadcast, the corpus-sized
+      // adjacency streams through hash probes with NO wide shuffle
+      // until the 6k-center wedge output hits its partial-agg groupBy
       val deg = und.groupBy("w").agg(count(lit(1)).as("deg"))
-      val ctr = und.join(deg, "w").filter(col("deg") <= 256)
+      val ctr = und.join(broadcast(deg), "w").filter(col("deg") <= 256)
       val fromFocus = ctr.filter(col("n") < 50)
         .select(col("w"), col("n").as("seed"), col("deg").as("degw"))
-      val scored = fromFocus.join(ctr.select(col("w"), col("n").as("rec")), "w")
+      val scored = broadcast(fromFocus)
+        .join(ctr.select(col("w"), col("n").as("rec")), "w")
         .where(col("seed") =!= col("rec"))
         .groupBy("seed", "rec")
         .agg(count(lit(1)).as("cn"),
           sum(expr("1000000 div degw")).as("ra_micro"))
-      val adjacent = und.select(col("w").as("seed"), col("n").as("rec"))
-      scored.join(adjacent, Seq("seed", "rec"), "left_anti")
+      // novelty: every seed in `scored` is a focus part (< 50), so
+      // only focus-incident adjacency can ever match the anti-join —
+      // that slice is ≤ |focus|·maxdeg rows, broadcast it instead of
+      // shuffling the corpus-sized adjacency against the tiny scored
+      val adjacent = und.filter(col("w") < 50)
+        .select(col("w").as("seed"), col("n").as("rec"))
+      scored.join(broadcast(adjacent), Seq("seed", "rec"), "left_anti")
         .withColumn("rk", row_number().over(
           Window.partitionBy("seed")
             .orderBy(col("ra_micro").desc, col("rec"))))
