@@ -74,6 +74,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case es => throw new IllegalArgumentException(
         s"hll_distinct takes (value [, precision]), got ${es.length} args")
     })
+    inject("hll_sketch", {
+      case Seq(e) => HllSketchAgg(e).toAggregateExpression()
+      case Seq(e, pLit) =>
+        HllSketchAgg(e, intLit(pLit, "hll precision")).toAggregateExpression()
+      case es => throw new IllegalArgumentException(
+        s"hll_sketch takes (value [, precision]), got ${es.length} args")
+    })
+    inject("hll_merge", {
+      case Seq(e) => HllMergeAgg(e).toAggregateExpression()
+      case es => throw new IllegalArgumentException(
+        s"hll_merge takes (sketch), got ${es.length} args")
+    })
+    inject("hll_estimate", es => HllEstimate(es.head))
     inject("cms_build", {
       case Seq(e, w, d) =>
         CmsBuild(e, intLit(w, "cms width"), intLit(d, "cms depth"))

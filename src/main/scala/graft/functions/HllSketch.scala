@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** HyperLogLog distinct-count sketch (Flajolet et al. 2007, with the
@@ -147,8 +147,172 @@ case class HllDistinct(
     copy(child = newChild)
 }
 
+/** `hll_sketch(v [, p]) -> BINARY` — the register file itself, not the
+  * estimate: the mergeable artifact a 100 TB rollup actually stores.
+  * Sketch once per fine slice (day × type × source), persist the 2^p-
+  * byte blob, answer ANY coarser distinct-count by `hll_merge` +
+  * `hll_estimate` without rescanning the fact table. Same fixed-seed
+  * hash as [[HllDistinct]], so `hll_estimate(hll_sketch(v)) ==
+  * hll_distinct(v)` bit-for-bit. */
+case class HllSketchAgg(
+    child: Expression,
+    p: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  require(p >= 4 && p <= 16, s"hll precision must be in [4, 16], got $p")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hll_sketch supports BIGINT/INT/STRING inputs, got ${dt.sql}")
+    }
+
+  private lazy val hashOf: Any => Long = child.dataType match {
+    case LongType    => v => Hll.mix64(v.asInstanceOf[Long])
+    case IntegerType => v => Hll.mix64(v.asInstanceOf[Int].toLong)
+    case StringType  => v => Hll.hashBytes(v.asInstanceOf[UTF8String].getBytes)
+    case dt => throw new IllegalArgumentException(
+      s"hll_sketch supports BIGINT/INT/STRING inputs, got $dt")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Hll.add(buffer, p, hashOf(v))
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] =
+    Hll.merge(buffer, other)
+
+  // defensive copy: eval must not alias the mutable buffer
+  override def eval(buffer: Array[Byte]): Any = buffer.clone()
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_sketch"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+    copy(child = newChild)
+}
+
+/** `hll_merge(sketch) -> BINARY` — register-wise max over stored
+  * sketch blobs: the re-aggregation half of the rollup (lossless:
+  * max is associative/commutative/idempotent, so merge order and
+  * partitioning never change the result). Inputs must share one
+  * precision; a width mismatch fails loudly rather than estimating
+  * garbage. */
+case class HllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hll_merge takes an hll_sketch BINARY column, got ${dt.sql}")
+    }
+
+  // empty buffer = identity element; sized lazily from the first
+  // sketch seen so the merge works at any precision without a p arg
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def mergeInto(buffer: Array[Byte], sk: Array[Byte]): Array[Byte] =
+    if (buffer.isEmpty) sk.clone()
+    else if (sk.isEmpty) buffer
+    else if (sk.length != buffer.length)
+      throw new IllegalArgumentException(
+        s"hll_merge: mixed sketch widths ${buffer.length} vs ${sk.length}")
+    else Hll.merge(buffer, sk)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] =
+    child.eval(input) match {
+      case null            => buffer
+      case b: Array[Byte]  => mergeInto(buffer, b)
+      case other => throw new IllegalArgumentException(
+        s"hll_merge expects BINARY sketches, got: $other")
+    }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] =
+    mergeInto(buffer, other)
+
+  override def eval(buffer: Array[Byte]): Any = buffer.clone()
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_merge"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllMergeAgg =
+    copy(child = newChild)
+}
+
+/** `hll_estimate(sketch) -> BIGINT` — scalar cardinality estimate of a
+  * stored/merged sketch blob; inlines into whole-stage codegen. */
+case class HllEstimate(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hll_estimate takes an hll_sketch BINARY column, got ${dt.sql}")
+    }
+
+  override def dataType: DataType = LongType
+
+  protected override def nullSafeEval(input: Any): Any =
+    Hll.estimate(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val h = Hll.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$h.estimate($c)")
+  }
+
+  override def prettyName: String = "hll_estimate"
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate =
+    copy(child = newChild)
+}
+
 object HllSketch {
   /** Column API: `hll_distinct(col)` / `hll_distinct(col, p)`. */
   def hll_distinct(c: Column, p: Int = 12): Column =
     Bridge.column(HllDistinct(Bridge.expression(c), p).toAggregateExpression())
+
+  /** Column API: `hll_sketch(col [, p])` — mergeable sketch blob. */
+  def hll_sketch(c: Column, p: Int = 12): Column =
+    Bridge.column(HllSketchAgg(Bridge.expression(c), p).toAggregateExpression())
+
+  /** Column API: `hll_merge(sketchCol)` — union of stored sketches. */
+  def hll_merge(c: Column): Column =
+    Bridge.column(HllMergeAgg(Bridge.expression(c)).toAggregateExpression())
+
+  /** Column API: `hll_estimate(sketchCol)` — scalar estimate. */
+  def hll_estimate(c: Column): Column =
+    Bridge.column(HllEstimate(Bridge.expression(c)))
 }

@@ -403,19 +403,36 @@ object AnalyticsQueries {
             col("t_purchase") > col("t_click"), lit(1))).as("n_full_funnel"))
     },
 
-    // sketched distinct users per event type — the rollup a 100 TB
-    // pipeline runs sketched: the shuffle carries one 4 KiB register
-    // file per group (partial sketches merge map-side) where exact
-    // COUNT(DISTINCT) would expand and shuffle every (group, key)
-    // pair. Deliberately NO exact count alongside — that column would
-    // drag the whole plan through the distinct expansion and shuffle
-    // every key anyway. No SQL oracle (DuckDB's HLL is a different
-    // sketch): driver does the rows-only check; accuracy (±1.6%
-    // typical at p=12) and lossless merge are pinned by HllSketchSpec.
+    // sketched distinct users per event type, spelled the way a 100 TB
+    // pipeline actually runs it: sketch BLOBS built once per fine
+    // slice (event_type × day — `hll_sketch`), unioned up to the
+    // report grain by register-max (`hll_merge` — lossless: max is
+    // associative/commutative/idempotent, so day boundaries, merge
+    // order and partitioning never change the estimate), estimated
+    // only at the end (`hll_estimate`). The shuffle carries one 4 KiB
+    // register file per slice where exact COUNT(DISTINCT) would expand
+    // and shuffle every (group, key) pair — and the day-grain blobs
+    // are exactly what a warehouse persists so coarser rollups never
+    // rescan the fact table. Driver-verifiable (r7 verdict item 2, the
+    // e4 bracket trick): the exact count joins in at oracle scale
+    // purely to gate the boolean — a broken sketch, merge, or
+    // estimator hashes `false` and fails the gate. Bound ±5% + 10 abs
+    // over the ±1.6% typical error at p=12 (deterministic hash → the
+    // boolean is stable, not flaky). Accuracy/merge micro-properties
+    // stay pinned by HllSketchSpec.
     "e1_hll_users" -> { (s, d) =>
-      Tables.load(s, d, "events")
-        .groupBy("event_type")
-        .agg(graft.functions.HllSketch.hll_distinct(col("user_id")).as("approx_users"))
+      import graft.functions.HllSketch.{hll_estimate, hll_merge, hll_sketch}
+      val ev = Tables.load(s, d, "events")
+      val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch(col("user_id")).as("sk"))
+      val rolled = daily.groupBy("event_type")
+        .agg(hll_merge(col("sk")).as("sk"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      rolled.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(hll_estimate(col("sk")) - col("exact_users"))
+            <= col("exact_users") * 0.05 + 10).as("hll_rollup_ok"))
         .orderBy("event_type")
     },
 
@@ -938,7 +955,12 @@ object AnalyticsQueries {
     },
     // the oracle checks the HLL bracket boolean (plus keys and exact
     // counts); `true` is the contract — an out-of-bound estimate
-    // hashes as `false` and fails the gate
+    // hashes as `false` and fails the gate. e1 gates the day-sketch →
+    // merge → estimate ROLLUP path, e4 the direct single-agg path.
+    "e1_hll_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           true AS hll_rollup_ok
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "e4_hll_check" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, true AS hll_ok
          FROM events GROUP BY 1 ORDER BY event_type""",

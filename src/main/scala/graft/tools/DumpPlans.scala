@@ -26,7 +26,7 @@ object DumpPlans {
     "d6_simhash64_pairs" -> "64-bit SimHash: 16-bit pigeonhole bands — selective equi-join at corpus scale",
     "sp1_stratified_sample" -> "stratified sample: pure map-side filter, no shuffle, no rand()",
     "q1_group_quantiles" -> "grouped exact percentiles: single hash-aggregate pass",
-    "e1_hll_users" -> "HLL sketch agg: partial sketches map-side, register-max merge",
+    "e1_hll_users" -> "HLL blob rollup: day sketches map-side, register-max blob merge, bracket-gated estimate",
     "x10_lateral_topn" -> "LATERAL correlated top-N: decorrelated to a ranked join, no per-row re-execution",
     "p7_profile_documents" -> "per-column profile: one scan, one wide agg row, stack pivot",
     "e2_heavy_tokens" -> "two-pass heavy hitters: MG sketch → broadcast candidates → exact count of candidates only",

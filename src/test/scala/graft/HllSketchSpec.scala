@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Hll
-import graft.functions.HllSketch.hll_distinct
+import graft.functions.HllSketch.{hll_distinct, hll_estimate, hll_merge, hll_sketch}
 
 /** The HLL sketch aggregate: accuracy envelope, lossless merge (the
   * property that makes pre-aggregated rollups sound), small-range
@@ -93,6 +93,56 @@ class HllSketchSpec extends AnyFunSuite {
       assert(math.abs(est - 10000).toDouble / 10000 < 0.05, s"est=$est")
       val est2 = s.range(200).selectExpr("hll_distinct(id, 14) AS e").head().getLong(0)
       assert(math.abs(est2 - 200L) <= 3, s"est=$est2") // LC regime, ±birthday collisions
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
+  test("blob rollup path equals the direct aggregate bit-for-bit") {
+    import spark.implicits._
+    // sketch per slice → merge blobs → estimate must equal hll_distinct
+    // over the raw stream: the lossless-rollup contract e1 rides on
+    val df = spark.range(80000)
+      .select(col("id").as("v"), (col("id") % 7).as("slice"))
+    val direct = df.agg(hll_distinct(col("v"))).head().getLong(0)
+    val rolled = df.groupBy("slice").agg(hll_sketch(col("v")).as("sk"))
+      .agg(hll_merge(col("sk")).as("sk"))
+      .select(hll_estimate(col("sk"))).head().getLong(0)
+    assert(rolled == direct, s"rolled=$rolled direct=$direct")
+  }
+
+  test("hll_merge rejects mixed sketch widths loudly") {
+    import spark.implicits._
+    val a = Seq(1L).toDF("v").agg(hll_sketch(col("v"), 8).as("sk"))
+    val b = Seq(2L).toDF("v").agg(hll_sketch(col("v"), 12).as("sk"))
+    val e = intercept[Exception] {
+      a.union(b).agg(hll_merge(col("sk"))).collect()
+    }
+    assert(e.getMessage.contains("mixed sketch widths")
+      || Option(e.getCause).exists(_.getMessage.contains("mixed sketch widths")),
+      e.toString)
+  }
+
+  test("blob functions register through the extensions for SQL use") {
+    import org.apache.spark.sql.SparkSession
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-hll-blob-ext")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.range(30000).selectExpr("id % 5 AS slice", "id AS v")
+        .createOrReplaceTempView("t")
+      val out = s.sql(
+        """SELECT hll_estimate(hll_merge(sk)) AS e FROM (
+             SELECT slice, hll_sketch(v) AS sk FROM t GROUP BY slice)""")
+        .head().getLong(0)
+      assert(math.abs(out - 30000).toDouble / 30000 < 0.05, s"est=$out")
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)

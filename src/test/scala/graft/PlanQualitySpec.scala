@@ -156,13 +156,14 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("HLL rollup ships partial sketches map-side (no distinct expansion)") {
+  test("HLL rollup ships partial sketches map-side and merges blobs (e1)") {
     val df = SparkEntry.queries("e1_hll_users")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_hll_distinct"), plan)
-    // exact-distinct would add an expand + a (group, key) exchange
-    assert(!plan.contains("Expand"), plan)
+    // day-grain sketch build partial-aggregates map-side…
+    assert(plan.contains("partial_hll_sketch"), plan)
+    // …and the report grain re-aggregates BLOBS, never raw user ids
+    assert(plan.contains("hll_merge"), plan)
   }
 
   test("sp6 shuffle never sorts the corpus in one task (bucketed rank only)") {
