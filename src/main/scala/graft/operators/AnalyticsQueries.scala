@@ -203,10 +203,12 @@ object AnalyticsQueries {
     // optimization, not semantic). Class boundaries use the PREVIOUS
     // cumulative share (strictly-before mass), all in integer basis
     // points; the descending order key is the unique composite
-    // `part_id − cents·10⁹` (cents desc, part asc — valid while
-    // part_id < 10⁹; beyond that widen the multiplier). Overflow:
-    // cum·10⁴ stays in int64 below ~9·10¹⁴ total cents; a corpus-scale
-    // run swaps the share math to DECIMAL(38,0) (x5's pattern).
+    // `part_id − cents·10⁹` (cents desc, part asc), valid while BOTH
+    // part_id < 10⁹ AND any single part's revenue < ~9.2·10⁹ cents
+    // (~$92M — `cents·10⁹` wraps int64 past that and silently
+    // mis-orders rows). Overflow: cum·10⁴ stays in int64 below
+    // ~9·10¹⁴ total cents; a corpus-scale run widens BOTH the order
+    // key and the share math to DECIMAL(38,0) (x5's pattern).
     "a17_pareto_abc" -> { (s, d) =>
       val rev = Tables.load(s, d, "lineitem")
         .groupBy(col("l_partkey").as("part_id"))

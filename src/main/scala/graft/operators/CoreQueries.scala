@@ -235,16 +235,19 @@ object CoreQueries {
     },
 
     // ── J9: salted fact⋈dim join, oracle-PROVED semantics-free — the
-    // skew mitigation ([[Skew.saltedJoin]]: random per-row salt,
-    // dim exploded ×8 so every (key, salt) bucket matches) feeding the
-    // same revenue rollup a plain join would. The salt is genuinely
-    // random per task attempt, yet the oracle is the plain three-way
-    // join: matching hashes prove salting changes ONLY the physical
-    // row distribution, never the result — the property that lets an
-    // operator swap it in under a hot key without re-validating
-    // semantics. Revenue stays in exact integer 10⁻⁴ units, so the
-    // aggregate is order-independent at any parallelism (a float sum
-    // would make this test meaningless).
+    // skew mitigation ([[Skew.saltedJoin]]: deterministic per-row
+    // content-hash salt, dim exploded ×8 so every (key, salt) bucket
+    // matches) feeding the same revenue rollup a plain join would.
+    // The oracle is the plain three-way join: matching hashes prove
+    // salting changes ONLY the physical row distribution, never the
+    // result. The salt being `pmod(xxhash64(row), 8)` (not `rand()`)
+    // is what makes that claim survive a real cluster: map-task
+    // retries after shuffle-fetch failures recompute IDENTICAL salts,
+    // so no row can double or vanish mid-retry — the single-JVM
+    // oracle match here plus retry determinism together justify
+    // swapping it in under a hot key. Revenue stays in exact integer
+    // 10⁻⁴ units, so the aggregate is order-independent at any
+    // parallelism (a float sum would make this test meaningless).
     "j9_salted_agg" -> { (s, d) =>
       val li = Tables.load(s, d, "lineitem")
         .select(col("l_suppkey").as("s_suppkey"),

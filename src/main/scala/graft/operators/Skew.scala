@@ -16,16 +16,27 @@ object Skew {
   /** Salted equi-join of a skewed `facts` table against a (small-ish)
     * `dim` table on `key`.
     *
-    * Mechanics: each fact row gets a random salt in [0, saltFactor);
-    * the dim side is exploded ×saltFactor so every (key, salt) bucket
-    * finds its match. The hot key's rows spread over `saltFactor`
-    * shuffle partitions instead of one. Result is row-identical to
-    * `facts.join(dim, key)` — only the physical distribution changes.
-    */
+    * Mechanics: each fact row gets a DETERMINISTIC salt in
+    * [0, saltFactor) — `pmod(xxhash64(row), saltFactor)` over every
+    * fact column; the dim side is exploded ×saltFactor so every
+    * (key, salt) bucket finds its match. The hot key's rows spread
+    * over `saltFactor` shuffle partitions instead of one. Result is
+    * row-identical to `facts.join(dim, key)` — only the physical
+    * distribution changes.
+    *
+    * Why not `rand()`: a non-deterministic salt + a shuffle-fetch
+    * failure is the classic silent row-duplication/loss trap — Spark
+    * recomputes the lost map task, the recomputed rows draw DIFFERENT
+    * salts, and rows double or vanish across the join. Hashing the
+    * row content keeps every retry bit-identical. The one shape this
+    * doesn't spread is many byte-identical copies of one literal row
+    * (they share a salt) — that degenerate case wants a
+    * `monotonically_increasing_id`-derived salt and a conscious
+    * trade-off, not a silent default. */
   def saltedJoin(facts: DataFrame, dim: DataFrame, key: String, saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
     val salted = facts.withColumn("_salt",
-      (rand() * saltFactor).cast("int"))
+      pmod(xxhash64(facts.columns.map(col): _*), lit(saltFactor)).cast("int"))
     val explodedDim = dim.withColumn("_salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted

@@ -53,12 +53,42 @@ object ScaleProbe {
       System.err.println(s"[scale] built ${factor}x corpus at $out")
     }
 
+    // 10× lineitem for the graph/profile families: `factor` copies
+    // with each key column offset by its own span, so copies are
+    // DISJOINT subgraphs — per-copy structure (degrees, co-purchase
+    // edges, per-supplier item counts) is preserved exactly and the
+    // true work grows ~linearly. Note g3's focus set (part_id < 50)
+    // lives in copy 0 only: its SERVED work is designed to stay
+    // focus-bounded while the edge-build prefix scans the full corpus
+    // — a sub-linear ratio is the design working, not a measurement
+    // artifact.
+    val liOut = new java.io.File(s"$out/lineitem.parquet")
+    if (!liOut.exists()) {
+      val base = spark.read.parquet(s"$src/lineitem.parquet")
+      val spans = base.agg(
+        (max("l_orderkey") + 1).as("ok"),
+        (max("l_partkey") + 1).as("pk"),
+        (max("l_suppkey") + 1).as("sk")).collect().head
+      val (okSpan, pkSpan, skSpan) =
+        (spans.getLong(0), spans.getLong(1), spans.getLong(2))
+      (0 until factor).map { k =>
+        base
+          .withColumn("l_orderkey", col("l_orderkey") + lit(k * okSpan))
+          .withColumn("l_partkey", col("l_partkey") + lit(k * pkSpan))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(k * skSpan))
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      System.err.println(s"[scale] built ${factor}x lineitem at $out")
+    }
+
     val names = Seq(
       "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh", "d4_simhash_pairs",
       "d5_dedup_clusters", "d6_simhash64_pairs", "d7_containment",
       "d8_cluster_reps", "d9_dup_weights", "d11_prefix_filter",
       "c1_corpus_clean", "c2_decontaminate", "c3_leakage_safe_split",
-      "sp6_corpus_shuffle", "t21_lm_novelty")
+      "sp6_corpus_shuffle", "t21_lm_novelty",
+      "g1_pagerank", "g2_triangles", "g3_copurchase_recs", "dq2_outlier_mad")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
