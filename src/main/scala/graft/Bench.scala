@@ -96,13 +96,28 @@ object Bench {
       name -> med
     }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // one CDC insert-throughput run per full bench (r7 verdict item 4:
+    // the reference's only published perf number is 1.04 ops/s insert
+    // throughput — give every BENCH_r{N}.json a measured counterpart).
+    // Skipped on SPARK_GRAFT_BENCH_ONLY dev-subset runs; excluded from
+    // the query `total` (it is a throughput figure, not a query time).
+    val cdc: Seq[(String, Double)] =
+      if (only.isDefined) Seq.empty
+      else try graft.tools.CdcThroughput.measure(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] cdc throughput FAILED: $e"); Seq.empty }
+    val cdcJson =
+      if (cdc.isEmpty) ""
+      else cdc.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", v)
+      }.mkString(",\"cdc\":{", ",", "}")
     // Locale.ROOT: f"" uses the default locale — a comma decimal
     // separator would make the JSON line unparseable
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + ms(kv._2)
     val qsFull = results.map(entry).mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsFull$cdcJson,"sf":"$sfDir","runs":$runs}"""
     // Full per-query map goes to a file + stderr. The LAST stdout line
     // must be a COMPLETE JSON object inside the driver's bounded log
     // tail (2000 chars, minus sbt's trailing "[success] Total time"
@@ -119,7 +134,9 @@ object Bench {
     System.err.println(full)
     System.err.flush()
     val bySlow = results.filter(_._2 >= 0).sortBy { case (k, v) => (-v, k) }
-    val budget = 1400 // chars for the queries dict; keeps the line ≤ ~1600
+    // cdc block (~400 chars when present) comes out of the queries
+    // budget so the final line stays inside the driver's 2000-char tail
+    val budget = if (cdcJson.isEmpty) 1400 else 1000
     val kept = new StringBuilder
     var nKept = 0
     // stop at the FIRST entry that doesn't fit, so the kept set is a
@@ -138,7 +155,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{${kept.result()}},""" +
         s""""queries_truncated":$truncated,"nqueries":${results.length},""" +
-        s""""queries_order":"slowest_first","queries_file":"BENCH_LOCAL.json",""" +
+        s""""queries_order":"slowest_first","queries_file":"BENCH_LOCAL.json"$cdcJson,""" +
         s""""sf":"$sfDir","runs":$runs}"""
     println(line)
     spark.stop()

@@ -129,6 +129,33 @@ object CdcPipeline {
       }
     }
 
+  /** Mirror lifecycle: DROP — completes the reference UI's
+    * create/start/drop loop (/root/reference/README.md:99–106, where a
+    * mirror is a named Temporal workflow the UI can tear down). Stops
+    * the named StreamingQuery if it is running, garbage-collects its
+    * checkpoint directory, and optionally drops the target tables.
+    *
+    * After a drop the SAME mirror name can be re-created: a fresh
+    * [[start]] against the (now-deleted) checkpoint location begins a
+    * brand-new query that reprocesses its source from the start —
+    * exactly the reference's drop-then-recreate semantics. Dropping
+    * the checkpoint WITHOUT dropping the targets is deliberate
+    * operator choice (re-seeding an existing table is safe — the
+    * merge is idempotent); both halves are explicit here, nothing is
+    * implicit. */
+  def drop(
+      spark: SparkSession,
+      mirrorName: String,
+      checkpointDir: String,
+      store: Option[KeyedParquetStore] = None,
+      dropTargets: Seq[String] = Nil): Unit = {
+    spark.streams.active.filter(_.name == mirrorName).foreach(_.stop())
+    val ckpt = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(ckpt, true)
+    for (s <- store; t <- dropTargets) s.drop(spark, t)
+  }
+
   /** The reference's signature monitoring query over a live mirror:
     * per-table replication lag source vs target (monitoring.ps1:576–
     * 614) with the exact classification thresholds. */

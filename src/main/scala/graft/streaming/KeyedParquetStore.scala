@@ -238,6 +238,12 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     snapshot(spark, table, source, keyCol)
   }
 
+  /** Drop a table wholesale — data files and schema sidecar. The
+    * target half of the mirror DROP lifecycle
+    * ([[CdcPipeline.drop]]); also the first step of [[resync]]. */
+  def drop(spark: SparkSession, table: String): Unit =
+    fs(spark).delete(new Path(path(table)), true)
+
   /** Per-bucket file statistics — drives compaction decisions and the
     * monitoring table-stats report. */
   def bucketStats(spark: SparkSession, table: String): Seq[(Int, Int, Long)] = {
