@@ -266,54 +266,55 @@ object AnalyticsQueries {
     // 2·cumw ≥ totw crossing has no float anywhere, so the answer is
     // bit-stable at any parallelism.
     "a16_weighted_median" -> { (s, d) =>
+      // [[Ranks.groupQuantilesDisc]] with the quantity weight: the
+      // weighted rank target ⌈W/2⌉ is exactly the old 2·cumw ≥ totw
+      // crossing, but the per-flag running sum no longer sorts a
+      // whole flag's value cells in one window partition (values are
+      // near-unique here, so "cells" ≈ rows — the r7 spelling's
+      // #flags-way parallelism was the hidden funnel): cumulative
+      // weights run over ≤ 1024 histogram rows per flag and the
+      // selection window over one bucket's rows. All exact integers —
+      // bit-stable at any parallelism, same output as before.
       val li = Tables.load(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
           expr("CAST(l_quantity AS BIGINT)").as("qty"))
-      val cells = li.groupBy("flag", "cents").agg(sum("qty").as("w"))
-      val cum = org.apache.spark.sql.expressions.Window
-        .partitionBy("flag").orderBy("cents")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      // totals come from the SAME flag partition the running sum
-      // already shuffles on — never a second fact-table scan + join
-      val whole = org.apache.spark.sql.expressions.Window.partitionBy("flag")
-      cells
-        .withColumn("cumw", sum("w").over(cum))
-        .withColumn("totw", sum("w").over(whole))
-        .filter(col("cumw") * 2 >= col("totw"))
-        .groupBy("flag")
-        .agg(min("cents").as("wmedian_cents"), first("totw").as("total_qty"))
+      Ranks.groupQuantilesDisc(li, Seq("flag"), "cents", Some("qty"),
+          ps = Seq((1, 2)))
+        .select(col("flag"), col("cents").as("wmedian_cents"),
+          col("_w_total").as("total_qty"))
         .orderBy("flag")
     },
 
     // ── a15: equi-DEPTH histogram — a10's complement and the shape
     // query optimizers and data profilers actually want (equal mass
-    // per bucket, not equal width). Two passes by construction:
-    // (1) one ordered-set aggregate computes all seven OCTILE
-    // boundaries (exact integer cents via percentile_disc — order
-    // statistics, never interpolated doubles; k/8 fractions are exact
-    // binary doubles, so the ⌈p·n⌉ rank index can never straddle an
-    // integer boundary differently across engines — k/10 deciles
-    // could), broadcast as a single row; (2) one scan assigns bucket
-    // = #boundaries strictly below the value (seven codegen'd
-    // comparisons, no sort, no window) and hash-aggregates
-    // count/lo/hi per bucket. At 100 TB the exact octile pass is the
-    // only global sort — swap percentile_disc for approx_percentile
-    // (mergeable t-digest) and the same two-pass shape holds with no
-    // other change.
+    // per bucket, not equal width). (1) all seven OCTILE boundaries
+    // come from the bucketed two-pass exact selection
+    // ([[Ranks.groupQuantilesDisc]] — order statistics at ⌈k·n/8⌉
+    // ranks, never interpolated doubles; k/8 fractions are exact
+    // binary, so the rank can never straddle an integer boundary
+    // differently across engines — k/10 deciles could), collapsed to
+    // one broadcast row; (2) one scan assigns bucket = #boundaries
+    // strictly below the value (seven codegen'd comparisons, no sort,
+    // no window) and hash-aggregates count/lo/hi per bucket. No task
+    // anywhere buffers the column: the octile pass is histogram +
+    // bucket-local selection, exact at any scale — approx_percentile
+    // (mergeable t-digest) remains the cheaper swap when ±ε rank
+    // error is acceptable.
     "a15_equidepth_hist" -> { (s, d) =>
       val li = Tables.load(s, d, "lineitem")
         .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-      // ONE percentile_disc call with the percentage ARRAY: a single
-      // sort buffer serves all seven bounds (seven scalar calls each
-      // buffer the full column — 7× the memory and merge cost)
-      val pcts = (1 to 7).map(k => k / 8.0).mkString(", ")
-      val bounds = li
-        .agg(expr(s"percentile_disc(array($pcts)) WITHIN GROUP (ORDER BY cents)")
-          .as("bs"))
-        .select((1 to 7).map(k =>
-          expr(s"CAST(bs[${k - 1}] AS BIGINT)").as(s"b$k")): _*)
+      // octile bounds via [[Ranks.groupQuantilesDisc]] — the r7
+      // spelling's single percentile_disc call still buffered and
+      // sorted the WHOLE column inside one task (the global group IS
+      // the few-large-groups worst case); the two-pass selection keeps
+      // every window bucket-bounded and the same k/8 exact-binary
+      // ranks, so the bounds are bit-identical
+      val qrows = Ranks.groupQuantilesDisc(li, Seq.empty, "cents", None,
+        ps = (1 to 7).map(k => (k, 8)))
+      val bAggs = (1 to 7).map(k =>
+        max(when(col("_p_idx") === k - 1, col("cents"))).as(s"b$k"))
+      val bounds = qrows.agg(bAggs.head, bAggs.tail: _*)
       val bucket = (1 to 7)
         .map(k => when(col("cents") > col(s"b$k"), 1).otherwise(0))
         .reduce(_ + _)

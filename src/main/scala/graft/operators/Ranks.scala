@@ -57,6 +57,105 @@ object Ranks {
       .drop("_mn", "_mx", "_bkt", "_rn", "_off")
   }
 
+  /** Exact `percentile_disc` per group with NO per-group value buffer
+    * anywhere — the 100 TB spelling of exact order statistics. The
+    * ordered-set aggregate (`percentile_disc` / `percentile`) buffers
+    * and sorts EVERY value of a group inside one task, which is the
+    * hidden single-task funnel for few-large-group shapes (a global
+    * octile pass buffers the whole fact column). This replaces it
+    * with the selection-algorithm shape:
+    *
+    *  1. per-group stats (min/max/total weight) — tiny;
+    *  2. monotone equal-width bucketing + per-(group, bucket) weighted
+    *     histogram with in-bucket min/max — ≤ `buckets` rows per
+    *     group, partial-aggregated map-side;
+    *  3. per-group cumulative weights over the histogram (window over
+    *     ≤ `buckets` rows) locate, for each requested percentile, the
+    *     bucket containing target rank ⌈p·W⌉ and the residual
+    *     in-bucket rank;
+    *  4. a bucket whose min = max resolves immediately (covers
+    *     massive-duplicate skew — the bucket never needs its rows);
+    *     otherwise one selection pass touches ONLY rows of targeted
+    *     buckets (≈ W/buckets per target) and picks the crossing row
+    *     with a bucket-partitioned running-weight window.
+    *
+    * Percentages are exact rationals `(num, den)` so target ranks are
+    * pure integer arithmetic — `⌈num·W / den⌉` — with no float
+    * anywhere (use power-of-two dens to mirror the octile/quartile
+    * determinism rule). Weighted (`percentile_disc` of each value
+    * repeated `weight` times) via `weightCol`; `None` = unweighted.
+    * Output: `groupCols`, `_p_idx` (index into `ps`), `valueCol` (the
+    * selected value), `_w_total` (the group's total weight — callers
+    * needing N/W read it, e.g. the weighted-median report).
+    *
+    * Values must be integral (LongType); pathological skew within a
+    * NON-degenerate bucket is bounded by bucket width — recurse with
+    * a second bucketing level if a profile ever shows one bucket
+    * dominating (not needed at current corpus shapes). */
+  private[graft] def groupQuantilesDisc(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      weightCol: Option[String], ps: Seq[(Int, Int)],
+      buckets: Int = 1024): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (n0, d0) => n0 >= 0 && d0 > 0 })
+    // internal uniform group key: real groups, or a constant for the
+    // global case (keeps every step below group-generic)
+    val (gdf, gcols) =
+      if (groupCols.nonEmpty) (df, groupCols)
+      else (df.withColumn("_g", lit(1)), Seq("_g"))
+    val g = gcols.map(col)
+    val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
+    val v = col(valueCol)
+
+    val stats = gdf.groupBy(g: _*).agg(
+      min(v).as("_mn"), max(v).as("_mx"), sum(w).as("_w_total"))
+    val span = (col("_mx") - col("_mn") + lit(1)).cast("double")
+    val ebkt = gdf.join(broadcast(stats), gcols)
+      .withColumn("_bkt",
+        least(lit(buckets - 1),
+          floor((v - col("_mn")).cast("double") / span * buckets)).cast("int"))
+    val hist = ebkt.groupBy(g :+ col("_bkt"): _*)
+      .agg(sum(w).as("_bw"), min(v).as("_bmin"), max(v).as("_bmax"),
+        first("_w_total").as("_w_total"))
+      .withColumn("_cum", sum("_bw").over(
+        Window.partitionBy(gcols.map(col): _*).orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_cum0", col("_cum") - col("_bw"))
+
+    // one row per requested percentile; ranks in pure integer math
+    val pFrame = ps.zipWithIndex
+      .map { case ((n0, d0), i) => (i, n0.toLong, d0.toLong) }
+      .foldLeft(Option.empty[DataFrame]) { case (acc, (i, n0, d0)) =>
+        val row = stats.sparkSession.range(1)
+          .select(lit(i).as("_p_idx"), lit(n0).as("_pn"), lit(d0).as("_pd"))
+        Some(acc.fold(row)(_ unionByName row))
+      }.get
+    val targets = hist.crossJoin(broadcast(pFrame))
+      .withColumn("_rank", // clamp: p=0 still selects the minimum
+        expr("GREATEST(CAST(1 AS BIGINT), CAST((_pn * _w_total + _pd - 1) div _pd AS BIGINT))"))
+      .filter(col("_cum") >= col("_rank") && col("_cum0") < col("_rank"))
+      .withColumn("_lrank", col("_rank") - col("_cum0"))
+
+    val degenerate = targets.filter(col("_bmin") === col("_bmax"))
+      .select(g :+ col("_p_idx") :+ col("_bmin").as(valueCol) :+
+        col("_w_total"): _*)
+    val live = targets.filter(col("_bmin") =!= col("_bmax"))
+      .select(g :+ col("_bkt") :+ col("_p_idx") :+ col("_lrank") :+
+        col("_w_total"): _*)
+    val inBucket = ebkt.select(g :+ col("_bkt") :+ v.as("_v") :+
+        w.as("_w"): _*)
+      .join(broadcast(live), gcols :+ "_bkt")
+      .withColumn("_cw", sum("_w").over(
+        Window.partitionBy(gcols.map(col) :+ col("_p_idx") :+ col("_bkt"): _*)
+          .orderBy("_v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("_cw") >= col("_lrank") && col("_cw") - col("_w") < col("_lrank"))
+      .select(g :+ col("_p_idx") :+ col("_v").as(valueCol) :+
+        col("_w_total"): _*)
+
+    val out = degenerate.unionByName(inBucket)
+    if (groupCols.nonEmpty) out else out.drop("_g")
+  }
+
   /** Global running SUM of `weightCol` in `orderCol`-ascending order —
     * the same two-pass monotone-bucket shape as [[globalRank]], for
     * cumulative aggregates (Pareto/ABC shares, cumulative

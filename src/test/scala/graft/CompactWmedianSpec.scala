@@ -99,12 +99,20 @@ class CompactWmedianSpec extends AnyFunSuite {
     }
   }
 
-  test("a16 plan: one fact-table scan — totals ride the window partition, not a join") {
-    val plan = SparkEntry.queries("a16_weighted_median")(spark, sf)
-      .queryExecution.executedPlan.toString
-    val scans = plan.linesIterator.count(l =>
-      l.contains("Scan parquet") && l.contains("lineitem"))
-    assert(scans == 1, s"expected exactly one lineitem scan:\n$plan")
+  test("a16 plan: no whole-flag value sort — every window bucket-bounded, joins broadcast") {
+    // the r7 one-scan spelling sorted each flag's value cells in ONE
+    // window partition (#flags-way parallelism, cells ≈ rows on
+    // near-unique values); the groupQuantilesDisc spelling trades two
+    // extra cheap scans for windows that only ever see ≤ buckets
+    // histogram rows or one bucket's rows — at 100 TB that trade is
+    // the whole point, so the plan gate pins it
+    val df = SparkEntry.queries("a16_weighted_median")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toList
+    assert(windows.nonEmpty, plan)
+    windows.foreach(w =>
+      assert(w.contains("_bkt"), s"whole-group window in a16:\n$w"))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
   }
 
