@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the text-dedup and vector-similarity
@@ -24,6 +24,21 @@ object HashOps {
 
   val M: Long = 1000000007L
   private val P: Long = 1000003L
+
+  /** Fixed MONOTONE logarithmic bucketing of any long — bit-length
+    * octave × 7 high mantissa bits, sign-reflected for negatives.
+    * Strictly order-preserving (v1 ≤ v2 ⇒ bucket(v1) ≤ bucket(v2)),
+    * range [−8192, 8191], needs NO min/max pre-pass — the bucketing
+    * that lets exact quantile selection run in two passes instead of
+    * three (stats + hist + select). Exactness of the bit-length is
+    * load-bearing: a float `log2` misrounds near powers of two and
+    * breaks monotonicity, silently corrupting rank arithmetic. */
+  def logBucket(v: Long): Int =
+    if (v >= 0) {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(v) // 0 for v=0
+      val shift = if (bl > 7) bl - 7 else 0
+      (bl << 7) | ((v >>> shift).toInt & 127)
+    } else -logBucket(-(v + 1)) - 1
 
   /** acc = 7; acc = (acc*31 + codepoint) % M over the string's Unicode
     * code points — identical to `aggregate(split(s,''), 7, ...ascii)`
@@ -408,11 +423,38 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
     copy(left = newLeft, right = newRight)
 }
 
+/** `log_bucket(v BIGINT) -> INT` — fixed monotone log bucketing (see
+  * [[HashOps.logBucket]]); powers the two-pass exact quantile
+  * selection in `Ranks.groupQuantilesDisc`. */
+case class LogBucket(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "log_bucket"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"log_bucket takes BIGINT/INT, got ${dt.sql}")
+    }
+  private lazy val asLong: Any => Long = child.dataType match {
+    case LongType => v => v.asInstanceOf[Long]
+    case _        => v => v.asInstanceOf[Int].toLong
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.logBucket(asLong(input))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.logBucket((long)($c))")
+  override protected def withNewChildInternal(newChild: Expression): LogBucket =
+    copy(child = newChild)
+}
+
 object HashExprs {
 
   /** Generated-Java reference to the HashOps singleton. */
   private[functions] val H: String =
     HashOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  def log_bucket(c: Column): Column = Bridge.column(LogBucket(Bridge.expression(c)))
 
   def char_fold(c: Column): Column = Bridge.column(CharFold(Bridge.expression(c)))
   def tokenize(c: Column): Column = Bridge.column(Tokenize(Bridge.expression(c)))

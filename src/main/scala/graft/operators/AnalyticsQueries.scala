@@ -255,16 +255,37 @@ object AnalyticsQueries {
         .orderBy("threshold_cents")
     },
 
+    // ── a19: multi-column equi-depth feature binning — the ML
+    // featurization pass every tabular/feature pipeline runs before
+    // training: exact quartile bin edges for SEVERAL numeric columns
+    // at once. `stack` unpivots columns into (feature, value) groups,
+    // so k columns cost ONE grouped two-pass selection
+    // ([[Ranks.groupQuantilesDisc]]) instead of k ordered-set
+    // aggregates each buffering a whole column — and every window in
+    // the plan stays bucket-bounded whatever the column count or
+    // corpus size. Values integerized per column (units/cents/basis
+    // points); k/4 fractions are exact binary, so the ⌈p·n⌉ ranks
+    // agree across engines (the octile determinism rule).
+    "a19_feature_bins" -> { (s, d) =>
+      val unpivoted = Tables.load(s, d, "lineitem")
+        .selectExpr(
+          """stack(4,
+               'discount_bp', CAST(round(l_discount * 10000) AS BIGINT),
+               'extendedprice_cents', CAST(round(l_extendedprice * 100) AS BIGINT),
+               'quantity_units', CAST(l_quantity AS BIGINT),
+               'tax_bp', CAST(round(l_tax * 10000) AS BIGINT)
+             ) AS (feature, v)""")
+      Ranks.groupQuantilesDisc(unpivoted, Seq("feature"), "v", None,
+          ps = Seq((1, 4), (2, 4), (3, 4)))
+        .select(col("feature"),
+          (col("_p_idx") + 1).cast("int").as("quartile"),
+          col("v").as("edge"))
+        .orderBy("feature", "quartile")
+    },
+
     // ── a16: weighted median — the order statistic that answers
     // "what price does the MEDIAN UNIT ship at" (each row weighted by
-    // its quantity), which the plain median cannot. Spelled scale-
-    // first: collapse to distinct (group, value) cells with summed
-    // weights FIRST (bounded by value cardinality, not row count),
-    // then one group-partitioned running-sum window over the cells
-    // and the smallest value whose cumulative weight crosses half the
-    // total. All exact integers (cents × integral quantities) — the
-    // 2·cumw ≥ totw crossing has no float anywhere, so the answer is
-    // bit-stable at any parallelism.
+    // its quantity), which the plain median cannot.
     "a16_weighted_median" -> { (s, d) =>
       // [[Ranks.groupQuantilesDisc]] with the quantity weight: the
       // weighted rank target ⌈W/2⌉ is exactly the old 2·cumw ≥ totw
@@ -918,6 +939,27 @@ object AnalyticsQueries {
            CAST(SUM(cents) * 10000 // total AS BIGINT) AS share_bp
          FROM cls CROSS JOIN tot
          GROUP BY abc_class, total ORDER BY abc_class""",
+    // per-feature quartiles in the textbook ordered-set spelling;
+    // k/4 fractions are exact binary so ranks agree across engines
+    "a19_feature_bins" ->
+      """WITH f AS (
+           SELECT 'discount_bp' AS feature,
+             CAST(round(l_discount * 10000) AS BIGINT) AS v FROM lineitem
+           UNION ALL
+           SELECT 'extendedprice_cents',
+             CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'quantity_units', CAST(l_quantity AS BIGINT) FROM lineitem
+           UNION ALL
+           SELECT 'tax_bp', CAST(round(l_tax * 10000) AS BIGINT) FROM lineitem),
+         e AS (
+           SELECT feature,
+             percentile_disc([0.25, 0.5, 0.75]) WITHIN GROUP (ORDER BY v) AS es
+           FROM f GROUP BY 1)
+         SELECT feature, CAST(g.i AS INT) AS quartile,
+           CAST(es[g.i] AS BIGINT) AS edge
+         FROM e CROSS JOIN generate_series(1, 3) AS g(i)
+         ORDER BY feature, quartile""",
     "a16_weighted_median" ->
       """WITH li AS (
            SELECT l_returnflag AS flag,

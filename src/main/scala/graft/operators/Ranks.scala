@@ -65,19 +65,21 @@ object Ranks {
     * octile pass buffers the whole fact column). This replaces it
     * with the selection-algorithm shape:
     *
-    *  1. per-group stats (min/max/total weight) — tiny;
-    *  2. monotone equal-width bucketing + per-(group, bucket) weighted
-    *     histogram with in-bucket min/max — ≤ `buckets` rows per
-    *     group, partial-aggregated map-side;
-    *  3. per-group cumulative weights over the histogram (window over
-    *     ≤ `buckets` rows) locate, for each requested percentile, the
-    *     bucket containing target rank ⌈p·W⌉ and the residual
-    *     in-bucket rank;
-    *  4. a bucket whose min = max resolves immediately (covers
+    *  1. per-(group, bucket) weighted histogram with in-bucket
+    *     min/max under the FIXED monotone log bucketing
+    *     ([[graft.functions.HashOps.logBucket]]: bit-length octave ×
+    *     7 mantissa bits, sign-reflected — order-preserving for every
+    *     long with NO min/max pre-pass, ≤ 16384 buckets) —
+    *     partial-aggregated map-side; group totals and cumulative
+    *     weights come from windows over the histogram rows themselves
+    *     (bounded by the bucket range, never by data), locating for
+    *     each requested percentile the bucket containing target rank
+    *     ⌈p·W⌉ and the residual in-bucket rank;
+    *  2. a bucket whose min = max resolves immediately (covers
     *     massive-duplicate skew — the bucket never needs its rows);
     *     otherwise one selection pass touches ONLY rows of targeted
-    *     buckets (≈ W/buckets per target) and picks the crossing row
-    *     with a bucket-partitioned running-weight window.
+    *     buckets (one log-octave slice per target) and picks the
+    *     crossing row with a bucket-partitioned running-weight window.
     *
     * Percentages are exact rationals `(num, den)` so target ranks are
     * pure integer arithmetic — `⌈num·W / den⌉` — with no float
@@ -89,13 +91,12 @@ object Ranks {
     * needing N/W read it, e.g. the weighted-median report).
     *
     * Values must be integral (LongType); pathological skew within a
-    * NON-degenerate bucket is bounded by bucket width — recurse with
-    * a second bucketing level if a profile ever shows one bucket
-    * dominating (not needed at current corpus shapes). */
+    * NON-degenerate bucket is bounded by the log-octave width —
+    * recurse with a second bucketing level if a profile ever shows
+    * one bucket dominating (not needed at current corpus shapes). */
   private[graft] def groupQuantilesDisc(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
-      weightCol: Option[String], ps: Seq[(Int, Int)],
-      buckets: Int = 1024): DataFrame = {
+      weightCol: Option[String], ps: Seq[(Int, Int)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (n0, d0) => n0 >= 0 && d0 > 0 })
     // internal uniform group key: real groups, or a constant for the
     // global case (keeps every step below group-generic)
@@ -106,26 +107,42 @@ object Ranks {
     val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
     val v = col(valueCol)
 
-    val stats = gdf.groupBy(g: _*).agg(
-      min(v).as("_mn"), max(v).as("_mx"), sum(w).as("_w_total"))
-    val span = (col("_mx") - col("_mn") + lit(1)).cast("double")
-    val ebkt = gdf.join(broadcast(stats), gcols)
-      .withColumn("_bkt",
-        least(lit(buckets - 1),
-          floor((v - col("_mn")).cast("double") / span * buckets)).cast("int"))
-    val hist = ebkt.groupBy(g :+ col("_bkt"): _*)
-      .agg(sum(w).as("_bw"), min(v).as("_bmin"), max(v).as("_bmax"),
-        first("_w_total").as("_w_total"))
-      .withColumn("_cum", sum("_bw").over(
-        Window.partitionBy(gcols.map(col): _*).orderBy("_bkt")
+    val ebkt = gdf.withColumn("_bkt",
+      graft.functions.HashExprs.log_bucket(v))
+    // cumulative ranks over the HISTOGRAM in the globalCumSum idiom:
+    // per-(group, octave) ordered windows (octave = _bkt >> 7, a real
+    // per-row key — so no window is ever fed by a SinglePartition
+    // exchange, even in the global-group case where a constant
+    // partition key would fold away) + an octave-offset self-join over
+    // ≤ #octaves² rows and a broadcast group-total join — every frame
+    // bounded by the log-bucket range, never by data
+    val hist0 = ebkt.groupBy(g :+ col("_bkt"): _*)
+      .agg(sum(w).as("_bw"), min(v).as("_bmin"), max(v).as("_bmax"))
+      .withColumn("_oct", expr("shiftright(_bkt, 7)"))
+    val octTot = hist0.groupBy(g :+ col("_oct"): _*)
+      .agg(sum("_bw").as("_ow"))
+    val octOff = octTot.as("a")
+      .join(octTot.select((gcols.map(c => col(c).as(s"_b_$c")) :+
+          col("_oct").as("_pb") :+ col("_ow").as("_pw")): _*).as("b"),
+        gcols.map(c => col(s"a.$c") === col(s"_b_$c")).reduce(_ && _) &&
+          col("_pb") < col("a._oct"), "left")
+      .groupBy(gcols.map(c => col(s"a.$c").as(c)) :+ col("a._oct").as("_oct"): _*)
+      .agg(coalesce(sum("_pw"), lit(0L)).as("_ooff"))
+    val gTot = hist0.groupBy(g: _*).agg(sum("_bw").as("_w_total"))
+    val hist = hist0
+      .withColumn("_rs", sum("_bw").over(
+        Window.partitionBy(gcols.map(col) :+ col("_oct"): _*).orderBy("_bkt")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(octOff), gcols :+ "_oct")
+      .join(broadcast(gTot), gcols)
+      .withColumn("_cum", col("_ooff") + col("_rs"))
       .withColumn("_cum0", col("_cum") - col("_bw"))
 
     // one row per requested percentile; ranks in pure integer math
     val pFrame = ps.zipWithIndex
       .map { case ((n0, d0), i) => (i, n0.toLong, d0.toLong) }
       .foldLeft(Option.empty[DataFrame]) { case (acc, (i, n0, d0)) =>
-        val row = stats.sparkSession.range(1)
+        val row = df.sparkSession.range(1)
           .select(lit(i).as("_p_idx"), lit(n0).as("_pn"), lit(d0).as("_pd"))
         Some(acc.fold(row)(_ unionByName row))
       }.get

@@ -65,8 +65,10 @@ object DumpPlans {
     "cdc_scd2_history" -> "SCD2 history: lead + row_number share one user_id exchange, intervals in pure integers",
     "dq1_constraint_report" -> "constraint report: FK checks as LEFT-join null probes (dim side broadcasts), one agg row per check",
     "dq4_schema_drift" -> "schema drift: midpoint + totals as broadcast scalars, ONE conditional-agg pass per scan, no join on event rows",
-    "a15_equidepth_hist" -> "equi-depth histogram: one ordered-set agg for all octile bounds, broadcast row, codegen'd bucket comparisons",
-    "g3_copurchase_recs" -> "co-purchase recs: focus-bounded wedge join (|focus|*deg^2, corpus-independent), per-seed window top-5",
+    "a15_equidepth_hist" -> "equi-depth histogram: bucketed two-pass exact octiles (no value buffer), broadcast row, codegen'd bucket comparisons",
+    "a16_weighted_median" -> "weighted median via groupQuantilesDisc: histogram ranks + bucket-local selection, every window bucket-bounded",
+    "q2_approx_quantiles" -> "GK sketch + rank-error verification: two codegen scans, no ordered-set aggregate anywhere",
+    "g3_copurchase_recs" -> "co-purchase recs: focus 2-hop semi-join edge build, broadcast deg/focus sides, per-seed window top-5",
     "d11_prefix_filter" -> "prefix-filter join: per-doc window on doc_id (group-local), candidates only where rarest-token prefixes collide",
     "s13_kmeans_assign" -> "k-means step: broadcast seeds, three compiled dots per row (|v-c|2 identity), k-row shuffle only",
     "ts8_ewma" -> "truncated EWMA: eight lags in ONE compiled window frame, single user_id exchange",

@@ -31,8 +31,7 @@ class GroupQuantilesSpec extends AnyFunSuite {
   private def ours(df: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String], valueCol: String,
       weightCol: Option[String] = None): Map[(Int, Int), Long] =
-    Ranks.groupQuantilesDisc(df, groupCols, valueCol, weightCol, octiles,
-        buckets = 32)
+    Ranks.groupQuantilesDisc(df, groupCols, valueCol, weightCol, octiles)
       .collect()
       .map(r => (if (groupCols.isEmpty) 1 else r.getAs[Int](groupCols.head),
         r.getAs[Int]("_p_idx")) -> r.getAs[Long](valueCol))
@@ -87,14 +86,30 @@ class GroupQuantilesSpec extends AnyFunSuite {
     assert(med((1, octiles.indexOf((4, 8)))) == 30L) // cum 3,4,10 of 12 → 30
   }
 
-  test("no whole-group window: every Window in the plan is bucket-partitioned") {
+  test("negative and mixed-sign values: log-bucket reflection stays monotone") {
+    val df = spark.range(6000)
+      .select(lit(1).as("g"), (col("id") * 37L % 5000L - 2500L).as("v"))
+    assert(ours(df, Seq("g"), "v") == discOracle(df, "g", "v"))
+    // extremes: values straddling octave boundaries and Long extremes
+    import spark.implicits._
+    val edges = Seq(Long.MinValue, -129L, -128L, -2L, -1L, 0L, 1L, 127L,
+      128L, 255L, 256L, Long.MaxValue).map((1, _)).toDF("g", "v")
+    assert(ours(edges, Seq("g"), "v") == discOracle(edges, "g", "v"))
+  }
+
+  test("no whole-group value sort: windows run on histogram rows or one bucket") {
     val df = spark.range(50000).select(lit(1).as("g"), (col("id") % 9973L).as("v"))
     val q = Ranks.groupQuantilesDisc(df, Seq("g"), "v", None, octiles)
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
     val windows = plan.linesIterator.filter(_.contains("Window [")).toList
     assert(windows.nonEmpty, plan)
+    // every window either partitions on the bucket key (selection
+    // pass) or aggregates histogram weights (_bw — frame bounded by
+    // the log-bucket range); a window sorting raw values over a whole
+    // group would contain neither
     windows.foreach(wl =>
-      assert(wl.contains("_bkt"), s"window not bucket-partitioned:\n$wl"))
+      assert(wl.contains("_bkt") || wl.contains("_bw"),
+        s"whole-group window:\n$wl"))
   }
 }
