@@ -48,6 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64", es => SimHash64(es.head))
     inject("subword_count", es => SubwordCount(es.head))
     inject("dot_long", es => DotLong(es(0), es(1)))
+    inject("log_bucket", es => LogBucket(es.head))
     inject("shingle_hashes", es => ShingleHashes(es(0), intLit(es(1), "shingle width")))
     inject("token_ngrams", es => TokenNgrams(es(0), intLit(es(1), "n-gram size")))
     inject("winnow", es => Winnow(es(0), intLit(es(1), "window")))
