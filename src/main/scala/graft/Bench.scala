@@ -65,7 +65,13 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } finally {
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          // blocking: the sweep runs AFTER the timestamp, so waiting is
+          // free for the measurement — and async unpersist let a heavy
+          // checkpoint-laden neighbor's blocks linger into the NEXT
+          // query's timed runs (graph family read ~1.5x isolated when
+          // it followed the d-cluster family; synchronous frees close
+          // that gap)
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
           spark.sharedState.cacheManager.clearCache()
         }
       }
