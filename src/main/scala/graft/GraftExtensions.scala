@@ -88,6 +88,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"hll_merge takes (sketch), got ${es.length} args")
     })
     inject("hll_estimate", es => HllEstimate(es.head))
+    inject("lb_hist", {
+      case Seq(e) => LbHistAgg(e).toAggregateExpression()
+      case es => throw new IllegalArgumentException(
+        s"lb_hist takes (value), got ${es.length} args")
+    })
+    inject("lb_merge", {
+      case Seq(e) => LbMergeAgg(e).toAggregateExpression()
+      case es => throw new IllegalArgumentException(
+        s"lb_merge takes (sketch), got ${es.length} args")
+    })
+    inject("lb_quantile", {
+      case Seq(e, n0, d0) =>
+        LbQuantile(e, intLit(n0, "quantile numerator"), intLit(d0, "quantile denominator"))
+      case es => throw new IllegalArgumentException(
+        s"lb_quantile takes (sketch, num, den), got ${es.length} args")
+    })
     inject("cms_build", {
       case Seq(e, w, d) =>
         CmsBuild(e, intLit(w, "cms width"), intLit(d, "cms depth"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -519,6 +519,45 @@ object AnalyticsQueries {
         .orderBy("ta", "tb")
     },
 
+    // ── e6: log-bucket histogram quantiles — the quantile SKETCH
+    // (DDSketch family) beside e1's distinct-count sketch: per-group
+    // state is a sparse bucket-count map (≤ 16384 longs, key-wise-add
+    // mergeable — the streaming/rollup quantile state, see
+    // [[graft.streaming.EventWindows.valueQuantilesLbHist]]), built
+    // on the SAME fixed monotone bucketing as the batch exact
+    // operator (log_bucket). Driver-verifiable by the sketch's ACTUAL
+    // contract: the read returns the rank-⌈p·W⌉ bucket's LOWER BOUND,
+    // so est ≤ exact ≤ est + est div 64 + 1 — an integer-exact
+    // bracket (bucket relative width ≤ 1/64; values < 128 live in
+    // singleton buckets). The exact side dogfoods
+    // [[Ranks.groupQuantilesDisc]] — both sides of the check are
+    // no-value-buffer plans. p ∈ {1/2, 3/4, 15/16}: exact binary, so
+    // ranks agree across engines.
+    "e6_lbhist_quantiles" -> { (s, d) =>
+      import graft.functions.LogHist.{lb_hist, lb_quantile}
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_type"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("milli"))
+      val sk = ev.groupBy("event_type").agg(lb_hist(col("milli")).as("h"))
+      val ps = Seq((1, 2), (3, 4), (15, 16))
+      val exAggs = ps.zipWithIndex.map { case (_, i) =>
+        max(when(col("_p_idx") === i, col("milli"))).as(s"ex$i") }
+      val exact = Ranks.groupQuantilesDisc(ev, Seq("event_type"), "milli",
+          None, ps)
+        .groupBy("event_type").agg(exAggs.head, exAggs.tail: _*)
+      def ok(i: Int): Column = {
+        val est = lb_quantile(col("h"), ps(i)._1, ps(i)._2)
+        est <= col(s"ex$i") &&
+          col(s"ex$i") <= est + shiftright(est, 6) + lit(1L)
+      }
+      sk.join(exact, "event_type")
+        .select(col("event_type"),
+          col("ex0").as("p50_exact"), col("ex1").as("p75_exact"),
+          col("ex2").as("p9375_exact"),
+          ok(0).as("ok50"), ok(1).as("ok75"), ok(2).as("ok9375"))
+        .orderBy("event_type")
+    },
+
     // ── x20: UNPIVOT (wide → long) — the inverse of x4's PIVOT:
     // per-priority aggregates melted into (metric, value) rows via
     // stack, so downstream checks consume metrics as DATA. All values
@@ -939,6 +978,22 @@ object AnalyticsQueries {
            CAST(SUM(cents) * 10000 // total AS BIGINT) AS share_bp
          FROM cls CROSS JOIN tot
          GROUP BY abc_class, total ORDER BY abc_class""",
+    // the oracle checks the bracket booleans plus the exact
+    // percentiles; `true` is the sketch contract — an out-of-bucket
+    // estimate hashes `false` and fails the gate
+    "e6_lbhist_quantiles" ->
+      """WITH ev AS (
+           SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS milli
+           FROM events)
+         SELECT event_type,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY milli) AS BIGINT)
+             AS p50_exact,
+           CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY milli) AS BIGINT)
+             AS p75_exact,
+           CAST(percentile_disc(0.9375) WITHIN GROUP (ORDER BY milli) AS BIGINT)
+             AS p9375_exact,
+           true AS ok50, true AS ok75, true AS ok9375
+         FROM ev GROUP BY 1 ORDER BY event_type""",
     // per-feature quartiles in the textbook ordered-set spelling;
     // k/4 fractions are exact binary so ranks agree across engines
     "a19_feature_bins" ->

@@ -69,6 +69,26 @@ object EventWindows {
       .select(expr("unix_timestamp(w.start)").as("window_start"), col("approx_users"))
   }
 
+  /** Windowed value quantiles from the log-bucket histogram sketch
+    * ([[graft.functions.LogHist]]): per-window state is the sparse
+    * bucket-count map (≤ 16384 longs) — bounded whatever the value
+    * cardinality — and micro-batches fold in by key-wise count
+    * addition (associative + commutative), so arrival order and batch
+    * boundaries can't change any window's quantile read. The read is
+    * the rank-⌈p·W⌉ bucket's lower bound: within 1/64 relative of the
+    * exact order statistic, exact below 128. Same transform runs in
+    * batch; the streaming spec asserts batch/stream agreement. */
+  def valueQuantilesLbHist(events: DataFrame, withWatermarkCol: Boolean = false): DataFrame = {
+    import graft.functions.LogHist.{lb_hist, lb_quantile}
+    val src = if (withWatermarkCol) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(lb_hist(expr("CAST(round(value * 1000) AS BIGINT)")).as("h"))
+      .select(expr("unix_timestamp(w.start)").as("window_start"),
+        lb_quantile(col("h"), 1, 2).as("p50_milli"),
+        lb_quantile(col("h"), 15, 16).as("p9375_milli"))
+  }
+
   /** Windowed frequent-item candidates over the stream: the
     * Misra–Gries summary lives in the streaming aggregation state and
     * merges each micro-batch's partial summary (the mergeable-summary

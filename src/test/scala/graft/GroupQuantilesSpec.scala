@@ -97,6 +97,15 @@ class GroupQuantilesSpec extends AnyFunSuite {
     assert(ours(edges, Seq("g"), "v") == discOracle(edges, "g", "v"))
   }
 
+  test("result is invariant to input partitioning") {
+    val base = spark.range(20000)
+      .select((col("id") % 4).cast("int").as("g"),
+        ((col("id") * 2654435761L) % 50000L).as("v"))
+    val r1 = ours(base.repartition(1), Seq("g"), "v")
+    val r32 = ours(base.repartition(32), Seq("g"), "v")
+    assert(r1 == r32)
+  }
+
   test("no whole-group value sort: windows run on histogram rows or one bucket") {
     val df = spark.range(50000).select(lit(1).as("g"), (col("id") % 9973L).as("v"))
     val q = Ranks.groupQuantilesDisc(df, Seq("g"), "v", None, octiles)
