@@ -68,6 +68,7 @@ object DumpPlans {
     "a15_equidepth_hist" -> "equi-depth histogram: bucketed two-pass exact octiles (no value buffer), broadcast row, codegen'd bucket comparisons",
     "a16_weighted_median" -> "weighted median via groupQuantilesDisc: histogram ranks + bucket-local selection, every window bucket-bounded",
     "a19_feature_bins" -> "multi-column feature binning: stack unpivot, ONE grouped two-pass selection for all columns' quartiles",
+    "e6_lbhist_quantiles" -> "log-bucket quantile sketch: mergeable bucket-count state, bracket-checked against the two-pass exact side",
     "q2_approx_quantiles" -> "GK sketch + rank-error verification: two codegen scans, no ordered-set aggregate anywhere",
     "g3_copurchase_recs" -> "co-purchase recs: focus 2-hop semi-join edge build, broadcast deg/focus sides, per-seed window top-5",
     "d11_prefix_filter" -> "prefix-filter join: per-doc window on doc_id (group-local), candidates only where rarest-token prefixes collide",
