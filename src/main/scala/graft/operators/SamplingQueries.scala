@@ -197,6 +197,35 @@ object SamplingQueries {
         .orderBy("pos")
     },
 
+    // ── sp9: shard-export manifest — the terminal step of the
+    // training-data pipeline: the shuffled corpus (sp6's deterministic
+    // hash permutation) cut into fixed-size numbered shards, with the
+    // per-shard stats an export job writes beside the data (doc count,
+    // character mass, position range, first doc). Shard assignment is
+    // `(pos − 1) div docsPerShard` over the bucketed global rank — no
+    // single-partition sort anywhere, and the manifest is a tiny
+    // per-shard rollup, so the plan is corpus-scale ready: the same
+    // query IS the writer's partition key at 100 TB
+    // (`.write.partitionBy("shard")` on the ranked frame). Every
+    // number is a pure function of doc ids — re-running a failed
+    // export reproduces identical shards (elastic retry safety).
+    "sp9_shard_manifest" -> { (s, d) =>
+      val docsPerShard = 256L
+      val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(654435747L),
+        lit(1000000007L))
+      val keyed = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("skey", h * lit(8589934592L) + col("doc_id"))
+      Ranks.globalRank(keyed, "skey", "pos")
+        .withColumn("shard", expr(s"CAST((pos - 1) div $docsPerShard AS INT)"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          min("pos").as("pos_lo"), max("pos").as("pos_hi"),
+          min_by(col("doc_id"), col("pos")).as("first_doc_id"))
+        .orderBy("shard")
+    },
+
     // ── sp7: mixture plan — the arithmetic every training run does
     // before sampling: given target shares per language and a total
     // character budget, compare each stratum's AVAILABLE mass against
@@ -335,6 +364,21 @@ object SamplingQueries {
             (ORDER BY (doc_id % 1000000007) * 654435747 % 1000000007, doc_id)
             AS pos, doc_id, lang
           FROM documents ORDER BY pos""",
+    // textbook window spelling of the shard cut; the impl's bucketed
+    // rank + rollup is the physical optimization, not a semantic one
+    "sp9_shard_manifest" ->
+      """WITH ranked AS (
+           SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER
+               (ORDER BY (doc_id % 1000000007) * 654435747 % 1000000007, doc_id)
+               AS pos
+           FROM documents)
+         SELECT CAST((pos - 1) // 256 AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(pos) AS pos_lo, MAX(pos) AS pos_hi,
+           MIN_BY(doc_id, pos) AS first_doc_id
+         FROM ranked GROUP BY 1 ORDER BY shard""",
     "q1_group_quantiles" ->
       """SELECT l_returnflag AS flag,
            ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS p25,
