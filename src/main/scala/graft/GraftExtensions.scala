@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got: $other")
   }
 
+  private def strLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
@@ -49,6 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("subword_count", es => SubwordCount(es.head))
     inject("dot_long", es => DotLong(es(0), es(1)))
     inject("log_bucket", es => LogBucket(es.head))
+    inject("bpe_merge_step", {
+      case Seq(e, l, r) =>
+        BpeMergeStep(e, strLit(l, "bpe left symbol"), strLit(r, "bpe right symbol"))
+      case es => throw new IllegalArgumentException(
+        s"bpe_merge_step takes (syms, left, right), got ${es.length} args")
+    })
     inject("shingle_hashes", es => ShingleHashes(es(0), intLit(es(1), "shingle width")))
     inject("token_ngrams", es => TokenNgrams(es(0), intLit(es(1), "n-gram size")))
     inject("winnow", es => Winnow(es(0), intLit(es(1), "window")))

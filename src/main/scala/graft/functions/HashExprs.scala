@@ -152,6 +152,27 @@ object HashOps {
     acc
   }
 
+  /** One BPE merge applied to a symbol array: replace every
+    * non-overlapping adjacent (a, b) with the concatenation ab,
+    * scanning LEFT-GREEDY (the standard BPE apply order — "aaa" under
+    * merge (a,a) becomes ["aa","a"], never ["a","aa"]). */
+  def bpeMergeStep(arr: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && arr.getUTF8String(i).equals(a) &&
+          arr.getUTF8String(i + 1).equals(b)) {
+        out += UTF8String.concat(a, b)
+        i += 2
+      } else {
+        out += arr.getUTF8String(i)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Count of tokens contained in a fixed word set (stopword ratio). */
   def countIn(arr: ArrayData, words: Array[UTF8String]): Long = {
     val n = arr.numElements()
@@ -423,6 +444,41 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
     copy(left = newLeft, right = newRight)
 }
 
+/** `bpe_merge_step(syms, 'a', 'b') -> ARRAY<STRING>` — one BPE merge
+  * applied left-greedy to a symbol array (see
+  * [[HashOps.bpeMergeStep]]); the per-round state rewrite of
+  * [[graft.operators.Bpe.train]], compiled so the whole training loop
+  * stays inside whole-stage codegen. */
+case class BpeMergeStep(child: Expression, a: String, b: String)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_step"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_merge_step takes ARRAY<STRING>, got ${dt.sql}")
+    }
+
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.bpeMergeStep(input.asInstanceOf[ArrayData], ua, ub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("bpeLeft", ua, classOf[UTF8String].getName)
+    val bRef = ctx.addReferenceObj("bpeRight", ub, classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.bpeMergeStep($c, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeStep =
+    copy(child = newChild)
+}
+
 /** `log_bucket(v BIGINT) -> INT` — fixed monotone log bucketing (see
   * [[HashOps.logBucket]]); powers the two-pass exact quantile
   * selection in `Ranks.groupQuantilesDisc`. */
@@ -455,6 +511,8 @@ object HashExprs {
     HashOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
 
   def log_bucket(c: Column): Column = Bridge.column(LogBucket(Bridge.expression(c)))
+  def bpe_merge_step(c: Column, a: String, b: String): Column =
+    Bridge.column(BpeMergeStep(Bridge.expression(c), a, b))
 
   def char_fold(c: Column): Column = Bridge.column(CharFold(Bridge.expression(c)))
   def tokenize(c: Column): Column = Bridge.column(Tokenize(Bridge.expression(c)))
