@@ -173,6 +173,66 @@ object HashOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Flatten a token array to BPE-initial symbols: each token's code
+    * points as single-character symbols, each token followed by ONE
+    * `bound` sentinel symbol. The sentinel never appears in any merge
+    * pair, so merges can never cross a word boundary — which lets the
+    * whole DOCUMENT be one symbol array (no per-word explode, no
+    * shuffle) while encoding each word independently, exactly like a
+    * per-word tokenizer would. */
+  def charSyms(arr: ArrayData, bound: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var t = 0
+    while (t < n) {
+      val str = arr.getUTF8String(t).toString
+      var i = 0
+      val len = str.length
+      while (i < len) {
+        val cp = str.codePointAt(i)
+        val cc = Character.charCount(cp)
+        out += UTF8String.fromString(str.substring(i, i + cc))
+        i += cc
+      }
+      out += bound
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Luhn checksum over an all-digit string: double every second digit
+    * from the right (subtracting 9 when the double exceeds 9); valid
+    * iff the sum is ≡ 0 (mod 10). Non-digit input returns false. */
+  def luhnValid(s: UTF8String): Boolean = {
+    val str = s.toString
+    val n = str.length
+    if (n == 0) return false
+    var sum = 0
+    var i = n - 1
+    var second = false
+    while (i >= 0) {
+      val c = str.charAt(i)
+      if (c < '0' || c > '9') return false
+      var d = c - '0'
+      if (second) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      second = !second
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  /** Count of Luhn-valid candidates in a digit-run array — the
+    * compiled per-document reducer for the PII audit (no explode, no
+    * interpreted lambda per candidate). */
+  def luhnValidCount(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { if (luhnValid(arr.getUTF8String(i))) acc += 1; i += 1 }
+    acc
+  }
+
   /** Count of tokens contained in a fixed word set (stopword ratio). */
   def countIn(arr: ArrayData, words: Array[UTF8String]): Long = {
     val n = arr.numElements()
@@ -479,6 +539,52 @@ case class BpeMergeStep(child: Expression, a: String, b: String)
     copy(child = newChild)
 }
 
+/** `char_syms(tokens, bound) -> ARRAY<STRING>` — document-level
+  * BPE-initial symbol array (see [[HashOps.charSyms]]); the front end
+  * of the tokenizer-apply pipeline (t22): one compiled pass instead of
+  * a nested interpreted `transform(.., w -> transform(..))` flatten. */
+case class CharSyms(child: Expression, bound: String) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_syms"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_syms takes ARRAY<STRING>, got ${dt.sql}")
+    }
+  @transient private lazy val ub = UTF8String.fromString(bound)
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.charSyms(input.asInstanceOf[ArrayData], ub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("charSymsBound", ub, classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.charSyms($c, $bRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharSyms =
+    copy(child = newChild)
+}
+
+/** `luhn_valid_count(cands ARRAY<STRING>) -> BIGINT` — Luhn-valid
+  * candidate count (see [[HashOps.luhnValidCount]]); the per-document
+  * PII-audit reducer, compiled. */
+case class LuhnValidCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "luhn_valid_count"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"luhn_valid_count takes ARRAY<STRING>, got ${dt.sql}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.luhnValidCount(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.luhnValidCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): LuhnValidCount =
+    copy(child = newChild)
+}
+
 /** `log_bucket(v BIGINT) -> INT` — fixed monotone log bucketing (see
   * [[HashOps.logBucket]]); powers the two-pass exact quantile
   * selection in `Ranks.groupQuantilesDisc`. */
@@ -513,6 +619,10 @@ object HashExprs {
   def log_bucket(c: Column): Column = Bridge.column(LogBucket(Bridge.expression(c)))
   def bpe_merge_step(c: Column, a: String, b: String): Column =
     Bridge.column(BpeMergeStep(Bridge.expression(c), a, b))
+  def char_syms(c: Column, bound: String): Column =
+    Bridge.column(CharSyms(Bridge.expression(c), bound))
+  def luhn_valid_count(c: Column): Column =
+    Bridge.column(LuhnValidCount(Bridge.expression(c)))
 
   def char_fold(c: Column): Column = Bridge.column(CharFold(Bridge.expression(c)))
   def tokenize(c: Column): Column = Bridge.column(Tokenize(Bridge.expression(c)))

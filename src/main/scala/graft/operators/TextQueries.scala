@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{char_fold, char_fold_array, count_in, shingle_hashes, subword_count, token_ngrams, tokenize, winnow}
+import graft.functions.HashExprs.{bpe_merge_step, char_fold, char_fold_array, char_syms, count_in, luhn_valid_count, shingle_hashes, subword_count, token_ngrams, tokenize, winnow}
 import graft.sources.Tables
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -29,6 +29,36 @@ object TextQueries {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlRe = "https?://[^ \\t\\n\\x0B\\f\\r]+"
   val DigitsRe = "[0-9]{4,}"
+
+  /** Word-boundary sentinel for the t22 tokenizer-apply pipeline —
+    * NUL never occurs in the corpus and never appears in any merge
+    * pair, so merges cannot cross word boundaries. */
+  val BpeBoundary: String = "\u0000"
+
+  /** Shipped BPE tokenizer: the 24-round merge table produced by
+    * [[Bpe.train]] (support desc, lexicographic (l, r) tie-break,
+    * left-greedy apply) over the sf0.01 `documents` vocabulary,
+    * FROZEN here as an engine artifact. A tokenizer is a model file:
+    * training is [[Bpe.train]]'s job; applying a *fixed* tokenizer to
+    * the whole corpus is the production workload t22 exercises. Rank
+    * order is load-bearing — encode folds these pairs in order. */
+  val PinnedMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
+    "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
+    "r" -> "ow", "at" -> "c", "atc" -> "h", "b" -> "atch", "a" -> "n",
+    "c" -> "an", "s" -> "can", "c" -> "o", "c" -> "u")
+
+  /** Shipped linear quality model (t23): integer milli-weights per
+    * term plus a +100 milli bias — the fastText-style classifier
+    * surface with all arithmetic exact. */
+  val ClassifierWeights: Seq[(String, Long)] = Seq(
+    "data" -> 900L, "query" -> 800L, "vector" -> 700L, "stream" -> 600L,
+    "spark" -> 500L, "window" -> 400L, "merge" -> 300L, "filter" -> 300L,
+    "hash" -> 200L, "column" -> 200L,
+    "a" -> -800L, "the" -> -700L, "dup" -> -1000L, "slow" -> -500L,
+    "big" -> -300L, "small" -> -300L, "line" -> -200L, "fast" -> -200L,
+    "value" -> -100L, "row" -> -100L)
 
   /** GPT-2-style pre-tokenizer pattern (t18): contraction suffixes,
     * then optionally-space-prefixed letter / digit / symbol runs.
@@ -538,6 +568,83 @@ object TextQueries {
             col("n_bigrams").cast("double"), 4))
         .select("doc_id", "n_bigrams", "rare_ratio", "mean_p_ppm")
         .orderBy("doc_id")
+    },
+
+    // tokenizer APPLY (encode): the shipped PinnedMerges BPE applied
+    // to every document as a fold of compiled bpe_merge_step passes
+    // over ONE doc-level symbol array. char_syms inserts an
+    // unmergeable word-boundary sentinel between words, so the whole
+    // document encodes in a single array — no per-word explode, no
+    // shuffle; the entire encode is map-side whole-stage codegen.
+    // This closes the tokenizer loop: t18/t19 induce, Bpe.train
+    // learns, t22 applies at corpus scale.
+    "t22_bpe_encode" -> { (s, d) =>
+      val B = TextQueries.BpeBoundary
+      val enc = TextQueries.PinnedMerges.foldLeft(col("s0")) {
+        case (c, (l, r)) => bpe_merge_step(c, l, r)
+      }
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), char_syms(tokenize(col("text")), B).as("s0"))
+        .select(
+          col("doc_id"),
+          count_in(col("s0"), Seq(B)).as("n_words"),
+          (size(col("s0")).cast("long") - count_in(col("s0"), Seq(B))).as("n_chars"),
+          (size(enc).cast("long") - count_in(col("s0"), Seq(B))).as("n_bpe"))
+        .withColumn("compression_bp",
+          expr("(n_chars * 10000) DIV nullif(n_bpe, 0)"))
+        .orderBy("doc_id")
+    },
+
+    // quality-classifier scoring (fastText/CCNet-style linear model):
+    // a shipped (term, milli-weight) table scored against term
+    // frequencies — explode → broadcast LEFT join → one hash agg per
+    // doc. The 100 TB shape: a real model has ~1 M terms, far beyond
+    // any expression-per-term spelling, so the weight table is a
+    // broadcast relation; the corpus is scanned once and partial
+    // aggregation combines map-side. Thresholds are
+    // multiplication-only (no division), so Spark and DuckDB agree
+    // bit-for-bit on labels.
+    "t23_quality_classifier" -> { (s, d) =>
+      import s.implicits._
+      val weights = TextQueries.ClassifierWeights.toDF("term", "w")
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+        .join(broadcast(weights), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          count(col("w")).as("n_hits"),
+          (coalesce(sum(col("w")), lit(0L)) + lit(100L)).as("score_milli"))
+        .withColumn("label",
+          when(col("score_milli") * 10 >= col("n_tokens") * 3, "keep")
+            .when(col("score_milli") >= 0, "review")
+            .otherwise("drop"))
+        .orderBy("doc_id")
+    },
+
+    // PII/identifier audit with checksum validation: digit runs are
+    // only REAL account/card identifiers if they pass the Luhn
+    // checksum — the standard false-positive cut of a PII scan.
+    // Candidate extraction is one regexp_extract_all; validation is
+    // the compiled luhn_valid_count reducer (no explode, no
+    // interpreted per-candidate lambda); the per-nation rollup is one
+    // map-combined hash agg.
+    "t24_luhn_audit" -> { (s, d) =>
+      Tables.load(s, d, "customer")
+        .select(
+          col("c_nationkey"),
+          size(regexp_extract_all(col("c_name"), lit("[0-9]{6,16}"), lit(0)))
+            .cast("long").as("n_ids"),
+          luhn_valid_count(
+            regexp_extract_all(col("c_name"), lit("[0-9]{6,16}"), lit(0)))
+            .as("n_valid"))
+        .groupBy("c_nationkey")
+        .agg(
+          sum(col("n_ids")).as("n_ids"),
+          sum(col("n_valid")).as("n_luhn_valid"))
+        .withColumn("valid_bp",
+          expr("(n_luhn_valid * 10000) DIV nullif(n_ids, 0)"))
+        .orderBy("c_nationkey")
     }
   )
 
@@ -862,6 +969,105 @@ object TextQueries {
          SELECT doc_id, n_bigrams,
            ROUND(n_rare * 1.0 / n_bigrams, 4) AS rare_ratio,
            ROUND(1000000.0 * list_reduce(ps, (a, b) -> a + b) / n_bigrams, 4) AS mean_p_ppm
-         FROM g ORDER BY doc_id"""
+         FROM g ORDER BY doc_id""",
+
+    // t22 — exact relational replay of the BPE encode: each symbol is
+    // wrapped chr(2)·sym·chr(3) (the wraps make adjacent-pair matches
+    // unambiguous and non-boundary-sharing), the word boundary is the
+    // wrapped chr(1), and one merge pass is a left-to-right
+    // non-overlapping `replace` of the wrapped pair — exactly
+    // bpe_merge_step's left-greedy semantics ('‹a›‹a›‹a›‹a›' under
+    // (a,a) → '‹aa›‹aa›'). Symbol counts fall out of counting chr(2).
+    "t22_bpe_encode" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents),
+          w AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+              CASE WHEN len(toks) = 0 THEN '' ELSE list_reduce(
+                list_transform(toks, wd ->
+                  list_reduce(
+                    list_transform(string_split(wd, ''), c -> chr(2)||c||chr(3)),
+                    (a, b) -> a || b)
+                  || chr(2)||chr(1)||chr(3)),
+                (a, b) -> a || b) END AS s0
+            FROM t),
+          m AS (
+            SELECT doc_id, n_words,
+              CAST(length(s0) - length(replace(s0, chr(2), '')) AS BIGINT)
+                - n_words AS n_chars,
+              $bpeEncodeFoldSql AS sm
+            FROM w),
+          f AS (
+            SELECT doc_id, n_words, n_chars,
+              CAST(length(sm) - length(replace(sm, chr(2), '')) AS BIGINT)
+                - n_words AS n_bpe
+            FROM m)
+          SELECT doc_id, n_words, n_chars, n_bpe,
+            (n_chars * 10000) // NULLIF(n_bpe, 0) AS compression_bp
+          FROM f ORDER BY doc_id""",
+
+    // t23 — the same shipped weight table as a VALUES relation;
+    // COUNT/SUM cast back to BIGINT (DuckDB sums to HUGEINT); label
+    // thresholds are multiplication-only so no division semantics can
+    // drift between engines.
+    "t23_quality_classifier" ->
+      s"""WITH wts(term, wt) AS (VALUES $classifierWeightsSql),
+          tok AS (
+            SELECT doc_id,
+              unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
+            FROM documents),
+          sc AS (
+            SELECT doc_id, COUNT(*) AS n_tokens, COUNT(wt) AS n_hits,
+              CAST(COALESCE(SUM(wt), 0) + 100 AS BIGINT) AS score_milli
+            FROM tok LEFT JOIN wts USING (term) GROUP BY doc_id)
+          SELECT doc_id, n_tokens, n_hits, score_milli,
+            CASE WHEN score_milli * 10 >= n_tokens * 3 THEN 'keep'
+                 WHEN score_milli >= 0 THEN 'review'
+                 ELSE 'drop' END AS label
+          FROM sc ORDER BY doc_id""",
+
+    // t24 — Luhn replayed per candidate as a nested list lambda:
+    // double every second digit from the right (CASE on the parity of
+    // length−i), subtract 9 past 9, sum ≡ 0 (mod 10).
+    "t24_luhn_audit" ->
+      """WITH c AS (
+           SELECT c_nationkey,
+             regexp_extract_all(c_name, '[0-9]{6,16}') AS cands
+           FROM customer),
+         v AS (
+           SELECT c_nationkey,
+             CAST(len(cands) AS BIGINT) AS n_ids,
+             CAST(len(list_filter(cands, s ->
+               list_sum(list_transform(generate_series(1, length(s)), i ->
+                 CASE WHEN (length(s) - i) % 2 = 1
+                      THEN CASE WHEN 2 * CAST(s[i] AS INT) > 9
+                                THEN 2 * CAST(s[i] AS INT) - 9
+                                ELSE 2 * CAST(s[i] AS INT) END
+                      ELSE CAST(s[i] AS INT) END)) % 10 = 0)) AS BIGINT) AS n_valid
+           FROM c)
+         SELECT c_nationkey,
+           CAST(SUM(n_ids) AS BIGINT) AS n_ids,
+           CAST(SUM(n_valid) AS BIGINT) AS n_luhn_valid,
+           (CAST(SUM(n_valid) AS BIGINT) * 10000)
+             // NULLIF(CAST(SUM(n_ids) AS BIGINT), 0) AS valid_bp
+         FROM v GROUP BY 1 ORDER BY c_nationkey"""
   )
+
+  /** DuckDB wrapped-symbol spelling of one BPE symbol. */
+  private def wrapSql(sym: String): String =
+    s"chr(2)||'${sym.replace("'", "''")}'||chr(3)"
+
+  /** The t22 oracle's merge fold: [[PinnedMerges]] applied in rank
+    * order, each pass one non-overlapping left-to-right `replace`. */
+  private def bpeEncodeFoldSql: String =
+    PinnedMerges.foldLeft("s0") { case (e, (l, r)) =>
+      s"replace($e, ${wrapSql(l)}||${wrapSql(r)}, ${wrapSql(l + r)})"
+    }
+
+  /** The t23 oracle's VALUES body — generated from
+    * [[ClassifierWeights]] so model and oracle cannot drift. */
+  private def classifierWeightsSql: String =
+    ClassifierWeights.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
 }
