@@ -558,6 +558,47 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // ── e7: Bloom-filter membership audit — the (build, probe) pair
+    // the incremental-ingest pre-filter rests on, driver-verified by
+    // its two CONTRACTS: zero false negatives (every true member
+    // probes positive) and a bounded false-positive count. The filter
+    // is built in one map-combined aggregate (partial filters
+    // OR-merge losslessly), ships as a 128 KiB scalar broadcast, and
+    // the probe is a codegen'd expression at scan speed — at 100 TB
+    // this is "which of today's docs might already be in the corpus"
+    // WITHOUT joining the corpus index (only maybe-seen survivors pay
+    // the real join). Exact member counts come from a broadcast join
+    // against the build side, so the oracle can replay them; the
+    // bloom-dependent counts collapse into booleans (e4's bracket
+    // pattern). Bound: 2^20 bits / k=5 over ≤ thousands of build keys
+    // → fp ≈ 0; 2 % of probes + 10 is generous and deterministic.
+    "e7_bloom_audit" -> { (s, d) =>
+      import graft.functions.BloomFilter.{bloom_build, bloom_probe}
+      val ev = Tables.load(s, d, "events")
+      val errUsers = ev.filter(col("event_type") === "error")
+        .select(col("user_id")).distinct()
+        .localCheckpoint(true) // build side reused: filter agg + member join
+      val filt = errUsers.agg(bloom_build(col("user_id")).as("f"))
+      val probes = ev.filter(col("event_type") =!= "error")
+        .select("event_type", "user_id").distinct()
+        .crossJoin(broadcast(filt))
+        .join(broadcast(errUsers.withColumn("is_member", lit(true))),
+          Seq("user_id"), "left")
+        .select(col("event_type"),
+          bloom_probe(col("f"), col("user_id")).as("pos"),
+          coalesce(col("is_member"), lit(false)).as("member"))
+      probes.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_probed"),
+          sum(when(col("member"), 1L).otherwise(0L)).as("n_members"),
+          sum(when(col("member") && !col("pos"), 1L).otherwise(0L)).as("fn"),
+          sum(when(col("pos") && !col("member"), 1L).otherwise(0L)).as("fp"))
+        .select(col("event_type"), col("n_probed"), col("n_members"),
+          (col("fn") === 0L).as("no_false_neg"),
+          (col("fp") * 50 <= col("n_probed") + 500).as("fp_ok"))
+        .orderBy("event_type")
+    },
+
     // ── x20: UNPIVOT (wide → long) — the inverse of x4's PIVOT:
     // per-priority aggregates melted into (metric, value) rows via
     // stack, so downstream checks consume metrics as DATA. All values
@@ -994,6 +1035,21 @@ object AnalyticsQueries {
              AS p9375_exact,
            true AS ok50, true AS ok75, true AS ok9375
          FROM ev GROUP BY 1 ORDER BY event_type""",
+    // exact probe/member counts; `true` is the bloom contract
+    // (no false negatives, fp*50 ≤ n_probed+500) — e4's pattern
+    "e7_bloom_audit" ->
+      """WITH err AS (
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+         pr AS (
+           SELECT DISTINCT event_type, user_id FROM events
+           WHERE event_type <> 'error')
+         SELECT pr.event_type,
+           COUNT(*) AS n_probed,
+           CAST(SUM(CASE WHEN err.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_members,
+           true AS no_false_neg, true AS fp_ok
+         FROM pr LEFT JOIN err USING (user_id)
+         GROUP BY 1 ORDER BY event_type""",
     // per-feature quartiles in the textbook ordered-set spelling;
     // k/4 fractions are exact binary so ranks agree across engines
     "a19_feature_bins" ->

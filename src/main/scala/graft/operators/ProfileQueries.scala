@@ -201,6 +201,34 @@ object ProfileQueries {
           expr("va div n_a").as("mean_a_micro"),
           expr("vb div n_b").as("mean_b_micro"))
         .orderBy("event_type")
+    },
+
+    // ── dq5: join-key skew advisor — the profiling read that decides
+    // whether a planned join needs [[graft.operators.Skew.saltedJoin]]
+    // and at what salt factor, as a query over the key distribution
+    // itself. Shape: per-key counts (ONE partial-agg groupBy — the
+    // map side combines, so the shuffle carries ≤ |keys| rows), a
+    // 3-value global reduce cross-joined back as a broadcast scalar,
+    // and a TakeOrdered top-5 — no window, no global sort, nothing
+    // proportional to the table after the first agg. `hot` flags keys
+    // over 4× the mean; `salt_factor` is the bucket count that brings
+    // a hot key's per-task share back to ~4× mean (capped at 16, the
+    // factor saltedJoin's dim-replication side pays for). All integer
+    // arithmetic, ties broken by key — bit-stable across engines.
+    "dq5_skew_advisor" -> { (s, d) =>
+      val counts = Tables.load(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val g = counts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("total"))
+      counts.crossJoin(broadcast(g))
+        .withColumn("mean_cnt", expr("total DIV n_keys"))
+        .select(col("user_id"), col("cnt"),
+          expr("cnt * 10000 DIV total").as("share_bp"),
+          col("n_keys"), col("total"), col("mean_cnt"),
+          expr("cnt > 4 * mean_cnt").as("hot"),
+          expr("least(16L, greatest(1L, cnt DIV greatest(4 * mean_cnt, 1)))")
+            .as("salt_factor"))
+        .orderBy(col("cnt").desc, col("user_id"))
+        .limit(5)
     }
   )
 
@@ -322,6 +350,19 @@ object ProfileQueries {
            CAST(pb4 AS DOUBLE) / 10000 AS pct_b,
            CAST(abs(pa4 - pb4) AS DOUBLE) / 10000 AS drift_pp,
            mean_a_micro, mean_b_micro
-         FROM p ORDER BY event_type"""
+         FROM p ORDER BY event_type""",
+    "dq5_skew_advisor" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+         g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                      CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+         SELECT user_id, cnt,
+           cnt * 10000 // total AS share_bp,
+           n_keys, total,
+           total // n_keys AS mean_cnt,
+           cnt > 4 * (total // n_keys) AS hot,
+           least(16, greatest(1, cnt // greatest(4 * (total // n_keys), 1)))
+             AS salt_factor
+         FROM c CROSS JOIN g
+         ORDER BY cnt DESC, user_id LIMIT 5"""
   )
 }

@@ -49,6 +49,14 @@ object TextQueries {
     "r" -> "ow", "at" -> "c", "atc" -> "h", "b" -> "atch", "a" -> "n",
     "c" -> "an", "s" -> "can", "c" -> "o", "c" -> "u")
 
+  /** Pinned search phrases for t25 — 2- and 3-word conjunctive
+    * position queries over the corpus vocabulary, plus one phrase
+    * whose first term never occurs ("flink") to pin the zero-hit
+    * path. Order is irrelevant (the query sorts by phrase). */
+  val PinnedPhrases: Seq[String] = Seq(
+    "table hash", "customer join", "merge group",
+    "slow hash batch", "row column sort", "flink stream")
+
   /** Shipped linear quality model (t23): integer milli-weights per
     * term plus a +100 milli bias — the fastText-style classifier
     * surface with all arithmetic exact. */
@@ -645,6 +653,53 @@ object TextQueries {
         .withColumn("valid_bp",
           expr("(n_luhn_valid * 10000) DIV nullif(n_ids, 0)"))
         .orderBy("c_nationkey")
+    },
+
+    // ── t25: inverted-index phrase search — the serving-side read of
+    // a corpus index: positional postings (doc_id, pos, token) from
+    // ONE posexplode, a phrase match as equi-joins on
+    // (doc_id, pos+offset, token). The postings are pruned to the
+    // query vocabulary BEFORE any join (an `isin` over a handful of
+    // literal terms, applied at explode time), so join input is
+    // proportional to the matched terms' postings, not the corpus —
+    // at 100 TB the postings table is written once bucketed by token
+    // and the same pruned-join plan reads only the queried buckets.
+    // A never-occurring phrase ("flink stream") pins the zero-row
+    // restore path through the final LEFT join.
+    "t25_phrase_search" -> { (s, d) =>
+      import s.implicits._
+      val w = TextQueries.PinnedPhrases.toDF("phrase").select(
+        col("phrase"),
+        get(split(col("phrase"), " "), lit(0)).as("w1"),
+        get(split(col("phrase"), " "), lit(1)).as("w2"),
+        get(split(col("phrase"), " "), lit(2)).as("w3"))
+      val vocab = TextQueries.PinnedPhrases.flatMap(_.split(" ")).distinct
+      val pruned = Tables.load(s, d, "documents")
+        .select(col("doc_id"), posexplode(tokenize(col("text"))).as(Seq("pos", "token")))
+        .filter(col("token").isin(vocab: _*))
+        .localCheckpoint(true) // reused by all three position legs
+      val starts = pruned.join(broadcast(w), col("token") === col("w1"))
+        .select(col("phrase"), col("w2"), col("w3"), col("doc_id"), col("pos"))
+      val second = pruned.select(
+        col("doc_id"), (col("pos") - 1).as("pos"), col("token").as("t2"))
+      val bigram = starts.join(second, Seq("doc_id", "pos"))
+        .filter(col("t2") === col("w2"))
+      val third = pruned.select(
+        col("doc_id"), (col("pos") - 2).as("pos"), col("token").as("t3"))
+      val matched = bigram.filter(col("w3").isNull).select("phrase", "doc_id")
+        .unionByName(
+          bigram.filter(col("w3").isNotNull)
+            .join(third, Seq("doc_id", "pos"))
+            .filter(col("t3") === col("w3"))
+            .select("phrase", "doc_id"))
+      val counts = matched.groupBy("phrase")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_hits"))
+      w.select("phrase").join(broadcast(counts), Seq("phrase"), "left")
+        .select(col("phrase"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy("phrase")
     }
   )
 
@@ -1052,7 +1107,39 @@ object TextQueries {
            CAST(SUM(n_valid) AS BIGINT) AS n_luhn_valid,
            (CAST(SUM(n_valid) AS BIGINT) * 10000)
              // NULLIF(CAST(SUM(n_ids) AS BIGINT), 0) AS valid_bp
-         FROM v GROUP BY 1 ORDER BY c_nationkey"""
+         FROM v GROUP BY 1 ORDER BY c_nationkey""",
+
+    // t25 — positional self-join phrase match; `ws` is 1-indexed in
+    // DuckDB, offsets mirror the Spark pos+1/pos+2 alignment
+    "t25_phrase_search" -> {
+      val values = PinnedPhrases.map(p => s"('$p')").mkString(", ")
+      s"""WITH toks AS (
+           SELECT doc_id, generate_subscripts(ts, 1) AS idx, unnest(ts) AS token
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+                 FROM documents)),
+         ph(phrase) AS (VALUES $values),
+         w AS (SELECT phrase, string_split(phrase, ' ') AS ws FROM ph),
+         m AS (
+           SELECT w.phrase, a.doc_id
+           FROM w JOIN toks a ON a.token = ws[1]
+                  JOIN toks b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+                             AND b.token = ws[2]
+           WHERE len(ws) = 2
+           UNION ALL
+           SELECT w.phrase, a.doc_id
+           FROM w JOIN toks a ON a.token = ws[1]
+                  JOIN toks b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+                             AND b.token = ws[2]
+                  JOIN toks c ON c.doc_id = a.doc_id AND c.idx = a.idx + 2
+                             AND c.token = ws[3]
+           WHERE len(ws) = 3)
+         SELECT ph.phrase,
+           CAST(COUNT(DISTINCT m.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(m.doc_id) AS BIGINT) AS n_hits
+         FROM ph LEFT JOIN m USING (phrase)
+         GROUP BY ph.phrase ORDER BY phrase"""
+    }
   )
 
   /** DuckDB wrapped-symbol spelling of one BPE symbol. */

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential + structural pins for the round-8 additions beyond
+  * their DuckDB oracles:
+  *
+  *  - t25 phrase search: brute-force Scala positional scan replica,
+  *    including the pinned never-occurring phrase's zero row
+  *  - e7 bloom audit: exact member recount + both contract booleans,
+  *    plus a planted non-member-heavy probe to exercise fp counting
+  *  - dq5 skew advisor: brute-force key-histogram replica and the
+  *    salt-factor arithmetic on a hand-built skewed frame
+  */
+class NewOpsR8Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t25: brute-force positional phrase scan matches exactly") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq)
+    val expected = operators.TextQueries.PinnedPhrases.sorted.map { p =>
+      val ws = p.split(" ").toSeq
+      val hits = docs.map { case (id, ts) =>
+        id -> ts.indices.count(i =>
+          i + ws.size <= ts.size && ts.slice(i, i + ws.size) == ws)
+      }.filter(_._2 > 0)
+      (p, hits.size.toLong, hits.map(_._2.toLong).sum)
+    }
+    val got = SparkEntry.queries("t25_phrase_search")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the zero-hit phrase really is the zero row (vocab miss path)
+    assert(got.exists { case (p, d, h) => p == "flink stream" && d == 0L && h == 0L })
+  }
+
+  test("e7: exact member recount and both bloom contracts hold") {
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val errUsers = ev.collect { case ("error", u) => u }.toSet
+    val expected = ev.filter(_._1 != "error").distinct
+      .groupBy(_._1).view.mapValues { us =>
+        (us.size.toLong, us.count(u => errUsers(u._2)).toLong)
+      }.toMap
+    val got = SparkEntry.queries("e7_bloom_audit")(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == expected.keySet)
+    for (r <- got) {
+      val (n, m) = expected(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == m, s"counts for ${r.getString(0)}")
+      assert(r.getBoolean(3), s"false negative reported for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"fp bound violated for ${r.getString(0)}")
+    }
+  }
+
+  test("e7 primitives: probe finds every member, fp rate small on misses") {
+    import graft.functions.BloomFilter.{bloom_build, bloom_probe}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val members = spark.range(0, 2000).select(col("id"))
+    val filt = members.agg(bloom_build(col("id")).as("f"))
+    val probed = spark.range(0, 100000).select(col("id"))
+      .crossJoin(broadcast(filt))
+      .select(col("id"), bloom_probe(col("f"), col("id")).as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((0L until 2000L).forall(probed(_)), "bloom false negative")
+    val fp = (2000L until 100000L).count(probed(_))
+    assert(fp <= 98000 / 50, s"fp count $fp above 2%")
+  }
+
+  test("dq5: brute-force key-histogram replica matches exactly") {
+    val keys = graft.sources.Tables.load(spark, sf, "events")
+      .select("user_id").collect().map(_.getLong(0))
+    val counts = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nKeys = counts.size.toLong
+    val total = keys.length.toLong
+    val mean = total / nKeys
+    val expected = counts.toSeq
+      .sortBy { case (k, c) => (-c, k) }.take(5)
+      .map { case (k, c) =>
+        (k, c, c * 10000 / total, nKeys, total, mean,
+          c > 4 * mean, math.min(16L, math.max(1L, c / math.max(4 * mean, 1))))
+      }
+    val got = SparkEntry.queries("dq5_skew_advisor")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getLong(7))).toSeq
+    assert(got == expected)
+  }
+
+  test("dq5 arithmetic: a planted hot key is flagged with the right salt") {
+    // 1 key with 1000 rows + 100 keys with 10 rows: mean = 2000/101 = 19,
+    // hot iff cnt > 76, salt = min(16, 1000 div 76) = 13 for the hot key.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val skewed = (Seq.fill(1000)(999L) ++ (0L until 100L).flatMap(k => Seq.fill(10)(k)))
+      .toDF("user_id")
+    val counts = skewed.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val g = counts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("total"))
+    val top = counts.crossJoin(broadcast(g))
+      .withColumn("mean_cnt", expr("total DIV n_keys"))
+      .select(col("user_id"), col("cnt"),
+        expr("cnt > 4 * mean_cnt").as("hot"),
+        expr("least(16L, greatest(1L, cnt DIV greatest(4 * mean_cnt, 1)))")
+          .as("salt_factor"))
+      .orderBy(col("cnt").desc, col("user_id")).limit(2).collect()
+    assert(top(0).getLong(0) == 999L && top(0).getBoolean(2)
+      && top(0).getLong(3) == 13L)
+    assert(!top(1).getBoolean(2) && top(1).getLong(3) == 1L)
+  }
+}
