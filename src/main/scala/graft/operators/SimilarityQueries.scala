@@ -410,6 +410,49 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n_assigned"), sum("d2").as("inertia"))
         .withColumn("mean_dist", expr("inertia div n_assigned"))
         .orderBy("centroid_id")
+    },
+
+    // ── s14: dominant principal component by POWER ITERATION — the
+    // one-vector PCA a corpus pipeline runs before whitening /
+    // debiasing embeddings, expressed as two gram-matrix-free BSP
+    // rounds (the k-means/PageRank shape applied to linear algebra):
+    // w ← Aᵀ(A v) is ONE scan — the dot x·v is a compiled in-row
+    // fold against a broadcast 64-long array (never a 64-way join),
+    // the per-dimension reassembly a 64-key map-combined groupBy —
+    // so each round shuffles 64·partitions rows, independent of N.
+    // All arithmetic integer (millis in, truncating DIV rescales
+    // between rounds: v1 = w1 DIV 64N keeps v1 ≤ 1e6; dot1 DIV 1024
+    // caps the round-2 addend at 6.25e10/row, int64-safe to ~1.4e8
+    // rows — corpus-scale runs widen the w2 accumulator to
+    // DECIMAL(38,0), a17's pattern). v0 = 1⃗, so the sign convention
+    // is deterministic; no sqrt anywhere — the oracle replays the
+    // exact trajectory, and the spec checks convergence (round-2
+    // direction explains more variance than round-1).
+    "s14_pca_power" -> { (s, d) =>
+      val emb = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("xm"))
+        .localCheckpoint(true) // reused by both rounds
+      val cnt = emb.agg(count(lit(1)).as("n"))
+      val w1 = emb
+        .select(expr("aggregate(xm, 0L, (a, x) -> a + x)").as("dot0"),
+          posexplode(col("xm")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(sum(expr("x * dot0")).as("w1"))
+      val v1 = w1.crossJoin(broadcast(cnt))
+        .select(col("dim"), col("w1"), expr("w1 DIV (n * 64)").as("v1"))
+      val v1arr = v1.agg(
+        expr("transform(array_sort(collect_list(struct(dim, v1))), p -> p.v1)")
+          .as("v1arr"))
+      val w2 = emb.crossJoin(broadcast(v1arr))
+        .select(col("xm"),
+          expr("aggregate(zip_with(xm, v1arr, (x, v) -> x * v), 0L, (a, e) -> a + e) DIV 1024")
+            .as("t1"))
+        .select(expr("t1"), posexplode(col("xm")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(sum(expr("x * t1")).as("w2"))
+      v1.join(w2, "dim").crossJoin(broadcast(cnt))
+        .select(col("dim"), col("v1"), expr("w2 DIV n").as("v2"))
+        .orderBy("dim")
     }
   )
 
@@ -760,6 +803,37 @@ object SimilarityQueries {
           SELECT sid AS centroid_id, COUNT(*) AS n_assigned,
             CAST(SUM(d2) AS BIGINT) AS inertia,
             CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_dist
-          FROM best GROUP BY 1 ORDER BY centroid_id"""
+          FROM best GROUP BY 1 ORDER BY centroid_id""",
+
+    // s14 — the exact integer trajectory replayed relationally: the
+    // in-row array dots become per-dimension joins (the SEMANTICS,
+    // not the plan); `//` mirrors Spark DIV (both truncate toward 0)
+    "s14_pca_power" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS xm
+           FROM embeddings),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+         ex AS (
+           SELECT vec_id, generate_subscripts(xm, 1) - 1 AS dim, unnest(xm) AS x
+           FROM e),
+         d0 AS (SELECT vec_id, CAST(list_sum(xm) AS BIGINT) AS dot0 FROM e),
+         w1 AS (
+           SELECT dim, CAST(SUM(x * dot0) AS BIGINT) AS w1
+           FROM ex JOIN d0 USING (vec_id) GROUP BY dim),
+         v1 AS (
+           SELECT dim, CAST(w1 // (n * 64) AS BIGINT) AS v1
+           FROM w1 CROSS JOIN nn),
+         d1 AS (
+           SELECT vec_id, CAST(CAST(SUM(x * v1) AS BIGINT) // 1024 AS BIGINT) AS t1
+           FROM ex JOIN v1 USING (dim) GROUP BY vec_id),
+         w2 AS (
+           SELECT dim, CAST(SUM(x * t1) AS BIGINT) AS w2
+           FROM ex JOIN d1 USING (vec_id) GROUP BY dim)
+         SELECT CAST(v1.dim AS INT) AS dim, v1.v1,
+           CAST(w2 // n AS BIGINT) AS v2
+         FROM v1 JOIN w2 USING (dim) CROSS JOIN nn
+         ORDER BY dim"""
   )
 }

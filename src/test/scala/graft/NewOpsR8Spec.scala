@@ -88,6 +88,25 @@ class NewOpsR8Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("s14: power iteration converges — v2 explains at least v1's variance") {
+    val vs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val out = SparkEntry.queries("s14_pca_power")(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    val (v1, v2) = (out.map(_.getLong(1).toDouble), out.map(_.getLong(2).toDouble))
+    // Rayleigh quotient vᵀ(AᵀA)v / vᵀv on the raw doubles
+    def explained(v: Array[Double]): Double = {
+      val n2 = v.map(x => x * x).sum
+      assert(n2 > 0, "degenerate direction")
+      vs.map(x => { val dd = x.indices.map(i => x(i) * v(i)).sum; dd * dd }).sum / n2
+    }
+    val (e1, e2) = (explained(v1), explained(v2))
+    assert(e2 >= e1 * 0.999, s"round 2 regressed: $e1 -> $e2")
+    // and it genuinely dominates a flat direction (the v0 it started from)
+    assert(e2 >= explained(Array.fill(v1.length)(1.0)))
+  }
+
   test("dq5 arithmetic: a planted hot key is flagged with the right salt") {
     // 1 key with 1000 rows + 100 keys with 10 rows: mean = 2000/101 = 19,
     // hot iff cnt > 76, salt = min(16, 1000 div 76) = 13 for the hot key.
