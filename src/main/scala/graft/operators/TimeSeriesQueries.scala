@@ -210,6 +210,75 @@ object TimeSeriesQueries {
           expr("num div (256 - shiftleft(1, 8 - cnt))"))
         .select("user_id", "event_id", "v_micro", "ewma_micro")
         .orderBy("user_id", "event_id")
+    },
+
+    // ── ts9: lagged autocorrelation of the hourly event-rate series,
+    // per type — the seasonality probe a pipeline runs before picking
+    // training-data time windows. Semantics are join-based (a pair
+    // exists only when BOTH hours exist), so calendar gaps weaken the
+    // correlation instead of silently pairing non-adjacent hours the
+    // way lead() over existing rows would. Shape: one partial-agg
+    // groupBy to (type, hour) counts — everything after is ≤ |types|
+    // × |hours| rows; the lag spine (1..3) broadcasts; moments are
+    // exact integers (squares in DECIMAL(38,0), x8's pattern) so the
+    // one double division at the end is bit-stable across engines.
+    "ts9_autocorr" -> { (s, d) =>
+      import s.implicits._
+      val hr = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // both sides of the lag self-join
+      val lags = Seq(1, 2, 3).toDF("lag")
+      val pairs = hr.crossJoin(broadcast(lags))
+        .withColumn("bhr", col("hr") + col("lag"))
+        .select(col("event_type"), col("lag"), col("bhr"), col("cnt").as("x"))
+        .join(hr.select(col("event_type"), col("hr").as("bhr"),
+          col("cnt").as("y")), Seq("event_type", "bhr"))
+      pairs.groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"),
+          sum(expr("CAST(y * y AS DECIMAL(38,0))")).as("syy"),
+          sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"))
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          round((col("sxy").cast("double") * col("n_pairs") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("sxx").cast("double") * col("n_pairs") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("syy").cast("double") * col("n_pairs") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("r"))
+        .orderBy("event_type", "lag")
+    },
+
+    // ── ts10: CUSUM drift detection over the hourly series — the
+    // control-chart read that catches a slow rate shift long before
+    // per-point outlier tests (ts5) fire. Deviations are kept exact
+    // by scaling: dev_t = cnt_t·T − total (T = #hours for the type,
+    // so Σdev = 0 by construction); the running sum is a window over
+    // the per-type hourly aggregate (≤ |types|×|hours| rows — the
+    // window input is already reduced, never the raw event table).
+    // Peak hour ties break to the EARLIEST hour via a struct-max with
+    // negated hour. Bound: |dev| ≤ total·T, cusum ≤ total·T² —
+    // int64-safe to ~3e5 hours (34 years) per 2⁶³/total budget at
+    // total ≤ 1e8; corpus-scale widens to DECIMAL(38,0).
+    "ts10_cusum_drift" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val hr = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+      val tot = hr.groupBy("event_type")
+        .agg(count(lit(1)).as("t"), sum("cnt").as("total"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      hr.join(broadcast(tot), "event_type")
+        .withColumn("cusum", sum(col("cnt") * col("t") - col("total")).over(w))
+        .groupBy("event_type")
+        .agg(max("t").as("n_hours"), max("total").as("total"),
+          max("cusum").as("max_pos"), min("cusum").as("max_neg"),
+          max(struct(abs(col("cusum")), (col("hr") * -1).as("nhr"))).as("pk"))
+        .select(col("event_type"), col("n_hours"), col("total"),
+          col("max_pos"), col("max_neg"), (col("pk.nhr") * -1).as("peak_hr"))
+        .orderBy("event_type")
     }
   )
 
@@ -341,6 +410,52 @@ object TimeSeriesQueries {
          SELECT user_id, event_id, v_micro,
            CAST(num // (256 - (1 << (8 - cnt))) AS BIGINT) AS ewma_micro
          FROM l ORDER BY user_id, event_id"""
-    }
+    },
+
+    "ts9_autocorr" ->
+      """WITH hr AS (
+           SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+             COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         lags(lag) AS (VALUES (1), (2), (3)),
+         pairs AS (
+           SELECT a.event_type, lags.lag, a.cnt AS x, b.cnt AS y
+           FROM hr a CROSS JOIN lags
+           JOIN hr b ON b.event_type = a.event_type
+                    AND b.hr = a.hr + lags.lag),
+         m AS (
+           SELECT event_type, lag, COUNT(*) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+           FROM pairs GROUP BY 1, 2)
+         SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
+           ROUND((CAST(sxy AS DOUBLE) * n_pairs - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(sxx AS DOUBLE) * n_pairs - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(syy AS DOUBLE) * n_pairs - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS r
+         FROM m ORDER BY event_type, lag""",
+
+    "ts10_cusum_drift" ->
+      """WITH hr AS (
+           SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(cnt) AS BIGINT) AS total
+           FROM hr GROUP BY 1),
+         c AS (
+           SELECT hr.event_type, hr.hr,
+             CAST(SUM(hr.cnt * tot.t - tot.total)
+               OVER (PARTITION BY hr.event_type ORDER BY hr.hr) AS BIGINT) AS cusum,
+             tot.t, tot.total
+           FROM hr JOIN tot USING (event_type))
+         SELECT event_type, MAX(t) AS n_hours, MAX(total) AS total,
+           MAX(cusum) AS max_pos, MIN(cusum) AS max_neg,
+           CAST(-((MAX(struct_pack(a := abs(cusum), nhr := -hr))).nhr) AS BIGINT)
+             AS peak_hr
+         FROM c GROUP BY event_type ORDER BY event_type"""
   )
 }

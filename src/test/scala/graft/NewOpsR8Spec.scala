@@ -107,6 +107,53 @@ class NewOpsR8Spec extends AnyFunSuite {
     assert(e2 >= explained(Array.fill(v1.length)(1.0)))
   }
 
+  test("ts9/ts10: brute-force hourly-series replicas match exactly") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "ts_ns").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000000L))
+    val byType = ev.groupBy(_._1).view.mapValues(
+      _.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+
+    val expAc = (for {
+      (t, hrs) <- byType.toSeq
+      lag <- 1 to 3
+    } yield {
+      val ps = hrs.toSeq.collect {
+        case (h, x) if hrs.contains(h + lag) => (x, hrs(h + lag))
+      }
+      val n = ps.size.toLong
+      val (sx, sy) = (ps.map(_._1).sum, ps.map(_._2).sum)
+      val (sxx, syy, sxy) = (ps.map(p => p._1 * p._1).sum,
+        ps.map(p => p._2 * p._2).sum, ps.map(p => p._1 * p._2).sum)
+      val r = (sxy.toDouble * n - sx.toDouble * sy.toDouble) /
+        math.sqrt((sxx.toDouble * n - sx.toDouble * sx.toDouble) *
+          (syy.toDouble * n - sy.toDouble * sy.toDouble))
+      (t, lag) -> (n, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toMap
+    val gotAc = SparkEntry.queries("ts9_autocorr")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(gotAc == expAc)
+
+    val expCu = byType.map { case (t, hrs) =>
+      val tt = hrs.size.toLong
+      val total = hrs.values.sum
+      val cusums = hrs.toSeq.sortBy(_._1)
+        .scanLeft((0L, 0L)) { case ((_, acc), (h, c)) => (h, acc + c * tt - total) }
+        .drop(1)
+      val peak = cusums.maxBy { case (h, c) => (math.abs(c), -h) }._1
+      t -> (tt, total, cusums.map(_._2).max, cusums.map(_._2).min, peak)
+    }
+    val gotCu = SparkEntry.queries("ts10_cusum_drift")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(gotCu == expCu)
+    // Σdev = 0 by construction, so every series' cusum ends at 0
+    for ((t, hrs) <- byType) {
+      val tt = hrs.size.toLong; val total = hrs.values.sum
+      assert(hrs.values.map(_ * tt - total).sum == 0L, s"cusum of $t doesn't close")
+    }
+  }
+
   test("dq5 arithmetic: a planted hot key is flagged with the right salt") {
     // 1 key with 1000 rows + 100 keys with 10 rows: mean = 2000/101 = 19,
     // hot iff cnt > 76, salt = min(16, 1000 div 76) = 13 for the hot key.
