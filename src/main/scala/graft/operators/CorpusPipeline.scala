@@ -224,6 +224,41 @@ object CorpusPipeline {
           "'n_exact_dups', n_exact_dups, " +
           "'max_doc_chars', max_doc_chars) AS (stat, value)")
         .orderBy("stat")
+    },
+
+    // ── c8: curriculum assignment — the corpus ordered by the t23
+    // quality score and cut into 4 training stages (curriculum
+    // learning: lowest-scoring quartile first or last, the trainer's
+    // choice — the ENGINE's job is the deterministic global order and
+    // the stage manifest). The global rank rides [[Ranks.globalRank]]
+    // (bucketed two-pass — no single-partition sort at any corpus
+    // size) over a composite key score·10⁷ + doc_id that makes ties
+    // bit-stable; bounds: |score_milli| < 10⁶ (≤1000-milli weights ×
+    // ≤1000 hits) and doc_id < 10⁷ keep the key inside int64 with 100×
+    // headroom — corpus-scale ids widen the key to DECIMAL(38,0),
+    // a17's documented pattern. Output is the per-stage manifest a
+    // training scheduler consumes: doc mass, score span, byte budget.
+    "c8_curriculum" -> { (s, d) =>
+      import s.implicits._
+      val weights = TextQueries.ClassifierWeights.toDF("term", "w")
+      val scored = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(tokenize(col("text"))).as("term"))
+        .join(broadcast(weights), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(max("n_chars").as("n_chars"),
+          (coalesce(sum(col("w")), lit(0L)) + lit(100L)).as("score_milli"))
+        .withColumn("k", expr("score_milli * 10000000L + doc_id"))
+      val cnt = scored.agg(count(lit(1)).as("n"))
+      Ranks.globalRank(scored, "k", "rank")
+        .crossJoin(broadcast(cnt))
+        .withColumn("stage", expr("CAST((rank - 1) * 4 DIV n AS INT)"))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"),
+          min("score_milli").as("min_score_milli"),
+          max("score_milli").as("max_score_milli"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("stage")
     }
   )
 
@@ -491,6 +526,31 @@ object CorpusPipeline {
            UNION ALL SELECT 'n_sources', n_sources FROM w
            UNION ALL SELECT 'n_exact_dups', n_exact_dups FROM w
            UNION ALL SELECT 'max_doc_chars', max_doc_chars FROM w)
-         ORDER BY stat"""
+         ORDER BY stat""",
+
+    // c8 — the same t23 scoring CTE, then a plain global window rank
+    // (the oracle states the SEMANTICS; the engine's bucketed two-pass
+    // rank is the scale spelling of the same order)
+    "c8_curriculum" -> {
+      s"""WITH wts(term, wt) AS (VALUES ${TextQueries.classifierWeightsSql}),
+         tok AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
+           FROM documents),
+         sc AS (
+           SELECT doc_id, CAST(COALESCE(SUM(wt), 0) + 100 AS BIGINT) AS score_milli
+           FROM tok LEFT JOIN wts USING (term) GROUP BY doc_id),
+         r AS (
+           SELECT s.doc_id, s.score_milli, d.n_chars,
+             row_number() OVER (ORDER BY s.score_milli, s.doc_id) AS rn,
+             COUNT(*) OVER () AS n
+           FROM sc s JOIN documents d USING (doc_id))
+         SELECT CAST((rn - 1) * 4 // n AS INT) AS stage,
+           COUNT(*) AS n_docs,
+           MIN(score_milli) AS min_score_milli,
+           MAX(score_milli) AS max_score_milli,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM r GROUP BY 1 ORDER BY stage"""
+    }
   )
 }

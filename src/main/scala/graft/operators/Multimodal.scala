@@ -311,6 +311,29 @@ object Multimodal {
     // (doc_id, frame_idx) ([[syntheticVideo]]) — oracle recomputes them.
     "m5_frame_sample" -> { (s, d) =>
       frameSamples(syntheticVideo(s, d), 3).orderBy("doc_id", "frame_idx")
+    },
+
+    // ── m6: exact media dedup by content digest — the binary-column
+    // twin of d1 (text keys don't exist for opaque blobs; the digest
+    // IS the join key). One map-side md5 per blob, then two hash aggs
+    // — (mime, digest) groups, rolled up per mime — so the blob never
+    // shuffles, only its 16-byte digest. bytes_saved is the dedup
+    // payoff a storage planner reads; at 100 TB this is the manifest
+    // pass before physical GC of duplicate media objects. (The sf0.1
+    // corpus carries real duplicate payloads; smaller SFs exercise the
+    // all-unique path — both hash-gated.)
+    "m6_media_dedup" -> { (s, d) =>
+      asMedia(s, d)
+        .select(md5(col("content")).as("digest"),
+          col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"))
+        .groupBy("mime", "digest")
+        .agg(count(lit(1)).as("cnt"), max("n_bytes").as("n_bytes"))
+        .groupBy("mime")
+        .agg(sum("cnt").as("n_blobs"),
+          count(lit(1)).as("n_unique"),
+          sum(col("cnt") - 1).as("n_dup_blobs"),
+          sum((col("cnt") - 1) * col("n_bytes")).as("bytes_saved"))
+        .orderBy("mime")
     }
   )
 
@@ -382,6 +405,17 @@ object Multimodal {
          FROM documents d
          CROSS JOIN (SELECT unnest([0, 3]) AS frame_idx) f
          WHERE f.frame_idx < d.doc_id % 5 + 2
-         ORDER BY doc_id, frame_idx"""
+         ORDER BY doc_id, frame_idx""",
+    "m6_media_dedup" ->
+      """WITH g AS (
+           SELECT 'image/fake' || CAST(doc_id % 3 AS VARCHAR) AS mime,
+             md5(text) AS digest, COUNT(*) AS cnt,
+             MAX(octet_length(encode(text))) AS n_bytes
+           FROM documents GROUP BY 1, 2)
+         SELECT mime, CAST(SUM(cnt) AS BIGINT) AS n_blobs,
+           COUNT(*) AS n_unique,
+           CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_blobs,
+           CAST(SUM((cnt - 1) * n_bytes) AS BIGINT) AS bytes_saved
+         FROM g GROUP BY mime ORDER BY mime"""
   )
 }

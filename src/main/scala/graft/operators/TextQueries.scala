@@ -1155,6 +1155,6 @@ object TextQueries {
 
   /** The t23 oracle's VALUES body — generated from
     * [[ClassifierWeights]] so model and oracle cannot drift. */
-  private def classifierWeightsSql: String =
+  private[operators] def classifierWeightsSql: String =
     ClassifierWeights.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
 }

@@ -154,6 +154,44 @@ class NewOpsR8Spec extends AnyFunSuite {
     }
   }
 
+  test("c8: stages are balanced quartiles with monotone score spans") {
+    val rows = SparkEntry.queries("c8_curriculum")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"unbalanced stages: ${sizes.toSeq}")
+    // curriculum order: score spans never overlap backwards
+    for (i <- 0 until 3)
+      assert(rows(i).getLong(3) <= rows(i + 1).getLong(2),
+        s"stage $i max ${rows(i).getLong(3)} > stage ${i + 1} min ${rows(i + 1).getLong(2)}")
+    // total mass equals the corpus
+    val nDocs = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(sizes.sum == nDocs)
+  }
+
+  test("m6: digest-group replica and conservation invariants") {
+    import java.security.MessageDigest
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val groups = texts.groupBy { case (id, t) =>
+      (s"image/fake${id % 3}", hex(MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))))
+    }
+    val exp = groups.toSeq.groupBy(_._1._1).view.mapValues { gs =>
+      val cnts = gs.map(_._2.length.toLong)
+      val saved = gs.map(g => (g._2.length - 1).toLong *
+        g._2.head._2.getBytes("UTF-8").length).sum
+      (cnts.sum, cnts.size.toLong, cnts.map(_ - 1).sum, saved)
+    }.toMap
+    val got = SparkEntry.queries("m6_media_dedup")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == exp)
+    // conservation: unique + dup = blobs, and blobs sum to the corpus
+    for ((_, (blobs, uniq, dups, _)) <- got) assert(uniq + dups == blobs)
+    assert(got.values.map(_._1).sum == texts.length.toLong)
+  }
+
   test("dq5 arithmetic: a planted hot key is flagged with the right salt") {
     // 1 key with 1000 rows + 100 keys with 10 rows: mean = 2000/101 = 19,
     // hot iff cnt > 76, salt = min(16, 1000 div 76) = 13 for the hot key.
