@@ -262,6 +262,54 @@ object CoreQueries {
         .orderBy("n_name")
     },
 
+    // ── j10: TPC-H Q8-flavored market share — the 7-table snowflake
+    // join that exercises the full planner: per order year, the share
+    // of PROMO-part revenue delivered to EUROPE customers by
+    // ASIA-based suppliers. The scale shape: every dimension chain
+    // (part filter, supplier→nation→region, customer→nation→region)
+    // is a BROADCAST side — lineitem is scanned once and never
+    // shuffles for them; the ONLY repartitioning is the
+    // lineitem⨝orders equi-join on orderkey, which the groupBy(year)
+    // then reduces map-side. Revenue stays in exact integer units
+    // (cents × (100−disc), a7's spelling) so the share is an exact
+    // basis-point DIV; ×10⁴ keeps it int64-safe to ~9·10¹⁴ revenue
+    // units per year (~$90B of line revenue — DECIMAL(38,0) beyond).
+    "j10_market_share" -> { (s, d) =>
+      val nr = Tables.load(s, d, "nation")
+        .join(Tables.load(s, d, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("r_name"))
+      val custEu = Tables.load(s, d, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(nr.filter(col("r_name") === "EUROPE"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val promo = Tables.load(s, d, "part")
+        .filter(col("p_type") === "PROMO").select("p_partkey")
+      val supR = Tables.load(s, d, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(nr, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("r_name").as("supp_region"))
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("yr"))
+        .join(broadcast(custEu), col("o_custkey") === col("c_custkey"))
+      Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_u"))
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supR), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n_items"),
+          sum("rev_u").as("total_rev_u"),
+          sum(when(col("supp_region") === "ASIA", col("rev_u"))
+            .otherwise(0L)).as("asia_rev_u"))
+        .withColumn("asia_share_bp", expr("asia_rev_u * 10000 DIV total_rev_u"))
+        .orderBy("yr")
+    },
+
     // ── J5: left-semi (EXISTS)
     "j5_semi_join" -> { (s, d) =>
       val customer = Tables.load(s, d, "customer")
@@ -653,6 +701,34 @@ object CoreQueries {
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
          GROUP BY 1 ORDER BY n_name""",
+
+    "j10_market_share" ->
+      """WITH nr AS (
+           SELECT n_nationkey, r_name
+           FROM nation JOIN region ON n_regionkey = r_regionkey),
+         eu AS (
+           SELECT c_custkey FROM customer
+           JOIN nr ON c_nationkey = n_nationkey WHERE r_name = 'EUROPE'),
+         promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+         sup AS (
+           SELECT s_suppkey, r_name AS supp_region
+           FROM supplier JOIN nr ON s_nationkey = n_nationkey),
+         f AS (
+           SELECT CAST(year(o_orderdate) AS INT) AS yr, supp_region,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u
+           FROM lineitem
+           JOIN promo ON l_partkey = p_partkey
+           JOIN sup ON l_suppkey = s_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN eu ON o_custkey = c_custkey)
+         SELECT yr, COUNT(*) AS n_items,
+           CAST(SUM(rev_u) AS BIGINT) AS total_rev_u,
+           CAST(SUM(CASE WHEN supp_region = 'ASIA' THEN rev_u ELSE 0 END)
+             AS BIGINT) AS asia_rev_u,
+           CAST(SUM(CASE WHEN supp_region = 'ASIA' THEN rev_u ELSE 0 END)
+             AS BIGINT) * 10000 // CAST(SUM(rev_u) AS BIGINT) AS asia_share_bp
+         FROM f GROUP BY yr ORDER BY yr""",
     "j4_revenue_per_nation" ->
       """SELECT n_name,
          SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)

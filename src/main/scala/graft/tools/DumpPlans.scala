@@ -76,7 +76,12 @@ object DumpPlans {
     "ts8_ewma" -> "truncated EWMA: eight lags in ONE compiled window frame, single user_id exchange",
     "a16_weighted_median" -> "weighted median: distinct-value cells first, group-partitioned running sum, integer crossing",
     "cdc_compact" -> "log compaction: per-key row_number below the watermark, verbatim tail, one union",
-    "a17_pareto_abc" -> "Pareto/ABC: global revenue cumsum via bucketed two-pass (globalCumSum) — no unpartitioned window")
+    "a17_pareto_abc" -> "Pareto/ABC: global revenue cumsum via bucketed two-pass (globalCumSum) — no unpartitioned window",
+    "j10_market_share" -> "Q8-style 7-table snowflake: every dim chain broadcast, lineitem⨝orders the ONLY shuffle, integer basis-point share",
+    "t25_phrase_search" -> "phrase search: postings pruned to query vocab at explode time, positional equi-joins, zero-hit restore via broadcast left join",
+    "s14_pca_power" -> "power-iteration PCA: gram-free AᵀAv rounds — in-row compiled dots vs broadcast direction, 64-key shuffles only",
+    "c8_curriculum" -> "curriculum stages: t23 scoring reused, bucketed global rank (no single-partition sort), 4-row manifest",
+    "ts10_cusum_drift" -> "CUSUM control chart: window over the REDUCED hourly agg (partitioned by type), scaled integer deviations")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
