@@ -226,6 +226,37 @@ object SamplingQueries {
         .orderBy("shard")
     },
 
+    // ── sp10: Poisson bootstrap — confidence intervals for a corpus
+    // statistic WITHOUT resampling passes (the web-scale bootstrap:
+    // each replicate re-weights every row by an independent
+    // Poisson(1) draw, so all R replicates come from ONE scan).
+    // The draw is a deterministic multiplicative hash of
+    // (event_id, replicate) inverted through the pinned Poisson(1)
+    // CDF in 2²⁰-unit integer thresholds — replayable in any engine,
+    // stable under retries (no rand()). Shape: rows × R stay
+    // map-side (the 8-row broadcast spine multiplies no shuffle);
+    // the aggregate is R groups with map-side partials. Bound:
+    // event_id·2654435761 < 2⁶³ holds to event_id ≈ 3.4e9.
+    "sp10_bootstrap" -> { (s, d) =>
+      import s.implicits._
+      val reps = (0 until 8).toDF("rep")
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("v_milli"))
+        .crossJoin(broadcast(reps))
+        .withColumn("h",
+          expr("(event_id * 2654435761L + rep * 97561L) % 1048576"))
+        .withColumn("w", expr(
+          """CASE WHEN h < 385750 THEN 0L WHEN h < 771499 THEN 1L
+                  WHEN h < 964374 THEN 2L WHEN h < 1028665 THEN 3L
+                  WHEN h < 1044738 THEN 4L WHEN h < 1047953 THEN 5L
+                  ELSE 6L END"""))
+        .groupBy("rep")
+        .agg(sum("w").as("n_eff"), sum(expr("w * v_milli")).as("wsum"))
+        .withColumn("mean_milli", expr("wsum DIV n_eff"))
+        .orderBy("rep")
+    },
+
     // ── sp7: mixture plan — the arithmetic every training run does
     // before sampling: given target shares per language and a total
     // character budget, compare each stratum's AVAILABLE mass against
@@ -379,6 +410,26 @@ object SamplingQueries {
            MIN(pos) AS pos_lo, MAX(pos) AS pos_hi,
            MIN_BY(doc_id, pos) AS first_doc_id
          FROM ranked GROUP BY 1 ORDER BY shard""",
+
+    "sp10_bootstrap" ->
+      """WITH reps AS (SELECT CAST(unnest(range(8)) AS INT) AS rep),
+         draws AS (
+           SELECT rep,
+             (event_id * 2654435761 + rep * 97561) % 1048576 AS h,
+             CAST(round(value * 1000) AS BIGINT) AS v_milli
+           FROM events CROSS JOIN reps),
+         wt AS (
+           SELECT rep, v_milli,
+             CASE WHEN h < 385750 THEN 0 WHEN h < 771499 THEN 1
+                  WHEN h < 964374 THEN 2 WHEN h < 1028665 THEN 3
+                  WHEN h < 1044738 THEN 4 WHEN h < 1047953 THEN 5
+                  ELSE 6 END AS w
+           FROM draws)
+         SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * v_milli) AS BIGINT) AS wsum,
+           CAST(SUM(w * v_milli) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+             AS mean_milli
+         FROM wt GROUP BY rep ORDER BY rep""",
     "q1_group_quantiles" ->
       """SELECT l_returnflag AS flag,
            ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS p25,

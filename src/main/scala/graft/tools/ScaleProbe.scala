@@ -88,7 +88,9 @@ object ScaleProbe {
       "d8_cluster_reps", "d9_dup_weights", "d11_prefix_filter",
       "c1_corpus_clean", "c2_decontaminate", "c3_leakage_safe_split",
       "sp6_corpus_shuffle", "t21_lm_novelty",
-      "g1_pagerank", "g2_triangles", "g3_copurchase_recs", "dq2_outlier_mad")
+      "g1_pagerank", "g2_triangles", "g3_copurchase_recs", "dq2_outlier_mad",
+      // r8 additions over the documents corpus
+      "t22_bpe_encode", "t25_phrase_search", "c8_curriculum", "m6_media_dedup")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

@@ -192,6 +192,27 @@ class NewOpsR8Spec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == texts.length.toLong)
   }
 
+  test("sp10: Poisson weights behave — n_eff ≈ N, replicate means bracket the truth") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .selectExpr("CAST(round(value * 1000) AS BIGINT) AS v").collect()
+      .map(_.getLong(0))
+    val n = ev.length.toLong
+    val exactMean = ev.sum / n
+    val rows = SparkEntry.queries("sp10_bootstrap")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 8))
+    for (r <- rows) {
+      val (nEff, mean) = (r.getLong(1), r.getLong(3))
+      // Poisson(1) weights: E[n_eff] = N, sd ≈ √N → ±5·√N is generous
+      assert(math.abs(nEff - n) <= 5 * math.sqrt(n.toDouble).toLong + 5,
+        s"rep ${r.getInt(0)}: n_eff $nEff vs N $n")
+      // replicate mean within ±10% of the exact mean (value ∈ [0,1000])
+      assert(math.abs(mean - exactMean) <= exactMean / 10 + 10,
+        s"rep ${r.getInt(0)}: mean $mean vs $exactMean")
+    }
+    // replicates genuinely differ (the hash varies by rep)
+    assert(rows.map(_.getLong(1)).distinct.length > 1)
+  }
+
   test("dq5 arithmetic: a planted hot key is flagged with the right salt") {
     // 1 key with 1000 rows + 100 keys with 10 rows: mean = 2000/101 = 19,
     // hot iff cnt > 76, salt = min(16, 1000 div 76) = 13 for the hot key.
