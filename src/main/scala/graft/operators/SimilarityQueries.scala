@@ -412,6 +412,53 @@ object SimilarityQueries {
         .orderBy("centroid_id")
     },
 
+    // ── s15: Matryoshka (truncated-dimension) recall — the
+    // dimension/recall tradeoff read a serving team runs before
+    // shipping truncated embeddings: top-1 agreement between the full
+    // 64-d cosine order and its 16-d / 32-d PREFIX orders, over the
+    // same bounded query panel as s9. The slices are in-row
+    // (`slice` + compiled dots — no explode), the panel broadcasts,
+    // and the corpus is scanned once; at index scale the truncated
+    // dot is the cheap first pass this query tells you whether you
+    // can afford. Ties break by vid, so the doubles-from-exact-ints
+    // ranking is engine-stable (s9's proven bargain).
+    "s15_matryoshka_recall" -> { (s, d) =>
+      val base = vecs(s, d)
+        .withColumn("qv16", expr("slice(qv, 1, 16)"))
+        .withColumn("qv32", expr("slice(qv, 1, 32)"))
+        .withColumn("n16", sqrt(dot_long(col("qv16"), col("qv16")).cast("double")))
+        .withColumn("n32", sqrt(dot_long(col("qv32"), col("qv32")).cast("double")))
+        .localCheckpoint(true) // query panel + target side share the slices
+      val q = base.filter(col("vec_id") < 50).select(
+        col("vec_id").as("qid"), col("qv").as("va"), col("norm").as("qn"),
+        col("qv16").as("va16"), col("n16").as("qn16"),
+        col("qv32").as("va32"), col("n32").as("qn32"))
+      val t = base.select(
+        col("vec_id").as("vid"), col("qv").as("vb"), col("norm").as("vn"),
+        col("qv16").as("vb16"), col("n16").as("vn16"),
+        col("qv32").as("vb32"), col("n32").as("vn32"))
+      val cand = t.crossJoin(broadcast(q)).filter(col("qid") =!= col("vid"))
+        .withColumn("cos64", dotCol / (col("qn") * col("vn")))
+        .withColumn("cos16",
+          dot_long(col("va16"), col("vb16")) / (col("qn16") * col("vn16")))
+        .withColumn("cos32",
+          dot_long(col("va32"), col("vb32")) / (col("qn32") * col("vn32")))
+      def top1(c: String, out: String): DataFrame = cand
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col(c).desc, col("vid").asc)))
+        .filter(col("rank") === 1).select(col("qid"), col("vid").as(out))
+      val full = top1("cos64", "fvid")
+      full.join(top1("cos16", "v16"), "qid").join(top1("cos32", "v32"), "qid")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("v16") === col("fvid"), 1L).otherwise(0L)).as("n_hits_16"),
+          sum(when(col("v32") === col("fvid"), 1L).otherwise(0L)).as("n_hits_32"))
+        .select(col("n_queries"),
+          col("n_hits_16"),
+          round(col("n_hits_16") / col("n_queries").cast("double"), 4).as("recall_16"),
+          col("n_hits_32"),
+          round(col("n_hits_32") / col("n_queries").cast("double"), 4).as("recall_32"))
+    },
+
     // ── s14: dominant principal component by POWER ITERATION — the
     // one-vector PCA a corpus pipeline runs before whitening /
     // debiasing embeddings, expressed as two gram-matrix-free BSP
@@ -804,6 +851,50 @@ object SimilarityQueries {
             CAST(SUM(d2) AS BIGINT) AS inertia,
             CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_dist
           FROM best GROUP BY 1 ORDER BY centroid_id""",
+
+    // s15 — brute-force pair scan with the truncated dots as
+    // conditional sums over the SAME unnested components; cosine
+    // doubles come from identical exact integers on both engines
+    // (s9's proven determinism bargain), ties break by vid
+    "s15_matryoshka_recall" ->
+      s"""WITH $compsSql,
+         n16 AS (SELECT vec_id, sqrt(SUM(q * q)) AS nrm FROM c
+                 WHERE idx < 16 GROUP BY 1),
+         n32 AS (SELECT vec_id, sqrt(SUM(q * q)) AS nrm FROM c
+                 WHERE idx < 32 GROUP BY 1),
+         d AS (
+           SELECT a.vec_id AS qid, b.vec_id AS vid,
+             CAST(SUM(a.q * b.q) AS DOUBLE) AS dot64,
+             CAST(SUM(CASE WHEN a.idx < 16 THEN a.q * b.q ELSE 0 END) AS DOUBLE)
+               AS dot16,
+             CAST(SUM(CASE WHEN a.idx < 32 THEN a.q * b.q ELSE 0 END) AS DOUBLE)
+               AS dot32
+           FROM c a JOIN c b ON a.idx = b.idx
+           WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id
+           GROUP BY 1, 2),
+         cosd AS (
+           SELECT d.qid, d.vid,
+             dot64 / (na.norm * nb.norm) AS cos64,
+             dot16 / (na16.nrm * nb16.nrm) AS cos16,
+             dot32 / (na32.nrm * nb32.nrm) AS cos32
+           FROM d
+           JOIN n na ON na.vec_id = d.qid JOIN n nb ON nb.vec_id = d.vid
+           JOIN n16 na16 ON na16.vec_id = d.qid JOIN n16 nb16 ON nb16.vec_id = d.vid
+           JOIN n32 na32 ON na32.vec_id = d.qid JOIN n32 nb32 ON nb32.vec_id = d.vid),
+         best AS (
+           SELECT qid,
+             (MIN(struct_pack(a := -cos64, v := vid))).v AS fvid,
+             (MIN(struct_pack(a := -cos16, v := vid))).v AS v16,
+             (MIN(struct_pack(a := -cos32, v := vid))).v AS v32
+           FROM cosd GROUP BY qid)
+         SELECT COUNT(*) AS n_queries,
+           CAST(SUM(CASE WHEN v16 = fvid THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_16,
+           ROUND(SUM(CASE WHEN v16 = fvid THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS recall_16,
+           CAST(SUM(CASE WHEN v32 = fvid THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_32,
+           ROUND(SUM(CASE WHEN v32 = fvid THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS recall_32
+         FROM best""",
 
     // s14 — the exact integer trajectory replayed relationally: the
     // in-row array dots become per-dimension joins (the SEMANTICS,

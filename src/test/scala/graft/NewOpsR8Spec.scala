@@ -213,6 +213,29 @@ class NewOpsR8Spec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).distinct.length > 1)
   }
 
+  test("s15: brute-force truncation-recall replica matches exactly") {
+    val vs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000000.0)).toArray)
+      .sortBy(_._1)
+    def top1(q: Array[Long], qid: Long, dims: Int): Long = {
+      def dot(a: Array[Long], b: Array[Long]) =
+        (0 until dims).map(i => a(i) * b(i)).sum
+      def nrm(a: Array[Long]) = math.sqrt(dot(a, a).toDouble)
+      vs.filter(_._1 != qid)
+        .map { case (vid, v) => (dot(q, v).toDouble / (nrm(q) * nrm(v)), vid) }
+        .minBy { case (c, vid) => (-c, vid) }._2
+    }
+    val queries = vs.filter(_._1 < 50)
+    val hits16 = queries.count { case (qid, q) => top1(q, qid, 16) == top1(q, qid, 64) }
+    val hits32 = queries.count { case (qid, q) => top1(q, qid, 32) == top1(q, qid, 64) }
+    val row = SparkEntry.queries("s15_matryoshka_recall")(spark, sf).collect().head
+    assert(row.getLong(0) == queries.length.toLong)
+    assert(row.getLong(1) == hits16.toLong, s"hits16 ${row.getLong(1)} vs $hits16")
+    assert(row.getLong(3) == hits32.toLong, s"hits32 ${row.getLong(3)} vs $hits32")
+  }
+
   test("dq5 arithmetic: a planted hot key is flagged with the right salt") {
     // 1 key with 1000 rows + 100 keys with 10 rows: mean = 2000/101 = 19,
     // hot iff cnt > 76, salt = min(16, 1000 div 76) = 13 for the hot key.
