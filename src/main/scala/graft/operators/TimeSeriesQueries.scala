@@ -279,6 +279,55 @@ object TimeSeriesQueries {
         .select(col("event_type"), col("n_hours"), col("total"),
           col("max_pos"), col("max_neg"), (col("pk.nhr") * -1).as("peak_hr"))
         .orderBy("event_type")
+    },
+
+    // ── ts11: banded Theil–Sen robust trend — the median of pairwise
+    // slopes, the estimator that shrugs off the outlier hours that
+    // wreck a least-squares fit. Pairs are LAG-BANDED (h2−h1 ≤ 168,
+    // one week): the classic all-pairs Theil–Sen is O(T²) in series
+    // length, the band keeps it ≤ 168·T — linear in T and
+    // corpus-volume-independent either way (the series is the hourly
+    // AGGREGATE). The banded self-join is an equi-join on a derived
+    // week-block key (off ∈ {0,1} replication), never a cross join;
+    // slopes are exact integers (Δcnt·10⁶ DIV Δh — both engines
+    // truncate toward zero) and the median is the no-value-buffer
+    // two-pass [[Ranks.groupQuantilesDisc]], so the result is
+    // bit-stable at any parallelism.
+    "ts11_theilsen" -> { (s, d) =>
+      import s.implicits._
+      val hr = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // both sides of the banded self-join
+      // band pairs via week-block equi-join: a row joins its own block
+      // (off=0) and the next (off=1); the lag filter keeps h2-h1 in
+      // (0, 168] — every true pair appears exactly once
+      val a = hr.crossJoin(broadcast(Seq(0, 1).toDF("off")))
+        .select(col("event_type"),
+          (expr("hr div 168") + col("off")).as("blk"),
+          col("hr").as("h1"), col("cnt").as("c1"))
+      val b = hr.select(col("event_type"), expr("hr div 168").as("blk"),
+        col("hr").as("h2"), col("cnt").as("c2"))
+      val pairs = a.join(b, Seq("event_type", "blk"))
+        .filter(col("h2") > col("h1") && col("h2") - col("h1") <= 168)
+        // nullif guards the ANSI DIV: Catalyst may evaluate the
+        // projection alongside the join before the lag filter lands,
+        // and h2 = h1 rows exist pre-filter (they are always dropped,
+        // so the null never survives)
+        .withColumn("slope_micro",
+          expr("((c2 - c1) * 1000000) DIV nullif(h2 - h1, 0)"))
+      val med = Ranks.groupQuantilesDisc(
+          pairs, Seq("event_type"), "slope_micro", None, Seq((1, 2)))
+        .groupBy("event_type")
+        .agg(max(when(col("_p_idx") === 0, col("slope_micro")))
+          .as("median_slope_micro"))
+      pairs.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+        .join(med, "event_type")
+        .withColumn("trend",
+          when(col("median_slope_micro") > 0, "rising")
+            .when(col("median_slope_micro") < 0, "falling")
+            .otherwise("flat"))
+        .orderBy("event_type")
     }
   )
 
@@ -456,6 +505,30 @@ object TimeSeriesQueries {
            MAX(cusum) AS max_pos, MIN(cusum) AS max_neg,
            CAST(-((MAX(struct_pack(a := abs(cusum), nhr := -hr))).nhr) AS BIGINT)
              AS peak_hr
-         FROM c GROUP BY event_type ORDER BY event_type"""
+         FROM c GROUP BY event_type ORDER BY event_type""",
+
+    // ts11 — unbanded spelling of the SAME pair set (the lag filter is
+    // the semantics; the engine's week-block equi-join is how it scales)
+    "ts11_theilsen" ->
+      """WITH hr AS (
+           SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.event_type,
+             ((b.cnt - a.cnt) * 1000000) // (b.hr - a.hr) AS slope_micro
+           FROM hr a JOIN hr b
+             ON b.event_type = a.event_type
+            AND b.hr > a.hr AND b.hr - a.hr <= 168),
+         m AS (
+           SELECT event_type, COUNT(*) AS n_pairs,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_micro)
+               AS BIGINT) AS median_slope_micro
+           FROM pairs GROUP BY 1)
+         SELECT event_type, n_pairs, median_slope_micro,
+           CASE WHEN median_slope_micro > 0 THEN 'rising'
+                WHEN median_slope_micro < 0 THEN 'falling'
+                ELSE 'flat' END AS trend
+         FROM m ORDER BY event_type"""
   )
 }

@@ -236,6 +236,31 @@ class NewOpsR8Spec extends AnyFunSuite {
     assert(row.getLong(3) == hits32.toLong, s"hits32 ${row.getLong(3)} vs $hits32")
   }
 
+  test("ts11: brute-force banded Theil–Sen replica matches exactly") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "ts_ns").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000000L))
+    val byType = ev.groupBy(_._1).view.mapValues(
+      _.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    val expected = byType.map { case (t, hrs) =>
+      val hs = hrs.toSeq.sortBy(_._1)
+      val slopes = for {
+        (h1, c1) <- hs; (h2, c2) <- hs
+        if h2 > h1 && h2 - h1 <= 168
+      } yield {
+        val (dy, dx) = ((c2 - c1) * 1000000L, h2 - h1)
+        dy / dx // both JVM and the engines truncate toward zero
+      }
+      val sorted = slopes.sorted
+      val med = sorted((slopes.size + 1) / 2 - 1) // percentile_disc(0.5)
+      t -> (slopes.size.toLong, med,
+        if (med > 0) "rising" else if (med < 0) "falling" else "flat")
+    }
+    val got = SparkEntry.queries("ts11_theilsen")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == expected)
+  }
+
   test("dq5 arithmetic: a planted hot key is flagged with the right salt") {
     // 1 key with 1000 rows + 100 keys with 10 rows: mean = 2000/101 = 19,
     // hot iff cnt > 76, salt = min(16, 1000 div 76) = 13 for the hot key.
