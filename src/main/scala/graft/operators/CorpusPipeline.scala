@@ -239,16 +239,10 @@ object CorpusPipeline {
     // a17's documented pattern. Output is the per-stage manifest a
     // training scheduler consumes: doc mass, score span, byte budget.
     "c8_curriculum" -> { (s, d) =>
-      import s.implicits._
-      val weights = TextQueries.ClassifierWeights.toDF("term", "w")
-      val scored = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("n_chars"),
-          explode(tokenize(col("text"))).as("term"))
-        .join(broadcast(weights), Seq("term"), "left")
-        .groupBy("doc_id")
-        .agg(max("n_chars").as("n_chars"),
-          (coalesce(sum(col("w")), lit(0L)) + lit(100L)).as("score_milli"))
+      val scored = TextQueries.qualityScores(s, d)
+        .select(col("doc_id"), col("n_chars"), col("score_milli"))
         .withColumn("k", expr("score_milli * 10000000L + doc_id"))
+        .localCheckpoint(true) // consumed by globalRank's passes + cnt
       val cnt = scored.agg(count(lit(1)).as("n"))
       Ranks.globalRank(scored, "k", "rank")
         .crossJoin(broadcast(cnt))
@@ -532,14 +526,7 @@ object CorpusPipeline {
     // (the oracle states the SEMANTICS; the engine's bucketed two-pass
     // rank is the scale spelling of the same order)
     "c8_curriculum" -> {
-      s"""WITH wts(term, wt) AS (VALUES ${TextQueries.classifierWeightsSql}),
-         tok AS (
-           SELECT doc_id,
-             unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
-           FROM documents),
-         sc AS (
-           SELECT doc_id, CAST(COALESCE(SUM(wt), 0) + 100 AS BIGINT) AS score_milli
-           FROM tok LEFT JOIN wts USING (term) GROUP BY doc_id),
+      s"""WITH ${TextQueries.qualityScoreCtes},
          r AS (
            SELECT s.doc_id, s.score_milli, d.n_chars,
              row_number() OVER (ORDER BY s.score_milli, s.doc_id) AS rn,

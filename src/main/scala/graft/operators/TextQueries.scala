@@ -613,16 +613,8 @@ object TextQueries {
     // multiplication-only (no division), so Spark and DuckDB agree
     // bit-for-bit on labels.
     "t23_quality_classifier" -> { (s, d) =>
-      import s.implicits._
-      val weights = TextQueries.ClassifierWeights.toDF("term", "w")
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
-        .join(broadcast(weights), Seq("term"), "left")
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          count(col("w")).as("n_hits"),
-          (coalesce(sum(col("w")), lit(0L)) + lit(100L)).as("score_milli"))
+      TextQueries.qualityScores(s, d)
+        .drop("n_chars")
         .withColumn("label",
           when(col("score_milli") * 10 >= col("n_tokens") * 3, "keep")
             .when(col("score_milli") >= 0, "review")
@@ -702,6 +694,41 @@ object TextQueries {
         .orderBy("phrase")
     }
   )
+
+  /** THE spelling of the shipped linear quality model, shared by t23
+    * (labels) and c8 in [[CorpusPipeline]] (curriculum ranking): per
+    * doc (doc_id, n_chars, n_tokens, n_hits, score_milli) — explode →
+    * broadcast LEFT join on [[ClassifierWeights]] → one hash agg.
+    * Changing the scoring changes every consumer and its oracle CTE
+    * ([[qualityScoreCtes]]) together. */
+  private[operators] def qualityScores(
+      s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weights = ClassifierWeights.toDF("term", "w")
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        explode(tokenize(col("text"))).as("term"))
+      .join(broadcast(weights), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        max("n_chars").as("n_chars"),
+        count(lit(1)).as("n_tokens"),
+        count(col("w")).as("n_hits"),
+        (coalesce(sum(col("w")), lit(0L)) + lit(100L)).as("score_milli"))
+  }
+
+  /** DuckDB CTE chain ending in `sc(doc_id, n_tokens, n_hits,
+    * score_milli)` — the oracle half of [[qualityScores]]. */
+  private[operators] def qualityScoreCtes: String =
+    s"""wts(term, wt) AS (VALUES $classifierWeightsSql),
+          tok AS (
+            SELECT doc_id,
+              unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
+            FROM documents),
+          sc AS (
+            SELECT doc_id, COUNT(*) AS n_tokens, COUNT(wt) AS n_hits,
+              CAST(COALESCE(SUM(wt), 0) + 100 AS BIGINT) AS score_milli
+            FROM tok LEFT JOIN wts USING (term) GROUP BY doc_id)"""
 
   /** Shared oracle CTE chain ending in `fps(doc_id, fp)` — the
     * relational replay of `winnow(shingle_hashes(char_fold_array(
@@ -1068,15 +1095,7 @@ object TextQueries {
     // thresholds are multiplication-only so no division semantics can
     // drift between engines.
     "t23_quality_classifier" ->
-      s"""WITH wts(term, wt) AS (VALUES $classifierWeightsSql),
-          tok AS (
-            SELECT doc_id,
-              unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
-            FROM documents),
-          sc AS (
-            SELECT doc_id, COUNT(*) AS n_tokens, COUNT(wt) AS n_hits,
-              CAST(COALESCE(SUM(wt), 0) + 100 AS BIGINT) AS score_milli
-            FROM tok LEFT JOIN wts USING (term) GROUP BY doc_id)
+      s"""WITH $qualityScoreCtes
           SELECT doc_id, n_tokens, n_hits, score_milli,
             CASE WHEN score_milli * 10 >= n_tokens * 3 THEN 'keep'
                  WHEN score_milli >= 0 THEN 'review'

@@ -22,6 +22,28 @@ import graft.sources.Tables
   */
 object TimeSeriesQueries {
 
+  /** THE hourly event-rate spine shared by ts9/ts10/ts11:
+    * (event_type, hr, cnt) with hr = ts_ns div 1h-in-ns. One
+    * partial-agg groupBy — everything the three statistics queries do
+    * afterwards is ≤ |types|×|hours| rows. `localCheckpoint`ed
+    * because every consumer reads it at least twice (self-join sides
+    * / totals + window). Changing the bucketing here changes all
+    * three consumers AND their oracle CTE ([[hourlyCountsSql]])
+    * together. */
+  private def hourlyCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+
+  /** DuckDB CTE `hr(event_type, hr, cnt)` — the oracle half of
+    * [[hourlyCounts]]. */
+  private val hourlyCountsSql: String =
+    """hr AS (
+           SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2)"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── ts1: zero-filled daily spike counts per event type. Spikes
@@ -224,10 +246,7 @@ object TimeSeriesQueries {
     // one double division at the end is bit-stable across engines.
     "ts9_autocorr" -> { (s, d) =>
       import s.implicits._
-      val hr = Tables.events(s, d)
-        .select(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
-        .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true) // both sides of the lag self-join
+      val hr = hourlyCounts(s, d)
       val lags = Seq(1, 2, 3).toDF("lag")
       val pairs = hr.crossJoin(broadcast(lags))
         .withColumn("bhr", col("hr") + col("lag"))
@@ -264,9 +283,7 @@ object TimeSeriesQueries {
     // total ≤ 1e8; corpus-scale widens to DECIMAL(38,0).
     "ts10_cusum_drift" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val hr = Tables.events(s, d)
-        .select(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
-        .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+      val hr = hourlyCounts(s, d)
       val tot = hr.groupBy("event_type")
         .agg(count(lit(1)).as("t"), sum("cnt").as("total"))
       val w = Window.partitionBy("event_type").orderBy("hr")
@@ -295,10 +312,7 @@ object TimeSeriesQueries {
     // bit-stable at any parallelism.
     "ts11_theilsen" -> { (s, d) =>
       import s.implicits._
-      val hr = Tables.events(s, d)
-        .select(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
-        .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true) // both sides of the banded self-join
+      val hr = hourlyCounts(s, d)
       // band pairs via week-block equi-join: a row joins its own block
       // (off=0) and the next (off=1); the lag filter keeps h2-h1 in
       // (0, 168] — every true pair appears exactly once
@@ -462,10 +476,7 @@ object TimeSeriesQueries {
     },
 
     "ts9_autocorr" ->
-      """WITH hr AS (
-           SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
-             COUNT(*) AS cnt
-           FROM events GROUP BY 1, 2),
+      s"""WITH $hourlyCountsSql,
          lags(lag) AS (VALUES (1), (2), (3)),
          pairs AS (
            SELECT a.event_type, lags.lag, a.cnt AS x, b.cnt AS y
@@ -487,10 +498,7 @@ object TimeSeriesQueries {
          FROM m ORDER BY event_type, lag""",
 
     "ts10_cusum_drift" ->
-      """WITH hr AS (
-           SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM events GROUP BY 1, 2),
+      s"""WITH $hourlyCountsSql,
          tot AS (
            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t,
              CAST(SUM(cnt) AS BIGINT) AS total
@@ -510,10 +518,7 @@ object TimeSeriesQueries {
     // ts11 — unbanded spelling of the SAME pair set (the lag filter is
     // the semantics; the engine's week-block equi-join is how it scales)
     "ts11_theilsen" ->
-      """WITH hr AS (
-           SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM events GROUP BY 1, 2),
+      s"""WITH $hourlyCountsSql,
          pairs AS (
            SELECT a.event_type,
              ((b.cnt - a.cnt) * 1000000) // (b.hr - a.hr) AS slope_micro
