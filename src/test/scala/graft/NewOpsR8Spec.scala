@@ -261,6 +261,37 @@ class NewOpsR8Spec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("plan gates: j10 pushes the part filter + broadcasts dims; t25 prunes postings") {
+    val j10 = SparkEntry.queries("j10_market_share")(spark, sf)
+    j10.collect() // finalize AQE
+    val p10 = j10.queryExecution.executedPlan.toString
+    assert(p10.contains("EqualTo(p_type,PROMO)"),
+      "PROMO filter not pushed to the part scan")
+    assert("BroadcastHashJoin".r.findAllIn(p10).size >= 3,
+      "dimension chains must broadcast")
+    assert(!p10.contains("SortMergeJoin") ||
+      "BroadcastHashJoin".r.findAllIn(p10).size >= 3)
+
+    // t25's vocab prune runs when the postings checkpoint materializes,
+    // so the final plan's join legs all read the (tiny) pruned
+    // ExistingRDD — assert that, and that the prune really shrank it
+    val t25 = SparkEntry.queries("t25_phrase_search")(spark, sf)
+    t25.collect()
+    val p25 = t25.queryExecution.executedPlan.toString
+    assert("Scan ExistingRDD".r.findAllIn(p25).size >= 3,
+      "all three position legs must read the pruned postings checkpoint")
+    import graft.functions.HashExprs.tokenize
+    import org.apache.spark.sql.functions._
+    val vocab = operators.TextQueries.PinnedPhrases.flatMap(_.split(" ")).distinct
+    val posts = graft.sources.Tables.load(spark, sf, "documents")
+      .select(posexplode(tokenize(col("text"))).as(Seq("pos", "token")))
+    val total = posts.count()
+    val pruned = posts.filter(col("token").isin(vocab: _*)).count()
+    // the pinned phrases use deliberately common corpus terms, so the
+    // prune keeps ~40% here; rare-term queries prune far harder
+    assert(pruned * 2 < total, s"prune kept $pruned of $total postings")
+  }
+
   test("dq5 arithmetic: a planted hot key is flagged with the right salt") {
     // 1 key with 1000 rows + 100 keys with 10 rows: mean = 2000/101 = 19,
     // hot iff cnt > 76, salt = min(16, 1000 div 76) = 13 for the hot key.
