@@ -599,6 +599,41 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // ── e8: 7-day ROLLING distinct users — the read that daily
+    // distinct counts cannot answer (distincts don't sum across days;
+    // re-scanning 7 days of raw events per output day is the naive
+    // 7× blowup). The sketch path: ONE pass builds a 4 KiB HLL blob
+    // per day, then the rolling merge is a window aggregate over the
+    // DAILY frame (≤ |days| rows — the allowlisted bounded-window
+    // case; at corpus scale this frame is still |days|, never data).
+    // Register-max merge is associative + idempotent, so the window
+    // recomputation is exact over the blobs. Bracket-oracled like e4:
+    // the exact rolling distinct (oracle recomputes it relationally)
+    // must sit within ±5% + 10 of the estimate — deterministic, not
+    // flaky. The exact side here pays the 7-day re-join deliberately
+    // at oracle scale; production reads the sketch column only.
+    "e8_rolling_distinct" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.HllSketch.{hll_estimate, hll_merge, hll_sketch}
+      val ud = Tables.load(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .localCheckpoint(true) // sketch side + exact side share it
+      val daily = ud.groupBy("day").agg(hll_sketch(col("user_id")).as("sk"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      val est = daily
+        .withColumn("approx", hll_estimate(hll_merge(col("sk")).over(w)))
+        .select("day", "approx")
+      val spine = ud.select("day").distinct()
+      val exact = spine.join(ud.select(col("day").as("d2"), col("user_id")),
+          col("d2") <= col("day") && col("d2") >= date_sub(col("day"), 6))
+        .groupBy("day").agg(countDistinct("user_id").as("exact_users"))
+      est.join(exact, "day")
+        .select(col("day"), col("exact_users"),
+          (abs(col("approx") - col("exact_users"))
+            <= col("exact_users") * 0.05 + 10).as("hll_ok"))
+        .orderBy("day")
+    },
+
     // ── x20: UNPIVOT (wide → long) — the inverse of x4's PIVOT:
     // per-priority aggregates melted into (metric, value) rows via
     // stack, so downstream checks consume metrics as DATA. All values
@@ -1035,6 +1070,18 @@ object AnalyticsQueries {
              AS p9375_exact,
            true AS ok50, true AS ok75, true AS ok9375
          FROM ev GROUP BY 1 ORDER BY event_type""",
+    // exact rolling distinct recomputed relationally; `true` is the
+    // rolling-sketch contract — e4's pattern
+    "e8_rolling_distinct" ->
+      """WITH ud AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         spine AS (SELECT DISTINCT day FROM ud)
+         SELECT s.day, COUNT(DISTINCT u.user_id) AS exact_users,
+           true AS hll_ok
+         FROM spine s JOIN ud u
+           ON u.day <= s.day AND u.day >= s.day - INTERVAL 6 DAY
+         GROUP BY s.day ORDER BY s.day""",
+
     // exact probe/member counts; `true` is the bloom contract
     // (no false negatives, fp*50 ≤ n_probed+500) — e4's pattern
     "e7_bloom_audit" ->

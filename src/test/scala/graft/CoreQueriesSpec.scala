@@ -40,7 +40,8 @@ class CoreQueriesSpec extends AnyFunSuite {
   //    or a literal-bounded filter.
   private val boundedGlobalWindowOk = Set(
     "sp8_temperature_mix", // window over the per-source aggregate (≤|sources| rows)
-    "x21_nulls_order" // literal event_id < 200 bound — constant at any SF
+    "x21_nulls_order", // literal event_id < 200 bound — constant at any SF
+    "e8_rolling_distinct" // window over the DAILY sketch aggregate (≤|days| rows)
   )
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name runs at sf0.001") {

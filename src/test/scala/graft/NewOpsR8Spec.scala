@@ -292,6 +292,30 @@ class NewOpsR8Spec extends AnyFunSuite {
     assert(pruned * 2 < total, s"prune kept $pruned of $total postings")
   }
 
+  test("e8: rolling merge of daily sketches equals sketching the 7-day union directly") {
+    import graft.functions.HllSketch.{hll_distinct, hll_estimate, hll_merge, hll_sketch}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ud = graft.sources.Tables.load(spark, sf, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .localCheckpoint(true)
+    val daily = ud.groupBy("day").agg(hll_sketch(col("user_id")).as("sk"))
+    val rolled = daily
+      .withColumn("approx",
+        hll_estimate(hll_merge(col("sk")).over(
+          Window.orderBy("day").rowsBetween(-6, 0))))
+      .select("day", "approx").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // direct: one sketch over the raw 7-day union per day — register-max
+    // merge is associative, so the estimates must be IDENTICAL
+    val spine = ud.select("day").distinct()
+    val direct = spine.join(ud.select(col("day").as("d2"), col("user_id")),
+        col("d2") <= col("day") && col("d2") >= date_sub(col("day"), 6))
+      .groupBy("day").agg(hll_distinct(col("user_id")).as("approx"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(rolled == direct)
+  }
+
   test("dq5 arithmetic: a planted hot key is flagged with the right salt") {
     // 1 key with 1000 rows + 100 keys with 10 rows: mean = 2000/101 = 19,
     // hot iff cnt > 76, salt = min(16, 1000 div 76) = 13 for the hot key.
