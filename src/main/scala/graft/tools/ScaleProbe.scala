@@ -82,6 +82,37 @@ object ScaleProbe {
       System.err.println(s"[scale] built ${factor}x lineitem at $out")
     }
 
+    // 10× events for the rate-series / probe / key-histogram families:
+    // copy k is shifted k·(span+1h) in TIME and offset in
+    // event_id/user_id — so the scaled stream is a LONGER history
+    // (10× hours/days/users), the axis those statistics actually grow
+    // along. Banded/bucketed designs (ts11's lag band, e8's 7-day
+    // window, dq5's per-key counts) must stay linear on it.
+    val evOut = new java.io.File(s"$out/events.parquet")
+    if (!evOut.exists()) {
+      // normalize via Tables.events (handles both ts spellings), shift
+      // epoch-nanos as pure long math, write back as micros timestamps
+      val base = graft.sources.Tables.events(spark, src)
+      val spans = base.agg(
+        (max("ts_ns") - min("ts_ns") + 3600L * 1000000000L).as("span"),
+        (max("event_id") + 1).as("eid"),
+        (max("user_id") + 1).as("uid")).collect().head
+      val (spanNs, eidSpan, uidSpan) =
+        (spans.getLong(0), spans.getLong(1), spans.getLong(2))
+      (0 until factor).map { k =>
+        base
+          .withColumn("ts_ns", col("ts_ns") + lit(k * spanNs))
+          .withColumn("event_id", col("event_id") + lit(k * eidSpan))
+          .withColumn("user_id", col("user_id") + lit(k * uidSpan))
+      }.reduce(_ unionByName _)
+        .select(col("event_id"),
+          expr("timestamp_micros(ts_ns div 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      System.err.println(s"[scale] built ${factor}x events at $out")
+    }
+
     val names = Seq(
       "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh", "d4_simhash_pairs",
       "d5_dedup_clusters", "d6_simhash64_pairs", "d7_containment",
@@ -90,7 +121,11 @@ object ScaleProbe {
       "sp6_corpus_shuffle", "t21_lm_novelty",
       "g1_pagerank", "g2_triangles", "g3_copurchase_recs", "dq2_outlier_mad",
       // r8 additions over the documents corpus
-      "t22_bpe_encode", "t25_phrase_search", "c8_curriculum", "m6_media_dedup")
+      "t22_bpe_encode", "t25_phrase_search", "c8_curriculum", "m6_media_dedup",
+      // r8 additions over the (10×-history) events stream
+      "ts9_autocorr", "ts10_cusum_drift", "ts11_theilsen",
+      "e7_bloom_audit", "e8_rolling_distinct", "dq5_skew_advisor",
+      "sp10_bootstrap")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
