@@ -129,6 +129,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case es => throw new IllegalArgumentException(
         s"cms_query takes (sketch, value), got ${es.length} args")
     })
+    inject("cms_inner", {
+      case Seq(a, b) => CmsInner(a, b)
+      case es => throw new IllegalArgumentException(
+        s"cms_inner takes (sketch, sketch), got ${es.length} args")
+    })
     inject("topk_keys", {
       case Seq(key, ord, kLit) =>
         TopKKeys(key, ord, intLit(kLit, "top-k count")).toAggregateExpression()

@@ -68,6 +68,45 @@ object CmsOps {
     min
   }
 
+  /** Inner product of two same-shape sketches: min over rows of
+    * Σ_j rowA[j]·rowB[j] — the Count-Min estimate of the JOIN SIZE
+    * Σ_v fA(v)·fB(v) (AMS/CM inner product, Cormode & Muthukrishnan
+    * §4.2). Never underestimates; per-row overestimate ≤ N_A·N_B/w.
+    * The optimizer-statistics read: join cardinality from two 128 KiB
+    * blobs, no key ever shuffled. */
+  def inner(a: Array[Byte], b: Array[Byte]): Long = {
+    def shape(bytes: Array[Byte]): (Int, Int) = {
+      if (bytes.length < 16)
+        throw new IllegalArgumentException(s"not a CMS sketch: ${bytes.length} bytes")
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val (w, d) = (bb.getInt(0), bb.getInt(4))
+      if (w < 1 || d < 1 || d > 32 ||
+        bytes.length.toLong != 8L + w.toLong * d * 8)
+        throw new IllegalArgumentException(s"not a CMS sketch: w=$w d=$d len=${bytes.length}")
+      (w, d)
+    }
+    val (wa, da) = shape(a)
+    val (wb, db) = shape(b)
+    if (wa != wb || da != db)
+      throw new IllegalArgumentException(
+        s"cms_inner requires same-shape sketches, got ($wa,$da) vs ($wb,$db)")
+    val (ba, bb) = (java.nio.ByteBuffer.wrap(a), java.nio.ByteBuffer.wrap(b))
+    var min = Long.MaxValue
+    var r = 0
+    while (r < da) {
+      var s = 0L
+      var j = 0
+      while (j < wa) {
+        val idx = 8 + (r * wa + j) * 8
+        s += ba.getLong(idx) * bb.getLong(idx)
+        j += 1
+      }
+      if (s < min) min = s
+      r += 1
+    }
+    min
+  }
+
   // typed entry points for generated code (no tuple boxing)
   def queryLong(bytes: Array[Byte], v: Long): Long =
     query(bytes, Hll.mix64(v), Hll.mix64(v ^ 0x9E3779B97F4A7C15L) | 1L)
@@ -177,11 +216,34 @@ case class CmsQuery(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = newLeft, right = newRight)
 }
 
+/** `cms_inner(a BINARY, b BINARY) -> BIGINT` — join-size estimate via
+  * the sketch inner product ([[CmsOps.inner]]). */
+case class CmsInner(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"cms_inner takes (BINARY, BINARY), got (${l.sql}, ${r.sql})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_inner"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CmsOps.inner(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  private def H = CmsOps.getClass.getName.stripSuffix("$") + "$.MODULE$"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$H.inner($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsInner =
+    copy(left = newLeft, right = newRight)
+}
+
 object CountMin {
   /** Column API. `cms_build(c, w, d)` aggregates to sketch bytes;
-    * `cms_query(sketchCol, c)` point-estimates a key's frequency. */
+    * `cms_query(sketchCol, c)` point-estimates a key's frequency;
+    * `cms_inner(a, b)` estimates the join size Σ_v fA(v)·fB(v). */
   def cms_build(c: Column, w: Int = 1 << 12, d: Int = 4): Column =
     Bridge.column(CmsBuild(Bridge.expression(c), w, d).toAggregateExpression())
   def cms_query(sketch: Column, c: Column): Column =
     Bridge.column(CmsQuery(Bridge.expression(sketch), Bridge.expression(c)))
+  def cms_inner(a: Column, b: Column): Column =
+    Bridge.column(CmsInner(Bridge.expression(a), Bridge.expression(b)))
 }

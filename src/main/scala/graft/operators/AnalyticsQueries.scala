@@ -599,6 +599,38 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // ── e9: sketch-based JOIN-SIZE estimation — optimizer statistics
+    // as a query. |A ⨝_k B| = Σ_v fA(v)·fB(v) is what a cost-based
+    // planner needs before choosing broadcast vs shuffle vs salt; the
+    // Count-Min inner product (AMS/CM, Cormode & Muthukrishnan §4.2)
+    // estimates it from two 128 KiB blobs built in ONE map-combined
+    // pass per side — no key ever shuffles. Contract (driver-checked,
+    // e4's bracket pattern): never underestimates, per-row
+    // overestimate ≤ N_A·N_B/w — bound spelled with ×4 headroom over
+    // the w=4096 expectation, deterministic hashing ⇒ a stable
+    // boolean, not a flaky one. The exact side pays the per-key join
+    // deliberately at oracle scale. Pairing: click vs purchase events
+    // on user_id — the self-join shape behind g2/g3's co-occurrence.
+    "e9_join_size" -> { (s, d) =>
+      import graft.functions.CountMin.{cms_build, cms_inner}
+      val ev = Tables.load(s, d, "events")
+      def side(t: String, n: String) = ev.filter(col("event_type") === t)
+        .agg(cms_build(col("user_id")).as(s"sk_$n"),
+          count(lit(1)).as(s"n_$n"))
+      val exact = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("ca"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(count(lit(1)).as("cb")), "user_id")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_join_size"))
+      exact.crossJoin(broadcast(side("click", "a")))
+        .crossJoin(broadcast(side("purchase", "b")))
+        .withColumn("est", cms_inner(col("sk_a"), col("sk_b")))
+        .select(col("exact_join_size"), col("n_a"), col("n_b"),
+          (col("est") >= col("exact_join_size")).as("no_underestimate"),
+          (col("est") <= col("exact_join_size")
+            + expr("(n_a * n_b * 4) DIV 4096") + lit(20L)).as("bound_ok"))
+    },
+
     // ── e8: 7-day ROLLING distinct users — the read that daily
     // distinct counts cannot answer (distincts don't sum across days;
     // re-scanning 7 days of raw events per output day is the naive
@@ -1070,6 +1102,22 @@ object AnalyticsQueries {
              AS p9375_exact,
            true AS ok50, true AS ok75, true AS ok9375
          FROM ev GROUP BY 1 ORDER BY event_type""",
+    // exact Σ fA·fB + side counts; `true` is the inner-product
+    // contract — e4's pattern
+    "e9_join_size" ->
+      """WITH a AS (
+           SELECT user_id, COUNT(*) AS ca FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+         b AS (
+           SELECT user_id, COUNT(*) AS cb FROM events
+           WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT
+           CAST(COALESCE((SELECT SUM(ca * cb) FROM a JOIN b USING (user_id)), 0)
+             AS BIGINT) AS exact_join_size,
+           (SELECT COUNT(*) FROM events WHERE event_type = 'click') AS n_a,
+           (SELECT COUNT(*) FROM events WHERE event_type = 'purchase') AS n_b,
+           true AS no_underestimate, true AS bound_ok""",
+
     // exact rolling distinct recomputed relationally; `true` is the
     // rolling-sketch contract — e4's pattern
     "e8_rolling_distinct" ->

@@ -316,6 +316,28 @@ class NewOpsR8Spec extends AnyFunSuite {
     assert(rolled == direct)
   }
 
+  test("e9/cms_inner: single-key inner product is exact; mismatched shapes rejected") {
+    import graft.functions.CountMin.{cms_build, cms_inner}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one key on both sides: each CMS row holds a single hot counter,
+    // so min-over-rows inner product is EXACTLY n1 * n2
+    val a = Seq.fill(37)(42L).toDF("k").agg(cms_build(col("k")).as("sa"))
+    val b = Seq.fill(11)(42L).toDF("k").agg(cms_build(col("k")).as("sb"))
+    val got = a.crossJoin(b).select(cms_inner(col("sa"), col("sb"))).head.getLong(0)
+    assert(got == 37L * 11L)
+    // disjoint keys: inner product sees zero overlap (w=4096 ≫ 2 keys,
+    // a cross-row collision in all 4 rows is as good as impossible)
+    val c = Seq.fill(11)(7L).toDF("k").agg(cms_build(col("k")).as("sb"))
+    assert(a.crossJoin(c).select(cms_inner(col("sa"), col("sb"))).head.getLong(0) == 0L)
+    // shape mismatch must throw, not silently mis-estimate
+    val small = Seq(1L).toDF("k").agg(cms_build(col("k"), w = 64, d = 2).as("sb"))
+    val ex = intercept[Exception] {
+      a.crossJoin(small).select(cms_inner(col("sa"), col("sb"))).head
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("dq5 arithmetic: a planted hot key is flagged with the right salt") {
     // 1 key with 1000 rows + 100 keys with 10 rows: mean = 2000/101 = 19,
     // hot iff cnt > 76, salt = min(16, 1000 div 76) = 13 for the hot key.
