@@ -29,7 +29,14 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     "sp6_corpus_shuffle",    // bucketed global rank (offset cumsum)
     "d10_repeated_spans",    // hash-first top-k cut + text recovery
     "d9_dup_weights",        // iterative CC labels + broadcast joins
-    "t19_bpe_merge_candidates") // vocab rollup + weighted pair top-k
+    "t19_bpe_merge_candidates", // vocab rollup + weighted pair top-k
+    // late-r8 order-sensitive additions
+    "c8_curriculum",         // bucketed global rank → stage cut
+    "ts11_theilsen",         // two-pass median over banded pair slopes
+    "s15_matryoshka_recall", // double-cosine window ranks with vid ties
+    "s14_pca_power",         // 64-key integer sums (assoc-exact adds)
+    "dq5_skew_advisor",      // TakeOrdered top-5 with cnt ties
+    "e9_join_size")          // CMS counter sums + inner product
 
   // core-count invariance is NOT claimed here: newSession() shares the
   // JVM's SparkContext, so only the shuffle-partition conf actually
