@@ -647,6 +647,35 @@ object TextQueries {
         .orderBy("c_nationkey")
     },
 
+    // ── t26: classifier AUC by rank-sum (Mann–Whitney U) — model
+    // EVALUATION at corpus scale as a query: how well does the t23
+    // quality score separate English docs from the rest? AUC =
+    // (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺·n⁻), with the global
+    // rank over (score, doc_id) from [[Ranks.globalRank]] — bucketed
+    // two-pass, no single-partition sort at any corpus size, and the
+    // doc_id tie-break is the deterministic surrogate for midranks
+    // (the oracle replays the SAME tie-break, so the statistic is
+    // engine-exact; with real-valued scores ties vanish and the two
+    // definitions coincide). Everything after the rank is one
+    // conditional aggregate; output in exact basis points.
+    "t26_auc_ranksum" -> { (s, d) =>
+      val scored = TextQueries.qualityScores(s, d)
+        .select(col("doc_id"), col("score_milli"))
+      val lab = Tables.load(s, d, "documents")
+        .select(col("doc_id"), (col("lang") === "en").as("pos"))
+      val ranked = Ranks.globalRank(
+        scored.join(lab, "doc_id")
+          .withColumn("k", expr("score_milli * 10000000L + doc_id")),
+        "k", "r")
+      ranked.agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("pos"), col("r")).otherwise(0L)).as("rank_sum"))
+        .withColumn("u", expr("rank_sum - n_pos * (n_pos + 1) DIV 2"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("u * 10000 DIV (n_pos * n_neg)").as("auc_bp"))
+    },
+
     // ── t25: inverted-index phrase search — the serving-side read of
     // a corpus index: positional postings (doc_id, pos, token) from
     // ONE posexplode, a phrase match as equi-joins on
@@ -1127,6 +1156,29 @@ object TextQueries {
            (CAST(SUM(n_valid) AS BIGINT) * 10000)
              // NULLIF(CAST(SUM(n_ids) AS BIGINT), 0) AS valid_bp
          FROM v GROUP BY 1 ORDER BY c_nationkey""",
+
+    // t26 — the same rank-sum over the same (score, doc_id) order;
+    // a global window here is the ORACLE's luxury, not the engine's
+    "t26_auc_ranksum" -> {
+      s"""WITH $qualityScoreCtes,
+         j AS (
+           SELECT sc.doc_id, sc.score_milli, (d.lang = 'en') AS pos
+           FROM sc JOIN documents d USING (doc_id)),
+         r AS (
+           SELECT pos,
+             row_number() OVER (ORDER BY score_milli * 10000000 + doc_id) AS r
+           FROM j),
+         agg AS (
+           SELECT
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+             CAST(SUM(CASE WHEN pos THEN r ELSE 0 END) AS BIGINT) AS rank_sum
+           FROM r)
+         SELECT n_pos, n_neg,
+           (rank_sum - n_pos * (n_pos + 1) // 2) * 10000 // (n_pos * n_neg)
+             AS auc_bp
+         FROM agg"""
+    },
 
     // t25 — positional self-join phrase match; `ws` is 1-indexed in
     // DuckDB, offsets mirror the Spark pos+1/pos+2 alignment

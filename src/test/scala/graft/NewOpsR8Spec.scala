@@ -338,6 +338,35 @@ class NewOpsR8Spec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("t26: brute-force rank-sum AUC replica; perfect separation gives 10000 bp") {
+    // replica over the real corpus
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val w = operators.TextQueries.ClassifierWeights.toMap
+    val scored = docs.map { case (id, text, lang) =>
+      val score = text.split("\\s+").filter(_.nonEmpty)
+        .map(t => w.getOrElse(t, 0L)).sum + 100L
+      (id, score, lang == "en")
+    }
+    val ranked = scored.sortBy { case (id, sc, _) => (sc, id) }.zipWithIndex
+    val nPos = scored.count(_._3).toLong
+    val nNeg = scored.length - nPos
+    val rankSum = ranked.collect { case ((_, _, true), i) => i.toLong + 1 }.sum
+    val aucBp = (rankSum - nPos * (nPos + 1) / 2) * 10000 / (nPos * nNeg)
+    val row = SparkEntry.queries("t26_auc_ranksum")(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (nPos, nNeg, aucBp))
+
+    // arithmetic sanity on a planted perfectly-separating score: every
+    // positive outranks every negative → U = n⁺·n⁻ → AUC = 10000 bp
+    val n = 40L
+    val planted = (1L to n).map(i => (i, i * 1000, i > n / 2))
+    val ps = planted.sortBy { case (id, sc, _) => (sc, id) }.zipWithIndex
+    val (pp, nn) = (n / 2, n / 2)
+    val rs = ps.collect { case ((_, _, true), i) => i.toLong + 1 }.sum
+    assert((rs - pp * (pp + 1) / 2) * 10000 / (pp * nn) == 10000L)
+  }
+
   test("dq5 arithmetic: a planted hot key is flagged with the right salt") {
     // 1 key with 1000 rows + 100 keys with 10 rows: mean = 2000/101 = 19,
     // hot iff cnt > 76, salt = min(16, 1000 div 76) = 13 for the hot key.
