@@ -262,6 +262,37 @@ object CoreQueries {
         .orderBy("n_name")
     },
 
+    // ── j11: Bloom-pruned join, oracle-proved SEMANTICS-FREE — j9's
+    // trick applied to the Bloom pre-filter: the DuckDB oracle is the
+    // PLAIN join (no bloom anywhere), so the hash gate itself proves
+    // the scan-speed prune changes nothing. Why it holds: bloom_probe
+    // has NO false negatives, so the prune only discards rows the
+    // join would drop anyway; false positives just ride through to
+    // the real join. The 100 TB shape: the dim's 128 KiB filter
+    // broadcasts, the fact is cut map-side BEFORE the shuffle — the
+    // exchange carries only maybe-matching rows (here the ~half of
+    // lineitem whose supplier survives the balance cut), which is the
+    // whole point of a pre-filtered join.
+    "j11_bloom_pruned_join" -> { (s, d) =>
+      import graft.functions.BloomFilter.{bloom_build, bloom_probe}
+      val dim = Tables.load(s, d, "supplier")
+        .filter(col("s_acctbal") > 5000.0)
+        .select("s_suppkey", "s_nationkey")
+        .localCheckpoint(true) // filter build + join side
+      val filt = dim.agg(bloom_build(col("s_suppkey")).as("f"))
+      Tables.load(s, d, "lineitem")
+        .select(col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_u"))
+        .crossJoin(broadcast(filt))
+        .filter(bloom_probe(col("f"), col("l_suppkey")))
+        .drop("f")
+        .join(dim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"), sum("rev_u").as("rev_u"))
+        .orderBy("s_nationkey")
+    },
+
     // ── j10: TPC-H Q8-flavored market share — the 7-table snowflake
     // join that exercises the full planner: per order year, the share
     // of PROMO-part revenue delivered to EUROPE customers by
@@ -701,6 +732,17 @@ object CoreQueries {
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
          GROUP BY 1 ORDER BY n_name""",
+
+    // the PLAIN join — no bloom: the hash match IS the proof the
+    // pre-filter is semantics-free (no-false-negatives contract)
+    "j11_bloom_pruned_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS rev_u
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE s_acctbal > 5000.0
+         GROUP BY 1 ORDER BY s_nationkey""",
 
     "j10_market_share" ->
       """WITH nr AS (

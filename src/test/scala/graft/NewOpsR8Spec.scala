@@ -367,6 +367,25 @@ class NewOpsR8Spec extends AnyFunSuite {
     assert((rs - pp * (pp + 1) / 2) * 10000 / (pp * nn) == 10000L)
   }
 
+  test("j11: the bloom prune genuinely cuts fact rows before the join") {
+    import graft.functions.BloomFilter.{bloom_build, bloom_probe}
+    import org.apache.spark.sql.functions._
+    val dim = graft.sources.Tables.load(spark, sf, "supplier")
+      .filter(col("s_acctbal") > 5000.0).select("s_suppkey")
+    val filt = dim.agg(bloom_build(col("s_suppkey")).as("f"))
+    val fact = graft.sources.Tables.load(spark, sf, "lineitem").select("l_suppkey")
+    val total = fact.count()
+    val kept = fact.crossJoin(broadcast(filt))
+      .filter(bloom_probe(col("f"), col("l_suppkey"))).count()
+    val trueMatches = fact.join(dim, col("l_suppkey") === col("s_suppkey")).count()
+    assert(kept >= trueMatches, "bloom dropped a true match (false negative)")
+    assert(kept < total, "prune did not cut anything")
+    // semantics-free is already hash-proved by the oracle; effectiveness
+    // means the survivors are close to the true matches (fp ≈ 0 here)
+    assert(kept - trueMatches <= total / 50 + 10,
+      s"excess survivors $kept vs $trueMatches")
+  }
+
   test("dq5 arithmetic: a planted hot key is flagged with the right salt") {
     // 1 key with 1000 rows + 100 keys with 10 rows: mean = 2000/101 = 19,
     // hot iff cnt > 76, salt = min(16, 1000 div 76) = 13 for the hot key.
