@@ -279,14 +279,19 @@ object CoreQueries {
         .filter(col("s_acctbal") > 5000.0)
         .select("s_suppkey", "s_nationkey")
         .localCheckpoint(true) // filter build + join side
-      val filt = dim.agg(bloom_build(col("s_suppkey")).as("f"))
+      // The filter is a FIXED 128 KiB scalar (size set by nBits, not by
+      // data), so materializing it driver-side and re-shipping it as a
+      // literal is control-plane, not a data collect — and it matters:
+      // as a cross-joined COLUMN the probe re-decodes the 128 KiB blob
+      // from the row per fact row (measured 15 s at sf0.1); as a
+      // literal it is a class-field constant, evaluated once.
+      val fbytes = dim.agg(bloom_build(col("s_suppkey")).as("f"))
+        .head.getAs[Array[Byte]](0)
       Tables.load(s, d, "lineitem")
         .select(col("l_suppkey"),
           (round(col("l_extendedprice") * 100).cast("long") *
             (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_u"))
-        .crossJoin(broadcast(filt))
-        .filter(bloom_probe(col("f"), col("l_suppkey")))
-        .drop("f")
+        .filter(bloom_probe(lit(fbytes), col("l_suppkey")))
         .join(dim, col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_items"), sum("rev_u").as("rev_u"))
