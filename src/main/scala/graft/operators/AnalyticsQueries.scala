@@ -578,14 +578,17 @@ object AnalyticsQueries {
       val errUsers = ev.filter(col("event_type") === "error")
         .select(col("user_id")).distinct()
         .localCheckpoint(true) // build side reused: filter agg + member join
-      val filt = errUsers.agg(bloom_build(col("user_id")).as("f"))
+      // fixed 128 KiB scalar shipped as a LITERAL, not a cross-joined
+      // column — a binary column is re-decoded from the row per probe
+      // (j11's measured 19× tax); a literal is a class-field constant
+      val fbytes = errUsers.agg(bloom_build(col("user_id")).as("f"))
+        .head.getAs[Array[Byte]](0)
       val probes = ev.filter(col("event_type") =!= "error")
         .select("event_type", "user_id").distinct()
-        .crossJoin(broadcast(filt))
         .join(broadcast(errUsers.withColumn("is_member", lit(true))),
           Seq("user_id"), "left")
         .select(col("event_type"),
-          bloom_probe(col("f"), col("user_id")).as("pos"),
+          bloom_probe(lit(fbytes), col("user_id")).as("pos"),
           coalesce(col("is_member"), lit(false)).as("member"))
       probes.groupBy("event_type")
         .agg(
