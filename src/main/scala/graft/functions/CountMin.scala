@@ -91,17 +91,23 @@ object CmsOps {
       throw new IllegalArgumentException(
         s"cms_inner requires same-shape sketches, got ($wa,$da) vs ($wb,$db)")
     val (ba, bb) = (java.nio.ByteBuffer.wrap(a), java.nio.ByteBuffer.wrap(b))
+    // Per-cell products reach N_A·N_B, so the row sum can exceed int64
+    // (sides ≥ ~3e9 each). Saturate at Long.MaxValue instead of
+    // wrapping: a wrapped-negative row sum would become the min and
+    // silently violate the never-underestimates guarantee.
     var min = Long.MaxValue
     var r = 0
     while (r < da) {
       var s = 0L
+      var sat = false
       var j = 0
-      while (j < wa) {
+      while (j < wa && !sat) {
         val idx = 8 + (r * wa + j) * 8
-        s += ba.getLong(idx) * bb.getLong(idx)
+        try s = Math.addExact(s, Math.multiplyExact(ba.getLong(idx), bb.getLong(idx)))
+        catch { case _: ArithmeticException => sat = true }
         j += 1
       }
-      if (s < min) min = s
+      if (!sat && s < min) min = s
       r += 1
     }
     min

@@ -630,8 +630,13 @@ object AnalyticsQueries {
         .withColumn("est", cms_inner(col("sk_a"), col("sk_b")))
         .select(col("exact_join_size"), col("n_a"), col("n_b"),
           (col("est") >= col("exact_join_size")).as("no_underestimate"),
-          (col("est") <= col("exact_join_size")
-            + expr("(n_a * n_b * 4) DIV 4096") + lit(20L)).as("bound_ok"))
+          // Bound arithmetic in DECIMAL(38,0): n_a*n_b*4 wraps int64
+          // once the sides reach ~1.5e9 rows each, which would corrupt
+          // the contract boolean silently. floor() keeps the DIV
+          // (integral) semantics of the documented ×4/w bound.
+          (col("est").cast("decimal(38,0)") <= col("exact_join_size").cast("decimal(38,0)")
+            + expr("floor(CAST(n_a AS DECIMAL(38,0)) * n_b * 4 / 4096)")
+            + lit(20L)).as("bound_ok"))
     },
 
     // ── e8: 7-day ROLLING distinct users — the read that daily
@@ -654,8 +659,13 @@ object AnalyticsQueries {
         .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
         .localCheckpoint(true) // sketch side + exact side share it
       val daily = ud.groupBy("day").agg(hll_sketch(col("user_id")).as("sk"))
-      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      // Frame by CALENDAR distance, not row position: rangeBetween on
+      // an integer day ordinal keeps the 7-day semantics when the
+      // event data has day gaps (rowsBetween(-6,0) would merge the
+      // last 7 PRESENT days and overshoot the exact/oracle side).
+      val w = Window.orderBy("ord").rangeBetween(-6, 0)
       val est = daily
+        .withColumn("ord", datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))))
         .withColumn("approx", hll_estimate(hll_merge(col("sk")).over(w)))
         .select("day", "approx")
       val spine = ud.select("day").distinct()

@@ -671,9 +671,16 @@ object TextQueries {
           sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
           sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
           sum(when(col("pos"), col("r")).otherwise(0L)).as("rank_sum"))
-        .withColumn("u", expr("rank_sum - n_pos * (n_pos + 1) DIV 2"))
+        // Widened to DECIMAL(38,0) per the repo convention (a17/x8):
+        // u ≤ n_pos·n_neg, so u*10000 wraps int64 once n_pos·n_neg
+        // exceeds ~9.2e14 (~3e7 docs per class) — inside corpus scale.
+        // floor() keeps DIV semantics (u ≥ 0); auc_bp ≤ 10000, so the
+        // final BIGINT cast (matching the oracle's type) is safe.
+        .withColumn("u", expr(
+          "CAST(rank_sum AS DECIMAL(38,0)) - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) / 2"))
         .select(col("n_pos"), col("n_neg"),
-          expr("u * 10000 DIV (n_pos * n_neg)").as("auc_bp"))
+          expr("CAST(floor(u * 10000 / (CAST(n_pos AS DECIMAL(38,0)) * n_neg)) AS BIGINT)")
+            .as("auc_bp"))
     },
 
     // ── t25: inverted-index phrase search — the serving-side read of

@@ -269,8 +269,11 @@ class NewOpsR8Spec extends AnyFunSuite {
       "PROMO filter not pushed to the part scan")
     assert("BroadcastHashJoin".r.findAllIn(p10).size >= 3,
       "dimension chains must broadcast")
-    assert(!p10.contains("SortMergeJoin") ||
-      "BroadcastHashJoin".r.findAllIn(p10).size >= 3)
+    // The only shuffle join allowed (if any) is the big-side
+    // lineitem↔orders orderkey join; a SortMergeJoin on any dimension
+    // key means a broadcast regressed to a shuffle.
+    assert("SortMergeJoin".r.findAllIn(p10).size <= 1,
+      "at most the lineitem-orders orderkey join may sort-merge")
 
     // t25's vocab prune runs when the postings checkpoint materializes,
     // so the final plan's join legs all read the (tiny) pruned
