@@ -35,18 +35,12 @@ object Bench {
       try graft.sources.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    // Deliberately-local exactness DEMOS are excluded from the bench
-    // headline (still fully oracle-gated via Verify/CORRECTNESS):
-    // d4's 16-bit/4-nibble banding exists to demonstrate the pigeonhole
-    // shape at a signature width whose 16-buckets-per-band candidate
-    // volume is documented as NOT the corpus-scale spelling — d6
-    // (64-bit/16-bit bands) is, and stays benched. Timing d4 just
-    // re-measures the shape d6 measures done right (r6 verdict item 4).
-    val demoOnly = Set("d4_simhash_pairs")
+    // Every inventory query is benched (the former d4 demo exclusion
+    // is gone — d4 was retired for the bounded-seed d12 lookup in r9).
     // dev loop only: SPARK_GRAFT_BENCH_ONLY=q1,q2 re-times a subset
     // (the driver never sets it, so its runs always cover everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val names = (SparkEntry.queries.keySet -- demoOnly).toSeq.sorted
+    val names = SparkEntry.queries.keySet.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

@@ -18,7 +18,7 @@ object DumpPlans {
     "w5_topk_orders" -> "ordered top-k → TakeOrderedAndProject (no global sort)",
     "d3_minhash_lsh" -> "MinHash+LSH: in-row shingle hashing, banding equi-join candidates",
     "s2_lsh_ann" -> "LSH ANN: compiled bucket in one scan, pair only within buckets",
-    "d4_simhash_pairs" -> "SimHash: nibble-band EQUI-join candidates (no all-pairs join)",
+    "d12_simhash_lookup" -> "SimHash seed lookup: 697-mask neighbor expansion → broadcast EQUI-join probe",
     "s3_cosine_neardup" -> "exact near-dup: size-guarded broadcast all-pairs, compiled dot",
     "t5_bigram_freq" -> "bigrams composed in-row, one explode, no per-doc window sort",
     "t8_winnow_fp" -> "winnowing fingerprints: compiled deque pass, distinct is the only shuffle",

@@ -114,7 +114,7 @@ object ScaleProbe {
     }
 
     val names = Seq(
-      "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh", "d4_simhash_pairs",
+      "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh", "d12_simhash_lookup",
       "d5_dedup_clusters", "d6_simhash64_pairs", "d7_containment",
       "d8_cluster_reps", "d9_dup_weights", "d11_prefix_filter",
       "c1_corpus_clean", "c2_decontaminate", "c3_leakage_safe_split",

@@ -23,14 +23,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(direct == lsh, s"LSH missed: ${direct -- lsh}, extra: ${lsh -- direct}")
   }
 
-  test("simhash pairs contain the jaccard near-dups") {
-    val jac = DedupQueries.queries("d2_jaccard_pairs")(spark, sf)
-      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sim = DedupQueries.queries("d4_simhash_pairs")(spark, sf)
-      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val missed = jac -- sim
-    assert(missed.size <= jac.size / 2,
-      s"simhash(16-bit, hamming<=3) should catch most near-dups; missed $missed")
+  test("d12 simhash lookup equals a brute-force hamming scan") {
+    import graft.functions.HashExprs.{char_fold_array, simhash16, tokenize}
+    // the neighbor-expansion equi-join must be EXACT: replicate the
+    // seed×corpus hamming scan in-process and compare per-seed
+    // (n_near, best_doc, best_hamming)
+    val sims = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), char_fold_array(tokenize(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), simhash16(col("hs")).as("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = sims.filter(_._1 < 2000).flatMap { case (sid, ss) =>
+      val hits = sims.collect {
+        case (did, ds) if did != sid && java.lang.Long.bitCount(ss ^ ds) <= 3 =>
+          (java.lang.Long.bitCount(ss ^ ds).toLong, did)
+      }
+      if (hits.isEmpty) None
+      else {
+        val bk = hits.map { case (h, did) => h * 100000000L + did }.min
+        Some(sid -> ((hits.size.toLong, bk % 100000000L, bk / 100000000L)))
+      }
+    }.toMap
+    assert(expected.nonEmpty, "test corpus must contain seed near-dups")
+    val got = DedupQueries.queries("d12_simhash_lookup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
   }
 
   test("cosine top-k is k rows per query, ranked descending") {

@@ -60,13 +60,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")), plan)
   }
 
-  test("d4 SimHash candidates come from a banded EQUI-join, not an all-pairs join") {
-    val df = SparkEntry.queries("d4_simhash_pairs")(spark, sf)
+  test("d12 SimHash lookup probes the corpus with ONE broadcast EQUI-join") {
+    val df = SparkEntry.queries("d12_simhash_lookup")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
+    // neighbor expansion makes the hamming join an equi-join on the
+    // expanded key — never a nested-loop product over the corpus
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    // equi-join keys include the (band, nib) pair
-    assert(plan.contains("nib"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("nbr"), plan)
   }
 
   test("s3 near-dup pairs use Spark's broadcast machinery (no driver collect)") {
