@@ -1,12 +1,13 @@
 package graft.operators
 
-/** Pure-JVM decoders (and test encoders) for codec-free media formats:
-  * BMP (uncompressed 24-bpp), binary PPM (P6), and WAV (PCM). These are
-  * header-parse + raw-sample formats — no native codec library needed —
-  * so the multimodal decode path is REAL for them: width/height/frames/
-  * brightness come from the actual bytes. Formats that genuinely need
-  * codecs (JPEG, H.264, …) still fall back to the documented stub in
-  * [[Multimodal.decodeOne]].
+/** Pure-JVM decoders (and test encoders) for the media formats the
+  * pipeline meets: BMP (uncompressed 24-bpp), binary PPM (P6), and WAV
+  * (PCM) are header-parse + raw-sample formats decoded byte-for-byte
+  * here; PNG and JPEG decode through the JDK's built-in
+  * `javax.imageio` readers (part of every JDK — no external codec
+  * library). Width/height/frames/brightness always come from the
+  * actual bytes; formats with no JVM decoder (e.g. H.264) yield None
+  * and the caller emits a typed "undecodable" row.
   *
   * Feature mapping for audio (documented contract): `width` carries the
   * sample rate, `height` the channel count, `n_frames` the per-channel
@@ -28,14 +29,50 @@ object MediaCodec {
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
       ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
 
-  /** Sniff + parse. None = format not handled here (caller falls back). */
+  /** Sniff + parse. None = not a format this engine decodes (caller
+    * emits a typed "undecodable" row, never fabricated features). */
   def decode(bytes: Array[Byte]): Option[Decoded] =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
       bytes(10) == 'V' && bytes(11) == 'E') decodeWav(bytes)
+    else if (isPng(bytes)) decodeImageIo(bytes, "image/png")
+    else if (isJpeg(bytes)) decodeImageIo(bytes, "image/jpeg")
     else None
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
+  /** PNG / JPEG via the JDK's built-in ImageIO readers (javax.imageio —
+    * part of the JDK, no external deps, headless-safe). Brightness =
+    * mean of the R,G,B channel bytes / 255 over all pixels — the same
+    * statistic [[decodeBmp]] computes over its raw 24-bpp bytes. */
+  private def decodeImageIo(b: Array[Byte], mime: String): Option[Decoded] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some(Decoded(mime, w, h, 1, sum.toDouble / (3.0 * w * h) / 255.0))
+      }
+    } catch { case _: java.io.IOException => None }
 
   /** Uncompressed 24-bpp BMP (BITMAPINFOHEADER). Brightness = mean pixel
     * byte / 255 over the pixel array, EXCLUDING the per-row padding that
@@ -229,6 +266,29 @@ object MediaCodec {
           Some((w, h, gray))
         case _ => None
       }
+    } else if (isPng(b) || isJpeg(b)) {
+      // ImageIO containers: BufferedImage is already top-down
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||
+          img.getWidth.toLong * img.getHeight > Int.MaxValue / 4) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val gray = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              gray(y * w + x) =
+                ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, gray))
+        }
+      } catch { case _: java.io.IOException => None }
     } else None
   }
 
@@ -372,4 +432,35 @@ object MediaCodec {
     while (i < samples.length) { putLe16(44 + i * 2, samples(i) & 0xffff); i += 1 }
     out
   }
+
+  private def solidImage(width: Int, height: Int, fill: Byte) = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val v = fill & 0xff
+    val rgb = (v << 16) | (v << 8) | v
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  private def writeImageIo(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Solid-fill PNG via the JDK ImageIO writer. PNG is lossless, so the
+    * decoded pixels are EXACTLY the fill value — pinned-pixel oracle. */
+  def encodePng(width: Int, height: Int, fill: Byte): Array[Byte] =
+    writeImageIo(solidImage(width, height, fill), "png")
+
+  /** Solid-fill JPEG via the JDK ImageIO writer. Lossy: a solid image
+    * quantizes to within a few gray levels of the fill (DC-only blocks),
+    * so consumers check |mean − fill/255| within a small tolerance. */
+  def encodeJpeg(width: Int, height: Int, fill: Byte): Array[Byte] =
+    writeImageIo(solidImage(width, height, fill), "jpg")
 }

@@ -11,12 +11,13 @@ import graft.sources.Tables
   * struct; decode / feature-extract runs as a batched partition-local
   * transform.
   *
-  * The decode kernel is REAL for codec-free formats — BMP, binary PPM,
-  * and PCM WAV are parsed byte-for-byte by [[MediaCodec]] (magic-byte
-  * sniffing, header parse, sample statistics). Formats that need a
-  * native codec (JPEG, H.264, …) fall back to a clearly marked
-  * deterministic STUB; swapping that stub for a JNI/codec call changes
-  * nothing structural.
+  * The decode kernel is REAL for every format the pipeline meets —
+  * BMP, binary PPM, and PCM WAV are parsed byte-for-byte by
+  * [[MediaCodec]] (magic-byte sniffing, header parse, sample
+  * statistics); PNG and JPEG decode via the JDK's built-in
+  * `javax.imageio` readers. Payloads with no JVM decoder produce a
+  * typed "undecodable" row (zero dims, zero brightness) — never
+  * fabricated features.
   *
   * Scale notes: decode is `mapPartitions` with an internal batch size —
   * one task decodes its partition's blobs in fixed-size batches (the
@@ -26,7 +27,7 @@ import graft.sources.Tables
   */
 object Multimodal {
 
-  /** Feature row produced by the (stub) decoder. */
+  /** Feature row produced by the decoder. */
   case class MediaFeatures(
       doc_id: Long,
       mime: String,
@@ -58,13 +59,7 @@ object Multimodal {
           length(col("text").cast("binary")).cast("long").as("n_bytes"),
           col("source").as("source")).as("meta"))
 
-  /** Batched partition-local decode → features.
-    *
-    * STUB decode kernel: features are a deterministic function of the
-    * payload bytes (so tests are exact). A real deployment replaces
-    * `decodeOne` with an actual codec; the partition/batch plumbing is
-    * unchanged.
-    */
+  /** Batched partition-local decode → features. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -80,24 +75,18 @@ object Multimodal {
       .toDF()
   }
 
-  /** Decode one payload: REAL parse for BMP/PPM/WAV via [[MediaCodec]]
-    * (mime is re-derived from the actual bytes, not trusted metadata);
-    * anything else hits the deterministic STUB below — ??? in spirit —
-    * whose replacement with a real codec changes only this branch. */
+  /** Decode one payload: REAL parse via [[MediaCodec]] — BMP/PPM/WAV
+    * byte-for-byte, PNG/JPEG through the JDK ImageIO readers; mime is
+    * re-derived from the actual bytes, not trusted metadata. A payload
+    * with no JVM decoder yields a typed "undecodable" row (zero dims,
+    * zero brightness, the declared mime) so downstream filters can
+    * route or drop it — features are never fabricated. */
   private def decodeOne(id: Long, bytes: Array[Byte], mime: String, n: Long): MediaFeatures =
     MediaCodec.decode(bytes) match {
       case Some(d) =>
         MediaFeatures(id, d.mime, n, d.width, d.height, d.nFrames, d.brightness)
-      case None => // STUB fallback: deterministic fake features
-        val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
-        MediaFeatures(
-          doc_id = id,
-          mime = mime,
-          n_bytes = n,
-          width = (sum % 640).toInt + 1,
-          height = (sum % 480).toInt + 1,
-          n_frames = (n % 30).toInt + 1,
-          brightness = (sum % 256) / 255.0)
+      case None =>
+        MediaFeatures(id, mime, n, 0, 0, 0, 0.0)
     }
 
   /** Synthetic REAL-media table: per document, a deterministic BMP, PPM,
@@ -129,6 +118,35 @@ object Multimodal {
           lit("application/octet-stream").as("mime"), // sniffed at decode, not trusted
           length(col("content")).cast("long").as("n_bytes"),
           lit("synthetic").as("source")).as("meta"))
+  }
+
+  /** Synthetic ImageIO-media table: per document a deterministic
+    * solid-fill PNG (even doc_id) or JPEG (odd doc_id) encoded with the
+    * JDK ImageIO writer, dimensions/fill closed-form in doc_id — so the
+    * REAL PNG/JPEG decode path is oracle-checkable end-to-end. JPEG
+    * dims start at 8 px so every image covers at least one full DCT
+    * block. Generation is partition-local like [[syntheticMedia]]. */
+  def syntheticImageIoMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val fill = (id % 251).toByte
+          val bytes =
+            if (id % 2 == 0)
+              MediaCodec.encodePng((id % 13).toInt + 1, (id % 7).toInt + 1, fill)
+            else
+              MediaCodec.encodeJpeg((id % 11).toInt + 8, (id % 5).toInt + 8, fill)
+          (id, bytes)
+        }
+      }
+      .toDF("doc_id", "content")
+      .select(col("doc_id"), col("content"),
+        struct(
+          lit("application/octet-stream").as("mime"), // sniffed at decode, not trusted
+          length(col("content")).cast("long").as("n_bytes"),
+          lit("synthetic-imageio").as("source")).as("meta"))
   }
 
   /** Windowed audio feature extraction over WAV-PCM payloads: per
@@ -322,6 +340,27 @@ object Multimodal {
     // pass before physical GC of duplicate media objects. (The sf0.1
     // corpus carries real duplicate payloads; smaller SFs exercise the
     // all-unique path — both hash-gated.)
+    // ── m7: REAL PNG/JPEG decode via the JDK's ImageIO readers (the
+    // r8 verdict ask — no foreign-codec stub left for any format the
+    // pipeline meets). Solid-fill payloads make the decode
+    // pinned-pixel checkable: PNG is lossless, so the decoded mean
+    // must equal fill/255 EXACTLY (at 4 decimals); JPEG is lossy, so
+    // its contract is |mean − fill/255| ≤ 0.02 (a solid image is
+    // DC-only per block — quantization moves the mean by at most a
+    // few gray levels). Sniffed mime and dimensions are exact for
+    // both. Same batched mapPartitions shape as m3 — decode is
+    // partition-local, features are the only thing that shuffles.
+    "m7_imageio_decode" -> { (s, d) =>
+      extractFeatures(syntheticImageIoMedia(s, d))
+        .withColumn("fill", (col("doc_id") % 251).cast("double"))
+        .select(col("doc_id"), col("mime"), col("width"), col("height"),
+          when(col("mime") === "image/png",
+            round(col("brightness"), 4) === round(col("fill") / 255.0, 4))
+            .otherwise(abs(col("brightness") - col("fill") / 255.0) <= 0.02)
+            .as("pixels_ok"))
+        .orderBy("doc_id")
+    },
+
     "m6_media_dedup" -> { (s, d) =>
       asMedia(s, d)
         .select(md5(col("content")).as("digest"),
@@ -406,6 +445,18 @@ object Multimodal {
          CROSS JOIN (SELECT unnest([0, 3]) AS frame_idx) f
          WHERE f.frame_idx < d.doc_id % 5 + 2
          ORDER BY doc_id, frame_idx""",
+    // m7 — closed-form mime/dims from doc_id parity; `true` is the
+    // pinned-pixel contract (exact for PNG, ±0.02 for JPEG)
+    "m7_imageio_decode" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END
+             AS mime,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 13 + 1
+                     ELSE doc_id % 11 + 8 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 7 + 1
+                     ELSE doc_id % 5 + 8 END AS INT) AS height,
+           true AS pixels_ok
+         FROM documents ORDER BY doc_id""",
     "m6_media_dedup" ->
       """WITH g AS (
            SELECT 'image/fake' || CAST(doc_id % 3 AS VARCHAR) AS mime,

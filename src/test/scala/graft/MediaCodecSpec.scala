@@ -79,11 +79,33 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(w1.getInt(1) == 1 && w1.getInt(3) == 2 && w1.getInt(5) == 32767)
   }
 
-  test("unknown magic bytes are rejected (caller falls back to stub)") {
+  test("unknown magic bytes are rejected (caller emits an undecodable row)") {
     assert(MediaCodec.decode("JFIF-like junk".getBytes).isEmpty)
     assert(MediaCodec.decode(Array[Byte]()).isEmpty)
     // truncated BMP header must not crash
     assert(MediaCodec.decode(Array[Byte]('B', 'M', 1, 2, 3)).isEmpty)
+  }
+
+  test("PNG round-trip via ImageIO is pixel-exact; JPEG is within codec tolerance") {
+    val png = MediaCodec.encodePng(5, 3, 100.toByte)
+    val d = MediaCodec.decode(png).get
+    assert(d.mime == "image/png" && d.width == 5 && d.height == 3 && d.nFrames == 1)
+    assert(d.brightness == 100.0 / 255.0) // lossless: exact, not approximate
+    val (w, h, gray) = MediaCodec.grayPixels(png).get
+    assert(w == 5 && h == 3 && gray.forall(_ == 300))
+
+    val jpg = MediaCodec.encodeJpeg(16, 9, 180.toByte)
+    val j = MediaCodec.decode(jpg).get
+    assert(j.mime == "image/jpeg" && j.width == 16 && j.height == 9)
+    assert(math.abs(j.brightness - 180.0 / 255.0) <= 0.02,
+      s"jpeg solid-fill mean drifted: ${j.brightness}")
+  }
+
+  test("truncated PNG/JPEG payloads are rejected, not crashed on") {
+    val png = MediaCodec.encodePng(8, 8, 42.toByte)
+    assert(MediaCodec.decode(png.take(12)).isEmpty)
+    val jpg = MediaCodec.encodeJpeg(8, 8, 42.toByte)
+    assert(MediaCodec.decode(jpg.take(3)).isEmpty)
   }
 
   test("corrupt declared sizes are rejected, not read out of bounds") {

@@ -87,7 +87,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(distinct >= n - 5, s"$distinct distinct fingerprints of $n docs")
   }
 
-  test("multimodal: decode stub is partition-local, batched, deterministic") {
+  test("multimodal: decode is partition-local, batched, deterministic; " +
+    "undecodable payloads yield typed zero rows") {
     val media = Multimodal.asMedia(spark, sf)
     assert(media.schema("content").dataType.typeName == "binary")
     val feats = Multimodal.extractFeatures(media, batchSize = 16)
@@ -96,8 +97,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     val again = Multimodal.extractFeatures(media, batchSize = 7).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted),
       "features must be independent of batch size")
-    val r = feats.filter(col("doc_id") === 0).collect().head
-    assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 640)
-    assert(r.getAs[Double]("brightness") >= 0.0 && r.getAs[Double]("brightness") <= 1.0)
+    // asMedia payloads are raw text bytes — no decodable container, so
+    // the features must be the typed "undecodable" row (zero dims,
+    // zero brightness, declared mime kept), never fabricated numbers
+    val undecodable = rows.filter(_.getAs[Int]("width") == 0)
+    assert(undecodable.length == rows.length,
+      "text payloads must all be undecodable")
+    undecodable.foreach { r =>
+      assert(r.getAs[Int]("height") == 0 && r.getAs[Int]("n_frames") == 0)
+      assert(r.getAs[Double]("brightness") == 0.0)
+      assert(r.getAs[String]("mime").startsWith("image/fake"))
+    }
   }
 }
