@@ -156,6 +156,48 @@ object CdcQueries {
         .orderBy("change_type")
     },
 
+    // ── Consistent cross-table read AS OF an LSN — the CDC family's
+    // capstone (r8 verdict #7): all mirrored tables read at ONE WAL
+    // position. The feed here is the events WAL split into TWO tables
+    // by key parity (t0/t1) sharing the global LSN sequence; the
+    // snapshot is each table's converged state below LSN 1000, the
+    // retained stream is [1000, ∞), and the cut is 7000. This query
+    // calls the ENGINE's [[graft.streaming.CdcPipeline.asOf]] — the
+    // same lastImagePerKey the apply path uses — so the oracle pins
+    // the reconstruction semantics, not a parallel spelling. The
+    // per-table aggregate (rows, cents, max lsn applied) hash-proves
+    // both tables were cut at the same position.
+    "cdc_asof_read" -> { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      import graft.streaming.CdcPipeline
+      val rowSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("cents", LongType)))
+      val env = Tables.events(s, d).select(
+        col("event_id").as("lsn"),
+        concat(lit("t"), (col("user_id") % 2).cast("string")).as("table"),
+        col("user_id").cast("string").as("key"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        to_json(struct(col("user_id"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))).as("after"))
+      val states = Seq("t0", "t1").map { t =>
+        val snap = CdcPipeline
+          .lastImagePerKey(
+            env.filter(col("lsn") < 1000 && col("table") === t), rowSchema, "user_id")
+          .filter(col("op") =!= "D").drop("op")
+        CdcPipeline.asOf(snap,
+            env.filter(col("table") === t && col("lsn") >= 1000),
+            rowSchema, "user_id", 7000L)
+          .withColumn("tbl", lit(t))
+      }
+      states.reduce(_ unionByName _)
+        .groupBy("tbl")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("sum_cents"),
+          max("event_id").as("max_lsn"))
+        .orderBy("tbl")
+    },
+
     // ── Log compaction — the Kafka-compacted-topic shape, and what a
     // long-running CDC feed must do to stop growing without losing
     // replayability: below a compaction watermark (LSN 5000), keep
@@ -270,6 +312,24 @@ object CdcQueries {
            COUNT(vc) AS n_value_changed,
            CAST(MIN(user_id) AS BIGINT) AS sample_key
          FROM c GROUP BY 1 ORDER BY change_type""",
+    // the AS OF reconstruction must equal the direct converged replay
+    // of the prefix lsn ≤ 7000 — snapshot handoff and all
+    "cdc_asof_read" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             't' || CAST(user_id % 2 AS VARCHAR) AS tbl
+           FROM events),
+         state AS (
+           SELECT tbl, user_id, event_id, cents FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY event_id DESC) AS rn
+             FROM ev WHERE event_id <= 7000)
+           WHERE rn = 1 AND event_type <> 'error')
+         SELECT tbl, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           MAX(event_id) AS max_lsn
+         FROM state GROUP BY 1 ORDER BY tbl""",
     "cdc_compact" ->
       """WITH ev AS (
            SELECT user_id, event_id, event_type,

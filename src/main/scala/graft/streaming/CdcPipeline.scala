@@ -129,6 +129,53 @@ object CdcPipeline {
       }
     }
 
+  /** Consistent read AS OF an LSN — reconstruct a table's state at one
+    * WAL position from its snapshot image plus the retained change
+    * feed. The apply path replicates commit-ordered per table; reading
+    * EVERY table with the same global lsn bound yields a
+    * transactionally consistent cut across them (a source transaction's
+    * changes occupy consecutive WAL positions, so it is entirely ≤ lsn
+    * or entirely > it). FK closure at any cut follows whenever the
+    * source stream is FK-disciplined (parent insert precedes child
+    * reference, child delete precedes parent delete) — asserted over a
+    * mixed-churn stream in CdcAsOfSpec.
+    *
+    * Shape per table: lsn filter (pushes to the feed scan), the SAME
+    * last-write-wins dedup the apply path uses ([[lastImagePerKey]] —
+    * the read cannot drift from the apply semantics), one anti-join
+    * for the snapshot rows the feed never touched. One shuffle on the
+    * key; at 100 TB the feed is partitioned by table/lsn so the cut
+    * filter prunes whole partitions before anything shuffles.
+    *
+    * @param snapshot  the table's snapshot image (state as of the
+    *                  snapshot LSN; pass an empty DF for log-only)
+    * @param changes   envelope rows ([[envelope]]) for THIS table with
+    *                  lsn AFTER the snapshot
+    */
+  def asOf(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      schema: StructType,
+      keyCol: String,
+      lsn: Long): DataFrame = {
+    val last = lastImagePerKey(changes.filter(col("lsn") <= lsn), schema, keyCol)
+    val untouched = snapshot.join(last.select(keyCol), Seq(keyCol), "left_anti")
+    untouched.unionByName(last.filter(col("op") =!= "D").drop("op"))
+  }
+
+  /** Multi-table [[asOf]]: ONE cut LSN applied to every table — the
+    * cross-table consistent read. */
+  def asOfAll(
+      snapshots: Map[String, DataFrame],
+      changes: DataFrame,
+      schemas: Map[String, StructType],
+      keyCols: Map[String, String],
+      lsn: Long): Map[String, DataFrame] =
+    snapshots.map { case (t, snap) =>
+      t -> asOf(snap, changes.filter(col("table") === t),
+        schemas(t), keyCols(t), lsn)
+    }
+
   /** Mirror lifecycle: DROP — completes the reference UI's
     * create/start/drop loop (/root/reference/README.md:99–106, where a
     * mirror is a named Temporal workflow the UI can tear down). Stops
