@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CmsOps
+import graft.functions.CountMin.cms_build
+import graft.functions.FreqSketch.freq_candidates
+import graft.functions.HllSketch.hll_distinct
+
+/** Sketch-driven JOIN-STRATEGY ADVISOR — the consumer that turns the
+  * engine's sketches into optimizer inputs (r8 verdict #4: e9's CMS
+  * inner product and dq5's skew histogram existed as *artifacts*;
+  * this makes them *decisions*).
+  *
+  * ONE map-combined aggregate pass per side (count + Count-Min sketch
+  * of the key + HLL distinct + Misra-Gries heavy hitters — all
+  * mergeable `TypedImperativeAggregate`s, so no key ever shuffles;
+  * each side's statistics arrive at the driver as one row of blobs),
+  * then a pure driver-side decision:
+  *
+  *  - `broadcast`       — the smaller side fits the broadcast budget;
+  *  - `salted_shuffle`  — the probe side's hottest key (Misra-Gries
+  *    candidates, counted by CMS point query) exceeds `hotFactor`×
+  *    the mean per-key count (mean = rows / HLL distinct), so a plain
+  *    shuffle would funnel it into one task —
+  *    [[Skew.saltedJoin]] with the advised factor spreads it;
+  *  - `shuffle`         — everything else.
+  *
+  * The CMS inner product (`estJoinRows`) rides along as the join
+  * OUTPUT cardinality estimate — what a cost-based planner uses to
+  * order multi-join trees and to veto exploding joins; it is surfaced
+  * (and spec-bounded) so downstream consumers can threshold on it.
+  *
+  * At 100 TB: the statistics pass is a single scan per side with
+  * partial aggregation (≤ a few hundred KiB of sketch per task), and
+  * the decision is O(k) driver work — exactly the shape ANALYZE-style
+  * statistics collection takes on a real warehouse.
+  */
+object JoinAdvisor {
+
+  /** Decision + the sketch evidence it was made from. */
+  case class Advice(
+      strategy: String, // "broadcast" | "shuffle" | "salted_shuffle"
+      buildSide: String, // "left" | "right" — smaller side
+      leftRows: Long,
+      rightRows: Long,
+      probeDistinctKeys: Long, // HLL estimate on the probe (larger) side
+      estJoinRows: Long, // CMS inner product — output cardinality
+      hotKey: Option[String], // Misra-Gries + CMS top probe key
+      hotKeyCnt: Long, // CMS point estimate of that key
+      meanProbeCnt: Long, // probeRows / probeDistinctKeys
+      saltFactor: Int) // 1 unless salted_shuffle
+
+  private case class SideStats(
+      rows: Long, cms: Array[Byte], distinct: Long, candidates: Seq[String])
+
+  private def statsOf(df: DataFrame, key: String, mgK: Int): SideStats = {
+    // key is sketched as its string form so the driver-side CMS point
+    // query and the Misra-Gries candidates share one hash domain
+    // regardless of the column's type (both sides must cast the same
+    // way for the inner product to be meaningful)
+    val k: Column = col(key).cast("string")
+    val row = df.agg(
+      count(lit(1)).as("n"),
+      cms_build(k).as("cms"),
+      hll_distinct(k).as("nd"),
+      freq_candidates(k, mgK).as("cand")).collect().head
+    SideStats(row.getLong(0), row.getAs[Array[Byte]]("cms"),
+      row.getLong(2), row.getSeq[String](3))
+  }
+
+  /** Advise a strategy for `left JOIN right ON leftKey = rightKey`.
+    *
+    * @param broadcastRowLimit build sides at or under this row count
+    *                          broadcast (the row-count spelling of
+    *                          spark.sql.autoBroadcastJoinThreshold)
+    * @param hotFactor         a probe key hotter than this multiple of
+    *                          the mean per-key count triggers salting
+    *                          (dq5's threshold)
+    * @param maxSalt           salt-factor cap — the dim-replication
+    *                          cost [[Skew.saltedJoin]] pays (dq5's cap)
+    */
+  def advise(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      broadcastRowLimit: Long = 1000000L,
+      hotFactor: Long = 4L,
+      maxSalt: Int = 16): Advice = {
+    val ls = statsOf(left, leftKey, mgK = 8)
+    val rs = statsOf(right, rightKey, mgK = 8)
+    val est = CmsOps.inner(ls.cms, rs.cms)
+    val (build, probe, buildName) =
+      if (ls.rows <= rs.rows) (ls, rs, "left") else (rs, ls, "right")
+
+    // hottest probe key: Misra-Gries guarantees every key with share
+    // > 1/k is among the candidates; CMS point queries rank them
+    val hot = probe.candidates
+      .map(c => c -> CmsOps.queryString(probe.cms,
+        org.apache.spark.unsafe.types.UTF8String.fromString(c)))
+      .sortBy { case (c, n) => (-n, c) }
+      .headOption
+    val mean = probe.rows / math.max(1L, probe.distinct)
+    val hotCnt = hot.map(_._2).getOrElse(0L)
+
+    if (build.rows <= broadcastRowLimit)
+      Advice("broadcast", buildName, ls.rows, rs.rows, probe.distinct,
+        est, hot.map(_._1), hotCnt, mean, 1)
+    else if (hotCnt > hotFactor * mean) {
+      val salt = math.min(maxSalt.toLong,
+        math.max(1L, hotCnt / math.max(1L, hotFactor * mean))).toInt
+      Advice("salted_shuffle", buildName, ls.rows, rs.rows, probe.distinct,
+        est, hot.map(_._1), hotCnt, mean, salt)
+    } else
+      Advice("shuffle", buildName, ls.rows, rs.rows, probe.distinct,
+        est, hot.map(_._1), hotCnt, mean, 1)
+  }
+
+  /** Execute the advised join — the advisor's decisions mapped onto
+    * the physical operators they name. Output rows are identical
+    * across all three strategies (inner equi-join); only the physical
+    * plan differs. `right` is treated as the dimension side for
+    * salting (saltedJoin replicates it ×saltFactor). */
+  def execute(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      advice: Advice): DataFrame = {
+    val r = right.withColumnRenamed(rightKey, leftKey)
+    advice.strategy match {
+      case "broadcast" =>
+        if (advice.buildSide == "left") broadcast(left).join(r, leftKey)
+        else left.join(broadcast(r), leftKey)
+      case "salted_shuffle" => Skew.saltedJoin(left, r, leftKey, advice.saltFactor)
+      case _ => left.join(r, leftKey)
+    }
+  }
+}
