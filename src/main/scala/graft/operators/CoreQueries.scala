@@ -298,6 +298,42 @@ object CoreQueries {
         .orderBy("s_nationkey")
     },
 
+    // ── j12: the SKETCH-ADVISED join, oracle-proved semantics-free —
+    // j9/j11's pattern applied to [[JoinAdvisor]] end-to-end: the
+    // advisor MEASURES the key distribution (one mergeable-sketch pass
+    // per side), picks the physical strategy, and [[JoinAdvisor
+    // .execute]] maps it onto the operator it names; the DuckDB oracle
+    // is the PLAIN join, so the hash gate proves the advised plan —
+    // whatever the data made it choose — changes only physics. The
+    // skew is engineered and scale-invariant (every even-orderkey line
+    // collapses onto supplier 1 ⇒ hot share ≈ ½, mean ≈ rows/|supp|,
+    // ratio ≈ |supp|/2 ≫ hotFactor at every SF), and the small side is
+    // passed as LEFT so the probe/salt orientation is exercised on the
+    // branch where build=left — the advisor must salt the RIGHT
+    // (skewed fact) side and replicate the small supplier side, never
+    // the reverse (the r9 scale-killer). PlanQualitySpec pins the
+    // decision and the exploded side; this query pins the rows.
+    "j12_advised_join" -> { (s, d) =>
+      val supp = Tables.load(s, d, "supplier")
+        .select(col("s_suppkey").as("sk"), col("s_nationkey"))
+      val li = Tables.load(s, d, "lineitem")
+        .select(
+          when(col("l_orderkey") % 2 === 0, lit(1L))
+            .otherwise(col("l_suppkey")).as("sk"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_u"))
+      // force a measured (non-broadcast) decision at every SF: the
+      // smallest supplier table is 10 rows (sf0.001) and its hot-key
+      // ratio there is ~5.4× mean (½ of lineitem + its fair share on
+      // 10 keys), so hotFactor=2 salts at sf0.001/0.01/0.1 alike
+      val a = JoinAdvisor.advise(supp, "sk", li, "sk",
+        broadcastRowLimit = 5L, hotFactor = 2L)
+      JoinAdvisor.execute(supp, "sk", li, "sk", a)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"), sum("rev_u").as("rev_u"))
+        .orderBy("s_nationkey")
+    },
+
     // ── j10: TPC-H Q8-flavored market share — the 7-table snowflake
     // join that exercises the full planner: per order year, the share
     // of PROMO-part revenue delivered to EUROPE customers by
@@ -747,6 +783,19 @@ object CoreQueries {
              AS rev_u
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          WHERE s_acctbal > 5000.0
+         GROUP BY 1 ORDER BY s_nationkey""",
+
+    // the PLAIN join over the engineered-skew key — hash-matching it
+    // proves whatever strategy the advisor measured its way to
+    // (salted, here) is semantics-free
+    "j12_advised_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS rev_u
+         FROM lineitem JOIN supplier
+           ON s_suppkey = (CASE WHEN l_orderkey % 2 = 0 THEN 1
+                                ELSE l_suppkey END)
          GROUP BY 1 ORDER BY s_nationkey""",
 
     "j10_market_share" ->

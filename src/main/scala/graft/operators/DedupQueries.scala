@@ -305,14 +305,15 @@ object DedupQueries {
           col("simhash") === col("nbr") && col("doc_id") =!= col("seed_id"))
         .select(col("seed_id"), col("doc_id"),
           expr("bit_count(simhash ^ seed_sim)").as("hamming"))
-        // argmin by (hamming, doc_id) via packed key — doc_id < 1e8
-        // assumed (testdata max ~5e4; widen the radix at real scale)
+        // argmin by (hamming, doc_id): lexicographic struct MIN — no
+        // packed-radix key, so no silent corruption at any doc_id
+        // magnitude (r9 advice: the 1e8 radix broke above 1e8 ids)
         .groupBy("seed_id")
         .agg(count(lit(1)).as("n_near"),
-          min(expr("hamming * 100000000L + doc_id")).as("bk"))
+          min(struct(col("hamming"), col("doc_id"))).as("bk"))
         .select(col("seed_id"), col("n_near"),
-          expr("bk % 100000000L").as("best_doc"),
-          expr("bk DIV 100000000L").as("best_hamming"))
+          col("bk.doc_id").as("best_doc"),
+          col("bk.hamming").cast("long").as("best_hamming"))
         .orderBy("seed_id")
     },
 
@@ -675,9 +676,9 @@ object DedupQueries {
             FROM sims a JOIN seeds s ON a.doc_id <> s.seed_id
             WHERE bit_count(xor(a.simhash, s.seed_sim)) <= 3)
           SELECT seed_id, CAST(COUNT(*) AS BIGINT) AS n_near,
-            CAST(MIN(hamming * 100000000 + doc_id) % 100000000 AS BIGINT)
+            CAST((MIN({'h': hamming, 'd': doc_id})).d AS BIGINT)
               AS best_doc,
-            CAST(MIN(hamming * 100000000 + doc_id) // 100000000 AS BIGINT)
+            CAST((MIN({'h': hamming, 'd': doc_id})).h AS BIGINT)
               AS best_hamming
           FROM hits GROUP BY 1 ORDER BY seed_id""",
     // 64-bit mirror: per-bit derived parity g_b = ((h*(2b+3) + b*7919

@@ -61,8 +61,13 @@ object JoinAdvisor {
     // regardless of the column's type (both sides must cast the same
     // way for the inner product to be meaningful)
     val k: Column = col(key).cast("string")
+    // count(col) not count(*): null keys never join, so they must not
+    // inflate rows (and thus mean = rows/distinct) — on a null-heavy
+    // key column that bias would both mute the hot-key ratio and
+    // overstate the build side against the broadcast budget. The
+    // sketches already skip nulls; the row count now matches them.
     val row = df.agg(
-      count(lit(1)).as("n"),
+      count(k).as("n"),
       cms_build(k).as("cms"),
       hll_distinct(k).as("nd"),
       freq_candidates(k, mgK).as("cand")).collect().head
@@ -119,8 +124,17 @@ object JoinAdvisor {
   /** Execute the advised join — the advisor's decisions mapped onto
     * the physical operators they name. Output rows are identical
     * across all three strategies (inner equi-join); only the physical
-    * plan differs. `right` is treated as the dimension side for
-    * salting (saltedJoin replicates it ×saltFactor). */
+    * plan differs.
+    *
+    * Orientation matters for `salted_shuffle`: the hot key was
+    * detected on the PROBE (larger) side, so that side takes the salt
+    * column and the BUILD side is the one replicated ×saltFactor
+    * ([[Skew.saltedJoin]]'s facts/dim roles). Salting the wrong way —
+    * replicating the huge skewed side — would amplify exactly the
+    * skew the advice diagnosed; `advice.buildSide` picks the roles,
+    * whichever physical side (left/right) each lands on. Output
+    * column ORDER is pinned to (key, left cols, right cols) for both
+    * orientations so the caller sees one schema. */
   def execute(
       left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
@@ -130,7 +144,17 @@ object JoinAdvisor {
       case "broadcast" =>
         if (advice.buildSide == "left") broadcast(left).join(r, leftKey)
         else left.join(broadcast(r), leftKey)
-      case "salted_shuffle" => Skew.saltedJoin(left, r, leftKey, advice.saltFactor)
+      case "salted_shuffle" =>
+        // one pinned order for both orientations: key, left cols, right cols
+        val outCols = col(leftKey) +:
+          (left.columns.filter(_ != leftKey) ++
+            r.columns.filter(_ != leftKey)).map(col)
+        val joined =
+          if (advice.buildSide == "right")
+            Skew.saltedJoin(left, r, leftKey, advice.saltFactor)
+          else // probe = right: salt it; replicate the small LEFT side
+            Skew.saltedJoin(r, left, leftKey, advice.saltFactor)
+        joined.select(outCols: _*)
       case _ => left.join(r, leftKey)
     }
   }

@@ -20,6 +20,14 @@ package graft.operators
   */
 object MediaCodec {
 
+  // ImageIO's default stream cache is DISK-BACKED: every read(), even
+  // of an in-memory byte array, creates and deletes a temp file. For
+  // per-row decodes inside mapPartitions that temp-file churn dominates
+  // the actual decode (measured ~2× on the m7 bench). One per-JVM flag
+  // set at class-init time (each executor pays it once) switches
+  // ImageIO to in-memory stream caching.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class Decoded(
       mime: String, width: Int, height: Int, nFrames: Int, brightness: Double)
 
@@ -72,7 +80,12 @@ object MediaCodec {
         }
         Some(Decoded(mime, w, h, 1, sum.toDouble / (3.0 * w * h) / 255.0))
       }
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: ImageIO readers throw UNCHECKED
+      // exceptions on malformed payloads (CMMException on bad ICC
+      // profiles, IllegalArgumentException / array-bounds on crafted
+      // headers). A corrupt blob must yield the typed "undecodable"
+      // row, never crash the Spark task.
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Uncompressed 24-bpp BMP (BITMAPINFOHEADER). Brightness = mean pixel
     * byte / 255 over the pixel array, EXCLUDING the per-row padding that
@@ -288,7 +301,8 @@ object MediaCodec {
           }
           Some((w, h, gray))
         }
-      } catch { case _: java.io.IOException => None }
+        // same NonFatal contract as decodeImageIo: hostile bytes → None
+      } catch { case scala.util.control.NonFatal(_) => None }
     } else None
   }
 

@@ -90,6 +90,50 @@ class JoinAdvisorSpec extends AnyFunSuite {
       plain.agg(sum("payload")).collect().head.getLong(0))
   }
 
+  test("skewed probe on the RIGHT → salted_shuffle salts the right side " +
+    "and replicates (explodes) the SMALL left side") {
+    // mirror of the planted-hot-key case with the sides swapped: the
+    // r9 flaw salted `left` unconditionally, replicating the huge
+    // skewed side ×saltFactor — amplifying the very skew the advice
+    // diagnosed. The exploded side must be the small build side.
+    val facts = spark.range(200000L)
+      .select(when(col("id") % 2 === 0, 7L).otherwise(col("id") % 5000).as("k"),
+        col("id").as("payload"))
+    val d = dim(20000)
+    val a = JoinAdvisor.advise(d, "k", facts, "k", broadcastRowLimit = 1000L)
+    assert(a.strategy == "salted_shuffle", a.toString)
+    assert(a.buildSide == "left", a.toString)
+    assert(a.hotKey.contains("7"), a.toString)
+
+    val joined = JoinAdvisor.execute(d, "k", facts, "k", a)
+    joined.collect()
+    // the Generate (explode ×saltFactor) must sit over the SMALL dim
+    // side — its subtree carries `dname`, never the fact `payload`
+    val plan = joined.queryExecution.executedPlan.toString
+    val genLine = plan.linesIterator.find(_.contains("Generate explode"))
+    assert(genLine.isDefined, plan)
+    assert(genLine.get.contains("dname") && !genLine.get.contains("payload"),
+      s"exploded side is not the small build side: ${genLine.get}")
+
+    // row-identical to the plain join, column order pinned
+    val plain = d.join(facts, "k")
+    assert(joined.count() == plain.count())
+    assert(joined.agg(sum("payload")).collect().head.getLong(0) ==
+      plain.agg(sum("payload")).collect().head.getLong(0))
+    assert(joined.columns.toSeq == Seq("k", "dname", "payload"))
+  }
+
+  test("null keys do not count toward rows / broadcast budget / mean") {
+    // 150k rows but only 500 non-null keys: with count(*) the build
+    // side would blow the 1000-row budget; with count(key) it fits
+    val left = spark.range(150000L)
+      .select(when(col("id") % 300 === 0, col("id") % 500).as("k"))
+    val d = dim(100000)
+    val a = JoinAdvisor.advise(left, "k", d, "k", broadcastRowLimit = 1000L)
+    assert(a.leftRows == 500L, a.toString)
+    assert(a.strategy == "broadcast" && a.buildSide == "left", a.toString)
+  }
+
   test("uniform probe side does NOT trigger salting even above the budget") {
     val left = spark.range(120000L).select((col("id") % 3000).as("k"))
     val d = dim(20000)

@@ -90,6 +90,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("chunk"), plan)
   }
 
+  test("j12 advisor end-to-end: measured decision matches the data, and the " +
+    "physical plan salts the skewed fact side (explodes the small dim)") {
+    import org.apache.spark.sql.functions.{col, lit, round, when}
+    import graft.operators.JoinAdvisor
+    // re-derive the exact inputs j12_advised_join feeds the advisor so
+    // the DECISION itself is pinned, not just the rows (the oracle
+    // hash gate can't see which plan ran)
+    val supp = graft.sources.Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey").as("sk"), col("s_nationkey"))
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(
+        when(col("l_orderkey") % 2 === 0, lit(1L))
+          .otherwise(col("l_suppkey")).as("sk"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_u"))
+    val a = JoinAdvisor.advise(supp, "sk", li, "sk",
+      broadcastRowLimit = 5L, hotFactor = 2L)
+    // the engineered skew (half of lineitem on supplier 1) must be
+    // what the sketches measure on the real testdata distribution
+    assert(a.strategy == "salted_shuffle", a.toString)
+    assert(a.buildSide == "left", a.toString) // supplier is the small side
+    assert(a.hotKey.contains("1"), a.toString)
+    assert(a.saltFactor > 1, a.toString)
+
+    val df = JoinAdvisor.execute(supp, "sk", li, "sk", a)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val genLine = plan.linesIterator.find(_.contains("Generate explode"))
+    assert(genLine.isDefined, plan)
+    // the replicated (exploded) side must be the SMALL supplier side
+    assert(genLine.get.contains("s_nationkey") && !genLine.get.contains("rev_u"),
+      s"exploded side is not the small build side: ${genLine.get}")
+  }
+
   test("stratified sample is a pure map-side filter — zero exchanges before the sort") {
     val df = SparkEntry.queries("sp1_stratified_sample")(spark, sf)
     df.collect()
