@@ -134,9 +134,10 @@ object Bench {
     System.err.println(full)
     System.err.flush()
     val bySlow = results.filter(_._2 >= 0).sortBy { case (k, v) => (-v, k) }
-    // cdc block (~400 chars when present) comes out of the queries
-    // budget so the final line stays inside the driver's 2000-char tail
-    val budget = if (cdcJson.isEmpty) 1400 else 1000
+    // the cdc block comes out of the queries budget so the final line
+    // stays inside the driver's 2000-char tail — sized off the actual
+    // block (it grew to ~800 chars with the r10 state-growth metrics)
+    val budget = math.max(300, 1400 - cdcJson.length)
     val kept = new StringBuilder
     var nKept = 0
     // stop at the FIRST entry that doesn't fit, so the kept set is a

@@ -133,7 +133,11 @@ object Workload {
       minBatchMs: Long,
       maxBatchMs: Long,
       throughputRowsPerSec: Double,
-      logLines: Seq[String])
+      logLines: Seq[String],
+      // raw per-batch latencies, in order — steady-state analysis
+      // (first-half vs second-half drift) needs the sequence, not
+      // just the min/avg/max rollup
+      latenciesMs: Seq[Long] = Seq.empty)
 
   /** Run the generated workload as batched CDC inserts against a
     * target store (insert.ps1's batch loop, 250–334): rows are split
@@ -181,6 +185,6 @@ object Workload {
       if (latencies.nonEmpty) latencies.sum.toDouble / latencies.length else 0.0,
       if (latencies.nonEmpty) latencies.min else 0L,
       if (latencies.nonEmpty) latencies.max else 0L,
-      throughput, log)
+      throughput, log, latencies)
   }
 }

@@ -222,23 +222,7 @@ object SimilarityQueries {
     // generation is the bucket equi-join, the CC loop is the
     // pointer-jumped O(log diameter) iteration shared with d5, and
     // the rep join touches |clusters| rows.
-    "s8_semantic_clusters" -> { (s, d) =>
-      val v = vecs(s, d).withColumn("bucket", hyperplane_bucket(col("qv"), 6))
-      val a = v.select(col("vec_id").as("da"), col("qv").as("va"),
-        col("norm").as("na"), col("bucket"))
-      val b = v.select(col("vec_id").as("db"), col("qv").as("vb"),
-        col("norm").as("nb"), col("bucket"))
-      val pairs = a.join(b, Seq("bucket")).filter(col("da") < col("db"))
-        .withColumn("cos_raw", dotCol / (col("na") * col("nb")))
-        .filter(col("cos_raw") >= 0.40)
-        .select("da", "db").localCheckpoint(true)
-      DedupQueries.connectedComponents(pairs)
-        .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
-        .join(Tables.load(s, d, "embeddings")
-          .select(col("vec_id").as("cluster_id"), col("label")), Seq("cluster_id"))
-        .select(col("cluster_id").as("rep_vec_id"), col("n_members"), col("label"))
-        .orderBy("rep_vec_id")
-    },
+    "s8_semantic_clusters" -> { (s, d) => semanticClusters(s, d, nPlanes = 6) },
 
     // ── s9: ANN quality harness — recall@1 of the LSH bucket search
     // (s2's index) against brute-force ground truth on a query sample
@@ -502,6 +486,33 @@ object SimilarityQueries {
         .orderBy("dim")
     }
   )
+
+  /** s8's body with the LSH plane count as THE scale knob. In-bucket
+    * candidate pairs grow as N²/2^planes, so a FIXED plane count is
+    * quadratic in corpus size — the index only stays linear if
+    * `nPlanes` tracks log₂(N) (expected bucket occupancy constant,
+    * the standard LSH-forest sizing). The oracle query pins planes=6
+    * for the sf-scale corpus; `ScaleProbe` measures both the fixed-6
+    * wall (the quadratic wall) and the log-scaled count (the 100 TB
+    * path). More planes trade recall for candidates exactly like any
+    * LSH index — the knob is tuned against s9's recall harness. */
+  def semanticClusters(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
+    val v = vecs(s, d).withColumn("bucket", hyperplane_bucket(col("qv"), nPlanes))
+    val a = v.select(col("vec_id").as("da"), col("qv").as("va"),
+      col("norm").as("na"), col("bucket"))
+    val b = v.select(col("vec_id").as("db"), col("qv").as("vb"),
+      col("norm").as("nb"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("da") < col("db"))
+      .withColumn("cos_raw", dotCol / (col("na") * col("nb")))
+      .filter(col("cos_raw") >= 0.40)
+      .select("da", "db").localCheckpoint(true)
+    DedupQueries.connectedComponents(pairs)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .join(Tables.load(s, d, "embeddings")
+        .select(col("vec_id").as("cluster_id"), col("label")), Seq("cluster_id"))
+      .select(col("cluster_id").as("rep_vec_id"), col("n_members"), col("label"))
+      .orderBy("rep_vec_id")
+  }
 
   /** Shared PQ front end for s10/s11: exact integer L2² from every
     * vector's M=8 sub-vectors to each of the K=4 per-subspace

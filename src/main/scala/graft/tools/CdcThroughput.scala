@@ -32,7 +32,51 @@ import graft.streaming.{CdcPipeline, ChangeFeed, KeyedParquetStore, StreamMetric
   */
 object CdcThroughput {
 
-  /** One measured run; returns flat metric → value pairs. */
+  /** Recursive (bytes, fileCount) of a directory tree. */
+  private def dirStats(root: String): (Long, Long) = {
+    val p = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(p)) return (0L, 0L)
+    var bytes = 0L
+    var files = 0L
+    val s = java.nio.file.Files.walk(p)
+    try s.forEach { f =>
+      if (java.nio.file.Files.isRegularFile(f)) {
+        bytes += java.nio.file.Files.size(f); files += 1
+      }
+    } finally s.close()
+    (bytes, files)
+  }
+
+  /** Count of `.compact` files under a checkpoint subtree — Structured
+    * Streaming compacts its file-source and sink logs every
+    * `compactInterval` (default 10) batches; the cadence is the
+    * evidence that metadata growth is O(batches / interval) rewritten
+    * logs, not an ever-growing flat list. */
+  private def compactCount(root: String): Long = {
+    val p = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(p)) return 0L
+    var n = 0L
+    val s = java.nio.file.Files.walk(p)
+    try s.forEach(f => if (f.toString.endsWith(".compact")) n += 1) finally s.close()
+    n
+  }
+
+  private def halfAvg(xs: Seq[Long]): (Double, Double) = {
+    if (xs.isEmpty) return (0.0, 0.0)
+    val (h1, h2) = xs.splitAt(xs.length / 2)
+    def avg(a: Seq[Long]) = if (a.isEmpty) 0.0 else a.sum.toDouble / a.length
+    (avg(h1), avg(h2))
+  }
+
+  /** One measured run; returns flat metric → value pairs. Beyond the
+    * throughput figures, reports STATE-GROWTH evidence (r9 verdict ask
+    * #7): first-half vs second-half per-batch latency (a steady-state
+    * pipeline shows no drift — per-batch work is bounded by the batch,
+    * not by history), checkpoint bytes/files + compaction-file count
+    * (metadata is compacted on a fixed cadence, so it grows with
+    * batches/interval, not batches), and store bytes/files (the store
+    * overwrites touched buckets in place, so files track buckets, not
+    * merge history). */
   def measure(spark: SparkSession, rows: Long = 20000L,
       batchSize: Int = 1000): Seq[(String, Double)] = {
     val work = java.nio.file.Files.createTempDirectory("graft_cdc_bench").toString
@@ -83,9 +127,15 @@ object CdcThroughput {
     require(streamed == rows, s"stream reconciliation failed: $streamed != $rows")
     val prog = metrics.progressDf(spark)
       .filter(col("num_input_rows") > 0)
-      .agg(count(lit(1)), min("duration_ms"), avg("duration_ms"), max("duration_ms"))
-      .collect().head
+      .orderBy("batch_id")
+      .select("duration_ms")
+      .collect().map(_.getLong(0)).toSeq
     spark.streams.removeListener(metrics)
+
+    val (baH1, baH2) = halfAvg(m.latenciesMs)
+    val (stH1, stH2) = halfAvg(prog)
+    val (ckptBytes, ckptFiles) = dirStats(s"$work/ckpt")
+    val (storeBytes, storeFiles) = dirStats(s"$work/store_stream")
 
     Seq(
       "rows" -> rows.toDouble,
@@ -94,14 +144,36 @@ object CdcThroughput {
       "batch_apply_avg_batch_ms" -> m.avgBatchMs,
       "batch_apply_min_batch_ms" -> m.minBatchMs.toDouble,
       "batch_apply_max_batch_ms" -> m.maxBatchMs.toDouble,
+      "batch_apply_avg_batch_ms_h1" -> baH1,
+      "batch_apply_avg_batch_ms_h2" -> baH2,
       "streaming_rows_per_sec" -> rows / streamWallS,
-      "streaming_n_batches" -> prog.getLong(0).toDouble,
-      "streaming_min_batch_ms" -> prog.getLong(1).toDouble,
-      "streaming_avg_batch_ms" -> prog.getDouble(2),
-      "streaming_max_batch_ms" -> prog.getLong(3).toDouble,
+      "streaming_n_batches" -> prog.length.toDouble,
+      "streaming_min_batch_ms" -> (if (prog.isEmpty) 0.0 else prog.min.toDouble),
+      "streaming_avg_batch_ms" ->
+        (if (prog.isEmpty) 0.0 else prog.sum.toDouble / prog.length),
+      "streaming_max_batch_ms" -> (if (prog.isEmpty) 0.0 else prog.max.toDouble),
+      "streaming_avg_batch_ms_h1" -> stH1,
+      "streaming_avg_batch_ms_h2" -> stH2,
+      "ckpt_bytes" -> ckptBytes.toDouble,
+      "ckpt_files" -> ckptFiles.toDouble,
+      "ckpt_compact_files" -> compactCount(s"$work/ckpt").toDouble,
+      "store_bytes" -> storeBytes.toDouble,
+      "store_files" -> storeFiles.toDouble,
       "reference_ops_per_sec" -> 1.04)
   }
 
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", v)
+
+  private def block(kv: Seq[(String, Double)]): String =
+    kv.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+
+  /** Standalone: the smoke-scale run (20 k rows / 20 batches, the
+    * BENCH "cdc" block's shape) plus the 10× steady-state run
+    * (200 k rows / 200 batches — r9 verdict ask #7). Two blocks in
+    * CDC_BENCH.json so checkpoint growth is a measured ratio between
+    * two batch counts, not one point. */
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -111,11 +183,10 @@ object CdcThroughput {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val kv = measure(spark)
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", v)
-    val line = kv.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{\"metric\":\"cdc_insert_throughput\",", ",", "}")
+    val base = measure(spark, rows = 20000L, batchSize = 1000)
+    System.err.println(s"[cdc] base done: ${block(base)}")
+    val x10 = measure(spark, rows = 200000L, batchSize = 1000)
+    val line = s"""{"metric":"cdc_insert_throughput","base":${block(base)},"x10":${block(x10)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("CDC_BENCH.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -81,7 +81,10 @@ object DumpPlans {
     "t25_phrase_search" -> "phrase search: postings pruned to query vocab at explode time, positional equi-joins, zero-hit restore via broadcast left join",
     "s14_pca_power" -> "power-iteration PCA: gram-free AᵀAv rounds — in-row compiled dots vs broadcast direction, 64-key shuffles only",
     "c8_curriculum" -> "curriculum stages: t23 scoring reused, bucketed global rank (no single-partition sort), 4-row manifest",
-    "ts10_cusum_drift" -> "CUSUM control chart: window over the REDUCED hourly agg (partitioned by type), scaled integer deviations")
+    "ts10_cusum_drift" -> "CUSUM control chart: window over the REDUCED hourly agg (partitioned by type), scaled integer deviations",
+    "m7_imageio_decode" -> "ImageIO decode: partition-local byte decode (mapPartitions is the codec boundary), features-only shuffle",
+    "j12_advised_join" -> "sketch-advised join: measured salted_shuffle — probe side salted, small build side exploded xsaltFactor",
+    "cdc_asof_read" -> "cross-table AS-OF read: one global LSN cut broadcast, per-table last-image apply semantics")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

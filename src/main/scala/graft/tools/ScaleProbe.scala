@@ -113,6 +113,39 @@ object ScaleProbe {
       System.err.println(s"[scale] built ${factor}x events at $out")
     }
 
+    // 10× embeddings for the similarity/ANN family (the r9 verdict's
+    // oldest open ask): `factor` copies with vec_ids offset and each
+    // copy k>0 transformed by a SIGNED PERMUTATION (cyclic dim shift
+    // + deterministic per-dim sign flips). A signed permutation is an
+    // orthogonal matrix, so every within-copy dot product, norm, and
+    // cosine is preserved EXACTLY — each copy carries the original
+    // corpus's full near-dup/cluster structure — while cross-copy
+    // cosines decorrelate and copies spread across the LSH/IVF bucket
+    // space; true pair population grows ×factor, not ×factor². The
+    // fixed panels (centroids vec_id<8, query panels vec_id<50) stay
+    // copy-0 rows, so the SERVED per-query work is what scales.
+    val embOut = new java.io.File(s"$out/embeddings.parquet")
+    if (!embOut.exists()) {
+      val base = spark.read.parquet(s"$src/embeddings.parquet")
+      val span = base.agg(max("vec_id")).collect().head.getLong(0) + 1
+      (0 until factor).map { k =>
+        val shift = (k * 7) % 64
+        base.select(
+          (col("vec_id") + lit(k * span)).as("vec_id"),
+          (if (k == 0) col("embedding")
+           else expr(
+             s"""transform(sequence(0, 63), i ->
+                 CAST(element_at(embedding, ((i + $shift) % 64) + 1) *
+                   (CASE WHEN (i * 2654435761L + $k * 97) % 4 = 0
+                         THEN -1.0 ELSE 1.0 END) AS FLOAT))"""))
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      System.err.println(s"[scale] built ${factor}x embeddings at $out")
+    }
+
     val names = Seq(
       "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh", "d12_simhash_lookup",
       "d5_dedup_clusters", "d6_simhash64_pairs", "d7_containment",
@@ -125,7 +158,11 @@ object ScaleProbe {
       // r8 additions over the (10×-history) events stream
       "ts9_autocorr", "ts10_cusum_drift", "ts11_theilsen",
       "e7_bloom_audit", "e8_rolling_distinct", "dq5_skew_advisor",
-      "sp10_bootstrap")
+      "sp10_bootstrap",
+      // r9 ask #1: the embeddings/similarity family (panels fixed at
+      // copy-0 ids, so the measured axis is corpus size)
+      "s8_semantic_clusters", "s9_ann_recall", "s13_kmeans_assign",
+      "s14_pca_power", "s15_matryoshka_recall", "e9_join_size")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
@@ -150,6 +187,31 @@ object ScaleProbe {
       val line = f"""{"query":"$n","base_s":$b%.3f,"x${factor}_s":$s%.3f,"ratio":${s / b}%.2f}"""
       println(line)
       (n, b, s)
+    }
+
+    // s8 with the plane count SCALED to the corpus (nPlanes ∝ log₂ N,
+    // the LSH-forest sizing): the fixed-6 row above is the quadratic
+    // wall of a frozen index; this row is the documented 100 TB path —
+    // expected bucket occupancy constant ⇒ in-bucket rerank linear.
+    {
+      val extraPlanes = (math.log(factor.toDouble) / math.log(2.0)).ceil.toInt
+      def timeScaled(dir: String, planes: Int): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try {
+            graft.operators.SimilarityQueries.semanticClusters(spark, dir, planes)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } finally {
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+            spark.sharedState.cacheManager.clearCache()
+          }
+        }
+        System.gc(); once(); Seq.fill(2)(once()).min
+      }
+      val b = timeScaled(src, 6)
+      val s = timeScaled(out, 6 + extraPlanes)
+      println(f"""{"query":"s8_semantic_clusters_logplanes","base_s":$b%.3f,"x${factor}_s":$s%.3f,"ratio":${s / b}%.2f,"planes_base":6,"planes_scaled":${6 + extraPlanes}}""")
     }
     val worst = rows.maxBy(r => r._3 / r._2)
     println(f"""{"summary":"scale_probe","factor":$factor,"worst_query":"${worst._1}","worst_ratio":${worst._3 / worst._2}%.2f}""")
