@@ -115,11 +115,25 @@ object DedupQueries {
     * aggregate over (edges ⋈ labels) plus one labels self-join (no
     * driver-side graph, only a scalar convergence check per round). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("da"), col("db"))
+    // Pin EXACT statistics on every checkpointed generation
+    // (Bridge.withExactStats): localCheckpoint inherits the
+    // optimizer's ESTIMATE of the producing plan, and in this loop
+    // generation k+1's estimate is a product of joins over generation
+    // k's — compounding ~×4 per iteration until the size arithmetic
+    // overflows BigInteger at planning time around iteration 13
+    // (first hit by s8 on the 10× embeddings corpus, whose cross-copy
+    // bridge edges push the iteration count past the base corpus's).
+    // |labels| = |nodes| is a loop invariant, so the exact row count
+    // is known once and holds for every generation.
+    import org.apache.spark.sql.graftbridge.Bridge.withExactStats
+    val edges0 = pairs.select(col("da"), col("db"))
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
       .localCheckpoint(true) // reused every iteration
+    val edges = withExactStats(edges0, edges0.count(), 16L)
     val nodes = edges.select(col("da").as("doc_id")).distinct()
     var labels = nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
+    val nNodes = labels.count()
+    labels = withExactStats(labels, nNodes, 16L)
     // Convergence check without a generation-vs-generation join: labels
     // only ever DECREASE (least of self and neighbors), so the label
     // sum is strictly monotone until fixpoint — equal consecutive sums
@@ -147,9 +161,11 @@ object DedupQueries {
       // increase), so `pl` alone is the new minimum.
       val parents = hooked
         .select(col("doc_id").as("pid"), col("cluster_id").as("pl"))
-      val next = hooked.join(parents, hooked("cluster_id") === parents("pid"))
-        .select(hooked("doc_id"), col("pl").as("cluster_id"))
-        .localCheckpoint(true)
+      val next = withExactStats(
+        hooked.join(parents, hooked("cluster_id") === parents("pid"))
+          .select(hooked("doc_id"), col("pl").as("cluster_id"))
+          .localCheckpoint(true),
+        nNodes, 16L)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

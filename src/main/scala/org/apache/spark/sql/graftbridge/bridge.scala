@@ -27,4 +27,34 @@ object Bridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
       case _ => None
     }
+
+  /** Replace a checkpointed DataFrame's inherited statistics with
+    * EXACT ones.
+    *
+    * `Dataset.localCheckpoint` carries the optimizer's ESTIMATED stats
+    * of the producing plan into the resulting `LogicalRDD`
+    * (`originStats`). In an iterative algorithm that checkpoints each
+    * generation (connected components, PageRank, k-means), generation
+    * k+1's estimate is a product of joins over generation k's already-
+    * estimated stats — so the size estimate compounds ~×4 per
+    * iteration, mis-costs every join after a few rounds, and past ~13
+    * iterations overflows Spark's `BigInteger` size arithmetic at
+    * planning time (`SizeInBytesOnlyStatsPlanVisitor`), killing the
+    * query. The loop, however, KNOWS its invariants (CC: |labels| =
+    * |nodes| every iteration) — this injects them, which both fixes
+    * the overflow and restores sane broadcast decisions inside the
+    * loop. No-op on non-checkpointed frames. */
+  def withExactStats(
+      df: org.apache.spark.sql.DataFrame, rows: Long, bytesPerRow: Long): org.apache.spark.sql.DataFrame =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val stats = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          sizeInBytes = BigInt(rows) * bytesPerRow, rowCount = Some(BigInt(rows)))
+        val pinned = new org.apache.spark.sql.execution.LogicalRDD(
+          l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+          l.isStreaming, l.stream)(session, Some(stats), None)
+        org.apache.spark.sql.classic.Dataset.ofRows(session, pinned)
+      case _ => df
+    }
 }

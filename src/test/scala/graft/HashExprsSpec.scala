@@ -253,6 +253,29 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents survives a deep-diameter graph (checkpoint " +
+    "stats pinned exact, no BigInteger planning overflow)") {
+    import spark.implicits._
+    // a 20 000-node PATH needs ~15 pointer-jump iterations; before the
+    // exact-stats pin, each generation's localCheckpoint inherited the
+    // optimizer's ESTIMATE, which compounds ~×4 per iteration and
+    // overflows Spark's BigInteger size arithmetic at planning time
+    // around iteration 13 (ArithmeticException — first hit by s8 on
+    // the 10× embeddings corpus). The pinned invariant |labels|=|nodes|
+    // keeps every generation's stats exact and flat.
+    val n = 20000L
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("da"), (col("id") + 1).as("db"))
+    val labels = DedupQueries.connectedComponents(pairs)
+    val agg = labels.agg(
+      org.apache.spark.sql.functions.countDistinct("cluster_id"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.max("cluster_id")).collect().head
+    assert(agg.getLong(0) == 1L, "one path = one component")
+    assert(agg.getLong(1) == n)
+    assert(agg.getLong(2) == 0L, "label = min node id")
+  }
+
   test("connectedComponents on an empty pair graph returns empty (no NPE)") {
     import spark.implicits._
     // SUM over an empty frame is NULL — the monotone-sum convergence
