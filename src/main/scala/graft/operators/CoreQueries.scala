@@ -334,6 +334,35 @@ object CoreQueries {
         .orderBy("s_nationkey")
     },
 
+    // ── j13: COST-BASED JOIN ORDERING from sketches — the second
+    // advisor decision (j12 picks the physical operator; this picks
+    // the TREE): |fact ⋈ dim| is CMS-inner-product-estimated per
+    // dimension (e9's estimator as an input, not an artifact) and the
+    // chain applies the most SELECTIVE join first — here PROMO parts
+    // cut lineitem to a fraction before the all-matching supplier
+    // join ever runs, so the second join's input is the small
+    // intermediate, not the full fact table. Inner equi-joins
+    // commute, so the DuckDB oracle is the plain fixed-order 3-way
+    // join — the hash gate proves ordering is semantics-free while
+    // JoinAdvisorSpec pins that the advised order IS selective-first
+    // on the measured distribution.
+    "j13_ordered_join" -> { (s, d) =>
+      import JoinAdvisor.ChainDim
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_u"))
+      val promo = Tables.load(s, d, "part")
+        .filter(col("p_type") === "PROMO").select("p_partkey")
+      val supp = Tables.load(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      JoinAdvisor.executeChain(li, Seq(
+        ChainDim("promo_part", "l_partkey", promo, "p_partkey"),
+        ChainDim("supplier", "l_suppkey", supp, "s_suppkey")))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"), sum("rev_u").as("rev_u"))
+        .orderBy("s_nationkey")
+    },
+
     // ── j10: TPC-H Q8-flavored market share — the 7-table snowflake
     // join that exercises the full planner: per order year, the share
     // of PROMO-part revenue delivered to EUROPE customers by
@@ -796,6 +825,19 @@ object CoreQueries {
          FROM lineitem JOIN supplier
            ON s_suppkey = (CASE WHEN l_orderkey % 2 = 0 THEN 1
                                 ELSE l_suppkey END)
+         GROUP BY 1 ORDER BY s_nationkey""",
+
+    // the PLAIN fixed-order 3-way join — inner equi-joins commute, so
+    // hash-matching proves the sketch-advised ordering changes only
+    // intermediate sizes, never rows
+    "j13_ordered_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS rev_u
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY 1 ORDER BY s_nationkey""",
 
     "j10_market_share" ->

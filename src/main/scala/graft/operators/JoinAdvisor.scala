@@ -121,6 +121,39 @@ object JoinAdvisor {
         est, hot.map(_._1), hotCnt, mean, 1)
   }
 
+  /** One dimension join in a chain: `(name, factKey, dim, dimKey)`. */
+  case class ChainDim(name: String, factKey: String, dim: DataFrame, dimKey: String)
+
+  /** Estimated output row count per dimension join, ascending — the
+    * COST-BASED JOIN-ORDERING primitive: in a multi-join tree the
+    * cheapest plan applies the most SELECTIVE join first (smallest
+    * intermediate), and |fact ⋈ dim| = Σ_v f_fact(v)·f_dim(v) is
+    * exactly what the CMS inner product estimates from one sketch
+    * pass per side (e9's estimator, consumed as a decision). Ties
+    * break by name for determinism. The estimate never underestimates
+    * (CM guarantee), so the chosen order can only be pessimistic
+    * about the joins it defers — the safe direction. */
+  def adviseJoinOrder(fact: DataFrame, dims: Seq[ChainDim]): Seq[(String, Long)] = {
+    val ests = dims.map { cd =>
+      val fs = statsOf(fact, cd.factKey, mgK = 8)
+      val ds = statsOf(cd.dim, cd.dimKey, mgK = 8)
+      cd.name -> CmsOps.inner(fs.cms, ds.cms)
+    }
+    ests.sortBy { case (n, e) => (e, n) }
+  }
+
+  /** Apply the dimension joins in the advised (most-selective-first)
+    * order. Inner equi-joins commute, so the output is row-identical
+    * to ANY order — only the intermediate sizes differ; the oracle
+    * equality gate (j13) proves exactly that. */
+  def executeChain(fact: DataFrame, dims: Seq[ChainDim]): DataFrame = {
+    val byName = dims.map(d => d.name -> d).toMap
+    adviseJoinOrder(fact, dims).foldLeft(fact) { case (acc, (name, _)) =>
+      val cd = byName(name)
+      acc.join(cd.dim, acc(cd.factKey) === cd.dim(cd.dimKey))
+    }
+  }
+
   /** Execute the advised join — the advisor's decisions mapped onto
     * the physical operators they name. Output rows are identical
     * across all three strategies (inner equi-join); only the physical

@@ -324,6 +324,56 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     },
 
+    // ── s16: IVF + PQ-ADC composed — the SERVING STACK of a real
+    // 100 TB vector store (FAISS's IVFPQ shape): the coarse quantizer
+    // (s4's 8 cells) restricts candidates to the query's cell FIRST,
+    // then the ADC lookup (s11) scores only those cell-mates from
+    // their 2-bit-per-subspace codes — raw target vectors are touched
+    // by neither stage at query time. The order of operations IS the
+    // scale story: the cell gate runs before the ×M code explode, so
+    // ADC work is M·|cell|, not M·|corpus|; the cell assignment is
+    // the partition key at scale (a probe touches one partition), the
+    // distance table (|q|×M×K rows) and query-cell map broadcast.
+    // All integer-exact (compiled dots, BIGINT sums) — both engines
+    // agree on every distance and tie (vid asc).
+    "s16_ivfpq_topk" -> { (s, d) =>
+      val v = vecs(s, d)
+      // coarse cells — s4's convention: centroids = first 8 vectors,
+      // exact integer L2 via the |a−b|² = a·a − 2a·b + b·b identity
+      val cents = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("dist2",
+          dot_long(col("qv"), col("qv")) - lit(2L) * dot_long(col("qv"), col("cv"))
+            + dot_long(col("cv"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+        .localCheckpoint(true) // feeds the query map + the target gate
+      val qCell = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("cell"))
+      val tCell = assigned.filter(col("vec_id") >= 5)
+      // PQ codes + per-query distance table — s10/s11's shared chain
+      val dists = pqDists(s, d).localCheckpoint(true)
+      val codes = dists.filter(col("vec_id") >= 5)
+        .groupBy("vec_id", "m")
+        .agg(min_by(col("k"), struct(col("dist2"), col("k"))).as("k"))
+      val dtable = dists.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("m"), col("k"), col("dist2"))
+      // IVF gate FIRST (cell-mates only), then the ×M code join + ADC
+      tCell.join(broadcast(qCell), Seq("cell"))
+        .join(codes, Seq("vec_id"))
+        .join(broadcast(dtable), Seq("qid", "m", "k"))
+        .groupBy(col("qid"), col("vec_id").as("vid"), col("cell"))
+        .agg(sum("dist2").as("adist"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adist").asc, col("vid").asc)))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "vid", "adist", "cell")
+        .orderBy("qid", "rank")
+    },
+
     // ── s12: scalar (uint8) quantization codes — PQ's simpler sibling
     // and the other standard vector-store compression: per-DIMENSION
     // global [min, max] over the corpus, each component mapped to its
@@ -824,6 +874,49 @@ object SimilarityQueries {
               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
             FROM adc)
           WHERE rank <= 5 ORDER BY qid, rank""",
+    // s16 — s4's cell CTEs + s11's PQ chain, ADC restricted to
+    // cell-mates of each query (the IVF gate in relational form)
+    "s16_ivfpq_topk" ->
+      s"""WITH $compsSql,
+          cdist AS (
+            SELECT v.vec_id, cent.vec_id AS cid,
+              SUM((v.q - cent.q) * (v.q - cent.q)) AS dist2
+            FROM c v JOIN c cent ON v.idx = cent.idx AND cent.vec_id < 8
+            GROUP BY 1, 2),
+          assigned AS (
+            SELECT vec_id, cid AS cell FROM (
+              SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+              FROM cdist)
+            WHERE rn = 1),
+          parts AS (
+            SELECT vec_id, idx // 8 AS m, idx % 8 AS j, q FROM c),
+          cents AS (
+            SELECT vec_id AS k, m, j, q AS cq FROM parts WHERE vec_id < 4),
+          dists AS (
+            SELECT p.vec_id, p.m, ce.k,
+              SUM((p.q - ce.cq) * (p.q - ce.cq)) AS dist2
+            FROM parts p JOIN cents ce ON p.m = ce.m AND p.j = ce.j
+            GROUP BY 1, 2, 3),
+          best AS (
+            SELECT vec_id, m, k FROM (
+              SELECT vec_id, m, k,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist2, k) AS rk
+              FROM dists) WHERE rk = 1),
+          adc AS (
+            SELECT qa.vec_id AS qid, b.vec_id AS vid, qa.cell,
+              CAST(SUM(qd.dist2) AS BIGINT) AS adist
+            FROM best b
+            JOIN assigned va ON va.vec_id = b.vec_id
+            JOIN assigned qa ON qa.cell = va.cell AND qa.vec_id < 5
+            JOIN dists qd ON b.m = qd.m AND b.k = qd.k AND qd.vec_id = qa.vec_id
+            WHERE b.vec_id >= 5
+            GROUP BY 1, 2, 3)
+          SELECT qid, rank, vid, adist, cell FROM (
+            SELECT qid, vid, cell, adist,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+            FROM adc)
+          WHERE rank <= 3 ORDER BY qid, rank""",
     // s12 — relational replay of the scalar quantizer: per-dim bounds,
     // the same integer floor-division nearest-level rounding, ×255
     // integer residuals. All-BIGINT, so order of summation is free.

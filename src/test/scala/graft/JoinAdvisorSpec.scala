@@ -141,4 +141,38 @@ class JoinAdvisorSpec extends AnyFunSuite {
     assert(a.strategy == "shuffle",
       s"uniform keys must not salt: $a")
   }
+
+  test("adviseJoinOrder puts the most selective dimension first, estimates " +
+    "bracket the exact join sizes, and executeChain is row-identical") {
+    import JoinAdvisor.ChainDim
+    // fact: 100k rows, keys ka in [0,1000), kb in [0,200)
+    val fact = spark.range(100000L).select(
+      (col("id") % 1000).as("ka"), (col("id") % 200).as("kb"),
+      col("id").as("payload"))
+    // selective dim: matches only ka < 20 → |fact ⋈ a| = 2000
+    val a = spark.range(20L).select(col("id").as("da"), lit("A").as("ta"))
+    // wide dim: every kb matches → |fact ⋈ b| = 100000
+    val b = spark.range(200L).select(col("id").as("db"), lit("B").as("tb"))
+    val dims = Seq(
+      ChainDim("selective", "ka", a, "da"),
+      ChainDim("wide", "kb", b, "db"))
+    val order = JoinAdvisor.adviseJoinOrder(fact, dims)
+    assert(order.map(_._1) == Seq("selective", "wide"), order.toString)
+    // e9's CM bracket per estimate: never under, over ≤ 4·Na·Nb/w
+    val exact = Map("selective" -> 2000L, "wide" -> 100000L)
+    order.foreach { case (n, est) =>
+      assert(est >= exact(n), s"$n underestimated: $est < ${exact(n)}")
+      val na = 100000L
+      val nb = if (n == "selective") 20L else 200L
+      assert(est <= exact(n) + na * nb * 4 / 4096 + 20,
+        s"$n estimate out of bracket: $est vs ${exact(n)}")
+    }
+    // chain output = plain fixed-order join output
+    val chained = JoinAdvisor.executeChain(fact, dims)
+    val plain = fact
+      .join(a, col("ka") === col("da")).join(b, col("kb") === col("db"))
+    assert(chained.count() == plain.count())
+    assert(chained.agg(sum("payload")).collect().head.getLong(0) ==
+      plain.agg(sum("payload")).collect().head.getLong(0))
+  }
 }
