@@ -84,7 +84,9 @@ object DumpPlans {
     "ts10_cusum_drift" -> "CUSUM control chart: window over the REDUCED hourly agg (partitioned by type), scaled integer deviations",
     "m7_imageio_decode" -> "ImageIO decode: partition-local byte decode (mapPartitions is the codec boundary), features-only shuffle",
     "j12_advised_join" -> "sketch-advised join: measured salted_shuffle — probe side salted, small build side exploded xsaltFactor",
-    "cdc_asof_read" -> "cross-table AS-OF read: one global LSN cut broadcast, per-table last-image apply semantics")
+    "cdc_asof_read" -> "cross-table AS-OF read: one global LSN cut broadcast, per-table last-image apply semantics",
+    "s16_ivfpq_topk" -> "IVF+PQ serving stack: cell gate BEFORE the xM code explode, broadcast distance table, raw vectors untouched",
+    "j13_ordered_join" -> "sketch-ordered join chain: CMS-estimated most-selective dimension joins first")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

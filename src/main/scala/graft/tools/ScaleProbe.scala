@@ -162,7 +162,8 @@ object ScaleProbe {
       // r9 ask #1: the embeddings/similarity family (panels fixed at
       // copy-0 ids, so the measured axis is corpus size)
       "s8_semantic_clusters", "s9_ann_recall", "s13_kmeans_assign",
-      "s14_pca_power", "s15_matryoshka_recall", "e9_join_size")
+      "s14_pca_power", "s15_matryoshka_recall", "e9_join_size",
+      "s16_ivfpq_topk")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
@@ -181,7 +182,10 @@ object ScaleProbe {
       Seq.fill(2)(once()).min
     }
 
-    val rows = names.map { n =>
+    // dev loop: SPARK_GRAFT_SCALE_ONLY=q1,q2 probes a subset (full
+    // runs leave it unset)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val rows = names.filter(n => only.forall(_.contains(n))).map { n =>
       val b = time(n, src)
       val s = time(n, out)
       val line = f"""{"query":"$n","base_s":$b%.3f,"x${factor}_s":$s%.3f,"ratio":${s / b}%.2f}"""
@@ -193,7 +197,7 @@ object ScaleProbe {
     // the LSH-forest sizing): the fixed-6 row above is the quadratic
     // wall of a frozen index; this row is the documented 100 TB path —
     // expected bucket occupancy constant ⇒ in-bucket rerank linear.
-    {
+    if (only.forall(_.contains("s8_semantic_clusters_logplanes"))) {
       val extraPlanes = (math.log(factor.toDouble) / math.log(2.0)).ceil.toInt
       def timeScaled(dir: String, planes: Int): Double = {
         def once(): Double = {

@@ -124,6 +124,27 @@ class PlanQualitySpec extends AnyFunSuite {
       s"exploded side is not the small build side: ${genLine.get}")
   }
 
+  test("j13 advised chain joins the SELECTIVE dimension first (PROMO part " +
+    "below supplier in the physical tree)") {
+    val df = SparkEntry.queries("j13_ordered_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the supplier join must be the OUTER (top) join and the promo-
+    // part join the INNER one: selective-first means the part join
+    // runs first, so the supplier join's probe input is the small
+    // intermediate, not raw lineitem. In the printed tree the outer
+    // join's line appears first (root-down).
+    val lines = plan.linesIterator.toSeq
+    val suppJoinAt = lines.indexWhere(l =>
+      l.contains("HashJoin") && l.contains("l_suppkey"))
+    val partJoinAt = lines.indexWhere(l =>
+      l.contains("HashJoin") && l.contains("l_partkey"))
+    assert(suppJoinAt >= 0 && partJoinAt >= 0, plan)
+    assert(suppJoinAt < partJoinAt,
+      s"promo-part join is not the inner (first-applied) join: " +
+        s"suppJoin@$suppJoinAt partJoin@$partJoinAt\n$plan")
+  }
+
   test("stratified sample is a pure map-side filter — zero exchanges before the sort") {
     val df = SparkEntry.queries("sp1_stratified_sample")(spark, sf)
     df.collect()
