@@ -146,6 +146,20 @@ object ScaleProbe {
       System.err.println(s"[scale] built ${factor}x embeddings at $out")
     }
 
+    // small dimension tables, copied VERBATIM: the advisor probes
+    // (j12/j13) join the 10× lineitem against supplier/part — the
+    // fact-grows-dims-fixed axis, which is also the realistic one for
+    // a warehouse's dimension tables. The advisor's stats pass scans
+    // both sides, so its cost must track the fact side only.
+    Seq("supplier", "part").foreach { t =>
+      val f = new java.io.File(s"$out/$t.parquet")
+      if (!f.exists()) {
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        System.err.println(s"[scale] copied $t at $out")
+      }
+    }
+
     val names = Seq(
       "d1_exact_dedup", "d2_jaccard_pairs", "d3_minhash_lsh", "d12_simhash_lookup",
       "d5_dedup_clusters", "d6_simhash64_pairs", "d7_containment",
@@ -163,7 +177,10 @@ object ScaleProbe {
       // copy-0 ids, so the measured axis is corpus size)
       "s8_semantic_clusters", "s9_ann_recall", "s13_kmeans_assign",
       "s14_pca_power", "s15_matryoshka_recall", "e9_join_size",
-      "s16_ivfpq_topk")
+      "s16_ivfpq_topk",
+      // sketch-advisor queries at 10× fact / fixed dims: the stats
+      // pass + the advised plan must both track the fact side
+      "j12_advised_join", "j13_ordered_join")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
