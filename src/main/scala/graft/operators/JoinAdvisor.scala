@@ -39,7 +39,11 @@ import graft.functions.HllSketch.hll_distinct
   */
 object JoinAdvisor {
 
-  /** Decision + the sketch evidence it was made from. */
+  /** Decision + the sketch evidence it was made from. `leftRows` /
+    * `rightRows` are PHYSICAL row counts — what a broadcast actually
+    * ships (null-keyed rows included); the per-key statistics
+    * (mean, hot ratio) are over non-null keys only, since null keys
+    * never join. */
   case class Advice(
       strategy: String, // "broadcast" | "shuffle" | "salted_shuffle"
       buildSide: String, // "left" | "right" — smaller side
@@ -53,7 +57,9 @@ object JoinAdvisor {
       saltFactor: Int) // 1 unless salted_shuffle
 
   private case class SideStats(
-      rows: Long, cms: Array[Byte], distinct: Long, candidates: Seq[String])
+      physRows: Long, // all rows — what a broadcast ships
+      keyRows: Long, // non-null keys — what can join
+      cms: Array[Byte], distinct: Long, candidates: Seq[String])
 
   private def statsOf(df: DataFrame, key: String, mgK: Int): SideStats = {
     // key is sketched as its string form so the driver-side CMS point
@@ -61,18 +67,21 @@ object JoinAdvisor {
     // regardless of the column's type (both sides must cast the same
     // way for the inner product to be meaningful)
     val k: Column = col(key).cast("string")
-    // count(col) not count(*): null keys never join, so they must not
-    // inflate rows (and thus mean = rows/distinct) — on a null-heavy
-    // key column that bias would both mute the hot-key ratio and
-    // overstate the build side against the broadcast budget. The
-    // sketches already skip nulls; the row count now matches them.
+    // BOTH row counts, one pass: the broadcast budget must see
+    // PHYSICAL rows (a null-heavy build side still ships every row
+    // through the BroadcastExchange — advising broadcast off the
+    // non-null count alone is exactly the driver-OOM the advisor
+    // exists to prevent), while the per-key statistics (mean =
+    // keyRows/distinct, hot ratio) must see only non-null keys,
+    // which the sketches already skip.
     val row = df.agg(
+      count(lit(1)).as("phys"),
       count(k).as("n"),
       cms_build(k).as("cms"),
       hll_distinct(k).as("nd"),
       freq_candidates(k, mgK).as("cand")).collect().head
-    SideStats(row.getLong(0), row.getAs[Array[Byte]]("cms"),
-      row.getLong(2), row.getSeq[String](3))
+    SideStats(row.getLong(0), row.getLong(1), row.getAs[Array[Byte]]("cms"),
+      row.getLong(3), row.getSeq[String](4))
   }
 
   /** Advise a strategy for `left JOIN right ON leftKey = rightKey`.
@@ -95,8 +104,10 @@ object JoinAdvisor {
     val ls = statsOf(left, leftKey, mgK = 8)
     val rs = statsOf(right, rightKey, mgK = 8)
     val est = CmsOps.inner(ls.cms, rs.cms)
+    // sides compared by PHYSICAL size — that is what the build side's
+    // hash relation (and a broadcast of it) actually costs
     val (build, probe, buildName) =
-      if (ls.rows <= rs.rows) (ls, rs, "left") else (rs, ls, "right")
+      if (ls.physRows <= rs.physRows) (ls, rs, "left") else (rs, ls, "right")
 
     // hottest probe key: Misra-Gries guarantees every key with share
     // > 1/k is among the candidates; CMS point queries rank them
@@ -105,19 +116,19 @@ object JoinAdvisor {
         org.apache.spark.unsafe.types.UTF8String.fromString(c)))
       .sortBy { case (c, n) => (-n, c) }
       .headOption
-    val mean = probe.rows / math.max(1L, probe.distinct)
+    val mean = probe.keyRows / math.max(1L, probe.distinct)
     val hotCnt = hot.map(_._2).getOrElse(0L)
 
-    if (build.rows <= broadcastRowLimit)
-      Advice("broadcast", buildName, ls.rows, rs.rows, probe.distinct,
+    if (build.physRows <= broadcastRowLimit)
+      Advice("broadcast", buildName, ls.physRows, rs.physRows, probe.distinct,
         est, hot.map(_._1), hotCnt, mean, 1)
     else if (hotCnt > hotFactor * mean) {
       val salt = math.min(maxSalt.toLong,
         math.max(1L, hotCnt / math.max(1L, hotFactor * mean))).toInt
-      Advice("salted_shuffle", buildName, ls.rows, rs.rows, probe.distinct,
+      Advice("salted_shuffle", buildName, ls.physRows, rs.physRows, probe.distinct,
         est, hot.map(_._1), hotCnt, mean, salt)
     } else
-      Advice("shuffle", buildName, ls.rows, rs.rows, probe.distinct,
+      Advice("shuffle", buildName, ls.physRows, rs.physRows, probe.distinct,
         est, hot.map(_._1), hotCnt, mean, 1)
   }
 
@@ -134,10 +145,22 @@ object JoinAdvisor {
     * (CM guarantee), so the chosen order can only be pessimistic
     * about the joins it defers — the safe direction. */
   def adviseJoinOrder(fact: DataFrame, dims: Seq[ChainDim]): Seq[(String, Long)] = {
-    val ests = dims.map { cd =>
-      val fs = statsOf(fact, cd.factKey, mgK = 8)
-      val ds = statsOf(cd.dim, cd.dimKey, mgK = 8)
-      cd.name -> CmsOps.inner(fs.cms, ds.cms)
+    require(dims.map(_.name).distinct.size == dims.size,
+      s"duplicate ChainDim names: ${dims.map(_.name)}")
+    // ONE scan of the fact table builds every fact-key CMS in a single
+    // map-combined aggregate (the module's one-pass-per-side contract
+    // — k separate statsOf calls would scan the fact k times, and the
+    // ordering decision needs only the CMS, not HLL/Misra-Gries)
+    val factRow = fact.agg(
+      cms_build(col(dims.head.factKey).cast("string")).as("c0"),
+      dims.tail.zipWithIndex.map { case (cd, i) =>
+        cms_build(col(cd.factKey).cast("string")).as(s"c${i + 1}")
+      }: _*).collect().head
+    val ests = dims.zipWithIndex.map { case (cd, i) =>
+      val dimCms = cd.dim
+        .agg(cms_build(col(cd.dimKey).cast("string")).as("c"))
+        .collect().head.getAs[Array[Byte]](0)
+      cd.name -> CmsOps.inner(factRow.getAs[Array[Byte]](i), dimCms)
     }
     ests.sortBy { case (n, e) => (e, n) }
   }
@@ -178,16 +201,25 @@ object JoinAdvisor {
         if (advice.buildSide == "left") broadcast(left).join(r, leftKey)
         else left.join(broadcast(r), leftKey)
       case "salted_shuffle" =>
-        // one pinned order for both orientations: key, left cols, right cols
-        val outCols = col(leftKey) +:
-          (left.columns.filter(_ != leftKey) ++
-            r.columns.filter(_ != leftKey)).map(col)
-        val joined =
-          if (advice.buildSide == "right")
-            Skew.saltedJoin(left, r, leftKey, advice.saltFactor)
-          else // probe = right: salt it; replicate the small LEFT side
-            Skew.saltedJoin(r, left, leftKey, advice.saltFactor)
-        joined.select(outCols: _*)
+        // one pinned order for both orientations: key, left cols,
+        // right cols — matching what the broadcast/shuffle branches
+        // produce. The reorder is POSITIONAL (saltedJoin's output is
+        // key, facts-others, dim-others by construction), never by
+        // name: sides sharing a non-key column name must keep working,
+        // as they do on every other strategy.
+        if (advice.buildSide == "right")
+          Skew.saltedJoin(left, r, leftKey, advice.saltFactor)
+        else { // probe = right: salt it; replicate the small LEFT side
+          val j = Skew.saltedJoin(r, left, leftKey, advice.saltFactor)
+          val nR = r.columns.length - 1 // non-key cols of the salted side
+          val nL = left.columns.length - 1
+          // positions in j: 0 = key, 1..nR = right-others, nR+1.. = left-others
+          val order = 0 +: ((nR + 1 to nR + nL) ++ (1 to nR))
+          val names = leftKey +: (left.columns.filter(_ != leftKey) ++
+            r.columns.filter(_ != leftKey))
+          val tmp = j.toDF(j.columns.indices.map(i => s"_graft_c$i"): _*)
+          tmp.select(order.map(i => tmp(s"_graft_c$i")): _*).toDF(names: _*)
+        }
       case _ => left.join(r, leftKey)
     }
   }

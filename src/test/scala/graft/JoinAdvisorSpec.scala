@@ -123,15 +123,19 @@ class JoinAdvisorSpec extends AnyFunSuite {
     assert(joined.columns.toSeq == Seq("k", "dname", "payload"))
   }
 
-  test("null keys do not count toward rows / broadcast budget / mean") {
-    // 150k rows but only 500 non-null keys: with count(*) the build
-    // side would blow the 1000-row budget; with count(key) it fits
-    val left = spark.range(150000L)
-      .select(when(col("id") % 300 === 0, col("id") % 500).as("k"))
+  test("broadcast budget counts PHYSICAL rows; per-key stats count " +
+    "non-null keys only") {
+    // 50k physical rows but only 500 non-null keys: the broadcast
+    // would ship all 50k rows, so the budget must see 50k (a non-null
+    // count of 500 <= limit advising broadcast here is the driver-OOM
+    // path); the mean/hot statistics meanwhile must NOT be diluted by
+    // the 49.5k null rows that can never join
+    val left = spark.range(50000L)
+      .select(when(col("id") % 100 === 0, col("id") % 500).as("k"))
     val d = dim(100000)
     val a = JoinAdvisor.advise(left, "k", d, "k", broadcastRowLimit = 1000L)
-    assert(a.leftRows == 500L, a.toString)
-    assert(a.strategy == "broadcast" && a.buildSide == "left", a.toString)
+    assert(a.leftRows == 50000L, a.toString) // physical, not non-null
+    assert(a.strategy != "broadcast", s"null-heavy 50k-row side broadcast: $a")
   }
 
   test("uniform probe side does NOT trigger salting even above the budget") {
@@ -140,6 +144,19 @@ class JoinAdvisorSpec extends AnyFunSuite {
     val a = JoinAdvisor.advise(left, "k", d, "k", broadcastRowLimit = 1000L)
     assert(a.strategy == "shuffle",
       s"uniform keys must not salt: $a")
+  }
+
+  test("salted execute tolerates sides sharing a non-key column name " +
+    "(positional reorder, like every other strategy)") {
+    val facts = spark.range(200000L)
+      .select(when(col("id") % 2 === 0, 7L).otherwise(col("id") % 5000).as("k"),
+        col("id").as("v")) // both sides carry a column named "v"
+    val d = spark.range(20000L).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val a = JoinAdvisor.advise(d, "k", facts, "k", broadcastRowLimit = 1000L)
+    assert(a.strategy == "salted_shuffle" && a.buildSide == "left", a.toString)
+    val joined = JoinAdvisor.execute(d, "k", facts, "k", a)
+    assert(joined.columns.toSeq == Seq("k", "v", "v")) // key, left v, right v
+    assert(joined.count() == d.join(facts, "k").count())
   }
 
   test("adviseJoinOrder puts the most selective dimension first, estimates " +
