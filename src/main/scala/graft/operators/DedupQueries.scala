@@ -321,15 +321,23 @@ object DedupQueries {
           col("simhash") === col("nbr") && col("doc_id") =!= col("seed_id"))
         .select(col("seed_id"), col("doc_id"),
           expr("bit_count(simhash ^ seed_sim)").as("hamming"))
-        // argmin by (hamming, doc_id): lexicographic struct MIN — no
-        // packed-radix key, so no silent corruption at any doc_id
-        // magnitude (r9 advice: the 1e8 radix broke above 1e8 ids)
+        // argmin by (hamming, doc_id), exact at ANY doc_id magnitude
+        // (r9 advice: the old 1e8-radix packed key silently corrupted
+        // above 1e8 ids): hamming is structurally ≤ 3 here — the
+        // neighbor expansion only emits ≤3-bit masks — so the argmin
+        // decomposes into FOUR conditional mins, one per hamming
+        // value, all inside whole-stage codegen (a struct MIN is
+        // exact too, but its per-row comparator is interpreted —
+        // measured ~1.5× on this query). best = the first non-null
+        // in hamming order.
         .groupBy("seed_id")
         .agg(count(lit(1)).as("n_near"),
-          min(struct(col("hamming"), col("doc_id"))).as("bk"))
+          (0 to 3).map(h =>
+            min(when(col("hamming") === h, col("doc_id"))).as(s"m$h")): _*)
         .select(col("seed_id"), col("n_near"),
-          col("bk.doc_id").as("best_doc"),
-          col("bk.hamming").cast("long").as("best_hamming"))
+          coalesce(col("m0"), col("m1"), col("m2"), col("m3")).as("best_doc"),
+          when(col("m0").isNotNull, 0L).when(col("m1").isNotNull, 1L)
+            .when(col("m2").isNotNull, 2L).otherwise(3L).as("best_hamming"))
         .orderBy("seed_id")
     },
 
@@ -692,10 +700,17 @@ object DedupQueries {
             FROM sims a JOIN seeds s ON a.doc_id <> s.seed_id
             WHERE bit_count(xor(a.simhash, s.seed_sim)) <= 3)
           SELECT seed_id, CAST(COUNT(*) AS BIGINT) AS n_near,
-            CAST((MIN({'h': hamming, 'd': doc_id})).d AS BIGINT)
+            CAST(COALESCE(
+              MIN(CASE WHEN hamming = 0 THEN doc_id END),
+              MIN(CASE WHEN hamming = 1 THEN doc_id END),
+              MIN(CASE WHEN hamming = 2 THEN doc_id END),
+              MIN(CASE WHEN hamming = 3 THEN doc_id END)) AS BIGINT)
               AS best_doc,
-            CAST((MIN({'h': hamming, 'd': doc_id})).h AS BIGINT)
-              AS best_hamming
+            CAST(CASE
+              WHEN MIN(CASE WHEN hamming = 0 THEN doc_id END) IS NOT NULL THEN 0
+              WHEN MIN(CASE WHEN hamming = 1 THEN doc_id END) IS NOT NULL THEN 1
+              WHEN MIN(CASE WHEN hamming = 2 THEN doc_id END) IS NOT NULL THEN 2
+              ELSE 3 END AS BIGINT) AS best_hamming
           FROM hits GROUP BY 1 ORDER BY seed_id""",
     // 64-bit mirror: per-bit derived parity g_b = ((h*(2b+3) + b*7919
     // + 1) % M) % 2 (identical to HashOps.simhash64); the signed
