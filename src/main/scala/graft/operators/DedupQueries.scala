@@ -129,11 +129,16 @@ object DedupQueries {
     val edges0 = pairs.select(col("da"), col("db"))
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
       .localCheckpoint(true) // reused every iteration
-    val edges = withExactStats(edges0, edges0.count(), 16L)
+    // ONE pass over the checkpointed edge set yields both pinned
+    // invariants: |edges| and |nodes| (= distinct da, since edges are
+    // symmetrized)
+    val cnts = edges0.agg(count(lit(1)), countDistinct(col("da"))).collect().head
+    val (nEdges, nNodes) = (cnts.getLong(0), cnts.getLong(1))
+    val edges = withExactStats(edges0, nEdges, 16L)
     val nodes = edges.select(col("da").as("doc_id")).distinct()
-    var labels = nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true)
-    val nNodes = labels.count()
-    labels = withExactStats(labels, nNodes, 16L)
+    var labels = withExactStats(
+      nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true),
+      nNodes, 16L)
     // Convergence check without a generation-vs-generation join: labels
     // only ever DECREASE (least of self and neighbors), so the label
     // sum is strictly monotone until fixpoint — equal consecutive sums
