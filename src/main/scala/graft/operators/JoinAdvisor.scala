@@ -145,6 +145,9 @@ object JoinAdvisor {
     * (CM guarantee), so the chosen order can only be pessimistic
     * about the joins it defers — the safe direction. */
   def adviseJoinOrder(fact: DataFrame, dims: Seq[ChainDim]): Seq[(String, Long)] = {
+    // r10 advice: dims.head below would otherwise surface as a bare
+    // NoSuchElementException from an empty chain
+    require(dims.nonEmpty, "adviseJoinOrder needs at least one ChainDim")
     require(dims.map(_.name).distinct.size == dims.size,
       s"duplicate ChainDim names: ${dims.map(_.name)}")
     // ONE scan of the fact table builds every fact-key CMS in a single
@@ -170,6 +173,7 @@ object JoinAdvisor {
     * to ANY order — only the intermediate sizes differ; the oracle
     * equality gate (j13) proves exactly that. */
   def executeChain(fact: DataFrame, dims: Seq[ChainDim]): DataFrame = {
+    if (dims.isEmpty) return fact // zero joins to order — identity
     val byName = dims.map(d => d.name -> d).toMap
     adviseJoinOrder(fact, dims).foldLeft(fact) { case (acc, (name, _)) =>
       val cd = byName(name)

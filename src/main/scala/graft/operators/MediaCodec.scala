@@ -26,6 +26,16 @@ object MediaCodec {
   // the actual decode (measured ~2× on the m7 bench). One per-JVM flag
   // set at class-init time (each executor pays it once) switches
   // ImageIO to in-memory stream caching.
+  //
+  // GLOBAL SIDE EFFECT (r10 advice): `setUseCache` mutates
+  // process-wide JVM state — any co-hosted code using ImageIO in the
+  // same executor JVM loses disk-backed stream caching from the moment
+  // this object first loads. That trade is right for this engine (all
+  // decode inputs are in-memory byte arrays; disk spooling is pure
+  // overhead for them), but a co-tenant decoding multi-GB streams from
+  // slow channels would want the flag set/restored around these call
+  // sites instead. Kept global here because per-call toggling races
+  // across decoder threads within one executor.
   javax.imageio.ImageIO.setUseCache(false)
 
   final case class Decoded(

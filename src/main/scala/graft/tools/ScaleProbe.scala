@@ -154,11 +154,22 @@ object ScaleProbe {
     // proportional-growth axis (10× fact ⋈ 10× dims). A verbatim copy
     // would leave copies k>0 dangling and freeze the join output at
     // base size, making the ratio an artifact (r10 review catch).
-    Seq(("supplier", "s_suppkey"), ("part", "p_partkey")).foreach { case (t, idc) =>
+    Seq(("supplier", "s_suppkey", "l_suppkey"),
+        ("part", "p_partkey", "l_partkey")).foreach { case (t, idc, fkc) =>
       val f = new java.io.File(s"$out/$t.parquet")
       if (!f.exists()) {
         val base = spark.read.parquet(s"$src/$t.parquet")
         val span = base.agg(max(idc)).collect().head.getLong(0) + 1
+        // FAIL-FAST span check (r10 advice): the lineitem builder above
+        // offsets copy k's FKs by the FACT side's max+1 — copies only
+        // keep resolving if the dim's key domain spans the same range.
+        // A silent mismatch would strand copy-k fact keys in the wrong/
+        // no dim copy and turn the j12/j13 ratios into artifacts.
+        val fkSpan = spark.read.parquet(s"$src/lineitem.parquet")
+          .agg(max(fkc)).collect().head.getLong(0) + 1
+        require(span == fkSpan,
+          s"dim/fact key-span mismatch for $t: max($idc)+1=$span but " +
+            s"max($fkc)+1=$fkSpan — per-copy offsets would break FK resolution")
         (0 until factor)
           .map(k => base.withColumn(idc, col(idc) + lit(k * span)))
           .reduce(_ unionByName _)
