@@ -222,7 +222,7 @@ object SimilarityQueries {
     // generation is the bucket equi-join, the CC loop is the
     // pointer-jumped O(log diameter) iteration shared with d5, and
     // the rep join touches |clusters| rows.
-    "s8_semantic_clusters" -> { (s, d) => semanticClusters(s, d, nPlanes = 6) },
+    "s8_semantic_clusters" -> { (s, d) => semanticClustersAuto(s, d) },
 
     // ── s9: ANN quality harness — recall@1 of the LSH bucket search
     // (s2's index) against brute-force ground truth on a query sample
@@ -236,41 +236,7 @@ object SimilarityQueries {
     // the comparison is a one-row aggregate. A query whose probed
     // buckets hold no other vector scores a miss — recall measures the
     // index as served, not just its rerank.
-    "s9_ann_recall" -> { (s, d) =>
-      val base = vecs(s, d)
-        .withColumn("bucket", hyperplane_bucket(col("qv"), 6))
-        .localCheckpoint(true) // feeds the query sample + both candidate sides
-      val q = base.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("qid"), col("qv").as("va"),
-          col("norm").as("qn"), col("bucket").as("qbucket"))
-      // probe set: the query's bucket XOR {0, 1, 2, 4, 8, 16, 32}
-      val qProbes = q.withColumn("pbucket",
-        explode(array((lit(0L) +: (0 until 6).map(j => lit(1L << j))): _*)))
-        .withColumn("pbucket", col("qbucket").bitwiseXOR(col("pbucket")))
-      val t = base.select(col("vec_id").as("vid"), col("qv").as("vb"),
-        col("norm").as("vn"), col("bucket").as("vbucket"))
-      def top1(cand: DataFrame, out: String): DataFrame = cand
-        .filter(col("qid") =!= col("vid"))
-        .withColumn("cos_raw", dotCol / (col("qn") * col("vn")))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vid").asc)))
-        .filter(col("rank") === 1)
-        .select(col("qid"), col("vid").as(out))
-      val brute = top1(t.crossJoin(broadcast(q)), "bvid")
-      val lsh1 = top1(t.join(broadcast(q), col("qbucket") === col("vbucket")), "lvid")
-      val lshM = top1(t.join(broadcast(qProbes), col("pbucket") === col("vbucket")), "mvid")
-      def hits(c: Column): Column = sum(when(c === col("bvid"), 1L).otherwise(0L))
-      brute.join(lsh1, Seq("qid"), "left").join(lshM, Seq("qid"), "left")
-        .agg(count(lit(1)).as("n_queries"),
-          hits(col("lvid")).as("n_hits_1probe"),
-          hits(col("mvid")).as("n_hits_multiprobe"))
-        .select(col("n_queries"), col("n_hits_1probe"),
-          round(col("n_hits_1probe") / col("n_queries").cast("double"), 4)
-            .as("recall_1probe"),
-          col("n_hits_multiprobe"),
-          round(col("n_hits_multiprobe") / col("n_queries").cast("double"), 4)
-            .as("recall_multiprobe"))
-    },
+    "s9_ann_recall" -> { (s, d) => annRecall(s, d, nPlanes = 6) },
 
     // ── s10: product-quantization codes — the compression layer a
     // 100 TB vector store actually serves from: each 64-d vector is
@@ -537,15 +503,94 @@ object SimilarityQueries {
     }
   )
 
+  /** ENGINE-SIZED plane count (r10 verdict ask #1): the LSH index is
+    * only linear in corpus size if the plane count tracks log₂(N) —
+    * in-bucket candidate pairs grow as N²/2^planes, so a frozen plane
+    * count is a measured quadratic wall (SCALE.md r10: candidates 98×
+    * at 10× with planes pinned at 6). This is the standard LSH-forest
+    * occupancy rule: hold E[bucket size] = N/2^planes at
+    * `targetOccupancy` ⇒ planes = ⌈log₂(N/occupancy)⌉, floored so a
+    * tiny corpus keeps enough planes for the buckets to mean anything.
+    * The rule is exact at power-of-two boundaries (both log2 inputs
+    * are exactly representable doubles there) and monotone in N —
+    * spec-pinned in SimilaritySizingSpec. */
+  def autoPlanes(n: Long, targetOccupancy: Long = 32L, floor: Int = 6): Int = {
+    require(targetOccupancy > 0, s"targetOccupancy must be > 0, got $targetOccupancy")
+    if (n <= targetOccupancy) floor
+    else math.max(floor,
+      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt)
+  }
+
+  /** s8 with the plane count chosen BY THE ENGINE from the corpus: one
+    * cheap count pass (parquet row-group metadata — no column reads)
+    * sizes the index, then the clustering runs at that width. At the
+    * shipped SFs the rule resolves to the floor (500 and 2000 vectors
+    * ÷ 32 occupancy < 2⁶), so the pinned DuckDB oracle is unchanged;
+    * at the 10× probe corpus it resolves to 10 planes — the measured
+    * ~5.9× scale path — with no caller-supplied parameter. At 100 TB
+    * the count is the same one-scan ANALYZE statistic the join advisor
+    * collects; recall at widened counts is re-validated through s9's
+    * harness ([[annRecall]], spec-gated). */
+  def semanticClustersAuto(s: SparkSession, d: String,
+      targetOccupancy: Long = 32L): DataFrame = {
+    val n = Tables.load(s, d, "embeddings").count()
+    semanticClusters(s, d, autoPlanes(n, targetOccupancy))
+  }
+
   /** s8's body with the LSH plane count as THE scale knob. In-bucket
     * candidate pairs grow as N²/2^planes, so a FIXED plane count is
     * quadratic in corpus size — the index only stays linear if
     * `nPlanes` tracks log₂(N) (expected bucket occupancy constant,
-    * the standard LSH-forest sizing). The oracle query pins planes=6
-    * for the sf-scale corpus; `ScaleProbe` measures both the fixed-6
-    * wall (the quadratic wall) and the log-scaled count (the 100 TB
+    * the standard LSH-forest sizing). [[semanticClustersAuto]] applies
+    * that rule automatically; `ScaleProbe` measures both the fixed-6
+    * wall (the quadratic wall) and the auto-sized count (the 100 TB
     * path). More planes trade recall for candidates exactly like any
-    * LSH index — the knob is tuned against s9's recall harness. */
+    * LSH index — the knob is validated against s9's recall harness
+    * ([[annRecall]]). */
+  /** s9's body with the plane count as a parameter — the recall
+    * harness that validates ANY index width (fixed 6 for the pinned
+    * oracle; the auto-sized widths from [[autoPlanes]] are re-checked
+    * through this same harness, spec-gated). Single-probe plus
+    * Hamming-1 multi-probe (exact bucket + all one-bit-flip
+    * neighbors — nPlanes+1 equi-join keys, never a distance join)
+    * against brute-force ground truth on the vec_id < 50 query
+    * sample. */
+  def annRecall(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
+    val base = vecs(s, d)
+      .withColumn("bucket", hyperplane_bucket(col("qv"), nPlanes))
+      .localCheckpoint(true) // feeds the query sample + both candidate sides
+    val q = base.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("qv").as("va"),
+        col("norm").as("qn"), col("bucket").as("qbucket"))
+    // probe set: the query's bucket XOR {0} ∪ single-bit flips
+    val qProbes = q.withColumn("pbucket",
+      explode(array((lit(0L) +: (0 until nPlanes).map(j => lit(1L << j))): _*)))
+      .withColumn("pbucket", col("qbucket").bitwiseXOR(col("pbucket")))
+    val t = base.select(col("vec_id").as("vid"), col("qv").as("vb"),
+      col("norm").as("vn"), col("bucket").as("vbucket"))
+    def top1(cand: DataFrame, out: String): DataFrame = cand
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cos_raw", dotCol / (col("qn") * col("vn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vid").asc)))
+      .filter(col("rank") === 1)
+      .select(col("qid"), col("vid").as(out))
+    val brute = top1(t.crossJoin(broadcast(q)), "bvid")
+    val lsh1 = top1(t.join(broadcast(q), col("qbucket") === col("vbucket")), "lvid")
+    val lshM = top1(t.join(broadcast(qProbes), col("pbucket") === col("vbucket")), "mvid")
+    def hits(c: Column): Column = sum(when(c === col("bvid"), 1L).otherwise(0L))
+    brute.join(lsh1, Seq("qid"), "left").join(lshM, Seq("qid"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        hits(col("lvid")).as("n_hits_1probe"),
+        hits(col("mvid")).as("n_hits_multiprobe"))
+      .select(col("n_queries"), col("n_hits_1probe"),
+        round(col("n_hits_1probe") / col("n_queries").cast("double"), 4)
+          .as("recall_1probe"),
+        col("n_hits_multiprobe"),
+        round(col("n_hits_multiprobe") / col("n_queries").cast("double"), 4)
+          .as("recall_multiprobe"))
+  }
+
   def semanticClusters(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
     val v = vecs(s, d).withColumn("bucket", hyperplane_bucket(col("qv"), nPlanes))
     val a = v.select(col("vec_id").as("da"), col("qv").as("va"),

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SimilarityQueries
+
+/** Pins for the ENGINE-SIZED LSH index (r10 verdict ask #1): the
+  * frozen-plane index is a measured quadratic wall (SCALE.md r10 —
+  * in-bucket candidates ×98 at 10× with planes pinned at 6), so plane
+  * selection must be engine behavior, not a caller-supplied constant.
+  *
+  *  - the sizing rule itself: planes = max(floor, ⌈log₂(N/occupancy)⌉)
+  *    at the exact corpus sizes the engine meets (shipped SFs resolve
+  *    to the floor — the pinned DuckDB oracle is unchanged by
+  *    construction; the 10× probe corpus resolves to 10 — the measured
+  *    ~5.9× scale path), plus monotonicity and the power-of-two
+  *    boundaries where the double log2 must stay exact;
+  *  - auto == fixed at the floor: semanticClustersAuto on a shipped SF
+  *    is row-identical to semanticClusters(nPlanes = 6) — the oracle
+  *    gate and this identity together prove the auto path changes
+  *    nothing until the corpus actually grows.
+  */
+class SimilaritySizingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("autoPlanes: occupancy rule at the engine's own corpus sizes") {
+    // shipped SFs: 500 (sf0.001/sf0.01) and 2000 (sf0.1) vectors ÷ 32
+    // occupancy stay under 2^6 → the floor; the ScaleProbe 10× corpus
+    // (20000) needs ⌈log₂(625)⌉ = 10 — exactly the r10 log-planes path
+    assert(SimilarityQueries.autoPlanes(500) == 6)
+    assert(SimilarityQueries.autoPlanes(2000) == 6)
+    assert(SimilarityQueries.autoPlanes(20000) == 10)
+    // a 100× corpus: ⌈log₂(200000/32)⌉ = ⌈12.6⌉ = 13
+    assert(SimilarityQueries.autoPlanes(200000) == 13)
+  }
+
+  test("autoPlanes: power-of-two boundaries are exact, not off-by-one") {
+    // N/occ = 2^k exactly ⇒ planes = k (ceil of an exact double log2);
+    // one vector more ⇒ k+1
+    assert(SimilarityQueries.autoPlanes(32L << 10) == 10) // 32768/32 = 2^10
+    assert(SimilarityQueries.autoPlanes((32L << 10) + 1) == 11)
+    assert(SimilarityQueries.autoPlanes(32L << 20) == 20)
+    assert(SimilarityQueries.autoPlanes((32L << 20) + 1) == 21)
+  }
+
+  test("autoPlanes: floor below/at occupancy, monotone in N, occupancy knob") {
+    assert(SimilarityQueries.autoPlanes(0) == 6)
+    assert(SimilarityQueries.autoPlanes(1) == 6)
+    assert(SimilarityQueries.autoPlanes(32) == 6)
+    val widths = (1L to 20L).map(k => SimilarityQueries.autoPlanes(1L << k))
+    assert(widths == widths.sorted, s"not monotone: $widths")
+    // halving the target occupancy adds exactly one plane past the floor
+    assert(SimilarityQueries.autoPlanes(20000, targetOccupancy = 16) == 11)
+    intercept[IllegalArgumentException] {
+      SimilarityQueries.autoPlanes(100, targetOccupancy = 0)
+    }
+  }
+
+  test("auto == fixed-6 at shipped scale: the pinned oracle is untouched") {
+    val auto = SimilarityQueries.semanticClustersAuto(spark, sf).collect().toSeq
+    val fixed = SimilarityQueries.semanticClusters(spark, sf, nPlanes = 6)
+      .collect().toSeq
+    assert(auto == fixed)
+    assert(auto.nonEmpty)
+  }
+}
