@@ -188,6 +188,8 @@ object ScaleProbe {
       "g1_pagerank", "g2_triangles", "g3_copurchase_recs", "dq2_outlier_mad",
       // r8 additions over the documents corpus
       "t22_bpe_encode", "t25_phrase_search", "c8_curriculum", "m6_media_dedup",
+      // r11 additions: 64-bit serving lookup + perceptual media dedup
+      "d13_simhash64_lookup", "m8_perceptual_dedup",
       // r8 additions over the (10×-history) events stream
       "ts9_autocorr", "ts10_cusum_drift", "ts11_theilsen",
       "e7_bloom_audit", "e8_rolling_distinct", "dq5_skew_advisor",
@@ -229,12 +231,15 @@ object ScaleProbe {
       (n, b, s)
     }
 
-    // s8 with the plane count SCALED to the corpus (nPlanes ∝ log₂ N,
-    // the LSH-forest sizing): the fixed-6 row above is the quadratic
-    // wall of a frozen index; this row is the documented 100 TB path —
-    // expected bucket occupancy constant ⇒ in-bucket rerank linear.
-    if (only.forall(_.contains("s8_semantic_clusters_logplanes"))) {
-      val extraPlanes = (math.log(factor.toDouble) / math.log(2.0)).ceil.toInt
+    // s8 CONTRAST row: the frozen-6-plane index on the same corpora —
+    // the r10-measured quadratic wall (candidates ∝ N²/2⁶). The main
+    // s8_semantic_clusters row above now runs the AUTO-sized index
+    // (semanticClustersAuto: planes = max(6, ⌈log₂(N/32)⌉) — resolves
+    // to 6 at base, 10 at 10×, no hand-set parameter), so auto-vs-
+    // fixed6 here IS the engine-behavior proof the r10 verdict asked
+    // for: auto's ratio should land at the ~5.9× log-planes path while
+    // this row stays on the wall.
+    if (only.forall(_.contains("s8_semantic_clusters_fixed6"))) {
       def timeScaled(dir: String, planes: Int): Double = {
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -250,8 +255,30 @@ object ScaleProbe {
         System.gc(); once(); Seq.fill(2)(once()).min
       }
       val b = timeScaled(src, 6)
-      val s = timeScaled(out, 6 + extraPlanes)
-      println(f"""{"query":"s8_semantic_clusters_logplanes","base_s":$b%.3f,"x${factor}_s":$s%.3f,"ratio":${s / b}%.2f,"planes_base":6,"planes_scaled":${6 + extraPlanes}}""")
+      val s = timeScaled(out, 6)
+      println(f"""{"query":"s8_semantic_clusters_fixed6","base_s":$b%.3f,"x${factor}_s":$s%.3f,"ratio":${s / b}%.2f,"planes":6}""")
+    }
+
+    // recall at the AUTO-sized width (s9's harness at the planes the
+    // engine picks for each corpus): widening the index must keep the
+    // served quality in the same regime, or the auto rule is trading
+    // away the operator's point. One row per corpus: planes used +
+    // single-/multi-probe recall over the fixed query panel.
+    if (only.forall(_.contains("s9_ann_recall_auto"))) {
+      // per corpus: recall at the AUTO width, plus the frozen-6
+      // contrast on the scaled corpus — separating what the widening
+      // costs from what the corpus structure costs (the 10× builder's
+      // cross-copy decorrelation makes some true top-1s unfindable by
+      // ANY hyperplane index; the fixed-6 row holds that constant)
+      Seq(("base", src), (s"x$factor", out)).foreach { case (tag, dir) =>
+        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        val auto = graft.operators.SimilarityQueries.autoPlanes(n)
+        Seq(auto, 6).distinct.foreach { planes =>
+          val r = graft.operators.SimilarityQueries.annRecall(spark, dir, planes)
+            .collect().head
+          println(f"""{"query":"s9_ann_recall_auto","corpus":"$tag","n_vecs":$n,"planes":$planes,"auto":${planes == auto},"recall_1probe":${r.getAs[Double]("recall_1probe")}%.4f,"recall_multiprobe":${r.getAs[Double]("recall_multiprobe")}%.4f}""")
+        }
+      }
     }
     if (rows.nonEmpty) {
       val worst = rows.maxBy(r => r._3 / r._2)
