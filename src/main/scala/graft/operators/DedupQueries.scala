@@ -346,6 +346,57 @@ object DedupQueries {
         .orderBy("seed_id")
     },
 
+    // ── d13: the d12 serving lookup at PRODUCTION signature width
+    // (r10 verdict ask #3) — 16-bit signatures saturate at ~10⁵ docs
+    // (65,536 values ⇒ every doc collides at Hamming 0 and n_near
+    // degenerates), so the lookup that survives a real corpus runs on
+    // d6's 64-bit signature. The full neighbor expansion is no longer
+    // the shape (C(64,≤3) = 43,745 masks per seed); instead: BAND
+    // MULTIPROBE with in-band verify — both sides explode in-row to
+    // their 4 16-bit bands, the corpus probes the broadcast seed bands
+    // by equi-join, and the exact 64-bit Hamming check runs per
+    // candidate. Pigeonhole makes it complete (hamming ≤ 3 flips at
+    // most 3 of 4 bands ⇒ some band equal), the verify makes it
+    // exact; candidates per corpus row ≈ 4·|seeds|/2¹⁶ band
+    // collisions — linear in data, zero corpus shuffle before the
+    // bounded per-seed aggregate. Seed-count ceiling: the broadcast
+    // ships 4 rows/seed, so ~10⁷ seeds fit a default 8 GB broadcast
+    // budget; past that the identical plan swaps the broadcast for a
+    // shuffle join on (band, chunk) — the keys are already there.
+    "d13_simhash64_lookup" -> { (s, d) =>
+      val sims = Tables.load(s, d, "documents")
+        .select(col("doc_id"), char_fold_array(tokenize(col("text"))).as("hs"))
+        .filter(size(col("hs")) > 0) // oracle domain parity (see d12)
+        .select(col("doc_id"), simhash64(col("hs")).as("simhash"))
+        .localCheckpoint(true) // feeds the corpus side + the seed side
+      val seeds = sims.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("seed_id"), col("simhash").as("seed_sim"))
+        .withColumn("band", explode(expr("sequence(0, 3)")))
+        .withColumn("chunk",
+          expr("shiftrightunsigned(seed_sim, CAST(band * 16 AS INT)) & 65535"))
+      sims
+        .withColumn("band", explode(expr("sequence(0, 3)")))
+        .withColumn("chunk",
+          expr("shiftrightunsigned(simhash, CAST(band * 16 AS INT)) & 65535"))
+        .join(broadcast(seeds), Seq("band", "chunk"))
+        .filter(col("doc_id") =!= col("seed_id"))
+        .withColumn("hamming", expr("bit_count(simhash ^ seed_sim)"))
+        .filter(col("hamming") <= 3)
+        // a close pair collides in up to 4 bands — dedupe before counting
+        .select("seed_id", "doc_id", "hamming").distinct()
+        // d12's codegen argmin: hamming structurally ≤ 3 ⇒ four
+        // conditional mins + coalesce, exact at any doc_id magnitude
+        .groupBy("seed_id")
+        .agg(count(lit(1)).as("n_near"),
+          (0 to 3).map(h =>
+            min(when(col("hamming") === h, col("doc_id"))).as(s"m$h")): _*)
+        .select(col("seed_id"), col("n_near"),
+          coalesce(col("m0"), col("m1"), col("m2"), col("m3")).as("best_doc"),
+          when(col("m0").isNotNull, 0L).when(col("m1").isNotNull, 1L)
+            .when(col("m2").isNotNull, 2L).otherwise(3L).as("best_hamming"))
+        .orderBy("seed_id")
+    },
+
     // 64-bit SimHash with 16-bit pigeonhole bands — the signature
     // width that keeps ALL-PAIRS banding selective at corpus scale (a
     // 16-bit signature would give only 16 nibble buckets per band —
@@ -699,6 +750,45 @@ object DedupQueries {
           seeds AS (
             SELECT doc_id AS seed_id, simhash AS seed_sim FROM sims
             WHERE doc_id < 2000),
+          hits AS (
+            SELECT s.seed_id, a.doc_id,
+              bit_count(xor(a.simhash, s.seed_sim)) AS hamming
+            FROM sims a JOIN seeds s ON a.doc_id <> s.seed_id
+            WHERE bit_count(xor(a.simhash, s.seed_sim)) <= 3)
+          SELECT seed_id, CAST(COUNT(*) AS BIGINT) AS n_near,
+            CAST(COALESCE(
+              MIN(CASE WHEN hamming = 0 THEN doc_id END),
+              MIN(CASE WHEN hamming = 1 THEN doc_id END),
+              MIN(CASE WHEN hamming = 2 THEN doc_id END),
+              MIN(CASE WHEN hamming = 3 THEN doc_id END)) AS BIGINT)
+              AS best_doc,
+            CAST(CASE
+              WHEN MIN(CASE WHEN hamming = 0 THEN doc_id END) IS NOT NULL THEN 0
+              WHEN MIN(CASE WHEN hamming = 1 THEN doc_id END) IS NOT NULL THEN 1
+              WHEN MIN(CASE WHEN hamming = 2 THEN doc_id END) IS NOT NULL THEN 2
+              ELSE 3 END AS BIGINT) AS best_hamming
+          FROM hits GROUP BY 1 ORDER BY seed_id""",
+    // d13 — d6's 64-bit signature CTE + d12's per-seed aggregate; the
+    // oracle pays the seed×corpus Hamming scan deliberately at
+    // verification SF (it is exactly what the band multiprobe avoids)
+    "d13_simhash64_lookup" ->
+      s"""WITH $shingleSql,
+          tok AS (
+            SELECT doc_id, h, COUNT(*) AS w FROM tstream GROUP BY 1, 2),
+          bits AS (
+            SELECT doc_id, b,
+              SUM(w * ((((h * (2*b+3) + b*7919 + 1) % 1000000007) % 2) * 2 - 1)) AS s
+            FROM tok CROSS JOIN range(64) t(b)
+            GROUP BY 1, 2),
+          sims AS (
+            SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN
+                CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                     ELSE CAST(CAST(1 AS BIGINT) << CAST(b AS INT) AS HUGEINT) END
+                ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS simhash
+            FROM bits GROUP BY 1),
+          seeds AS (
+            SELECT doc_id AS seed_id, simhash AS seed_sim FROM sims
+            WHERE doc_id % 10 = 0),
           hits AS (
             SELECT s.seed_id, a.doc_id,
               bit_count(xor(a.simhash, s.seed_sim)) AS hamming
