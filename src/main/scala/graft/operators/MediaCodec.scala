@@ -487,4 +487,85 @@ object MediaCodec {
     * so consumers check |mean − fill/255| within a small tolerance. */
   def encodeJpeg(width: Int, height: Int, fill: Byte): Array[Byte] =
     writeImageIo(solidImage(width, height, fill), "jpg")
+
+  /** Grayscale PNG from a top-down per-pixel function (all three
+    * channels get `pix(x, y)`) — the lossless ImageIO counterpart of
+    * [[encodeBmpPixels]], so the perceptual-dedup corpus can carry the
+    * SAME pixel pattern in two byte-incompatible containers. */
+  def encodePngPixels(width: Int, height: Int, pix: (Int, Int) => Byte): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = pix(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    writeImageIo(img, "png")
+  }
+
+  // dHash geometry: a (DHASH_COLS+1)×DHASH_ROWS pooled grid yields
+  // DHASH_COLS horizontal gradients per row = 64 bits total
+  val DHASH_COLS = 8
+  val DHASH_ROWS = 8
+
+  /** 64-bit difference hash (dHash) of a decoded grayscale matrix —
+    * the perceptual fingerprint that survives re-encoding and integer
+    * resizing: the image is average-pooled to a 9×8 grid (integer cell
+    * bounds `gx·w/9 … (gx+1)·w/9`, exact sums), and bit `gy·8+gx` is
+    * set iff the pooled mean strictly increases from cell gx to gx+1
+    * (cross-multiplied — no division, no rounding). Pooling is scale-
+    * invariant for integer upscales (a w=9s image pools each source
+    * cell exactly), and any monotone per-pixel transform (lossless
+    * re-encode, channel-summed gray) preserves every comparison — so
+    * byte-different containers of the same picture hash identically,
+    * which is exactly the near-dup class md5 digest dedup (m6) misses.
+    * None for images smaller than the pooled grid (no cell may be
+    * empty — undersized thumbnails are not meaningfully comparable). */
+  def dHash64(width: Int, height: Int, gray: Array[Int]): Option[Long] = {
+    val cols = DHASH_COLS + 1
+    if (width < cols || height < DHASH_ROWS) return None
+    // pooled sums + areas per cell (areas differ when w % 9 != 0)
+    val sums = new Array[Long](cols * DHASH_ROWS)
+    val areas = new Array[Long](cols * DHASH_ROWS)
+    var gy = 0
+    while (gy < DHASH_ROWS) {
+      val y0 = gy * height / DHASH_ROWS
+      val y1 = (gy + 1) * height / DHASH_ROWS
+      var gx = 0
+      while (gx < cols) {
+        val x0 = gx * width / cols
+        val x1 = (gx + 1) * width / cols
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += gray(y * width + x); x += 1 }
+          y += 1
+        }
+        sums(gy * cols + gx) = sum
+        areas(gy * cols + gx) = (x1 - x0).toLong * (y1 - y0)
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    gy = 0
+    while (gy < DHASH_ROWS) {
+      var gx = 0
+      while (gx < DHASH_COLS) {
+        val i = gy * cols + gx
+        // mean(gx+1) > mean(gx) via cross-multiplication — exact
+        if (sums(i + 1) * areas(i) > sums(i) * areas(i + 1))
+          hash |= 1L << (gy * DHASH_COLS + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(hash)
+  }
 }

@@ -149,6 +149,67 @@ object Multimodal {
           lit("synthetic-imageio").as("source")).as("meta"))
   }
 
+  /** Synthetic NEAR-DUP media table for the perceptual-dedup path
+    * (r10 verdict ask #2): documents sharing `doc_id % 97` carry the
+    * SAME 9×8 pseudo-random gray pattern — rendered at an integer
+    * scale s ∈ {1,2,3} (each pattern cell becomes an s×s pixel block,
+    * so the image is 9s×8s) and encoded alternately as BMP or PNG.
+    * Same family ⇒ byte-DIFFERENT payloads (different container,
+    * different size) that are pixel-equivalent under average pooling —
+    * the re-encoded/resized duplicate class that dominates web-scraped
+    * image corpora and that digest dedup (m6) structurally misses.
+    * Cell value v = (((a²)·2654435761) % 1000000007) % 251 with
+    * a = fam·72 + gy·9 + gx + 1 — quadratic in the cell index so the
+    * per-cell increments are non-constant (a LINEAR argument would
+    * give every family the same mod-251 increment and nearly-shared
+    * gradient bits — measured min cross-family hamming 0; this
+    * formula's measured minimum is 14, far outside the ≤3 pair gate).
+    * Closed-form in (fam, gx, gy), int64-safe (a ≤ 6984 ⇒
+    * a²·K ≈ 1.3e17), so the expected dHash of every document is
+    * computable arithmetically (the m8 oracle's job) while the engine
+    * derives it from REAL decoded bytes. */
+  def syntheticNearDupMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val fam = id % 97
+          val scale = ((id / 97) % 3).toInt + 1
+          val (w, h) = (9 * scale, 8 * scale)
+          def pix(x: Int, y: Int): Byte = {
+            val a = fam * 72 + (y / scale) * 9 + (x / scale) + 1
+            ((a * a * 2654435761L % 1000000007L) % 251).toByte
+          }
+          val bytes =
+            if ((id / 97) % 2 == 0) MediaCodec.encodeBmpPixels(w, h, pix)
+            else MediaCodec.encodePngPixels(w, h, pix)
+          (id, bytes)
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
+  /** Partition-local perceptual fingerprints: decode → gray matrix →
+    * 64-bit dHash ([[MediaCodec.dHash64]]). One narrow (id, hash) row
+    * per decodable image — the ONLY thing that ever shuffles; at
+    * 100 TB the pixels never leave the scan task. Undecodable or
+    * undersized payloads yield no row (routed, never fabricated). */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodec.grayPixels(bytes)
+            .flatMap { case (w, h, g) => MediaCodec.dHash64(w, h, g) }
+            .map(hash => (id, hash))
+        }
+      }
+      .toDF("doc_id", "dhash")
+  }
+
   /** Windowed audio feature extraction over WAV-PCM payloads: per
     * window of `windowFrames` samples, exact integer energy sums →
     * RMS and peak. The multimodal analogue of t-series text metrics —
@@ -361,6 +422,36 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // ── m8: PERCEPTUAL near-dup media dedup — the class m6's digest
+    // match structurally misses: re-encoded/resized duplicates are
+    // byte-different but pixel-equivalent. Shape: partition-local
+    // decode → 64-bit dHash (pixels reduced to 8 bytes map-side), then
+    // d6's 16-bit pigeonhole band join (hamming ≤ 3 ⇒ some band equal)
+    // with exact Hamming verify — never an all-pairs pixel compare.
+    // The corpus is REAL encoded bytes (BMP + PNG, 3 sizes per
+    // pattern); the oracle recomputes every expected dHash closed-form
+    // from the pattern formula, so the hash gate proves the full
+    // decode → pool → gradient-bit → band-pair path end-to-end.
+    "m8_perceptual_dedup" -> { (s, d) =>
+      val hashes = perceptualHashes(syntheticNearDupMedia(s, d))
+        .localCheckpoint(true) // both band sides
+      val keyed = hashes
+        .select(col("doc_id"), col("dhash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("chunk",
+          expr("shiftrightunsigned(dhash, CAST(band * 16 AS INT)) & 65535"))
+      keyed.as("a").join(keyed.as("b"),
+          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          expr("bit_count(a.dhash ^ b.dhash)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct() // a close pair can collide in several bands
+        .orderBy("hamming", "da", "db")
+        .limit(1000)
+    },
+
     "m6_media_dedup" -> { (s, d) =>
       asMedia(s, d)
         .select(md5(col("content")).as("digest"),
@@ -457,6 +548,45 @@ object Multimodal {
                      ELSE doc_id % 5 + 8 END AS INT) AS height,
            true AS pixels_ok
          FROM documents ORDER BY doc_id""",
+    // m8 — expected dHash per family closed-form: cell value
+    // v = (((a²)·2654435761) % 1000000007) % 251, a = fam·72+gy·9+gx+1;
+    // integer-scale average pooling recovers each cell exactly (9s×8s
+    // image, s×s blocks) and the channel-summed gray 3v is a monotone
+    // transform, so the engine's pooled-mean comparisons equal direct
+    // v comparisons — bit gy·8+gx set iff v(gx+1,gy) > v(gx,gy). The
+    // signed 64-bit pack uses the HUGEINT spelling of d6's oracle.
+    // Same-family docs collide exactly (hamming 0); cross-family
+    // hashes are Knuth-hash pseudo-random — pairs are whatever the
+    // arithmetic says, identically on both sides.
+    "m8_perceptual_dedup" ->
+      """WITH fams AS (SELECT doc_id, doc_id % 97 AS fam FROM documents),
+         cells AS (
+           SELECT fam, gy, gx,
+             ((a * a * 2654435761) % 1000000007) % 251 AS v
+           FROM (
+             SELECT f.fam, r.gy, c.gx,
+               f.fam * 72 + r.gy * 9 + c.gx + 1 AS a
+             FROM (SELECT DISTINCT fam FROM fams) f
+             CROSS JOIN range(8) r(gy) CROSS JOIN range(9) c(gx))),
+         bits AS (
+           SELECT a.fam, a.gy * 8 + a.gx AS b
+           FROM cells a JOIN cells nb
+             ON nb.fam = a.fam AND nb.gy = a.gy AND nb.gx = a.gx + 1
+           WHERE a.gx < 8 AND nb.v > a.v),
+         hashes AS (
+           SELECT fam, CAST(SUM(CASE WHEN b = 63
+               THEN CAST(-9223372036854775808 AS HUGEINT)
+               ELSE CAST(CAST(1 AS BIGINT) << CAST(b AS INT) AS HUGEINT) END)
+             AS BIGINT) AS dhash
+           FROM bits GROUP BY fam),
+         doch AS (
+           SELECT doc_id, COALESCE(h.dhash, 0) AS dhash
+           FROM fams LEFT JOIN hashes h USING (fam))
+         SELECT a.doc_id AS da, b.doc_id AS db,
+           bit_count(xor(a.dhash, b.dhash)) AS hamming
+         FROM doch a JOIN doch b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         ORDER BY hamming, da, db LIMIT 1000""",
     "m6_media_dedup" ->
       """WITH g AS (
            SELECT 'image/fake' || CAST(doc_id % 3 AS VARCHAR) AS mime,

@@ -71,6 +71,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("nbr"), plan)
   }
 
+  test("d13 64-bit lookup: corpus probes broadcast seed BANDS by equi-join " +
+    "(multiprobe + verify, never a hamming nested loop)") {
+    val df = SparkEntry.queries("d13_simhash64_lookup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the join key is the 16-bit band chunk; the exact 64-bit hamming
+    // check is the post-join verify filter
+    assert(plan.contains("chunk"), plan)
+  }
+
+  test("m8 perceptual dedup: pixels reduce to 8-byte hashes map-side; " +
+    "pairs come from the banded equi-join, never an image nested loop") {
+    val df = SparkEntry.queries("m8_perceptual_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("chunk"), plan)
+  }
+
   test("s3 near-dup pairs use Spark's broadcast machinery (no driver collect)") {
     val df = SparkEntry.queries("s3_cosine_neardup")(spark, sf)
     df.collect()
