@@ -325,8 +325,16 @@ object CoreQueries {
       // force a measured (non-broadcast) decision at every SF: the
       // smallest supplier table is 10 rows (sf0.001) and its hot-key
       // ratio there is ~5.4× mean (½ of lineitem + its fair share on
-      // 10 keys), so hotFactor=2 salts at sf0.001/0.01/0.1 alike
-      val a = JoinAdvisor.advise(supp, "sk", li, "sk",
+      // 10 keys), so hotFactor=2 salts at sf0.001/0.01/0.1 alike.
+      // Statistics come from the per-dataset ANALYZE sidecar
+      // ([[StatsStore]]): the first run sketches each side once and
+      // persists; every rerun serves the decision with ZERO stats
+      // scans (fingerprint-guarded — appending to the data re-scans).
+      // The skewed fact side is its own named relation: its join key
+      // is a transform of l_suppkey, not l_suppkey.
+      val store = StatsStore.forDir(s, d)
+      val a = JoinAdvisor.adviseStored(store,
+        supp, "j12_supp", "sk", li, "j12_li_skewed", "sk",
         broadcastRowLimit = 5L, hotFactor = 2L)
       JoinAdvisor.execute(supp, "sk", li, "sk", a)
         .groupBy("s_nationkey")
@@ -355,9 +363,14 @@ object CoreQueries {
       val promo = Tables.load(s, d, "part")
         .filter(col("p_type") === "PROMO").select("p_partkey")
       val supp = Tables.load(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      // ordering statistics served from the same per-dataset ANALYZE
+      // sidecar as j12: the fact-side CMS pair is built in ONE scan on
+      // first run and reread (not rescanned) afterwards; the filtered
+      // PROMO dim is its own named relation
       JoinAdvisor.executeChain(li, Seq(
         ChainDim("promo_part", "l_partkey", promo, "p_partkey"),
-        ChainDim("supplier", "l_suppkey", supp, "s_suppkey")))
+        ChainDim("supplier", "l_suppkey", supp, "s_suppkey")),
+        store = Some(StatsStore.forDir(s, d)), factName = "lineitem")
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_items"), sum("rev_u").as("rev_u"))
         .orderBy("s_nationkey")

@@ -56,12 +56,14 @@ object JoinAdvisor {
       meanProbeCnt: Long, // probeRows / probeDistinctKeys
       saltFactor: Int) // 1 unless salted_shuffle
 
-  private case class SideStats(
+  /** One side's measured statistics — the unit [[StatsStore]] persists
+    * (ANALYZE output) and [[advise]] decides from. */
+  case class SideStats(
       physRows: Long, // all rows — what a broadcast ships
       keyRows: Long, // non-null keys — what can join
       cms: Array[Byte], distinct: Long, candidates: Seq[String])
 
-  private def statsOf(df: DataFrame, key: String, mgK: Int): SideStats = {
+  private[operators] def computeStats(df: DataFrame, key: String, mgK: Int): SideStats = {
     // key is sketched as its string form so the driver-side CMS point
     // query and the Misra-Gries candidates share one hash domain
     // regardless of the column's type (both sides must cast the same
@@ -84,6 +86,26 @@ object JoinAdvisor {
       row.getLong(3), row.getSeq[String](4))
   }
 
+  /** [[computeStats]] for SEVERAL key columns of one relation in ONE
+    * map-combined scan (the chain advisor's fact side — k separate
+    * stats passes would scan the fact k times). Per-key blobs arrive
+    * as one driver row. */
+  private[operators] def computeStatsMulti(
+      df: DataFrame, keys: Seq[String], mgK: Int): Map[String, SideStats] = {
+    val aggs = keys.zipWithIndex.flatMap { case (key, i) =>
+      val k: Column = col(key).cast("string")
+      Seq(count(k).as(s"n$i"), cms_build(k).as(s"cms$i"),
+        hll_distinct(k).as(s"nd$i"), freq_candidates(k, mgK).as(s"cand$i"))
+    }
+    val row = df.agg(count(lit(1)).as("phys"), aggs: _*).collect().head
+    val phys = row.getLong(0)
+    keys.zipWithIndex.map { case (key, i) =>
+      key -> SideStats(phys, row.getAs[Long](s"n$i"),
+        row.getAs[Array[Byte]](s"cms$i"), row.getAs[Long](s"nd$i"),
+        row.getSeq[String](row.fieldIndex(s"cand$i")))
+    }.toMap
+  }
+
   /** Advise a strategy for `left JOIN right ON leftKey = rightKey`.
     *
     * @param broadcastRowLimit build sides at or under this row count
@@ -100,9 +122,38 @@ object JoinAdvisor {
       right: DataFrame, rightKey: String,
       broadcastRowLimit: Long = 1000000L,
       hotFactor: Long = 4L,
-      maxSalt: Int = 16): Advice = {
-    val ls = statsOf(left, leftKey, mgK = 8)
-    val rs = statsOf(right, rightKey, mgK = 8)
+      maxSalt: Int = 16): Advice =
+    decide(computeStats(left, leftKey, mgK = 8),
+      computeStats(right, rightKey, mgK = 8),
+      broadcastRowLimit, hotFactor, maxSalt)
+
+  /** [[advise]] served from PERSISTED statistics (r10 verdict ask #5):
+    * each side's sketch row comes from `store` when present and still
+    * fingerprint-valid, and is computed-and-persisted exactly once
+    * otherwise — so repeated advise/executeChain calls over the same
+    * data pay ONE statistics scan per (table, key), the ANALYZE
+    * contract. Decisions are identical to the fresh path by
+    * construction: the sketches are deterministic, and `decide` is the
+    * same pure function of them. `leftTable`/`rightTable` name the
+    * RELATION being measured — a derived view (projected, filtered,
+    * skew-transformed key) must get its own name, or its statistics
+    * would masquerade as the base table's. */
+  def adviseStored(
+      store: StatsStore,
+      left: DataFrame, leftTable: String, leftKey: String,
+      right: DataFrame, rightTable: String, rightKey: String,
+      broadcastRowLimit: Long = 1000000L,
+      hotFactor: Long = 4L,
+      maxSalt: Int = 16): Advice =
+    decide(store.getOrAnalyze(left, leftTable, leftKey),
+      store.getOrAnalyze(right, rightTable, rightKey),
+      broadcastRowLimit, hotFactor, maxSalt)
+
+  /** The pure decision from two sides' statistics — one code path for
+    * fresh and stored stats, so served decisions cannot drift. */
+  private def decide(
+      ls: SideStats, rs: SideStats,
+      broadcastRowLimit: Long, hotFactor: Long, maxSalt: Int): Advice = {
     val est = CmsOps.inner(ls.cms, rs.cms)
     // sides compared by PHYSICAL size — that is what the build side's
     // hash relation (and a broadcast of it) actually costs
@@ -168,14 +219,50 @@ object JoinAdvisor {
     ests.sortBy { case (n, e) => (e, n) }
   }
 
+  /** [[adviseJoinOrder]] served from PERSISTED statistics: fact-side
+    * CMS rows come from `store` per (factName, factKey) — any missing
+    * keys are built in ONE combined fact scan ([[StatsStore
+    * .analyzeKeys]], preserving the one-pass-per-side contract) — and
+    * each dimension's row is keyed by its ChainDim name (the caller's
+    * relation name; a filtered dim is its own relation). Estimates and
+    * ordering are identical to the fresh path: same sketches, same
+    * inner product, same tiebreak. */
+  def adviseJoinOrderStored(
+      store: StatsStore, fact: DataFrame, factName: String,
+      dims: Seq[ChainDim]): Seq[(String, Long)] = {
+    require(dims.nonEmpty, "adviseJoinOrderStored needs at least one ChainDim")
+    require(dims.map(_.name).distinct.size == dims.size,
+      s"duplicate ChainDim names: ${dims.map(_.name)}")
+    val factKeys = dims.map(_.factKey).distinct
+    val served = factKeys.flatMap(k =>
+      store.get(fact, factName, k).map(k -> _)).toMap
+    val fresh = store.analyzeKeys(fact, factName,
+      factKeys.filterNot(served.contains))
+    val ests = dims.map { cd =>
+      val factCms = served.getOrElse(cd.factKey, fresh(cd.factKey)).cms
+      val dimStats = store.getOrAnalyze(cd.dim, cd.name, cd.dimKey)
+      cd.name -> CmsOps.inner(factCms, dimStats.cms)
+    }
+    ests.sortBy { case (n, e) => (e, n) }
+  }
+
   /** Apply the dimension joins in the advised (most-selective-first)
     * order. Inner equi-joins commute, so the output is row-identical
     * to ANY order — only the intermediate sizes differ; the oracle
-    * equality gate (j13) proves exactly that. */
-  def executeChain(fact: DataFrame, dims: Seq[ChainDim]): DataFrame = {
+    * equality gate (j13) proves exactly that. With a `store`, the
+    * ordering decision is served from persisted statistics
+    * ([[adviseJoinOrderStored]]) — repeated chains over unchanged data
+    * re-scan nothing. */
+  def executeChain(fact: DataFrame, dims: Seq[ChainDim],
+      store: Option[StatsStore] = None,
+      factName: String = "fact"): DataFrame = {
     if (dims.isEmpty) return fact // zero joins to order — identity
     val byName = dims.map(d => d.name -> d).toMap
-    adviseJoinOrder(fact, dims).foldLeft(fact) { case (acc, (name, _)) =>
+    val order = store match {
+      case Some(st) => adviseJoinOrderStored(st, fact, factName, dims)
+      case None => adviseJoinOrder(fact, dims)
+    }
+    order.foldLeft(fact) { case (acc, (name, _)) =>
       val cd = byName(name)
       acc.join(cd.dim, acc(cd.factKey) === cd.dim(cd.dimKey))
     }
