@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Regenerate SURVEY.md §8's headline counts from artifacts, not prose.
+
+The r9 and r10 verdicts both caught a stale hand-edited test count in
+SURVEY §8 — so the counts are now a generated block between markers:
+
+    <!-- counts:generated:start -->  ...  <!-- counts:generated:end -->
+
+Inputs (all artifacts this repo already produces):
+  - oracle-query count + pass count: tools/selfcheck.py summary line,
+    passed via --selfcheck "N passed, M failed" (or --verify-dir to
+    count oracle_sql.json entries when selfcheck wasn't run)
+  - test count: an `sbt test` log (--test-log), parsed for
+    "Tests: succeeded N, failed M"
+  - bench figure: BENCH_LOCAL.json (--bench), total seconds + nqueries
+
+Usage (round close):
+  sbt test > /tmp/sbt_test.log 2>&1
+  python3 tools/selfcheck.py /tmp/verify_out /root/testdata/sf0.01 | tail -1 > /tmp/selfcheck.txt
+  python3 tools/gen_counts.py --test-log /tmp/sbt_test.log \
+      --selfcheck-file /tmp/selfcheck.txt --bench BENCH_LOCAL.json
+"""
+import argparse
+import json
+import re
+import sys
+
+START = "<!-- counts:generated:start -->"
+END = "<!-- counts:generated:end -->"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--survey", default="SURVEY.md")
+    ap.add_argument("--test-log", required=True)
+    ap.add_argument("--selfcheck-file", required=True)
+    ap.add_argument("--bench", default="BENCH_LOCAL.json")
+    args = ap.parse_args()
+
+    test_log = open(args.test_log, errors="replace").read()
+    m = re.findall(r"Tests: succeeded (\d+), failed (\d+)", test_log)
+    if not m:
+        sys.exit("no 'Tests: succeeded' line in " + args.test_log)
+    # sbt prints one line per run; the aggregate run prints the biggest
+    tests_ok = max(int(a) for a, _ in m)
+    tests_fail = max(int(b) for _, b in m)
+
+    sc = open(args.selfcheck_file, errors="replace").read()
+    msc = re.search(r"(\d+) passed, (\d+) failed", sc)
+    if not msc:
+        sys.exit("no 'N passed, M failed' line in " + args.selfcheck_file)
+    q_pass, q_fail = int(msc.group(1)), int(msc.group(2))
+
+    bench = json.load(open(args.bench))
+    bench_s = bench["value"]
+    bench_n = len(bench["queries"])
+
+    block = (
+        f"{START}\n"
+        f"**{q_pass}/{q_pass + q_fail} oracle queries hash-green** "
+        f"(DuckDB selfcheck at sf0.01) · **{tests_ok} tests green"
+        f"{'' if tests_fail == 0 else f', {tests_fail} FAILED'}** (`sbt test`) · "
+        f"local bench **{bench_s:.1f} s / {bench_n} queries** "
+        f"(sf0.1, local[32], median-of-3). "
+        f"_This block is emitted by `tools/gen_counts.py` from the round's "
+        f"artifacts — do not hand-edit._\n"
+        f"{END}"
+    )
+
+    survey = open(args.survey).read()
+    if START in survey:
+        new = re.sub(re.escape(START) + ".*?" + re.escape(END), block,
+                     survey, flags=re.S)
+    else:
+        sys.exit(f"markers not found in {args.survey}; add {START}...{END} "
+                 "where the counts belong")
+    open(args.survey, "w").write(new)
+    print(block)
+
+
+if __name__ == "__main__":
+    main()
