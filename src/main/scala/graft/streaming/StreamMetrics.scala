@@ -27,13 +27,32 @@ class StreamMetrics extends StreamingQueryListener {
       if (buf.length >= StreamMetrics.maxEntries)
         buf.remove(0, buf.length - StreamMetrics.maxEntries + 1)
       val p = e.progress
+      def phase(k: String): Long =
+        Option(p.durationMs.get(k)).map(_.longValue()).getOrElse(0L)
+      // per-batch wall time = triggerExecution, which SPANS the other
+      // durationMs entries (addBatch, walCommit, ...). Summing the map
+      // double-counts — that inflation is exactly the r10 "streaming
+      // is 2.3× batch apply" artifact (1,662 ms reported, ~900 ms
+      // real); fall back to the sum only when the span entry is absent
+      val wall = {
+        val t = phase("triggerExecution")
+        if (t > 0) t
+        else p.durationMs.values().stream().mapToLong(_.longValue()).sum()
+      }
       buf += Progress(
         Option(p.name).getOrElse(""),
         p.batchId,
         p.numInputRows,
         Option(p.inputRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0),
         Option(p.processedRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0),
-        p.durationMs.values().stream().mapToLong(_.longValue()).sum())
+        wall,
+        // the per-phase breakdown Spark reports for each micro-batch —
+        // the attribution evidence for WHERE a trigger's time goes
+        // (addBatch = the sink's actual work; latestOffset/getBatch =
+        // source listing/planning; walCommit/commitOffsets = the
+        // offset+commit log fsyncs)
+        phase("addBatch"), phase("getBatch"), phase("latestOffset"),
+        phase("queryPlanning"), phase("walCommit"), phase("commitOffsets"))
     }
 
   /** Raw progress rows captured so far. */
@@ -41,7 +60,9 @@ class StreamMetrics extends StreamingQueryListener {
     import spark.implicits._
     buf.synchronized { buf.toSeq }
       .toDF("query_name", "batch_id", "num_input_rows",
-        "input_rows_per_s", "processed_rows_per_s", "duration_ms")
+        "input_rows_per_s", "processed_rows_per_s", "duration_ms",
+        "add_batch_ms", "get_batch_ms", "latest_offset_ms",
+        "query_planning_ms", "wal_commit_ms", "commit_offsets_ms")
   }
 
   /** Per-query rollup — throughput + batch latency min/avg/max (the
@@ -70,7 +91,13 @@ object StreamMetrics {
       numInputRows: Long,
       inputRowsPerSecond: Double,
       processedRowsPerSecond: Double,
-      durationMs: Long)
+      durationMs: Long,
+      addBatchMs: Long,
+      getBatchMs: Long,
+      latestOffsetMs: Long,
+      queryPlanningMs: Long,
+      walCommitMs: Long,
+      commitOffsetsMs: Long)
 
   /** Attach a fresh collector to the session. Caller removes it with
     * `spark.streams.removeListener`. */

