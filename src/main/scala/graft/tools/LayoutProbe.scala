@@ -59,7 +59,20 @@ object LayoutProbe {
         }
         val span = base.agg(max(idCol)).collect().head.getLong(0) + 1
         val big = (0 until factor)
-          .map(k => base.withColumn(idCol, col(idCol) + lit(k * span)))
+          .map { k =>
+            val c = base.withColumn(idCol, col(idCol) + lit(k * span))
+            // documents: suffix copy-k tokens like ScaleProbe does, so
+            // the near-dup pair population stays LINEAR in factor — a
+            // verbatim copy matches every shingle across all copies
+            // (pairs ×factor²) and the c/d rows would measure CC on a
+            // quadratically denser graph, not scan parallelism
+            // (observed: c3 at 95 s/run before this fix)
+            if (t == "documents" && k > 0)
+              c.withColumn("text",
+                expr(s"array_join(transform(split(text, ' '), x -> concat(x, '_c$k')), ' ')"))
+                .withColumn("n_chars", length(col("text")).cast("long"))
+            else c
+          }
           .reduce(_ unionByName _)
         // one file, one (huge) row group — the unsplittable shape
         big.coalesce(1).write.mode("overwrite")
