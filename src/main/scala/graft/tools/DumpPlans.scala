@@ -86,7 +86,9 @@ object DumpPlans {
     "j12_advised_join" -> "sketch-advised join: measured salted_shuffle — probe side salted, small build side exploded xsaltFactor",
     "cdc_asof_read" -> "cross-table AS-OF read: one global LSN cut broadcast, per-table last-image apply semantics",
     "s16_ivfpq_topk" -> "IVF+PQ serving stack: cell gate BEFORE the xM code explode, broadcast distance table, raw vectors untouched",
-    "j13_ordered_join" -> "sketch-ordered join chain: CMS-estimated most-selective dimension joins first")
+    "j13_ordered_join" -> "sketch-ordered join chain: CMS-estimated most-selective dimension joins first",
+    "d13_simhash64_lookup" -> "64-bit SimHash serving lookup: band multiprobe equi-join + in-band Hamming verify, codegen conditional-min argmin",
+    "m8_perceptual_dedup" -> "perceptual media dedup: partition-local dHash (pixels reduced map-side), 16-bit pigeonhole band join")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
