@@ -547,24 +547,42 @@ object SimilarityQueries {
     * path). More planes trade recall for candidates exactly like any
     * LSH index — the knob is validated against s9's recall harness
     * ([[annRecall]]). */
+  /** Multiprobe DEPTH as an engine rule, paired with [[autoPlanes]]:
+    * widening the index shrinks each query's probed FRACTION of the
+    * bucket space (Hamming-1 probes p+1 of 2^p buckets), which is the
+    * measured recall cost of auto-widening (SCALE.md r11). Holding the
+    * fraction exactly constant would need exponentially many probes,
+    * so the standard LSH-multiprobe compromise applies: grow the
+    * Hamming RADIUS with the widening — one extra bit of radius per 4
+    * extra planes. Probe count stays polynomial (Σ C(p,≤r); 56 at
+    * p=10, r=2) and the probed-fraction slope flattens from 2× per
+    * plane to ~2×/(p/r) — recall measured through [[annRecall]]. */
+  def autoProbeRadius(nPlanes: Int, floor: Int = 6): Int =
+    1 + math.max(0, nPlanes - floor + 3) / 4
+
   /** s9's body with the plane count as a parameter — the recall
     * harness that validates ANY index width (fixed 6 for the pinned
     * oracle; the auto-sized widths from [[autoPlanes]] are re-checked
     * through this same harness, spec-gated). Single-probe plus
-    * Hamming-1 multi-probe (exact bucket + all one-bit-flip
-    * neighbors — nPlanes+1 equi-join keys, never a distance join)
-    * against brute-force ground truth on the vec_id < 50 query
-    * sample. */
-  def annRecall(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
+    * Hamming-≤`probeRadius` multi-probe (exact bucket + all
+    * ≤radius-bit-flip neighbors — Σ C(nPlanes,≤r) equi-join keys over
+    * the tiny query panel, never a distance join) against brute-force
+    * ground truth on the vec_id < 50 query sample. */
+  def annRecall(s: SparkSession, d: String, nPlanes: Int,
+      probeRadius: Int = 1): DataFrame = {
     val base = vecs(s, d)
       .withColumn("bucket", hyperplane_bucket(col("qv"), nPlanes))
       .localCheckpoint(true) // feeds the query sample + both candidate sides
     val q = base.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("qv").as("va"),
         col("norm").as("qn"), col("bucket").as("qbucket"))
-    // probe set: the query's bucket XOR {0} ∪ single-bit flips
-    val qProbes = q.withColumn("pbucket",
-      explode(array((lit(0L) +: (0 until nPlanes).map(j => lit(1L << j))): _*)))
+    // probe set: the query's bucket XOR every mask of ≤ probeRadius
+    // bits — in-row explode of a driver-built literal list (bounded:
+    // Σ C(planes, ≤r), e.g. 56 at planes=10 r=2)
+    val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
+      (0 until nPlanes).combinations(r)
+        .map(_.foldLeft(0L)((acc, b) => acc | (1L << b))).toSeq)
+    val qProbes = q.withColumn("pbucket", explode(typedLit(masks)))
       .withColumn("pbucket", col("qbucket").bitwiseXOR(col("pbucket")))
     val t = base.select(col("vec_id").as("vid"), col("qv").as("vb"),
       col("norm").as("vn"), col("bucket").as("vbucket"))

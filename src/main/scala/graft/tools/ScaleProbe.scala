@@ -273,10 +273,15 @@ object ScaleProbe {
       Seq(("base", src), (s"x$factor", out)).foreach { case (tag, dir) =>
         val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
         val auto = graft.operators.SimilarityQueries.autoPlanes(n)
-        Seq(auto, 6).distinct.foreach { planes =>
-          val r = graft.operators.SimilarityQueries.annRecall(spark, dir, planes)
-            .collect().head
-          println(f"""{"query":"s9_ann_recall_auto","corpus":"$tag","n_vecs":$n,"planes":$planes,"auto":${planes == auto},"recall_1probe":${r.getAs[Double]("recall_1probe")}%.4f,"recall_multiprobe":${r.getAs[Double]("recall_multiprobe")}%.4f}""")
+        // three rows per corpus: auto width at Hamming-1, auto width
+        // at the AUTO radius (depth scaling with the widening), and
+        // the frozen-6 contrast
+        val autoR = graft.operators.SimilarityQueries.autoProbeRadius(auto)
+        val configs = Seq((auto, 1), (auto, autoR), (6, 1)).distinct
+        configs.foreach { case (planes, radius) =>
+          val r = graft.operators.SimilarityQueries
+            .annRecall(spark, dir, planes, radius).collect().head
+          println(f"""{"query":"s9_ann_recall_auto","corpus":"$tag","n_vecs":$n,"planes":$planes,"probe_radius":$radius,"auto":${planes == auto && radius == autoR},"recall_1probe":${r.getAs[Double]("recall_1probe")}%.4f,"recall_multiprobe":${r.getAs[Double]("recall_multiprobe")}%.4f}""")
         }
       }
     }

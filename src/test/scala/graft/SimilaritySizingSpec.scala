@@ -57,6 +57,25 @@ class SimilaritySizingSpec extends AnyFunSuite {
     }
   }
 
+  test("autoProbeRadius: depth grows one bit per 4 extra planes; " +
+    "deeper probing never loses recall (monotone by construction)") {
+    assert(SimilarityQueries.autoProbeRadius(6) == 1) // the floor keeps Hamming-1
+    assert(SimilarityQueries.autoProbeRadius(10) == 2) // the 10x auto width
+    assert(SimilarityQueries.autoProbeRadius(13) == 3)
+    assert(SimilarityQueries.autoProbeRadius(17) == 4)
+    // probe sets nest (radius-2 masks ⊇ radius-1 masks), so measured
+    // recall at the wider radius can only match or improve — checked
+    // on real data at a widened index
+    val h1 = SimilarityQueries.annRecall(spark, sf, nPlanes = 10, probeRadius = 1)
+      .collect().head
+    val h2 = SimilarityQueries.annRecall(spark, sf, nPlanes = 10, probeRadius = 2)
+      .collect().head
+    assert(h2.getAs[Double]("recall_multiprobe") >=
+      h1.getAs[Double]("recall_multiprobe"))
+    // and the single-probe column is radius-independent
+    assert(h2.getAs[Double]("recall_1probe") == h1.getAs[Double]("recall_1probe"))
+  }
+
   test("auto == fixed-6 at shipped scale: the pinned oracle is untouched") {
     val auto = SimilarityQueries.semanticClustersAuto(spark, sf).collect().toSeq
     val fixed = SimilarityQueries.semanticClusters(spark, sf, nPlanes = 6)
