@@ -568,4 +568,24 @@ object MediaCodec {
     }
     Some(hash)
   }
+
+  /** 64-bit delta-sign fingerprint of a PCM sample stream — the audio
+    * twin of [[dHash64]] (the sign-of-difference primitive behind
+    * Haitsma–Kalker-style audio fingerprints): bit i is set iff sample
+    * i+1 strictly exceeds sample i over the first 65 samples. The
+    * comparison chain is invariant under any positive gain (volume
+    * re-mastering scales every sample by the same factor — exactly the
+    * byte-different/perceptually-identical duplicate class for audio),
+    * and integer-exact (no FFT, no floats). None for clips shorter
+    * than 65 samples — too short to fingerprint comparably. */
+  def audioDeltaHash64(samples: Array[Short]): Option[Long] = {
+    if (samples.length < 65) return None
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (samples(i + 1) > samples(i)) hash |= 1L << i
+      i += 1
+    }
+    Some(hash)
+  }
 }

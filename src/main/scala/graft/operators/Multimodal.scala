@@ -190,6 +190,33 @@ object Multimodal {
       .toDF("doc_id", "content")
   }
 
+  /** Synthetic NEAR-DUP audio table (m9): documents sharing
+    * `doc_id % 89` carry the SAME 65-sample pattern, re-mastered at a
+    * per-doc integer gain ∈ {1,2,3} — byte-different WAV payloads that
+    * are perceptually identical under the delta-sign fingerprint
+    * (positive gain preserves every sample comparison). Sample value
+    * p = ((((fam·131 + i + 1)²)·2654435761) % 1000000007) % 1009 − 504
+    * (quadratic like m8's pixel pattern — measured min cross-family
+    * hamming 14; |gain·p| ≤ 1512, well inside int16). */
+  def syntheticNearDupAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val fam = id % 89
+          val gain = ((id / 89) % 3).toInt + 1
+          val samples = Array.tabulate[Short](65) { i =>
+            val a = fam * 131 + i + 1
+            val p = ((a * a * 2654435761L % 1000000007L) % 1009L - 504L).toInt
+            (gain * p).toShort
+          }
+          (id, MediaCodec.encodeWavPcm16(8000, 1, samples))
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
   /** Partition-local perceptual fingerprints: decode → gray matrix →
     * 64-bit dHash ([[MediaCodec.dHash64]]). One narrow (id, hash) row
     * per decodable image — the ONLY thing that ever shuffles; at
@@ -452,6 +479,46 @@ object Multimodal {
         .limit(1000)
     },
 
+    // ── m9: perceptual near-dup AUDIO dedup — m8's pipeline with the
+    // codec boundary swapped: WAV decode → 64-bit delta-sign
+    // fingerprint (gain-invariant; re-mastered volume copies collide,
+    // distinct recordings separate) → the same 16-bit pigeonhole band
+    // join. The oracle recomputes every expected fingerprint
+    // closed-form from the sample formula, so the hash gate proves
+    // decode → sign-chain → band-pair end-to-end over REAL WAV bytes.
+    "m9_audio_dedup" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val hashes = syntheticNearDupAudio(s, d)
+        .select("doc_id", "content")
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            MediaCodec.pcmSamples16(bytes)
+              .flatMap { case (_, _, samples) =>
+                MediaCodec.audioDeltaHash64(samples) }
+              .map(hash => (id, hash))
+          }
+        }
+        .toDF("doc_id", "ahash")
+        .localCheckpoint(true) // both band sides
+      val keyed = hashes
+        .select(col("doc_id"), col("ahash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("chunk",
+          expr("shiftrightunsigned(ahash, CAST(band * 16 AS INT)) & 65535"))
+      keyed.as("a").join(keyed.as("b"),
+          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          expr("bit_count(a.ahash ^ b.ahash)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy("hamming", "da", "db")
+        .limit(1000)
+    },
+
     "m6_media_dedup" -> { (s, d) =>
       asMedia(s, d)
         .select(md5(col("content")).as("digest"),
@@ -586,6 +653,38 @@ object Multimodal {
            bit_count(xor(a.dhash, b.dhash)) AS hamming
          FROM doch a JOIN doch b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         ORDER BY hamming, da, db LIMIT 1000""",
+    // m9 — expected delta-sign fingerprint per family closed-form:
+    // p(fam,i) = ((((fam·131+i+1)²)·2654435761) % 1000000007) % 1009
+    // (the −504 shift and the per-doc gain both preserve comparisons,
+    // so the oracle works on unshifted p); bit i ⇔ p(i+1) > p(i),
+    // HUGEINT pack as in d6/m8.
+    "m9_audio_dedup" ->
+      """WITH fams AS (SELECT doc_id, doc_id % 89 AS fam FROM documents),
+         samp AS (
+           SELECT fam, i, ((a * a * 2654435761) % 1000000007) % 1009 AS p
+           FROM (
+             SELECT f.fam, t.i, f.fam * 131 + t.i + 1 AS a
+             FROM (SELECT DISTINCT fam FROM fams) f
+             CROSS JOIN range(65) t(i))),
+         bits2 AS (
+           SELECT a.fam, a.i AS b
+           FROM samp a JOIN samp nxt
+             ON nxt.fam = a.fam AND nxt.i = a.i + 1
+           WHERE a.i < 64 AND nxt.p > a.p),
+         hashes AS (
+           SELECT fam, CAST(SUM(CASE WHEN b = 63
+               THEN CAST(-9223372036854775808 AS HUGEINT)
+               ELSE CAST(CAST(1 AS BIGINT) << CAST(b AS INT) AS HUGEINT) END)
+             AS BIGINT) AS ahash
+           FROM bits2 GROUP BY fam),
+         doch AS (
+           SELECT doc_id, COALESCE(h.ahash, 0) AS ahash
+           FROM fams LEFT JOIN hashes h USING (fam))
+         SELECT a.doc_id AS da, b.doc_id AS db,
+           bit_count(xor(a.ahash, b.ahash)) AS hamming
+         FROM doch a JOIN doch b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
          ORDER BY hamming, da, db LIMIT 1000""",
     "m6_media_dedup" ->
       """WITH g AS (

@@ -463,6 +463,49 @@ object SimilarityQueries {
     // one-vector PCA a corpus pipeline runs before whitening /
     // debiasing embeddings, expressed as two gram-matrix-free BSP
     // rounds (the k-means/PageRank shape applied to linear algebra):
+    // ── s17: SemDeDup — embedding-space semantic dedup as the KEEP
+    // LIST a pipeline actually applies (Abbas et al. 2023's shape):
+    // coarse k-means cells gate the pair search (s4's IVF assignment —
+    // at 100 TB the cell is the partition key and no pair ever crosses
+    // cells), within-cell cosine ≥ τ edges feed transitive CC, and
+    // every vector gets its component's min id as `rep_id` with
+    // is_kept = (self == rep). Differs from s8 on all three axes that
+    // matter operationally: learned-centroid cells instead of random
+    // hyperplanes (skew follows the data), per-VECTOR verdict instead
+    // of per-cluster summary (directly joinable as a dedup filter),
+    // and singletons present (a keep list must cover the corpus).
+    // Labels side of the final join is cluster-members-only →
+    // broadcast; the corpus is never shuffled after assignment.
+    "s17_semdedup" -> { (s, d) =>
+      val v = vecs(s, d)
+      val cents = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("dist2",
+          dot_long(col("qv"), col("qv")) - lit(2L) * dot_long(col("qv"), col("cv"))
+            + dot_long(col("cv"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("qv"), col("norm"), col("cid").as("cell"))
+        .localCheckpoint(true) // pair search + final keep-list join
+      val a = assigned.select(col("vec_id").as("da"), col("qv").as("va"),
+        col("norm").as("na"), col("cell"))
+      val b = assigned.select(col("vec_id").as("db"), col("qv").as("vb"),
+        col("norm").as("nb"), col("cell"))
+      val pairs = a.join(b, Seq("cell")).filter(col("da") < col("db"))
+        .withColumn("cos_raw", dotCol / (col("na") * col("nb")))
+        .filter(col("cos_raw") >= 0.40)
+        .select("da", "db").localCheckpoint(true)
+      val labels = DedupQueries.connectedComponents(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+      assigned.join(broadcast(labels), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("cluster_id"), col("vec_id")).as("rep_id"))
+        .withColumn("is_kept", col("rep_id") === col("vec_id"))
+        .orderBy("vec_id")
+    },
+
     // w ← Aᵀ(A v) is ONE scan — the dot x·v is a compiled in-row
     // fold against a broadcast 64-long array (never a 64-way join),
     // the per-dimension reassembly a 64-key map-combined groupBy —
@@ -746,6 +789,47 @@ object SimilarityQueries {
               row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vid ASC) AS rank
             FROM cos)
           WHERE rank = 1 ORDER BY qid""",
+    // s17 — s4's cell assignment + within-cell cosine pairs + d5's
+    // recursive-reachability CC, re-keyed to vectors; singletons kept
+    // via the LEFT join (their own id is the rep)
+    "s17_semdedup" ->
+      s"""WITH RECURSIVE $compsSql,
+          dist AS (
+            SELECT v.vec_id, cent.vec_id AS cid,
+              SUM((v.q - cent.q) * (v.q - cent.q)) AS dist2
+            FROM c v JOIN c cent ON v.idx = cent.idx AND cent.vec_id < 8
+            GROUP BY 1, 2),
+          assigned AS (
+            SELECT vec_id, cid AS cell FROM (
+              SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+              FROM dist)
+            WHERE rn = 1),
+          dots AS (
+            SELECT a.vec_id AS da, b.vec_id AS db, SUM(ca.q * cb.q) AS dot
+            FROM assigned a
+            JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN c ca ON ca.vec_id = a.vec_id
+            JOIN c cb ON cb.vec_id = b.vec_id AND cb.idx = ca.idx
+            GROUP BY 1, 2),
+          prs AS (
+            SELECT da, db FROM dots
+            JOIN n na ON da = na.vec_id JOIN n nb ON db = nb.vec_id
+            WHERE dot / (na.norm * nb.norm) >= 0.40),
+          edges AS (
+            SELECT da AS a, b FROM (SELECT da, db AS b FROM prs)
+            UNION SELECT db, da FROM prs),
+          nodesx AS (SELECT DISTINCT a AS v FROM edges),
+          reach(v, r) AS (
+            SELECT v, v FROM nodesx
+            UNION
+            SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a),
+          reps AS (SELECT v AS vec_id, MIN(r) AS rep FROM reach GROUP BY 1)
+          SELECT a.vec_id, a.cell,
+            COALESCE(reps.rep, a.vec_id) AS rep_id,
+            (COALESCE(reps.rep, a.vec_id) = a.vec_id) AS is_kept
+          FROM assigned a LEFT JOIN reps ON reps.vec_id = a.vec_id
+          ORDER BY a.vec_id""",
     // division chain must mirror Spark's exactly: (double sum / n) / 1e6
     "s5_label_centroids" ->
       """SELECT label, idx - 1 AS dim,

@@ -88,7 +88,9 @@ object DumpPlans {
     "s16_ivfpq_topk" -> "IVF+PQ serving stack: cell gate BEFORE the xM code explode, broadcast distance table, raw vectors untouched",
     "j13_ordered_join" -> "sketch-ordered join chain: CMS-estimated most-selective dimension joins first",
     "d13_simhash64_lookup" -> "64-bit SimHash serving lookup: band multiprobe equi-join + in-band Hamming verify, codegen conditional-min argmin",
-    "m8_perceptual_dedup" -> "perceptual media dedup: partition-local dHash (pixels reduced map-side), 16-bit pigeonhole band join")
+    "m8_perceptual_dedup" -> "perceptual media dedup: partition-local dHash (pixels reduced map-side), 16-bit pigeonhole band join",
+    "m9_audio_dedup" -> "perceptual audio dedup: gain-invariant delta-sign fingerprint, same band-join serving shape",
+    "s17_semdedup" -> "SemDeDup keep list: IVF-cell-gated cosine pairs -> CC reps -> broadcast label join (singletons kept)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -188,8 +188,10 @@ object ScaleProbe {
       "g1_pagerank", "g2_triangles", "g3_copurchase_recs", "dq2_outlier_mad",
       // r8 additions over the documents corpus
       "t22_bpe_encode", "t25_phrase_search", "c8_curriculum", "m6_media_dedup",
-      // r11 additions: 64-bit serving lookup + perceptual media dedup
-      "d13_simhash64_lookup", "m8_perceptual_dedup",
+      // r11 additions: 64-bit serving lookup + perceptual media/audio
+      // dedup + SemDeDup keep list
+      "d13_simhash64_lookup", "m8_perceptual_dedup", "m9_audio_dedup",
+      "s17_semdedup",
       // r8 additions over the (10×-history) events stream
       "ts9_autocorr", "ts10_cusum_drift", "ts11_theilsen",
       "e7_bloom_audit", "e8_rolling_distinct", "dq5_skew_advisor",

@@ -92,6 +92,60 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("chunk"), plan)
   }
 
+  test("m9 audio dedup: samples reduce to 8-byte fingerprints map-side; " +
+    "pairs come from the banded equi-join") {
+    val df = SparkEntry.queries("m9_audio_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("chunk"), plan)
+  }
+
+  test("s17 SemDeDup: keep-list labels broadcast (no NL anywhere); the " +
+    "pair search — re-derived uncheckpointed — is a cell-keyed equi-join") {
+    val df = SparkEntry.queries("s17_semdedup")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan)
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    // the checkpoint boundary hides the pair pipeline from the final
+    // plan — rebuild it standalone (same shape as the query body) and
+    // gate ITS join: pairs must equi-join on the cell key, never a
+    // corpus×corpus product
+    import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.HashExprs.dot_long
+    val v = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("qv"))
+    val cents = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val assigned2 = v.crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        dot_long(col("qv"), col("qv")) - lit(2L) * dot_long(col("qv"), col("cv"))
+          + dot_long(col("cv"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("cid").as("cell"))
+    val a = assigned2.select(col("vec_id").as("da"), col("cell"))
+    val b = assigned2.select(col("vec_id").as("db"), col("cell"))
+    val pairs = a.join(b, Seq("cell")).filter(col("da") < col("db"))
+    pairs.collect()
+    val pairPlan = pairs.queryExecution.executedPlan.toString
+    // the PAIR join must be keyed on the cell — never corpus×corpus
+    assert(pairPlan.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("cell")), pairPlan)
+    // the only NL product in the whole pipeline is the deliberate
+    // vector×8-centroid assignment (an 8-row IdentityBroadcast) —
+    // every NL line must be that one
+    val nlLines = pairPlan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(nlLines.forall(_.contains("Cross")), pairPlan)
+  }
+
   test("s3 near-dup pairs use Spark's broadcast machinery (no driver collect)") {
     val df = SparkEntry.queries("s3_cosine_neardup")(spark, sf)
     df.collect()
