@@ -478,7 +478,20 @@ object SimilarityQueries {
     // broadcast; the corpus is never shuffled after assignment.
     "s17_semdedup" -> { (s, d) =>
       val v = vecs(s, d)
-      val cents = v.filter(col("vec_id") < 8)
+      // ENGINE-SIZED cell count, the autoPlanes rule on the IVF axis:
+      // k = max(8, ⌈N/256⌉) holds expected cell occupancy ≤ ~256 so
+      // within-cell pair work stays linear in N (fixed k would grow
+      // occupancy — and pairs — quadratically, s8's frozen-plane wall
+      // on this index family). Resolves to 8 at every shipped SF
+      // (pinned oracle numerically unchanged; the oracle computes the
+      // same k in SQL) and to 79 cells at the 10× probe corpus.
+      // Centroids stay the deterministic first-k stand-in (s4's
+      // convention for an offline k-means); assignment cost is k dots
+      // per vector = N²/256 · 3 integer dots — linear per vector at
+      // fixed occupancy, and the real-k-means swap changes only the
+      // centroid source.
+      val k = autoCells(Tables.load(s, d, "embeddings").count())
+      val cents = v.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("qv").as("cv"))
       val assigned = v.crossJoin(broadcast(cents))
         .withColumn("dist2",
@@ -602,6 +615,18 @@ object SimilarityQueries {
     * plane to ~2×/(p/r) — recall measured through [[annRecall]]. */
   def autoProbeRadius(nPlanes: Int, floor: Int = 6): Int =
     1 + math.max(0, nPlanes - floor + 3) / 4
+
+  /** [[autoPlanes]]'s occupancy rule on the IVF axis (s17's cell
+    * count): k = max(8, ⌈N/256⌉) holds expected cell occupancy ≤ ~256
+    * so within-cell pair work stays linear in N. At 10× the pair
+    * savings and the k-times-larger assignment cost roughly cancel
+    * (measured 2.74× vs fixed-8's 2.70×); the point is the NEXT step —
+    * fixed-k pair work is quadratic, auto-k is linear at every
+    * factor. */
+  def autoCells(n: Long, targetOccupancy: Long = 256L, floor: Long = 8L): Long = {
+    require(targetOccupancy > 0, s"targetOccupancy must be > 0, got $targetOccupancy")
+    math.max(floor, (n + targetOccupancy - 1) / targetOccupancy)
+  }
 
   /** s9's body with the plane count as a parameter — the recall
     * harness that validates ANY index width (fixed 6 for the pinned
@@ -789,15 +814,20 @@ object SimilarityQueries {
               row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vid ASC) AS rank
             FROM cos)
           WHERE rank = 1 ORDER BY qid""",
-    // s17 — s4's cell assignment + within-cell cosine pairs + d5's
-    // recursive-reachability CC, re-keyed to vectors; singletons kept
-    // via the LEFT join (their own id is the rep)
+    // s17 — s4's cell assignment (at the ENGINE-SIZED k, computed by
+    // the same max(8, ceil(N/256)) rule in SQL) + within-cell cosine
+    // pairs + d5's recursive-reachability CC, re-keyed to vectors;
+    // singletons kept via the LEFT join (their own id is the rep)
     "s17_semdedup" ->
       s"""WITH RECURSIVE $compsSql,
+          kk AS (
+            SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS k
+            FROM embeddings),
           dist AS (
             SELECT v.vec_id, cent.vec_id AS cid,
               SUM((v.q - cent.q) * (v.q - cent.q)) AS dist2
-            FROM c v JOIN c cent ON v.idx = cent.idx AND cent.vec_id < 8
+            FROM c v JOIN c cent ON v.idx = cent.idx
+              AND cent.vec_id < (SELECT k FROM kk)
             GROUP BY 1, 2),
           assigned AS (
             SELECT vec_id, cid AS cell FROM (

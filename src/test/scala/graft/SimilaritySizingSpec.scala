@@ -76,6 +76,21 @@ class SimilaritySizingSpec extends AnyFunSuite {
     assert(h2.getAs[Double]("recall_1probe") == h1.getAs[Double]("recall_1probe"))
   }
 
+  test("autoCells (s17's IVF axis): occupancy rule, floor at shipped SFs") {
+    // shipped SFs resolve to the floor — the pinned s17 oracle's SQL
+    // computes the same k, so both sides stay at 8 cells
+    assert(SimilarityQueries.autoCells(500) == 8)
+    assert(SimilarityQueries.autoCells(2000) == 8)
+    assert(SimilarityQueries.autoCells(2048) == 8)
+    assert(SimilarityQueries.autoCells(2049) == 9)
+    assert(SimilarityQueries.autoCells(20000) == 79) // the 10x probe corpus
+    val ks = (1L to 20L).map(k => SimilarityQueries.autoCells(1L << k))
+    assert(ks == ks.sorted)
+    intercept[IllegalArgumentException] {
+      SimilarityQueries.autoCells(100, targetOccupancy = 0)
+    }
+  }
+
   test("auto == fixed-6 at shipped scale: the pinned oracle is untouched") {
     val auto = SimilarityQueries.semanticClustersAuto(spark, sf).collect().toSeq
     val fixed = SimilarityQueries.semanticClusters(spark, sf, nPlanes = 6)
