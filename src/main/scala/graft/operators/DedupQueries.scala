@@ -114,6 +114,22 @@ object DedupQueries {
     * map-reduce CC literature. Each round is one shuffle join + hash
     * aggregate over (edges ⋈ labels) plus one labels self-join (no
     * driver-side graph, only a scalar convergence check per round). */
+  /** The corpus's 64-bit SimHash signature relation as a PERSISTED
+    * index ([[IndexStore]]): (doc_id, simhash) derived once per
+    * source-data state — tokenize → char-fold → simhash64, zero-token
+    * docs excluded for oracle domain parity (see d12) — then served
+    * as a parquet scan to every consumer (d6's all-pairs banding,
+    * d13's bounded-seed lookup). At 100 TB this is the signature
+    * store a dedup service maintains beside the corpus: the text is
+    * scanned once per ingest state, not once per query. */
+  private[operators] def simhash64Index(s: SparkSession, d: String): DataFrame =
+    IndexStore.getOrBuild(s, d, "simhash64", "documents") {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), char_fold_array(tokenize(col("text"))).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), simhash64(col("hs")).as("simhash"))
+    }
+
   def connectedComponents(pairs: DataFrame): DataFrame = {
     // Pin EXACT statistics on every checkpointed generation
     // (Bridge.withExactStats): localCheckpoint inherits the
@@ -364,11 +380,11 @@ object DedupQueries {
     // budget; past that the identical plan swaps the broadcast for a
     // shuffle join on (band, chunk) — the keys are already there.
     "d13_simhash64_lookup" -> { (s, d) =>
-      val sims = Tables.load(s, d, "documents")
-        .select(col("doc_id"), char_fold_array(tokenize(col("text"))).as("hs"))
-        .filter(size(col("hs")) > 0) // oracle domain parity (see d12)
-        .select(col("doc_id"), simhash64(col("hs")).as("simhash"))
-        .localCheckpoint(true) // feeds the corpus side + the seed side
+      // signatures come from the PERSISTED index sidecar shared with
+      // d6 ([[simhash64Index]]) — built once per source-data state,
+      // then every lookup serves from a parquet scan of the index (the
+      // offline-build/online-serve split of a real signature store)
+      val sims = simhash64Index(s, d)
       val seeds = sims.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("seed_id"), col("simhash").as("seed_sim"))
         .withColumn("band", explode(expr("sequence(0, 3)")))
@@ -408,11 +424,7 @@ object DedupQueries {
     // some band is equal). Shape: in-row signature → explode 4 bands
     // → equi-join → verify.
     "d6_simhash64_pairs" -> { (s, d) =>
-      val sims = Tables.load(s, d, "documents")
-        .select(col("doc_id"), char_fold_array(tokenize(col("text"))).as("hs"))
-        .filter(size(col("hs")) > 0) // oracle domain parity (see d12)
-        .select(col("doc_id"), simhash64(col("hs")).as("simhash"))
-        .localCheckpoint(true)
+      val sims = simhash64Index(s, d) // shared persisted index (see d13)
       val keyed = sims
         .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("band"))
         .withColumn("chunk",

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.IndexStore
+
+/** The build-once/serve-many contract of the persisted index sidecar:
+  * one build per source-data state, served results row-identical to a
+  * rebuild, appends invalidate via the source-file fingerprint.
+  */
+class IndexStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshSource(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_src").toString
+    graft.sources.Tables.load(spark, sf, "documents")
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("one build serves repeated reads; rows identical; append rebuilds") {
+    val src = freshSource()
+    def index() = IndexStore.getOrBuild(spark, src, "lens", "documents") {
+      spark.read.parquet(s"$src/documents.parquet")
+        .select(col("doc_id"), length(col("text")).as("len"))
+    }
+    val before = IndexStore.buildsPerformed
+    val first = index().orderBy("doc_id").collect().toSeq
+    assert(IndexStore.buildsPerformed == before + 1)
+    val second = index().orderBy("doc_id").collect().toSeq
+    val third = index().orderBy("doc_id").collect().toSeq
+    assert(IndexStore.buildsPerformed == before + 1, "served reads must not rebuild")
+    assert(first == second && second == third && first.nonEmpty)
+    // append to the SOURCE — fingerprint drifts, next read rebuilds
+    // and the rebuilt index covers the appended rows
+    graft.sources.Tables.load(spark, sf, "documents")
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .write.mode("append").parquet(s"$src/documents.parquet")
+    val rebuilt = index().collect()
+    assert(IndexStore.buildsPerformed == before + 2, "append must invalidate")
+    assert(rebuilt.length == 2 * first.length)
+  }
+
+  test("d6/d13 share the signature index: one text scan serves both") {
+    // a dedicated source dir so this test owns its sidecar lifecycle
+    val src = freshSource()
+    val before = IndexStore.buildsPerformed
+    val d6 = SparkEntry.queries("d6_simhash64_pairs")(spark, src).collect()
+    val d13 = SparkEntry.queries("d13_simhash64_lookup")(spark, src).collect()
+    assert(IndexStore.buildsPerformed == before + 1,
+      "both queries must serve from ONE signature build")
+    assert(d6.nonEmpty && d13.nonEmpty)
+    // and the served path returns exactly what a fresh derivation does
+    import graft.functions.HashExprs.{char_fold_array, simhash64, tokenize}
+    val fresh = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), char_fold_array(tokenize(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), simhash64(col("hs")).as("simhash"))
+      .orderBy("doc_id").collect().toSeq
+    val served = IndexStore.getOrBuild(spark, src, "simhash64", "documents") {
+      fail("index must already be warm"): org.apache.spark.sql.DataFrame
+    }.orderBy("doc_id").collect().toSeq
+    assert(served == fresh)
+  }
+}
