@@ -460,8 +460,14 @@ object Multimodal {
     // from the pattern formula, so the hash gate proves the full
     // decode → pool → gradient-bit → band-pair path end-to-end.
     "m8_perceptual_dedup" -> { (s, d) =>
-      val hashes = perceptualHashes(syntheticNearDupMedia(s, d))
-        .localCheckpoint(true) // both band sides
+      // fingerprints persist as an IndexStore sidecar (the d6/d13
+      // signature-store pattern at the media boundary): decode + dHash
+      // run once per corpus state, every dedup query scans the 16-byte
+      // rows — at 100 TB the pixels are read once per ingest, not once
+      // per query
+      val hashes = IndexStore.getOrBuild(s, d, "dhash64", "documents") {
+        perceptualHashes(syntheticNearDupMedia(s, d))
+      }
       val keyed = hashes
         .select(col("doc_id"), col("dhash"),
           explode(expr("sequence(0, 3)")).as("band"))
@@ -489,19 +495,22 @@ object Multimodal {
     "m9_audio_dedup" -> { (s, d) =>
       val spark = s
       import spark.implicits._
-      val hashes = syntheticNearDupAudio(s, d)
-        .select("doc_id", "content")
-        .as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          it.flatMap { case (id, bytes) =>
-            MediaCodec.pcmSamples16(bytes)
-              .flatMap { case (_, _, samples) =>
-                MediaCodec.audioDeltaHash64(samples) }
-              .map(hash => (id, hash))
+      // persisted fingerprint index, like m8 (decode once per corpus
+      // state, serve the 16-byte rows)
+      val hashes = IndexStore.getOrBuild(s, d, "ahash64", "documents") {
+        syntheticNearDupAudio(s, d)
+          .select("doc_id", "content")
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.flatMap { case (id, bytes) =>
+              MediaCodec.pcmSamples16(bytes)
+                .flatMap { case (_, _, samples) =>
+                  MediaCodec.audioDeltaHash64(samples) }
+                .map(hash => (id, hash))
+            }
           }
-        }
-        .toDF("doc_id", "ahash")
-        .localCheckpoint(true) // both band sides
+          .toDF("doc_id", "ahash")
+      }
       val keyed = hashes
         .select(col("doc_id"), col("ahash"),
           explode(expr("sequence(0, 3)")).as("band"))
