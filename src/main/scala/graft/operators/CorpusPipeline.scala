@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashExprs.{char_fold, char_fold_array, shingle_hashes, tokenize}
@@ -253,8 +253,55 @@ object CorpusPipeline {
           max("score_milli").as("max_score_milli"),
           sum("n_chars").as("sum_chars"))
         .orderBy("stage")
+    },
+
+    // ── c9: DSIR-style importance weights — data selection by
+    // importance resampling (Xie et al. 2023, NeurIPS): score every
+    // raw document by how much more likely its hashed n-gram features
+    // are under a TARGET domain (here: sources src0/src1, the curated
+    // slice) than under the raw pool, log w(x) = Σ_b n_b(x)·[ln p̂_t(b)
+    // − ln p̂_r(b)] over B=4096 hashed token buckets with add-1
+    // smoothing. The downstream sampler (sp4's weighted machinery)
+    // draws ∝ exp(log w) to tilt the mix toward the target domain
+    // without training a classifier. Scale shape: the MODEL is two
+    // bucket histograms built in ONE pass (count + conditional sum per
+    // bucket — a 4096-key map-combined groupBy, shuffle is 4096 rows
+    // per partition regardless of corpus size); the totals row is a
+    // broadcast scalar; scoring is a broadcast hash join of the token
+    // stream against the 4096-row model inside codegen plus one
+    // map-combined per-doc sum — the corpus text itself is hashed
+    // in-row and never shuffled.
+    "c9_dsir_weights" -> { (s, d) =>
+      dsirWeights(Tables.load(s, d, "documents"),
+        col("source").isin("src0", "src1"), 4096)
     }
   )
+
+  /** Core of c9 over any (doc_id, source, text) frame: per-document
+    * DSIR importance log-weight Σ_b n_b·[ln p̂_t(b) − ln p̂_r(b)] with
+    * add-1 smoothing over `buckets` hashed token buckets; `isTarget`
+    * marks the target-domain rows (evaluated against the frame's own
+    * columns). Output: (doc_id, source, n_toks, dsir_logw). */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
+    val b = lit(buckets.toLong)
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(char_fold_array(tokenize(col("text")))).as("h"))
+      .withColumn("b", pmod(col("h"), b))
+      .localCheckpoint(true) // feeds the model build AND the scoring pass
+    val bucket = toks.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(isTarget, 1L).otherwise(0L)).as("ct"))
+    val tot = bucket.agg(sum("cr").as("crt"), sum("ct").as("ctt"))
+    val model = bucket.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + lit(1.0)) / (col("ctt") + b.cast("double")))
+          - log((col("cr") + lit(1.0)) / (col("crt") + b.cast("double")))).as("lr"))
+    toks.join(broadcast(model), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_toks"), round(sum("lr"), 4).as("dsir_logw"))
+      .orderBy("doc_id")
+  }
 
   /** Core of c4 over any (doc_id, text) frame — benchmark = doc_id
     * < 10, direct hit = ≥3 shared distinct shingles, then expansion
@@ -538,6 +585,28 @@ object CorpusPipeline {
            MAX(score_milli) AS max_score_milli,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM r GROUP BY 1 ORDER BY stage"""
-    }
+    },
+    // c9 — the shared hashed-token CTE (identical to the d6/d13
+    // replay, so the feature space cannot drift from the engine's
+    // char_fold), bucketed mod 4096; two smoothed histograms and the
+    // per-doc log-likelihood-ratio sum in plain SQL
+    "c9_dsir_weights" ->
+      s"""WITH ${DedupQueries.shingleSql},
+          feat AS (
+            SELECT t.doc_id, d.source, t.h % 4096 AS b
+            FROM tstream t JOIN documents d USING (doc_id)),
+          bucket AS (
+            SELECT b, COUNT(*) AS cr,
+              SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS ct
+            FROM feat GROUP BY 1),
+          tot AS (SELECT SUM(cr) AS crt, SUM(ct) AS ctt FROM bucket),
+          model AS (
+            SELECT b,
+              ln((ct + 1.0) / (ctt + 4096.0)) - ln((cr + 1.0) / (crt + 4096.0)) AS lr
+            FROM bucket CROSS JOIN tot)
+          SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_toks,
+            ROUND(SUM(lr), 4) AS dsir_logw
+          FROM feat JOIN model USING (b)
+          GROUP BY 1, 2 ORDER BY doc_id"""
   )
 }

@@ -519,6 +519,63 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // ── s18: FILTERED vector search — top-k cosine under a metadata
+    // predicate, the query shape every production vector store serves
+    // ("nearest neighbors among docs where label ≤ 3"). The two
+    // decisions that matter at 100 TB, both visible in the plan:
+    // (1) PRE-filter: the predicate is applied to the candidate scan
+    // BEFORE any vector math or cell routing, so it reaches the
+    // parquet reader as a pushed filter (`PushedFilters: [LE(label,
+    // 3)]`) and partition pruning applies when the corpus is
+    // label-partitioned — post-filtering (search first, filter the
+    // top-k after) would return < k rows whenever the filter is
+    // selective, the classic filtered-ANN failure.
+    // (2) PROBE WIDENING: filtering thins every IVF cell by the
+    // predicate's selectivity, so a single-cell probe (s4) sees ~sel·
+    // occupancy candidates and recall collapses as sel→0. Queries
+    // probe their 2 nearest cells here (probes ≈ ⌈1/sel⌉ capped by
+    // the autoCells occupancy rule — at 40% selectivity 2 cells
+    // restores ~s4's effective candidate count). The probe set is a
+    // per-query constant, so the candidate join stays a broadcast
+    // equi-join on the cell key — never a corpus scan per query.
+    "s18_filtered_ann" -> { (s, d) =>
+      val raw = Tables.load(s, d, "embeddings")
+      val quant =
+        expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+      def prep(df: DataFrame): DataFrame =
+        df.select(col("vec_id"), col("label"), quant.as("qv"))
+          .withColumn("norm", sqrt(dot_long(col("qv"), col("qv")).cast("double")))
+      // index built on the UNFILTERED corpus (filters arrive at query
+      // time, long after the index); s4's deterministic centroid stand-in
+      val cents = prep(raw.filter(col("vec_id") < 8))
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      def cells(df: DataFrame, probes: Int): DataFrame =
+        df.crossJoin(broadcast(cents))
+          .withColumn("dist2",
+            dot_long(col("qv"), col("qv")) - lit(2L) * dot_long(col("qv"), col("cv"))
+              + dot_long(col("cv"), col("cv")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)))
+          .filter(col("rn") <= probes)
+      val cand = cells(prep(raw.filter(col("label") <= 3 && col("vec_id") >= 5)), 1)
+        .select(col("vec_id").as("vid"), col("label"), col("qv").as("vb"),
+          col("norm").as("vn"), col("cid").as("cell"))
+      val q = cells(prep(raw.filter(col("vec_id") < 5)), 2)
+        .select(col("vec_id").as("qid"), col("qv").as("va"),
+          col("norm").as("qn"), col("cid").as("cell"))
+      // vid lives in exactly one cell and a query's probe cells are
+      // distinct ⇒ each (qid, vid) pair appears at most once — no
+      // dedup stage needed before ranking
+      cand.join(broadcast(q), Seq("cell"))
+        .withColumn("cos_raw", dotCol / (col("qn") * col("vn")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vid").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("vid"), col("label"), col("cell"),
+          round(col("cos_raw"), 4).as("cosine"))
+        .orderBy("qid", "rank")
+    },
+
     // w ← Aᵀ(A v) is ONE scan — the dot x·v is a compiled in-row
     // fold against a broadcast 64-long array (never a 64-way join),
     // the per-dimension reassembly a 64-key map-combined groupBy —
@@ -814,6 +871,44 @@ object SimilarityQueries {
               row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vid ASC) AS rank
             FROM cos)
           WHERE rank = 1 ORDER BY qid""",
+    // s18 — s4's cell machinery with the rank retained: candidates
+    // (label ≤ 3, non-query) keep their rn=1 cell, queries keep their
+    // 2 nearest cells (probe widening); join on cell, exact cosine,
+    // top-3. The label predicate sits on the candidate side only —
+    // the oracle replays pre-filtering, not post-filtering.
+    "s18_filtered_ann" ->
+      s"""WITH $compsSql,
+          dist AS (
+            SELECT v.vec_id, cent.vec_id AS cid,
+              SUM((v.q - cent.q) * (v.q - cent.q)) AS dist2
+            FROM c v JOIN c cent ON v.idx = cent.idx AND cent.vec_id < 8
+            GROUP BY 1, 2),
+          ranked AS (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+            FROM dist),
+          cand AS (
+            SELECT r.vec_id, r.cid AS cell, e.label
+            FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+            WHERE r.rn = 1 AND e.label <= 3 AND r.vec_id >= 5),
+          probes AS (
+            SELECT vec_id, cid AS cell FROM ranked
+            WHERE rn <= 2 AND vec_id < 5),
+          dots AS (
+            SELECT p.vec_id AS qid, cand.vec_id AS vid, cand.label, cand.cell,
+              SUM(qc.q * vc.q) AS dot
+            FROM probes p JOIN cand ON p.cell = cand.cell
+            JOIN c qc ON qc.vec_id = p.vec_id
+            JOIN c vc ON vc.vec_id = cand.vec_id AND vc.idx = qc.idx
+            GROUP BY 1, 2, 3, 4),
+          cos AS (
+            SELECT qid, vid, label, cell, dot / (qn.norm * vn.norm) AS cos_raw
+            FROM dots JOIN n qn ON qid = qn.vec_id JOIN n vn ON vid = vn.vec_id)
+          SELECT qid, rank, vid, label, cell, ROUND(cos_raw, 4) AS cosine FROM (
+            SELECT qid, vid, label, cell, cos_raw,
+              row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vid ASC) AS rank
+            FROM cos)
+          WHERE rank <= 3 ORDER BY qid, rank""",
     // s17 — s4's cell assignment (at the ENGINE-SIZED k, computed by
     // the same max(8, ceil(N/256)) rule in SQL) + within-cell cosine
     // pairs + d5's recursive-reachability CC, re-keyed to vectors;

@@ -203,7 +203,10 @@ object ScaleProbe {
       "s16_ivfpq_topk",
       // sketch-advisor queries at 10× fact / fixed dims: the stats
       // pass + the advised plan must both track the fact side
-      "j12_advised_join", "j13_ordered_join")
+      "j12_advised_join", "j13_ordered_join",
+      // late-r11: filtered vector search (pre-filter + probe widening)
+      // and DSIR importance weights (4096-bucket broadcast model)
+      "s18_filtered_ann", "c9_dsir_weights")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

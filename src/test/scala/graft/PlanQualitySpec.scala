@@ -342,4 +342,35 @@ class PlanQualitySpec extends AnyFunSuite {
         !plan.contains("CartesianProduct"), s"$name:\n$plan")
     }
   }
+
+  test("s18 filtered ANN: PRE-filter — the label predicate reaches the " +
+    "candidate parquet scan; probe join is a broadcast cell equi-join") {
+    val df = SparkEntry.queries("s18_filtered_ann")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // pre-filtering, not post-filtering: the predicate is in
+    // PushedFilters on the candidate scan, before any vector math
+    assert(plan.contains("LessThanOrEqual(label,3)"), plan)
+    // queries meet candidates keyed on the probed cell — broadcast
+    // hash, never a per-query corpus scan
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("cell")), plan)
+    // the only NL product is the deliberate vector×8-centroid
+    // assignment cross join
+    assert(plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("Cross")), plan)
+  }
+
+  test("c9 DSIR: the 4096-bucket model BROADCASTS to the token stream; " +
+    "per-doc scoring aggregates partial before the doc-key shuffle") {
+    val df = SparkEntry.queries("c9_dsir_weights")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+        .forall(_.contains("Cross")), plan) // totals row is a 1-row cross
+    // map-side combine on both the bucket histogram and the doc sum
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
 }
