@@ -530,14 +530,19 @@ object SimilarityQueries {
     // label-partitioned — post-filtering (search first, filter the
     // top-k after) would return < k rows whenever the filter is
     // selective, the classic filtered-ANN failure.
-    // (2) PROBE WIDENING: filtering thins every IVF cell by the
-    // predicate's selectivity, so a single-cell probe (s4) sees ~sel·
-    // occupancy candidates and recall collapses as sel→0. Queries
-    // probe their 2 nearest cells here (probes ≈ ⌈1/sel⌉ capped by
-    // the autoCells occupancy rule — at 40% selectivity 2 cells
-    // restores ~s4's effective candidate count). The probe set is a
-    // per-query constant, so the candidate join stays a broadcast
-    // equi-join on the cell key — never a corpus scan per query.
+    // (2) PROBE WIDENING, ENGINE-SIZED: filtering thins every IVF
+    // cell by the predicate's selectivity, so a single-cell probe
+    // (s4) sees ~sel·occupancy candidates and recall collapses as
+    // sel→0. The engine derives the probe count itself —
+    // [[autoProbeCells]]: ⌈1/sel⌉ from one cheap dual-count pass,
+    // clamped to [2, nCells] — the same one-measurement→decision
+    // pattern as autoPlanes/autoCells/JoinAdvisor (a hand-set probe
+    // constant would be s8's frozen-plane wall wearing a new hat: any
+    // fixed depth is wrong as soon as the filter changes). At 40%
+    // selectivity this resolves to 3 probe cells, restoring ~s4's
+    // effective candidate count. The probe set stays a per-query
+    // constant, so the candidate join remains a broadcast equi-join
+    // on the cell key — never a corpus scan per query.
     "s18_filtered_ann" -> { (s, d) =>
       val raw = Tables.load(s, d, "embeddings")
       val quant =
@@ -557,10 +562,17 @@ object SimilarityQueries {
           .withColumn("rn", row_number().over(
             Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)))
           .filter(col("rn") <= probes)
+      // selectivity measured in ONE scan (count + conditional count,
+      // the JoinAdvisor dual-stat idiom); the result is a driver-side
+      // scalar pair, never a data collect
+      val stats = raw.agg(count(lit(1)).as("n"),
+        sum(when(col("label") <= 3 && col("vec_id") >= 5, 1L).otherwise(0L)).as("nf"))
+        .head()
+      val probes = autoProbeCells(stats.getLong(0), stats.getLong(1), nCells = 8)
       val cand = cells(prep(raw.filter(col("label") <= 3 && col("vec_id") >= 5)), 1)
         .select(col("vec_id").as("vid"), col("label"), col("qv").as("vb"),
           col("norm").as("vn"), col("cid").as("cell"))
-      val q = cells(prep(raw.filter(col("vec_id") < 5)), 2)
+      val q = cells(prep(raw.filter(col("vec_id") < 5)), probes)
         .select(col("vec_id").as("qid"), col("qv").as("va"),
           col("norm").as("qn"), col("cid").as("cell"))
       // vid lives in exactly one cell and a query's probe cells are
@@ -683,6 +695,22 @@ object SimilarityQueries {
   def autoCells(n: Long, targetOccupancy: Long = 256L, floor: Long = 8L): Long = {
     require(targetOccupancy > 0, s"targetOccupancy must be > 0, got $targetOccupancy")
     math.max(floor, (n + targetOccupancy - 1) / targetOccupancy)
+  }
+
+  /** Probe-cell count for FILTERED search (s18) — the sizing rule on
+    * the probe axis: a metadata filter keeps nFiltered of nTotal
+    * candidates, thinning every cell to ~sel·occupancy, so restoring
+    * the unfiltered candidate count takes ⌈1/sel⌉ = ⌈nTotal/nFiltered⌉
+    * probe cells. Floored at 2 (even a non-selective filter deserves
+    * one widening step — the filter still perturbs which cell holds
+    * the true neighbor) and capped at nCells (a hyper-selective filter
+    * degrades to scanning every cell of the SURVIVORS — which is the
+    * correct plan: at sel→0 the filtered set is small enough to scan).
+    * Integer ceiling, so the SQL oracle replays it exactly
+    * ((n + nf - 1) // nf — no float-boundary drift). */
+  def autoProbeCells(nTotal: Long, nFiltered: Long, nCells: Long): Int = {
+    require(nFiltered > 0, "filter selects nothing — no probe depth can help")
+    math.min(nCells, math.max(2L, (nTotal + nFiltered - 1) / nFiltered)).toInt
   }
 
   /** s9's body with the plane count as a parameter — the recall
@@ -873,11 +901,17 @@ object SimilarityQueries {
           WHERE rank = 1 ORDER BY qid""",
     // s18 — s4's cell machinery with the rank retained: candidates
     // (label ≤ 3, non-query) keep their rn=1 cell, queries keep their
-    // 2 nearest cells (probe widening); join on cell, exact cosine,
-    // top-3. The label predicate sits on the candidate side only —
-    // the oracle replays pre-filtering, not post-filtering.
+    // autoProbeCells nearest cells (integer-ceil ⌈n/nf⌉ clamped to
+    // [2,8], computed in the sel CTE by the same arithmetic); join on
+    // cell, exact cosine, top-3. The label predicate sits on the
+    // candidate side only — pre-filtering, not post-filtering.
     "s18_filtered_ann" ->
       s"""WITH $compsSql,
+          sel AS (
+            SELECT GREATEST(2, LEAST(8,
+              (COUNT(*) + SUM(CASE WHEN label <= 3 AND vec_id >= 5 THEN 1 ELSE 0 END) - 1)
+                // SUM(CASE WHEN label <= 3 AND vec_id >= 5 THEN 1 ELSE 0 END))) AS p
+            FROM embeddings),
           dist AS (
             SELECT v.vec_id, cent.vec_id AS cid,
               SUM((v.q - cent.q) * (v.q - cent.q)) AS dist2
@@ -892,8 +926,8 @@ object SimilarityQueries {
             FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
             WHERE r.rn = 1 AND e.label <= 3 AND r.vec_id >= 5),
           probes AS (
-            SELECT vec_id, cid AS cell FROM ranked
-            WHERE rn <= 2 AND vec_id < 5),
+            SELECT vec_id, cid AS cell FROM ranked CROSS JOIN sel
+            WHERE rn <= p AND vec_id < 5),
           dots AS (
             SELECT p.vec_id AS qid, cand.vec_id AS vid, cand.label, cand.cell,
               SUM(qc.q * vc.q) AS dot

@@ -6,9 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   *  - s18 filtered ANN: the metadata predicate must hold on every
   *    returned neighbor (pre-filtering cannot leak filtered-out
-  *    vectors back in), ranks must be contiguous per query, and probe
-  *    widening must never SHRINK the candidate pool vs a single-cell
-  *    probe of the same filtered index.
+  *    vectors back in), ranks must be contiguous per query, and the
+  *    engine-sized probe widening (autoProbeCells) must deliver a
+  *    non-empty top-k at the shipped selectivity.
   *  - c9 DSIR: on a corpus with PLANTED domains (target speaks
   *    vocabulary A, pool speaks B) a held-out vocabulary-A probe must
   *    outscore a vocabulary-B probe, and weights must be finite for
@@ -35,12 +35,10 @@ class FilteredAnnSpec extends AnyFunSuite {
     }
   }
 
-  test("s18: widening to 2 probe cells never returns fewer candidates than 1") {
-    // re-derive the candidate counts at probes=1 by intersecting the
-    // shipped output with the query's own top-1 cell: every (qid, vid)
-    // whose cell is the query's nearest must also appear at probes=2
-    // (the query's plan uses probes=2; its output per qid is a superset
-    // of the single-cell hits truncated at the same k)
+  test("s18: engine-sized probe widening fills every query's top-k") {
+    // the probe depth comes from autoProbeCells (ceil of inverse
+    // selectivity) — at the shipped selectivity every query must fill
+    // a non-empty top-k from its widened probe set
     val out = SparkEntry.queries("s18_filtered_ann")(spark, sf).collect()
     val hitsPerQ = out.groupBy(_.getAs[Long]("qid")).view.mapValues(_.length).toMap
     assert(hitsPerQ.values.forall(n => n >= 1 && n <= 3))

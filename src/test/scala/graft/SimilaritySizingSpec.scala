@@ -91,6 +91,20 @@ class SimilaritySizingSpec extends AnyFunSuite {
     }
   }
 
+  test("autoProbeCells (s18's probe axis): ceil-of-inverse-selectivity, " +
+    "floor 2, cap at the cell count") {
+    import graft.operators.SimilarityQueries.autoProbeCells
+    assert(autoProbeCells(500, 200, 8) == 3)  // ~40% selectivity -> 3 probes
+    assert(autoProbeCells(500, 250, 8) == 2)  // exactly 2.0 stays 2 (integer ceil)
+    assert(autoProbeCells(500, 251, 8) == 2)  // 1.99 floors at 2
+    assert(autoProbeCells(500, 499, 8) == 2)  // non-selective filter: floor holds
+    assert(autoProbeCells(500, 10, 8) == 8)   // 2% selectivity: scan all cells
+    // monotone: tighter filters never get FEWER probes
+    val ps = (1L to 500L).map(nf => autoProbeCells(500, nf, 8))
+    assert(ps == ps.sorted.reverse)
+    intercept[IllegalArgumentException] { autoProbeCells(500, 0, 8) }
+  }
+
   test("auto == fixed-6 at shipped scale: the pinned oracle is untouched") {
     val auto = SimilarityQueries.semanticClustersAuto(spark, sf).collect().toSeq
     val fixed = SimilarityQueries.semanticClusters(spark, sf, nPlanes = 6)
