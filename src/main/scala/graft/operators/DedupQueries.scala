@@ -123,9 +123,11 @@ object DedupQueries {
     * store a dedup service maintains beside the corpus: the text is
     * scanned once per ingest state, not once per query. */
   private[operators] def simhash64Index(s: SparkSession, d: String): DataFrame =
-    IndexStore.getOrBuild(s, d, "simhash64", "documents") {
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"), char_fold_array(tokenize(col("text"))).as("hs"))
+    // the signature is a PER-ROW derivation, so the index takes the
+    // incremental path: an ingest batch that appends parquet files
+    // costs one delta build over the new files, not a corpus re-scan
+    IndexStore.getOrBuildIncremental(s, d, "simhash64", "documents") { src =>
+      src.select(col("doc_id"), char_fold_array(tokenize(col("text"))).as("hs"))
         .filter(size(col("hs")) > 0)
         .select(col("doc_id"), simhash64(col("hs")).as("simhash"))
     }

@@ -32,21 +32,41 @@ object IndexStore {
   /** Per-process build counter (spec evidence for build-once). */
   @volatile var buildsPerformed: Long = 0L
 
-  private def fingerprintOf(spark: SparkSession, sourceDir: String): String = {
+  /** Per-process delta-append counter (spec evidence that an append
+    * to the source was served by an incremental build, not a full
+    * re-derivation). */
+  @volatile var incrementalAppends: Long = 0L
+
+  /** Source file inventory: path → "len|mtime" — the same driver-side
+    * metadata the fingerprint hashes, kept per-file so the
+    * incremental path can diff listings. */
+  private def fileEntriesOf(spark: SparkSession,
+      sourceDir: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(sourceDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return "absent"
-    val md = java.security.MessageDigest.getInstance("MD5")
+    if (!fs.exists(p)) return Map.empty
     val it = fs.listFiles(p, true)
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val entries = scala.collection.mutable.Map.empty[String, String]
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile)
-        entries += s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+      // commit-protocol markers (_SUCCESS, _committed, .crc, …) are
+      // not data and are rewritten by every append — Spark's readers
+      // skip them, and so must the inventory, or an append-only write
+      // would read as an in-place mutation
+      val leaf = st.getPath.getName
+      if (st.isFile && !leaf.startsWith("_") && !leaf.startsWith("."))
+        entries(st.getPath.toString) = s"${st.getLen}|${st.getModificationTime}"
     }
-    entries.sorted.foreach(e =>
+    entries.toMap
+  }
+
+  private def fingerprintOf(spark: SparkSession, sourceDir: String): String = {
+    val entries = fileEntriesOf(spark, sourceDir)
+    if (entries.isEmpty) return "absent"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.map { case (p, sig) => s"$p|$sig" }.toSeq.sorted.foreach(e =>
       md.update((e + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    s"v$FormatVersion:${entries.length}:${md.digest().map("%02x".format(_)).mkString}"
+    s"v$FormatVersion:${entries.size}:${md.digest().map("%02x".format(_)).mkString}"
   }
 
   /** Root for one data directory's indexes (tmp-dir sidecar keyed by
@@ -77,6 +97,62 @@ object IndexStore {
       java.nio.file.Files.createDirectories(fpFile.getParent)
       java.nio.file.Files.write(fpFile,
         fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    spark.read.parquet(dir)
+  }
+
+  /** Incremental variant for PER-ROW builders — `derive` must map each
+    * source row independently of every other row (a document's SimHash
+    * depends only on that document), which makes the index itself
+    * row-decomposable: when the source GROWS (ingest appends new
+    * parquet files; existing files untouched — the CDC/batch-ingest
+    * case), the delta build derives ONLY the new files' rows and
+    * appends them to the sidecar. At 100 TB this is the difference
+    * between re-fingerprinting the corpus per ingest batch and paying
+    * O(batch): the index write amortizes to the ingest rate, not the
+    * corpus size. Any rewrite/delete of an already-indexed file falls
+    * back to a full rebuild (the manifest records per-file len|mtime,
+    * so in-place mutation is detected, never silently served stale).
+    * Served rows are identical to a cold full build in every path —
+    * the manifest changes WHEN derivation work happens, never what a
+    * query returns. */
+  def getOrBuildIncremental(spark: SparkSession, dataDir: String, name: String,
+      sourceTable: String)(derive: DataFrame => DataFrame): DataFrame = {
+    val dir = s"${rootFor(dataDir)}/$name"
+    val manifest = java.nio.file.Paths.get(s"$dir.manifest")
+    val srcDir = s"$dataDir/$sourceTable.parquet"
+    val current = fileEntriesOf(spark, srcDir)
+    val prev: Map[String, String] =
+      if (java.nio.file.Files.exists(manifest)) {
+        val lines = new String(java.nio.file.Files.readAllBytes(manifest),
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+        if (lines.headOption.contains(s"v$FormatVersion"))
+          lines.drop(1).filter(_.nonEmpty).map { l =>
+            val i = l.lastIndexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
+          }.toMap
+        else Map.empty // older format: treat as cold
+      } else Map.empty
+    val sidecarExists = new java.io.File(dir).exists()
+    val mutated = prev.exists { case (p, sig) => !current.get(p).contains(sig) }
+    if (prev.nonEmpty && sidecarExists && !mutated) {
+      val newFiles = (current.keySet -- prev.keySet).toSeq.sorted
+      if (newFiles.nonEmpty) { // append-only growth: delta build
+        buildsPerformed += 1
+        incrementalAppends += 1
+        derive(spark.read.parquet(newFiles: _*))
+          .write.mode("append").parquet(dir)
+      } // else: unchanged — serve warm
+    } else if (!(sidecarExists && current == prev)) {
+      buildsPerformed += 1 // cold, mutated, or shrunk: full rebuild
+      derive(spark.read.parquet(srcDir)).write.mode("overwrite").parquet(dir)
+    }
+    if (current != prev || !java.nio.file.Files.exists(manifest)) {
+      java.nio.file.Files.createDirectories(manifest.getParent)
+      val body = (Seq(s"v$FormatVersion") ++
+        current.toSeq.sortBy(_._1).map { case (p, sig) => s"$p\t$sig" })
+        .mkString("\n")
+      java.nio.file.Files.write(manifest,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.read.parquet(dir)
   }

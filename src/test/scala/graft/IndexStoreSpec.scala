@@ -7,7 +7,10 @@ import graft.operators.IndexStore
 
 /** The build-once/serve-many contract of the persisted index sidecar:
   * one build per source-data state, served results row-identical to a
-  * rebuild, appends invalidate via the source-file fingerprint.
+  * rebuild, appends invalidate via the source-file fingerprint — and
+  * for per-row indexes, append-only source growth is served by a
+  * DELTA build over only the new files (the O(batch)-per-ingest path
+  * that keeps index maintenance off the corpus-rescan cost curve).
   */
 class IndexStoreSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -59,9 +62,56 @@ class IndexStoreSpec extends AnyFunSuite {
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), simhash64(col("hs")).as("simhash"))
       .orderBy("doc_id").collect().toSeq
-    val served = IndexStore.getOrBuild(spark, src, "simhash64", "documents") {
+    val served = IndexStore.getOrBuildIncremental(spark, src, "simhash64",
+      "documents") { _ =>
       fail("index must already be warm"): org.apache.spark.sql.DataFrame
     }.orderBy("doc_id").collect().toSeq
     assert(served == fresh)
+  }
+
+  test("per-row index: append-only source growth takes the DELTA build " +
+    "path (derives only the new files), mutation falls back to full rebuild") {
+    val src = freshSource()
+    var lastDeriveInput = -1L
+    def index() = IndexStore.getOrBuildIncremental(spark, src, "lens_inc",
+      "documents") { df =>
+      lastDeriveInput = df.count()
+      df.select(col("doc_id"), length(col("text")).as("len"))
+    }
+    val builds0 = IndexStore.buildsPerformed
+    val apps0 = IndexStore.incrementalAppends
+    val first = index().orderBy("doc_id").collect().toSeq
+    val baseN = first.length
+    assert(IndexStore.buildsPerformed == builds0 + 1 &&
+      IndexStore.incrementalAppends == apps0)
+    assert(lastDeriveInput == baseN && baseN > 0)
+    index().collect()
+    assert(IndexStore.buildsPerformed == builds0 + 1, "warm serve must not build")
+    // ingest appends NEW parquet files — existing files untouched
+    graft.sources.Tables.load(spark, sf, "documents")
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .write.mode("append").parquet(s"$src/documents.parquet")
+    val after = index().orderBy("doc_id").collect().toSeq
+    assert(IndexStore.incrementalAppends == apps0 + 1,
+      "append-only growth must take the delta path")
+    assert(lastDeriveInput == baseN,
+      "delta build must derive ONLY the new files' rows, not the corpus")
+    assert(after.length == 2 * baseN)
+    // delta-served rows identical to a cold full derivation
+    val fresh = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .orderBy("doc_id").collect().toSeq
+    assert(after == fresh)
+    // in-place mutation of already-indexed files: full rebuild, never
+    // a stale serve and never a bogus delta
+    val all = spark.read.parquet(s"$src/documents.parquet").localCheckpoint(true)
+    all.write.mode("overwrite").parquet(s"$src/documents.parquet")
+    val builds1 = IndexStore.buildsPerformed
+    val apps1 = IndexStore.incrementalAppends
+    val rebuilt = index().orderBy("doc_id").collect().toSeq
+    assert(IndexStore.buildsPerformed == builds1 + 1 &&
+      IndexStore.incrementalAppends == apps1,
+      "mutated source must full-rebuild, not delta-append")
+    assert(rebuilt == fresh)
   }
 }
