@@ -139,8 +139,16 @@ object IndexStore {
       if (newFiles.nonEmpty) { // append-only growth: delta build
         buildsPerformed += 1
         incrementalAppends += 1
+        // each delta lands in its own subdirectory, named by the new
+        // file set — a crash between this write and the manifest
+        // update replays the SAME delta into the SAME directory with
+        // overwrite semantics (idempotent), never duplicate rows
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(newFiles.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString.take(16)
         derive(spark.read.parquet(newFiles: _*))
-          .write.mode("append").parquet(dir)
+          .write.mode("overwrite").parquet(s"$dir/delta_$tag")
       } // else: unchanged — serve warm
     } else if (!(sidecarExists && current == prev)) {
       buildsPerformed += 1 // cold, mutated, or shrunk: full rebuild
@@ -154,6 +162,8 @@ object IndexStore {
       java.nio.file.Files.write(manifest,
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
-    spark.read.parquet(dir)
+    // recursive lookup flattens base + delta_* subdirectories into one
+    // scan (plain partition discovery would misread delta dirs)
+    spark.read.option("recursiveFileLookup", "true").parquet(dir)
   }
 }
