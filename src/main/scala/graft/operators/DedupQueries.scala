@@ -122,7 +122,7 @@ object DedupQueries {
     * d13's bounded-seed lookup). At 100 TB this is the signature
     * store a dedup service maintains beside the corpus: the text is
     * scanned once per ingest state, not once per query. */
-  private[operators] def simhash64Index(s: SparkSession, d: String): DataFrame =
+  private[graft] def simhash64Index(s: SparkSession, d: String): DataFrame =
     // the signature is a PER-ROW derivation, so the index takes the
     // incremental path: an ingest batch that appends parquet files
     // costs one delta build over the new files, not a corpus re-scan
