@@ -168,9 +168,16 @@ object Multimodal {
     * a²·K ≈ 1.3e17), so the expected dHash of every document is
     * computable arithmetically (the m8 oracle's job) while the engine
     * derives it from REAL decoded bytes. */
-  def syntheticNearDupMedia(s: SparkSession, dir: String): DataFrame = {
+  def syntheticNearDupMedia(s: SparkSession, dir: String): DataFrame =
+    syntheticNearDupMediaFrom(Tables.load(s, dir, "documents"))
+
+  /** Per-row variant over any documents frame — the shape that lets
+    * the fingerprint index take [[IndexStore.getOrBuildIncremental]]'s
+    * delta path (each media row derives from one document row). */
+  def syntheticNearDupMediaFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.load(s, dir, "documents")
+    docs
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -198,9 +205,15 @@ object Multimodal {
     * p = ((((fam·131 + i + 1)²)·2654435761) % 1000000007) % 1009 − 504
     * (quadratic like m8's pixel pattern — measured min cross-family
     * hamming 14; |gain·p| ≤ 1512, well inside int16). */
-  def syntheticNearDupAudio(s: SparkSession, dir: String): DataFrame = {
+  def syntheticNearDupAudio(s: SparkSession, dir: String): DataFrame =
+    syntheticNearDupAudioFrom(Tables.load(s, dir, "documents"))
+
+  /** Per-row variant over any documents frame (see
+    * [[syntheticNearDupMediaFrom]]). */
+  def syntheticNearDupAudioFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.load(s, dir, "documents")
+    docs
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -463,10 +476,12 @@ object Multimodal {
       // fingerprints persist as an IndexStore sidecar (the d6/d13
       // signature-store pattern at the media boundary): decode + dHash
       // run once per corpus state, every dedup query scans the 16-byte
-      // rows — at 100 TB the pixels are read once per ingest, not once
-      // per query
-      val hashes = IndexStore.getOrBuild(s, d, "dhash64", "documents") {
-        perceptualHashes(syntheticNearDupMedia(s, d))
+      // rows — and the derivation is per-row, so an ingest batch takes
+      // the DELTA path: at 100 TB the pixels of a new batch are
+      // decoded once, the existing corpus never re-decoded
+      val hashes = IndexStore.getOrBuildIncremental(s, d, "dhash64",
+        "documents") { src =>
+        perceptualHashes(syntheticNearDupMediaFrom(src))
       }
       val keyed = hashes
         .select(col("doc_id"), col("dhash"),
@@ -496,9 +511,11 @@ object Multimodal {
       val spark = s
       import spark.implicits._
       // persisted fingerprint index, like m8 (decode once per corpus
-      // state, serve the 16-byte rows)
-      val hashes = IndexStore.getOrBuild(s, d, "ahash64", "documents") {
-        syntheticNearDupAudio(s, d)
+      // state, serve the 16-byte rows; per-row derivation ⇒ delta
+      // path on ingest appends)
+      val hashes = IndexStore.getOrBuildIncremental(s, d, "ahash64",
+        "documents") { src =>
+        syntheticNearDupAudioFrom(src)
           .select("doc_id", "content")
           .as[(Long, Array[Byte])]
           .mapPartitions { it =>
