@@ -26,8 +26,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object IndexStore {
 
   /** Bump when any builder's derivation changes — stale sidecars from
-    * an older derivation must rebuild, not serve. */
-  val FormatVersion: Int = 1
+    * an older derivation must rebuild, not serve. (v2: the manifest
+    * records the set of VALID delta directories, so a delta orphaned
+    * by a crash is pruned instead of double-served.) */
+  val FormatVersion: Int = 2
 
   /** Per-process build counter (spec evidence for build-once). */
   @volatile var buildsPerformed: Long = 0L
@@ -79,6 +81,35 @@ object IndexStore {
     s"${sys.props("java.io.tmpdir")}/graft_index_$tag"
   }
 
+  /** Replace `dir` with a freshly-built parquet relation via a scratch
+    * directory + rename ([[StatsStore.writeAll]]'s pattern): a
+    * concurrent reader of the sidecar never observes a half-written
+    * build, only the old dir or the new one. The scratch lives NEXT TO
+    * the target (same filesystem → rename is a metadata move) under a
+    * `_`-prefixed name, which Spark's file listing skips. */
+  private def writeAtomically(spark: SparkSession, df: DataFrame,
+      dir: String): Unit = {
+    val scratch = s"${dir}_build"
+    df.write.mode("overwrite").parquet(scratch)
+    val dest = new org.apache.hadoop.fs.Path(dir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dest, true)
+    fs.rename(new org.apache.hadoop.fs.Path(scratch), dest)
+  }
+
+  /** Atomic small-file write (manifest / fingerprint): temp + move, so
+    * a reader never sees a torn header. */
+  private def writeFileAtomically(target: java.nio.file.Path,
+      body: String): Unit = {
+    java.nio.file.Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Serve index `name` over `dataDir`'s `sourceTable`, building it
     * with `build` only when absent or the source files changed.
     * Always returns a parquet scan of the sidecar. */
@@ -93,10 +124,8 @@ object IndexStore {
       new java.io.File(dir).exists()
     if (!warm) {
       buildsPerformed += 1
-      build.write.mode("overwrite").parquet(dir)
-      java.nio.file.Files.createDirectories(fpFile.getParent)
-      java.nio.file.Files.write(fpFile,
-        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      writeAtomically(spark, build, dir)
+      writeFileAtomically(fpFile, fp)
     }
     spark.read.parquet(dir)
   }
@@ -122,45 +151,82 @@ object IndexStore {
     val manifest = java.nio.file.Paths.get(s"$dir.manifest")
     val srcDir = s"$dataDir/$sourceTable.parquet"
     val current = fileEntriesOf(spark, srcDir)
-    val prev: Map[String, String] =
+    // manifest v2: header, the VALID delta-directory names, then the
+    // per-file inventory. The delta list is what makes a crash between
+    // delta-write and manifest-update safe: a delta dir the manifest
+    // does not vouch for is an orphan and gets pruned before anything
+    // is served or diffed (the r11 hazard — orphan delta_h({B}) plus a
+    // later delta_h({B,C}) would serve B's rows twice).
+    val (prev, validDeltas): (Map[String, String], Set[String]) =
       if (java.nio.file.Files.exists(manifest)) {
         val lines = new String(java.nio.file.Files.readAllBytes(manifest),
           java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
-        if (lines.headOption.contains(s"v$FormatVersion"))
-          lines.drop(1).filter(_.nonEmpty).map { l =>
+        if (lines.headOption.contains(s"v$FormatVersion")) {
+          val deltas = lines.drop(1).headOption match {
+            case Some(d) if d.startsWith("deltas=") =>
+              d.stripPrefix("deltas=").split(',').filter(_.nonEmpty).toSet
+            case _ => Set.empty[String]
+          }
+          val entries = lines.drop(2).filter(_.nonEmpty).map { l =>
             val i = l.lastIndexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
           }.toMap
-        else Map.empty // older format: treat as cold
-      } else Map.empty
-    val sidecarExists = new java.io.File(dir).exists()
+          (entries, deltas)
+        } else (Map.empty, Set.empty) // older format: treat as cold
+      } else (Map.empty, Set.empty)
+    // reconcile BEFORE building: any delta_* subdirectory not recorded
+    // in the manifest is a crash orphan — its rows are not covered by
+    // the inventory diff, so a later delta may re-derive them; delete
+    // it (the next diff re-derives its rows exactly once)
+    val dirFile = new java.io.File(dir)
+    if (dirFile.exists()) {
+      val children = Option(dirFile.listFiles()).getOrElse(Array.empty)
+      children.filter(f => f.isDirectory && f.getName.startsWith("delta_"))
+        .filterNot(f => validDeltas.contains(f.getName))
+        .foreach { orphan =>
+          val p = new org.apache.hadoop.fs.Path(orphan.getAbsolutePath)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+    }
+    val sidecarExists = dirFile.exists()
     val mutated = prev.exists { case (p, sig) => !current.get(p).contains(sig) }
+    def writeManifest(deltas: Set[String]): Unit =
+      writeFileAtomically(manifest,
+        (Seq(s"v$FormatVersion", s"deltas=${deltas.toSeq.sorted.mkString(",")}") ++
+          current.toSeq.sortBy(_._1).map { case (p, sig) => s"$p\t$sig" })
+          .mkString("\n"))
     if (prev.nonEmpty && sidecarExists && !mutated) {
       val newFiles = (current.keySet -- prev.keySet).toSeq.sorted
       if (newFiles.nonEmpty) { // append-only growth: delta build
         buildsPerformed += 1
         incrementalAppends += 1
-        // each delta lands in its own subdirectory, named by the new
-        // file set — a crash between this write and the manifest
-        // update replays the SAME delta into the SAME directory with
-        // overwrite semantics (idempotent), never duplicate rows
+        // the delta is committed by RENAME (scratch name is
+        // `_`-prefixed → invisible to Spark's listing), and becomes
+        // servable only when the manifest update records it — crash at
+        // any point leaves either nothing or an orphan that the next
+        // call's reconcile pass removes
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(newFiles.mkString("\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .map("%02x".format(_)).mkString.take(16)
+        val scratch = new org.apache.hadoop.fs.Path(s"$dir/_building_$tag")
+        val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
         derive(spark.read.parquet(newFiles: _*))
-          .write.mode("overwrite").parquet(s"$dir/delta_$tag")
-      } // else: unchanged — serve warm
-    } else if (!(sidecarExists && current == prev)) {
-      buildsPerformed += 1 // cold, mutated, or shrunk: full rebuild
-      derive(spark.read.parquet(srcDir)).write.mode("overwrite").parquet(dir)
-    }
-    if (current != prev || !java.nio.file.Files.exists(manifest)) {
-      java.nio.file.Files.createDirectories(manifest.getParent)
-      val body = (Seq(s"v$FormatVersion") ++
-        current.toSeq.sortBy(_._1).map { case (p, sig) => s"$p\t$sig" })
-        .mkString("\n")
-      java.nio.file.Files.write(manifest,
-        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .write.mode("overwrite").parquet(scratch.toString)
+        val target = new org.apache.hadoop.fs.Path(s"$dir/delta_$tag")
+        fs.delete(target, true) // replayed delta: overwrite
+        fs.rename(scratch, target)
+        writeManifest(validDeltas + s"delta_$tag")
+      } else if (current != prev) writeManifest(validDeltas) // shrunk-proof: unreachable; keep inventory honest
+      // else: unchanged — serve warm
+    } else {
+      if (!(sidecarExists && current == prev)) {
+        buildsPerformed += 1 // cold, mutated, or shrunk: full rebuild
+        // atomic replace — also clears every delta dir, so the
+        // manifest's delta list resets to empty
+        writeAtomically(spark, derive(spark.read.parquet(srcDir)), dir)
+      }
+      writeManifest(Set.empty)
     }
     // recursive lookup flattens base + delta_* subdirectories into one
     // scan (plain partition discovery would misread delta dirs)

@@ -114,4 +114,45 @@ class IndexStoreSpec extends AnyFunSuite {
       "mutated source must full-rebuild, not delta-append")
     assert(rebuilt == fresh)
   }
+
+  test("crash between delta write and manifest update, then ANOTHER " +
+    "append: the orphaned delta is pruned, rows served exactly once") {
+    val src = freshSource()
+    def index() = IndexStore.getOrBuildIncremental(spark, src, "lens_crash",
+      "documents") { df =>
+      df.select(col("doc_id"), length(col("text")).as("len"))
+    }
+    index().collect() // base build; manifest records {A}
+    val manifest = java.nio.file.Paths.get(
+      s"${IndexStore.rootFor(src)}/lens_crash.manifest")
+    val preAppendManifest = java.nio.file.Files.readAllBytes(manifest)
+    // append B → delta build lands and the manifest records it
+    graft.sources.Tables.load(spark, sf, "documents")
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .write.mode("append").parquet(s"$src/documents.parquet")
+    index().collect()
+    // CRASH SIMULATION: the delta dir survived but the manifest update
+    // was lost — restore the pre-append manifest, leaving delta_h({B})
+    // orphaned on disk
+    java.nio.file.Files.write(manifest, preAppendManifest)
+    // append C — the r11 hazard: next build diffs {B, C} against {A}
+    // and derives B AGAIN into delta_h({B,C}); without reconciliation
+    // the orphan delta_h({B}) would serve B's rows twice
+    graft.sources.Tables.load(spark, sf, "documents")
+      .withColumn("doc_id", col("doc_id") + lit(2000000L))
+      .write.mode("append").parquet(s"$src/documents.parquet")
+    val served = index().orderBy("doc_id").collect().toSeq
+    val cold = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .orderBy("doc_id").collect().toSeq
+    assert(served.length == cold.length,
+      s"crash+append overlap must not duplicate rows " +
+        s"(served ${served.length}, cold ${cold.length})")
+    assert(served == cold, "served rows must equal a cold full rebuild")
+    // and the replayed-delta idempotence still holds: re-serving after
+    // recovery neither rebuilds nor duplicates
+    val builds = IndexStore.buildsPerformed
+    assert(index().orderBy("doc_id").collect().toSeq == cold)
+    assert(IndexStore.buildsPerformed == builds, "recovered index must serve warm")
+  }
 }
