@@ -370,7 +370,7 @@ object CoreQueries {
       JoinAdvisor.executeChain(li, Seq(
         ChainDim("promo_part", "l_partkey", promo, "p_partkey"),
         ChainDim("supplier", "l_suppkey", supp, "s_suppkey")),
-        store = Some(StatsStore.forDir(s, d)), factName = "lineitem")
+        store = StatsStore.forDir(s, d), factName = "lineitem")
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_items"), sum("rev_u").as("rev_u"))
         .orderBy("s_nationkey")

@@ -293,13 +293,23 @@ object CorpusPipeline {
       count(lit(1)).as("cr"),
       sum(when(isTarget, 1L).otherwise(0L)).as("ct"))
     val tot = bucket.agg(sum("cr").as("crt"), sum("ct").as("ctt"))
+    // per-BUCKET log-ratio truncated to integer micro-units BEFORE the
+    // per-doc sum (r11 advice): a double Σlr rounded to 4 decimals can
+    // flip at a rounding boundary because Spark's partial-agg order
+    // and DuckDB's summation order differ — integer addition is
+    // associative, so the aggregate is exact and order-independent at
+    // any parallelism (the same bargain the other c-queries strike
+    // with integer milli-scores). The one double op per bucket is a
+    // single deterministic expression, never an ordered reduction.
     val model = bucket.crossJoin(broadcast(tot))
       .select(col("b"),
-        (log((col("ct") + lit(1.0)) / (col("ctt") + b.cast("double")))
-          - log((col("cr") + lit(1.0)) / (col("crt") + b.cast("double")))).as("lr"))
+        ((log((col("ct") + lit(1.0)) / (col("ctt") + b.cast("double")))
+          - log((col("cr") + lit(1.0)) / (col("crt") + b.cast("double"))))
+          * lit(1e6)).cast("long").as("lr_micro"))
     toks.join(broadcast(model), Seq("b"))
       .groupBy("doc_id", "source")
-      .agg(count(lit(1)).as("n_toks"), round(sum("lr"), 4).as("dsir_logw"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum("lr_micro").as("dsir_logw_micro"))
       .orderBy("doc_id")
   }
 
@@ -602,10 +612,11 @@ object CorpusPipeline {
           tot AS (SELECT SUM(cr) AS crt, SUM(ct) AS ctt FROM bucket),
           model AS (
             SELECT b,
-              ln((ct + 1.0) / (ctt + 4096.0)) - ln((cr + 1.0) / (crt + 4096.0)) AS lr
+              CAST(TRUNC((ln((ct + 1.0) / (ctt + 4096.0))
+                - ln((cr + 1.0) / (crt + 4096.0))) * 1e6) AS BIGINT) AS lr_micro
             FROM bucket CROSS JOIN tot)
           SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_toks,
-            ROUND(SUM(lr), 4) AS dsir_logw
+            CAST(SUM(lr_micro) AS BIGINT) AS dsir_logw_micro
           FROM feat JOIN model USING (b)
           GROUP BY 1, 2 ORDER BY doc_id"""
   )

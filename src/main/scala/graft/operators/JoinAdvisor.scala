@@ -253,15 +253,33 @@ object JoinAdvisor {
     * ordering decision is served from persisted statistics
     * ([[adviseJoinOrderStored]]) — repeated chains over unchanged data
     * re-scan nothing. */
+  def executeChain(fact: DataFrame, dims: Seq[ChainDim]): DataFrame =
+    applyChainOrder(fact, dims,
+      if (dims.isEmpty) Nil else adviseJoinOrder(fact, dims))
+
+  /** Store-backed [[executeChain]]. `factName` is REQUIRED (r11
+    * advice): the store fingerprints only the relation's input FILES,
+    * which cannot tell two different projections/filters/key
+    * transforms over the same files apart — a shared default name
+    * would let derived fact relations silently serve each other's
+    * statistics, defeating the ANALYZE contract (physics-only harm,
+    * but a silent one). The caller owns the relation⇄name mapping, so
+    * the caller must spell it. */
   def executeChain(fact: DataFrame, dims: Seq[ChainDim],
-      store: Option[StatsStore] = None,
-      factName: String = "fact"): DataFrame = {
+      store: StatsStore, factName: String): DataFrame = {
+    require(factName.nonEmpty && factName != "fact",
+      "store-backed chains need a caller-specific fact name — the " +
+        "generic placeholder would collide across derived relations " +
+        "sharing input files")
+    applyChainOrder(fact, dims,
+      if (dims.isEmpty) Nil
+      else adviseJoinOrderStored(store, fact, factName, dims))
+  }
+
+  private def applyChainOrder(fact: DataFrame, dims: Seq[ChainDim],
+      order: Seq[(String, Long)]): DataFrame = {
     if (dims.isEmpty) return fact // zero joins to order — identity
     val byName = dims.map(d => d.name -> d).toMap
-    val order = store match {
-      case Some(st) => adviseJoinOrderStored(st, fact, factName, dims)
-      case None => adviseJoinOrder(fact, dims)
-    }
     order.foldLeft(fact) { case (acc, (name, _)) =>
       val cd = byName(name)
       acc.join(cd.dim, acc(cd.factKey) === cd.dim(cd.dimKey))

@@ -62,17 +62,14 @@ class FilteredAnnSpec extends AnyFunSuite {
       .dsirWeights(docs, col("source") === "tgt", 4096)
       .collect()
     assert(out.length == docs.count())
-    def w(id: Long): Double =
-      out.find(_.getAs[Long]("doc_id") == id).get.getAs[Double]("dsir_logw")
-    assert(out.forall { r =>
-      val v = r.getAs[Double]("dsir_logw"); !v.isNaN && !v.isInfinite
-    })
+    def w(id: Long): Long =
+      out.find(_.getAs[Long]("doc_id") == id).get.getAs[Long]("dsir_logw_micro")
     assert(w(100L) > w(101L),
       s"DSIR tilt inverted: target-vocab probe ${w(100L)} <= pool-vocab probe ${w(101L)}")
     // and the table-backed query runs end-to-end with finite weights
+    // integer micro-unit weights (r11 advice): exact, order-independent
     val table = SparkEntry.queries("c9_dsir_weights")(spark, sf).collect()
-    assert(table.nonEmpty && table.forall { r =>
-      val v = r.getAs[Double]("dsir_logw"); !v.isNaN && !v.isInfinite
-    })
+    assert(table.nonEmpty &&
+      table.forall(r => math.abs(r.getAs[Long]("dsir_logw_micro")) < 1e15.toLong))
   }
 }

@@ -83,7 +83,7 @@ class StatsStoreSpec extends AnyFunSuite {
     assert(o1 == o2)
     assert(o1 == JoinAdvisor.adviseJoinOrder(li, dims))
     // executeChain through the store: identical rows, no new scans
-    val rows = JoinAdvisor.executeChain(li, dims, Some(store), "lineitem")
+    val rows = JoinAdvisor.executeChain(li, dims, store, "lineitem")
       .groupBy("s_nationkey").count().orderBy("s_nationkey").collect().toSeq
     assert(store.scansPerformed == 3)
     val fresh = JoinAdvisor.executeChain(li, dims)
