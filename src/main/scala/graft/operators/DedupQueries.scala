@@ -132,6 +132,49 @@ object DedupQueries {
         .select(col("doc_id"), simhash64(col("hs")).as("simhash"))
     }
 
+  /** Pigeonhole band explode for a 64-bit signature column: each row
+    * fans out to `nBands` rows keyed (band, chunk) where chunk is the
+    * band-th `bandBits`-wide slice of the signature. The pigeonhole
+    * bound this enables: Hamming ≤ nBands−1 flips bits in at most
+    * nBands−1 bands ⇒ SOME band's chunk is equal — so an equi-join on
+    * (band, chunk) is a COMPLETE candidate generator for
+    * Hamming ≤ nBands−1, at ~N²/2^bandBits expected in-bucket pairs
+    * per band instead of N². One implementation behind
+    * d6/d13/m8/m9 (r11 verdict ask #7). */
+  private[operators] def bandedKeys(sigs: DataFrame, sigCol: String,
+      nBands: Int = 4, bandBits: Int = 16): DataFrame = {
+    require(nBands * bandBits == 64, s"bands must tile the 64-bit signature " +
+      s"exactly: $nBands × $bandBits")
+    sigs
+      .withColumn("band", explode(expr(s"sequence(0, ${nBands - 1})")))
+      .withColumn("chunk", expr(
+        s"shiftrightunsigned($sigCol, CAST(band * $bandBits AS INT)) " +
+          s"& ${(1L << bandBits) - 1}"))
+  }
+
+  /** Banded-Hamming ALL-PAIRS join: (da, db, hamming) for every pair
+    * of rows of `sigs` (columns: doc_id + `sigCol`) whose signatures
+    * are within `hammingMax`. Shape: [[bandedKeys]] explode →
+    * self-equi-join on (band, chunk) → exact `bit_count(xor)` verify →
+    * distinct (a close pair can collide in several bands). Complete by
+    * the pigeonhole bound (requires hammingMax < nBands); never an
+    * all-pairs signature compare. */
+  private[operators] def bandedHammingPairs(sigs: DataFrame, sigCol: String,
+      hammingMax: Int = 3, nBands: Int = 4, bandBits: Int = 16): DataFrame = {
+    require(hammingMax < nBands,
+      s"pigeonhole completeness needs hammingMax < nBands " +
+        s"($hammingMax !< $nBands)")
+    val keyed = bandedKeys(sigs, sigCol, nBands, bandBits)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr(s"bit_count(a.$sigCol ^ b.$sigCol)").as("hamming"))
+      .filter(col("hamming") <= hammingMax)
+      .distinct()
+  }
+
   def connectedComponents(pairs: DataFrame): DataFrame = {
     // Pin EXACT statistics on every checkpointed generation
     // (Bridge.withExactStats): localCheckpoint inherits the
@@ -387,15 +430,10 @@ object DedupQueries {
       // then every lookup serves from a parquet scan of the index (the
       // offline-build/online-serve split of a real signature store)
       val sims = simhash64Index(s, d)
-      val seeds = sims.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("seed_id"), col("simhash").as("seed_sim"))
-        .withColumn("band", explode(expr("sequence(0, 3)")))
-        .withColumn("chunk",
-          expr("shiftrightunsigned(seed_sim, CAST(band * 16 AS INT)) & 65535"))
-      sims
-        .withColumn("band", explode(expr("sequence(0, 3)")))
-        .withColumn("chunk",
-          expr("shiftrightunsigned(simhash, CAST(band * 16 AS INT)) & 65535"))
+      val seeds = bandedKeys(sims.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("seed_id"), col("simhash").as("seed_sim")),
+        "seed_sim")
+      bandedKeys(sims, "simhash")
         .join(broadcast(seeds), Seq("band", "chunk"))
         .filter(col("doc_id") =!= col("seed_id"))
         .withColumn("hamming", expr("bit_count(simhash ^ seed_sim)"))
@@ -426,19 +464,8 @@ object DedupQueries {
     // some band is equal). Shape: in-row signature → explode 4 bands
     // → equi-join → verify.
     "d6_simhash64_pairs" -> { (s, d) =>
-      val sims = simhash64Index(s, d) // shared persisted index (see d13)
-      val keyed = sims
-        .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("chunk",
-          expr("shiftrightunsigned(simhash, CAST(band * 16 AS INT)) & 65535"))
-      keyed.as("a").join(keyed.as("b"),
-          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct() // a close pair can collide in several bands
+      // shared persisted index (see d13) + the shared band join
+      bandedHammingPairs(simhash64Index(s, d), "simhash")
         .orderBy("hamming", "da", "db")
         .limit(1000)
     },

@@ -483,19 +483,7 @@ object Multimodal {
         "documents") { src =>
         perceptualHashes(syntheticNearDupMediaFrom(src))
       }
-      val keyed = hashes
-        .select(col("doc_id"), col("dhash"),
-          explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("chunk",
-          expr("shiftrightunsigned(dhash, CAST(band * 16 AS INT)) & 65535"))
-      keyed.as("a").join(keyed.as("b"),
-          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          expr("bit_count(a.dhash ^ b.dhash)").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct() // a close pair can collide in several bands
+      DedupQueries.bandedHammingPairs(hashes, "dhash")
         .orderBy("hamming", "da", "db")
         .limit(1000)
     },
@@ -528,19 +516,7 @@ object Multimodal {
           }
           .toDF("doc_id", "ahash")
       }
-      val keyed = hashes
-        .select(col("doc_id"), col("ahash"),
-          explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("chunk",
-          expr("shiftrightunsigned(ahash, CAST(band * 16 AS INT)) & 65535"))
-      keyed.as("a").join(keyed.as("b"),
-          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          expr("bit_count(a.ahash ^ b.ahash)").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct()
+      DedupQueries.bandedHammingPairs(hashes, "ahash")
         .orderBy("hamming", "da", "db")
         .limit(1000)
     },
