@@ -35,6 +35,36 @@ object Bench {
       try graft.sources.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // CALIBRATION ANCHOR (r11 verdict ask #4): a fixed synthetic
+    // CPU+shuffle workload — generated rows, zero I/O, identical on
+    // every box and every round — timed alongside the queries. Bench
+    // totals drift ±15-40% with box load/page-cache state on IDENTICAL
+    // code (measured r10→r11: 104.1→144.5 s driver-side with untouched
+    // queries regressing the most); dividing totals by the anchor
+    // separates engine regression from environment drift. Shape:
+    // 8M rows → hash project (CPU) → 4096-key groupBy (map-combine +
+    // one shuffle) → noop sink; median of 3 after one warm run, like
+    // every query.
+    def anchorOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 8000000L, 1, 32)
+        // v bounded to 10⁶ so the 8M-row SUM stays inside int64 under
+        // ANSI arithmetic (raw 64-bit hash sums overflow)
+        .selectExpr("xxhash64(id) % 4096 AS k",
+          "abs(xxhash64(id, id + 1) % 1000000) AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("sv"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val anchorSec = {
+      anchorOnce() // warm
+      val ts = Seq.fill(3)(anchorOnce()).sorted
+      val m = ts(1)
+      System.err.println(f"[bench] __anchor__ median=$m%7.3f s  " +
+        f"runs=[${ts.map(t => f"$t%.3f").mkString(", ")}]")
+      m
+    }
     // Every inventory query is benched (the former d4 demo exclusion
     // is gone — d4 was retired for the bounded-seed d12 lookup in r9).
     // dev loop only: SPARK_GRAFT_BENCH_ONLY=q1,q2 re-times a subset
@@ -117,7 +147,7 @@ object Bench {
     def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + ms(kv._2)
     val qsFull = results.map(entry).mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsFull$cdcJson,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor_sec":${ms(anchorSec)},"queries":$qsFull$cdcJson,"sf":"$sfDir","runs":$runs}"""
     // Full per-query map goes to a file + stderr. The LAST stdout line
     // must be a COMPLETE JSON object inside the driver's bounded log
     // tail (2000 chars, minus sbt's trailing "[success] Total time"
@@ -137,7 +167,7 @@ object Bench {
     // the cdc block comes out of the queries budget so the final line
     // stays inside the driver's 2000-char tail — sized off the actual
     // block (it grew to ~800 chars with the r10 state-growth metrics)
-    val budget = math.max(300, 1400 - cdcJson.length)
+    val budget = math.max(300, 1370 - cdcJson.length) // −30: anchor_sec field
     val kept = new StringBuilder
     var nKept = 0
     // stop at the FIRST entry that doesn't fit, so the kept set is a
@@ -154,7 +184,8 @@ object Bench {
     }
     val truncated = nKept < results.length
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{${kept.result()}},""" +
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor_sec":${ms(anchorSec)},""" +
+        s""""queries":{${kept.result()}},""" +
         s""""queries_truncated":$truncated,"nqueries":${results.length},""" +
         s""""queries_order":"slowest_first","queries_file":"BENCH_LOCAL.json"$cdcJson,""" +
         s""""sf":"$sfDir","runs":$runs}"""

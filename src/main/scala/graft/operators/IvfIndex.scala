@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashExprs.dot_long
+
+/** Shared IVF coarse-quantizer machinery: LEARNED centroids (Lloyd
+  * iterations) and TWO-LEVEL cell routing — the two pieces the r11
+  * verdict named as the scale gap in the s17/s18 family.
+  *
+  * Why two-level routing: with the occupancy-ruled cell count
+  * k = ⌈N/256⌉ ([[SimilarityQueries.autoCells]]), a flat
+  * `crossJoin(broadcast(cents))` assignment costs N·k dots =
+  * O(N²/256) and broadcasts a centroid table that grows linearly with
+  * the corpus (~2 GB at 10⁹ vectors) — the quadratic wall just moves
+  * from the pair stage to the assignment stage. The standard answer
+  * (FAISS's IVF-on-IVF, SPANN's balanced posting trees) is a router:
+  * group the k fine centroids under kc = ⌈√k⌉ COARSE cells, route
+  * each vector to its nearest coarse cell (kc dots, a √k-row
+  * broadcast), then score only that coarse cell's ~√k fine centroids
+  * (an equi-join on the coarse key — k rows against N, never a
+  * broadcast that grows past √k·dim). Total assignment work:
+  * O(N·√k) = O(N^1.5/16) dots with a O(√N/16)-row broadcast — at 10⁹
+  * vectors, ~2k coarse dots/vector instead of ~4M, and a ~125 KB
+  * coarse broadcast instead of 2 GB.
+  *
+  * The routed cell is an APPROXIMATION of the flat-nearest cell (a
+  * vector whose true nearest fine centroid lives outside its winning
+  * coarse cell lands in a neighboring cell) — exactly the bargain
+  * every hierarchical ANN index strikes, and deterministic: both
+  * engines replay the identical integer arithmetic, so the DuckDB
+  * oracles pin the routed assignment bit-for-bit.
+  *
+  * Why Lloyd: first-k "centroids" (s4's deterministic stand-in) give
+  * cell occupancy that ignores data skew — a dense region maps to one
+  * overloaded cell whose within-cell pair work blows past the
+  * occupancy target. 2 Lloyd rounds (assign → per-cell integer mean,
+  * empty cells carry their previous centroid) move centroids toward
+  * mass, flattening occupancy (spec-pinned on a planted-skew corpus
+  * in `LloydRoutingSpec`). Training uses the SAME two-level router
+  * for its assignment step, so a training round is O(N·√k), not
+  * O(N·k) — the learning path scales exactly like the serving path.
+  *
+  * Cross-engine determinism: init = first-k vectors; assignment
+  * tie-breaks (dist2, cid); means are per-dimension `SUM DIV COUNT`
+  * over exact quantized integers (Spark `DIV` and DuckDB `//` both
+  * truncate toward zero — s14's proven bargain); all distances are
+  * the compiled [[graft.functions.DotLong]] integer expansion
+  * |a−b|² = a·a − 2a·b + b·b.
+  */
+object IvfIndex {
+
+  /** Coarse router width for a k-cell fine index: kc = ⌈√k⌉ balances
+    * the two routing stages (kc coarse dots + ~k/kc fine dots per
+    * vector; the sum is minimized at kc = √k). Float sqrt is safe
+    * here: √k of a perfect square is exact in IEEE double, and a
+    * non-square's √ is irrational so CEIL cannot sit on the
+    * boundary — the SQL oracles compute the identical
+    * CEIL(SQRT(k)). */
+  def autoCoarseCells(k: Long): Long = {
+    require(k > 0, s"need a positive fine-cell count, got $k")
+    math.ceil(math.sqrt(k.toDouble)).toLong
+  }
+
+  /** |a−b|² as three compiled integer dots — exact, codegen'd, no
+    * interpreted zip_with per (vector, centroid). */
+  private def dist2(a: Column, b: Column): Column =
+    dot_long(a, a) - lit(2L) * dot_long(a, b) + dot_long(b, b)
+
+  /** The fine→coarse routing table: every fine centroid (cid, cv)
+    * mapped to its nearest of the first-kc fine centroids (the
+    * deterministic coarse stand-ins — a √k-sized problem needs no
+    * learned coarse layer). k×kc dots over a k-row frame: centroid
+    * work, never corpus work. */
+  def fineToCoarse(cents: DataFrame, kc: Long): DataFrame = {
+    val coarse = cents.filter(col("cid") < kc)
+      .select(col("cid").as("ccid"), col("cv").as("ccv"))
+    cents.crossJoin(broadcast(coarse))
+      .withColumn("fdist2", dist2(col("cv"), col("ccv")))
+      .withColumn("frn", row_number().over(
+        Window.partitionBy("cid").orderBy(col("fdist2").asc, col("ccid").asc)))
+      .filter(col("frn") === 1)
+      .select(col("cid"), col("cv"), col("ccid"))
+  }
+
+  /** Two-level routed cell assignment: `v` (vec_id, qv, +carried
+    * columns) → the same columns + `cell` (the routed fine centroid
+    * id) + `cell_dist2` (exact integer distance to it — s19's inertia
+    * input; drop it if unwanted). Stage 1 broadcasts only the kc
+    * coarse centroids; stage 2 is an EQUI-JOIN on the coarse key
+    * against the k-row fine table — unhinted, so Catalyst broadcasts
+    * it while it fits and falls back to a shuffle hash join when k
+    * outgrows the budget (the flat design had no such fallback: its
+    * broadcast WAS the algorithm). */
+  def routeAssign(v: DataFrame, cents: DataFrame, kc: Long): DataFrame = {
+    val coarse = cents.filter(col("cid") < kc)
+      .select(col("cid").as("ccid"), col("cv").as("ccv"))
+    val routed = v.crossJoin(broadcast(coarse))
+      .withColumn("cdist2", dist2(col("qv"), col("ccv")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cdist2").asc, col("ccid").asc)))
+      .filter(col("crn") === 1)
+      .drop("ccv", "cdist2", "crn")
+    routed.join(fineToCoarse(cents, kc), Seq("ccid"))
+      .withColumn("cell_dist2", dist2(col("qv"), col("cv")))
+      .withColumn("frn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cell_dist2").asc, col("cid").asc)))
+      .filter(col("frn") === 1)
+      .withColumnRenamed("cid", "cell")
+      .drop("ccid", "cv", "frn")
+  }
+
+  /** Lloyd-learned fine centroids: init = first-k vectors, then
+    * `rounds` iterations of routed-assign → per-cell per-dimension
+    * integer mean (`SUM DIV COUNT` — exact, order-independent).
+    * Cells that attract no vectors keep their previous centroid (the
+    * LEFT join + coalesce), so the cell id space is stable across
+    * rounds. The k-row centroid frame is checkpointed per round — it
+    * is consumed three times per routing pass and the lineage would
+    * otherwise recompute the corpus assignment per consumer. */
+  def lloydCentroids(v: DataFrame, k: Long, rounds: Int): DataFrame = {
+    val kc = autoCoarseCells(k)
+    var cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val assigned = routeAssign(v.select("vec_id", "qv"), cents, kc)
+      // 64×N explode, but shuffled only as (cell, dim) partial sums —
+      // map-side combine caps the wire at 64·k rows per partition
+      val means = assigned
+        .select(col("cell").as("cid"), posexplode(col("qv")).as(Seq("dim", "q")))
+        .groupBy("cid", "dim")
+        .agg(expr("SUM(q) DIV COUNT(*)").as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)")
+          .as("mv"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+}

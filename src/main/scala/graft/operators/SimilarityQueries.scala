@@ -482,25 +482,20 @@ object SimilarityQueries {
       // k = max(8, ⌈N/256⌉) holds expected cell occupancy ≤ ~256 so
       // within-cell pair work stays linear in N (fixed k would grow
       // occupancy — and pairs — quadratically, s8's frozen-plane wall
-      // on this index family). Resolves to 8 at every shipped SF
-      // (pinned oracle numerically unchanged; the oracle computes the
-      // same k in SQL) and to 79 cells at the 10× probe corpus.
-      // Centroids stay the deterministic first-k stand-in (s4's
-      // convention for an offline k-means); assignment cost is k dots
-      // per vector = N²/256 · 3 integer dots — linear per vector at
-      // fixed occupancy, and the real-k-means swap changes only the
-      // centroid source.
+      // on this index family). Resolves to 8 at every shipped SF and
+      // to 79 cells at the 10× probe corpus; the oracle computes the
+      // same k in SQL. Centroids are LEARNED — 2 Lloyd rounds from
+      // the first-k init ([[IvfIndex.lloydCentroids]]), so occupancy
+      // follows data skew — and BOTH the training assignments and the
+      // final corpus assignment go through the TWO-LEVEL router
+      // ([[IvfIndex.routeAssign]]): O(N·√k) dots with a √k-row coarse
+      // broadcast, closing the r11 gap where flat N·k assignment was
+      // O(N²/256) with a linearly-growing centroid broadcast.
       val k = autoCells(Tables.load(s, d, "embeddings").count())
-      val cents = v.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      val assigned = v.crossJoin(broadcast(cents))
-        .withColumn("dist2",
-          dot_long(col("qv"), col("qv")) - lit(2L) * dot_long(col("qv"), col("cv"))
-            + dot_long(col("cv"), col("cv")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("qv"), col("norm"), col("cid").as("cell"))
+      val cents = IvfIndex.lloydCentroids(
+        v.select(col("vec_id"), col("qv")), k, rounds = 2)
+      val assigned = IvfIndex.routeAssign(v, cents, IvfIndex.autoCoarseCells(k))
+        .select(col("vec_id"), col("qv"), col("norm"), col("cell"))
         .localCheckpoint(true) // pair search + final keep-list join
       val a = assigned.select(col("vec_id").as("da"), col("qv").as("va"),
         col("norm").as("na"), col("cell"))
@@ -550,29 +545,37 @@ object SimilarityQueries {
       def prep(df: DataFrame): DataFrame =
         df.select(col("vec_id"), col("label"), quant.as("qv"))
           .withColumn("norm", sqrt(dot_long(col("qv"), col("qv")).cast("double")))
-      // index built on the UNFILTERED corpus (filters arrive at query
-      // time, long after the index); s4's deterministic centroid stand-in
-      val cents = prep(raw.filter(col("vec_id") < 8))
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      def cells(df: DataFrame, probes: Int): DataFrame =
-        df.crossJoin(broadcast(cents))
-          .withColumn("dist2",
-            dot_long(col("qv"), col("qv")) - lit(2L) * dot_long(col("qv"), col("cv"))
-              + dot_long(col("cv"), col("cv")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)))
-          .filter(col("rn") <= probes)
-      // selectivity measured in ONE scan (count + conditional count,
-      // the JoinAdvisor dual-stat idiom); the result is a driver-side
-      // scalar pair, never a data collect
+      // selectivity AND corpus size measured in ONE scan (count +
+      // conditional count, the JoinAdvisor dual-stat idiom); the
+      // result is a driver-side scalar pair, never a data collect
       val stats = raw.agg(count(lit(1)).as("n"),
         sum(when(col("label") <= 3 && col("vec_id") >= 5, 1L).otherwise(0L)).as("nf"))
         .head()
-      val probes = autoProbeCells(stats.getLong(0), stats.getLong(1), nCells = 8)
-      val cand = cells(prep(raw.filter(col("label") <= 3 && col("vec_id") >= 5)), 1)
+      // index built on the UNFILTERED corpus (filters arrive at query
+      // time, long after the index), ENGINE-SIZED on the cell axis
+      // (r11 ask #6: autoCells instead of the hard-coded 8) with
+      // LEARNED centroids; corpus-side assignment goes through the
+      // two-level router — O(N·√k), the s17 scale path
+      val k = autoCells(stats.getLong(0))
+      val cents = IvfIndex.lloydCentroids(
+        prep(raw).select(col("vec_id"), col("qv")), k, rounds = 2)
+      val probes = autoProbeCells(stats.getLong(0), stats.getLong(1), nCells = k)
+      val cand = IvfIndex.routeAssign(
+        prep(raw.filter(col("label") <= 3 && col("vec_id") >= 5)),
+        cents, IvfIndex.autoCoarseCells(k))
         .select(col("vec_id").as("vid"), col("label"), col("qv").as("vb"),
-          col("norm").as("vn"), col("cid").as("cell"))
-      val q = cells(prep(raw.filter(col("vec_id") < 5)), probes)
+          col("norm").as("vn"), col("cell"))
+      // query side: a HANDFUL of probe vectors ranks the full k-cell
+      // centroid list (k dots per query — the standard per-query
+      // nprobe scan; at k past ~10⁶ the router applies here too) —
+      // probe depth stays engine-derived from measured selectivity
+      val q = prep(raw.filter(col("vec_id") < 5)).crossJoin(broadcast(cents))
+        .withColumn("dist2",
+          dot_long(col("qv"), col("qv")) - lit(2L) * dot_long(col("qv"), col("cv"))
+            + dot_long(col("cv"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)))
+        .filter(col("rn") <= probes)
         .select(col("vec_id").as("qid"), col("qv").as("va"),
           col("norm").as("qn"), col("cid").as("cell"))
       // vid lives in exactly one cell and a query's probe cells are
@@ -586,6 +589,26 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("vid"), col("label"), col("cell"),
           round(col("cos_raw"), 4).as("cosine"))
         .orderBy("qid", "rank")
+    },
+
+    // ── s19: the IVF index card — per-cell occupancy + exact integer
+    // inertia under the LEARNED (2-round Lloyd) centroids and routed
+    // assignment. This is the statistic an index operator watches:
+    // occupancy skew is the pair-work bound of s17 and the probe-cost
+    // bound of s18, and Lloyd exists precisely to flatten it (the
+    // planted-skew drop vs first-k init is spec-pinned in
+    // LloydRoutingSpec; this query pins the table-backed trajectory
+    // cross-engine). Cost shape = one routed assignment, O(N·√k).
+    "s19_ivf_lloyd" -> { (s, d) =>
+      val v = vecs(s, d)
+      val k = autoCells(Tables.load(s, d, "embeddings").count())
+      val cents = IvfIndex.lloydCentroids(
+        v.select(col("vec_id"), col("qv")), k, rounds = 2)
+      IvfIndex.routeAssign(v.select(col("vec_id"), col("qv")), cents,
+        IvfIndex.autoCoarseCells(k))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_assigned"), sum("cell_dist2").as("inertia"))
+        .orderBy("cell")
     },
 
     // w ← Aᵀ(A v) is ONE scan — the dot x·v is a compiled in-row
@@ -685,13 +708,14 @@ object SimilarityQueries {
   def autoProbeRadius(nPlanes: Int, floor: Int = 6): Int =
     1 + math.max(0, nPlanes - floor + 3) / 4
 
-  /** [[autoPlanes]]'s occupancy rule on the IVF axis (s17's cell
-    * count): k = max(8, ⌈N/256⌉) holds expected cell occupancy ≤ ~256
-    * so within-cell pair work stays linear in N. At 10× the pair
-    * savings and the k-times-larger assignment cost roughly cancel
-    * (measured 2.74× vs fixed-8's 2.70×); the point is the NEXT step —
-    * fixed-k pair work is quadratic, auto-k is linear at every
-    * factor. */
+  /** [[autoPlanes]]'s occupancy rule on the IVF axis (s17/s18/s19's
+    * cell count): k = max(8, ⌈N/256⌉) holds expected cell occupancy
+    * ≤ ~256 so within-cell pair work stays linear in N. The rule
+    * governs only the PAIR stage; the assignment stage is linear only
+    * because it routes two-level ([[IvfIndex.routeAssign]], O(N·√k))
+    * — the r11 design assigned flat at N·k = O(N²/256) dots with a
+    * linearly-growing centroid broadcast, which this round's router
+    * removed. */
   def autoCells(n: Long, targetOccupancy: Long = 256L, floor: Long = 8L): Long = {
     require(targetOccupancy > 0, s"targetOccupancy must be > 0, got $targetOccupancy")
     math.max(floor, (n + targetOccupancy - 1) / targetOccupancy)
@@ -801,6 +825,81 @@ object SimilarityQueries {
       .select("vec_id", "m", "k", "dist2")
   }
 
+  /** CTE chain replaying [[IvfIndex]] relationally: engine-sized k
+    * (`kk`), coarse width kc = ⌈√k⌉ (`kcc`), first-k init centroids
+    * (`cents0`, exploded (cid, idx, q)), then per Lloyd round r: the
+    * fine→coarse map (`f2c{r}`), each vector's coarse cell (`vc{r}`),
+    * the routed fine assignment (`va{r}` — distances computed ONLY
+    * against the winning coarse cell's fine centroids), and the
+    * per-cell per-dimension integer mean carried over empty cells
+    * (`cents{r+1}`). After `rounds` rounds one more routing pass
+    * yields `assigned(vec_id, cell, dist2)`. Every step is exact
+    * integer arithmetic with (dist2, id) tie-breaks, so DuckDB
+    * replays the Spark trajectory bit-for-bit (DIV ≡ `//`: both
+    * truncate toward zero — s14's proven bargain). */
+  private def ivfRoutedSql(rounds: Int): String = {
+    def routeCtes(r: Int): String =
+      s"""fd$r AS (
+            SELECT f.cid, ce.cid AS ccid,
+              SUM((f.q - ce.q) * (f.q - ce.q)) AS dist2
+            FROM cents$r f JOIN cents$r ce ON f.idx = ce.idx
+              AND ce.cid < (SELECT kc FROM kcc)
+            GROUP BY 1, 2),
+          f2c$r AS (
+            SELECT cid, ccid FROM (
+              SELECT cid, ccid,
+                row_number() OVER (PARTITION BY cid ORDER BY dist2, ccid) AS rn
+              FROM fd$r) WHERE rn = 1),
+          cd$r AS (
+            SELECT v.vec_id, ce.cid AS ccid,
+              SUM((v.q - ce.q) * (v.q - ce.q)) AS dist2
+            FROM c v JOIN cents$r ce ON v.idx = ce.idx
+              AND ce.cid < (SELECT kc FROM kcc)
+            GROUP BY 1, 2),
+          vc$r AS (
+            SELECT vec_id, ccid FROM (
+              SELECT vec_id, ccid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, ccid) AS rn
+              FROM cd$r) WHERE rn = 1),
+          vd$r AS (
+            SELECT v0.vec_id, f.cid,
+              SUM((v.q - ce.q) * (v.q - ce.q)) AS dist2
+            FROM vc$r v0
+            JOIN f2c$r f ON f.ccid = v0.ccid
+            JOIN c v ON v.vec_id = v0.vec_id
+            JOIN cents$r ce ON ce.cid = f.cid AND ce.idx = v.idx
+            GROUP BY 1, 2),
+          va$r AS (
+            SELECT vec_id, cell, dist2 FROM (
+              SELECT vec_id, cid AS cell, dist2,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+              FROM vd$r) WHERE rn = 1)"""
+    def lloydCtes(r: Int): String =
+      s"""m${r + 1} AS (
+            SELECT va$r.cell AS cid, v.idx,
+              CAST(SUM(v.q) AS BIGINT) // COUNT(*) AS q
+            FROM va$r JOIN c v ON v.vec_id = va$r.vec_id
+            GROUP BY 1, 2),
+          cents${r + 1} AS (
+            SELECT p.cid, p.idx, COALESCE(m${r + 1}.q, p.q) AS q
+            FROM cents$r p LEFT JOIN m${r + 1}
+              ON m${r + 1}.cid = p.cid AND m${r + 1}.idx = p.idx)"""
+    val roundsSql = (0 until rounds)
+      .map(r => s"${routeCtes(r)},\n          ${lloydCtes(r)}")
+      .mkString(",\n          ")
+    s"""kk AS (
+          SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS k
+          FROM embeddings),
+        kcc AS (
+          SELECT CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT) AS kc FROM kk),
+        cents0 AS (
+          SELECT vec_id AS cid, idx, q FROM c
+          WHERE vec_id < (SELECT k FROM kk)),
+        $roundsSql,
+        ${routeCtes(rounds)},
+        assigned AS (SELECT vec_id, cell, dist2 FROM va$rounds)"""
+  }
+
   private val compsSql =
     """c AS (
          SELECT vec_id, idx - 1 AS idx,
@@ -907,27 +1006,28 @@ object SimilarityQueries {
     // candidate side only — pre-filtering, not post-filtering.
     "s18_filtered_ann" ->
       s"""WITH $compsSql,
+          ${ivfRoutedSql(2)},
           sel AS (
-            SELECT GREATEST(2, LEAST(8,
+            SELECT GREATEST(2, LEAST((SELECT k FROM kk),
               (COUNT(*) + SUM(CASE WHEN label <= 3 AND vec_id >= 5 THEN 1 ELSE 0 END) - 1)
                 // SUM(CASE WHEN label <= 3 AND vec_id >= 5 THEN 1 ELSE 0 END))) AS p
             FROM embeddings),
-          dist AS (
-            SELECT v.vec_id, cent.vec_id AS cid,
-              SUM((v.q - cent.q) * (v.q - cent.q)) AS dist2
-            FROM c v JOIN c cent ON v.idx = cent.idx AND cent.vec_id < 8
-            GROUP BY 1, 2),
-          ranked AS (
-            SELECT vec_id, cid,
-              row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
-            FROM dist),
           cand AS (
-            SELECT r.vec_id, r.cid AS cell, e.label
-            FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
-            WHERE r.rn = 1 AND e.label <= 3 AND r.vec_id >= 5),
+            SELECT a.vec_id, a.cell, e.label
+            FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+            WHERE e.label <= 3 AND a.vec_id >= 5),
+          qd AS (
+            SELECT v.vec_id, ce.cid,
+              SUM((v.q - ce.q) * (v.q - ce.q)) AS dist2
+            FROM c v JOIN cents2 ce ON v.idx = ce.idx
+            WHERE v.vec_id < 5
+            GROUP BY 1, 2),
           probes AS (
-            SELECT vec_id, cid AS cell FROM ranked CROSS JOIN sel
-            WHERE rn <= p AND vec_id < 5),
+            SELECT vec_id, cid AS cell FROM (
+              SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+              FROM qd) CROSS JOIN sel
+            WHERE rn <= p),
           dots AS (
             SELECT p.vec_id AS qid, cand.vec_id AS vid, cand.label, cand.cell,
               SUM(qc.q * vc.q) AS dot
@@ -943,27 +1043,21 @@ object SimilarityQueries {
               row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vid ASC) AS rank
             FROM cos)
           WHERE rank <= 3 ORDER BY qid, rank""",
+    // s19 — the full Lloyd+routing trajectory replayed relationally;
+    // occupancy and exact integer inertia per routed cell
+    "s19_ivf_lloyd" ->
+      s"""WITH $compsSql,
+          ${ivfRoutedSql(2)}
+          SELECT cell, COUNT(*) AS n_assigned,
+            CAST(SUM(dist2) AS BIGINT) AS inertia
+          FROM assigned GROUP BY 1 ORDER BY cell""",
     // s17 — s4's cell assignment (at the ENGINE-SIZED k, computed by
     // the same max(8, ceil(N/256)) rule in SQL) + within-cell cosine
     // pairs + d5's recursive-reachability CC, re-keyed to vectors;
     // singletons kept via the LEFT join (their own id is the rep)
     "s17_semdedup" ->
       s"""WITH RECURSIVE $compsSql,
-          kk AS (
-            SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS k
-            FROM embeddings),
-          dist AS (
-            SELECT v.vec_id, cent.vec_id AS cid,
-              SUM((v.q - cent.q) * (v.q - cent.q)) AS dist2
-            FROM c v JOIN c cent ON v.idx = cent.idx
-              AND cent.vec_id < (SELECT k FROM kk)
-            GROUP BY 1, 2),
-          assigned AS (
-            SELECT vec_id, cid AS cell FROM (
-              SELECT vec_id, cid,
-                row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
-              FROM dist)
-            WHERE rn = 1),
+          ${ivfRoutedSql(2)},
           dots AS (
             SELECT a.vec_id AS da, b.vec_id AS db, SUM(ca.q * cb.q) AS dot
             FROM assigned a

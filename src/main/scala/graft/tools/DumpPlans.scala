@@ -91,7 +91,8 @@ object DumpPlans {
     "m8_perceptual_dedup" -> "perceptual media dedup: partition-local dHash (pixels reduced map-side), 16-bit pigeonhole band join",
     "m9_audio_dedup" -> "perceptual audio dedup: gain-invariant delta-sign fingerprint, same band-join serving shape",
     "s17_semdedup" -> "SemDeDup keep list: IVF-cell-gated cosine pairs -> CC reps -> broadcast label join (singletons kept)",
-    "s18_filtered_ann" -> "filtered vector search: label predicate PUSHED to the candidate scan (pre-filter), engine-sized probe widening, broadcast cell equi-join",
+    "s18_filtered_ann" -> "filtered vector search: label predicate PUSHED to the candidate scan (pre-filter), engine-sized cell count + probe widening, broadcast cell equi-join",
+    "s19_ivf_lloyd" -> "learned-IVF index card: 2-round Lloyd centroids, two-level routed assignment (coarse cross join is sqrt(k)-row broadcast; fine stage an equi-join on the coarse key)",
     "c9_dsir_weights" -> "DSIR importance weights: one-pass 4096-bucket dual histogram, broadcast model join, map-combined per-doc log-ratio sum")
 
   def main(args: Array[String]): Unit = {

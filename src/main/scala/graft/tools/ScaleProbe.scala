@@ -206,7 +206,10 @@ object ScaleProbe {
       "j12_advised_join", "j13_ordered_join",
       // late-r11: filtered vector search (pre-filter + probe widening)
       // and DSIR importance weights (4096-bucket broadcast model)
-      "s18_filtered_ann", "c9_dsir_weights")
+      "s18_filtered_ann", "c9_dsir_weights",
+      // r12: learned-IVF index card (Lloyd + two-level routed
+      // assignment, O(N*sqrt(k)) dots)
+      "s19_ivf_lloyd")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

@@ -112,24 +112,16 @@ class PlanQualitySpec extends AnyFunSuite {
     // plan — rebuild it standalone (same shape as the query body) and
     // gate ITS join: pairs must equi-join on the cell key, never a
     // corpus×corpus product
-    import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.HashExprs.dot_long
+    import org.apache.spark.sql.functions.col
+    import graft.operators.IvfIndex
     val v = graft.sources.Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"),
         org.apache.spark.sql.functions.expr(
           "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
           .as("qv"))
-    val cents = v.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    val assigned2 = v.crossJoin(broadcast(cents))
-      .withColumn("dist2",
-        dot_long(col("qv"), col("qv")) - lit(2L) * dot_long(col("qv"), col("cv"))
-          + dot_long(col("cv"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("qv"), col("cid").as("cell"))
+    val cents = IvfIndex.lloydCentroids(v, 8L, rounds = 2)
+    val assigned2 = IvfIndex.routeAssign(v, cents, IvfIndex.autoCoarseCells(8L))
+      .select(col("vec_id"), col("qv"), col("cell"))
     val a = assigned2.select(col("vec_id").as("da"), col("cell"))
     val b = assigned2.select(col("vec_id").as("db"), col("cell"))
     val pairs = a.join(b, Seq("cell")).filter(col("da") < col("db"))
@@ -140,8 +132,9 @@ class PlanQualitySpec extends AnyFunSuite {
       (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
         l.contains("cell")), pairPlan)
     // the only NL product in the whole pipeline is the deliberate
-    // vector×8-centroid assignment (an 8-row IdentityBroadcast) —
-    // every NL line must be that one
+    // vector×⌈√k⌉-coarse-centroid routing cross join — every NL line
+    // must be that one (the fine-centroid stage is an equi-join on the
+    // coarse key, never a product)
     val nlLines = pairPlan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
     assert(nlLines.forall(_.contains("Cross")), pairPlan)
   }
