@@ -98,12 +98,19 @@ object CdcPipeline {
     *    O(batches²/compactInterval).
     *
     * The remaining linear term — the latest compact lists every input
-    * file ever seen (the source's dedup record) — is bounded in
-    * production by the source's `maxFileAge` (default 7 days): entries
-    * older than the age cap stop being tracked, so steady-state bytes
-    * plateau at O(files per retention window). [[graft.tools
-    * .CdcThroughput]] measures all of it (base/x10/x20 blocks in
-    * CDC_BENCH.json). */
+    * file ever seen (the source's dedup record) — is NOT bounded by
+    * any Spark knob: `CompactibleFileStreamLog.shouldRetain` is a
+    * constant `true` in OSS Spark (verified against the 4.1.2
+    * bytecode), so compaction never evicts source entries, and
+    * `maxFileAge` trims only the in-memory seen-map. (r11 documented
+    * the opposite; the r12 measurement corrected it.) The engine's
+    * answer is FEED RETENTION + CHECKPOINT ROTATION
+    * ([[ChangeFeed.prune]]): prune applied feed files at the sink's
+    * committed watermark, restart the mirror on a fresh
+    * `checkpointDir`, and let the idempotent by-PK merge absorb any
+    * overlap re-read — metadata becomes O(retention window), measured
+    * by the `x40_rotate` block in CDC_BENCH.json
+    * ([[graft.tools.CdcThroughput]]). */
   def configureCheckpointRetention(
       spark: SparkSession,
       minBatchesToRetain: Int = 20,

@@ -48,4 +48,36 @@ object ChangeFeed {
   def publish(events: DataFrame, feedDir: String): Unit =
     events.select(schema.fieldNames.map(col).toSeq: _*)
       .write.mode("append").json(feedDir)
+
+  /** FEED RETENTION: delete feed files whose every event is at or
+    * below the mirror's applied-LSN watermark. This is the engine's
+    * half of bounding a long-lived mirror's metadata — Spark's
+    * file-source compact log retains every file entry FOREVER
+    * (`CompactibleFileStreamLog.shouldRetain` is a constant `true` in
+    * OSS Spark, and `maxFileAge` only bounds the in-memory seen-map),
+    * so the only way to a bytes plateau is to shrink the FEED and
+    * rotate the checkpoint: prune applied files, then restart the
+    * mirror with a FRESH `checkpointDir`. The new source log lists
+    * only surviving files — O(retention window), not O(history) — and
+    * any overlap re-read after rotation is absorbed by the sink's
+    * idempotent by-PK merge (re-applying an already-applied change is
+    * a no-op), so rotation is safe at any watermark ≤ the committed
+    * one. Call with the query STOPPED.
+    *
+    * One feed scan computes per-file max LSN (file-count-sized driver
+    * result); returns (filesDeleted, filesKept). */
+  def prune(spark: SparkSession, feedDir: String, upToLsn: Long): (Long, Long) = {
+    val perFile = readAll(spark, feedDir)
+      .select(col("lsn"), expr("_metadata.file_path").as("path"))
+      .groupBy("path").agg(max("lsn").as("maxLsn"))
+      .collect()
+    val (dead, live) = perFile.partition(_.getLong(1) <= upToLsn)
+    val conf = spark.sparkContext.hadoopConfiguration
+    dead.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(0)).getPath)
+      p.getFileSystem(conf).delete(p, false)
+    }
+    (dead.length.toLong, live.length.toLong)
+  }
 }

@@ -180,6 +180,83 @@ object CdcThroughput {
       "reference_ops_per_sec" -> 1.04)
   }
 
+  /** The x40 RETENTION measurement (r11 verdict ask #5): two
+    * equal-size streaming phases with FEED PRUNING + CHECKPOINT
+    * ROTATION between them ([[ChangeFeed.prune]]). Background: the
+    * file-source compact log retains every entry forever
+    * (`CompactibleFileStreamLog.shouldRetain` ≡ true in OSS Spark —
+    * r11's claim that `maxFileAge` ages entries out was wrong), so
+    * WITHOUT rotation checkpoint bytes keep the measured ~520 B/batch
+    * linear floor (base/x10/x20 trend). With rotation the phase-2
+    * checkpoint re-lists only the surviving feed tail: its final
+    * footprint must land at phase-1's O(window) size instead of 2×.
+    * The prune watermark deliberately trails the applied watermark by
+    * two batches, so the rotated mirror RE-READS two files and the
+    * by-PK idempotent merge must absorb them — the rotation-safety
+    * claim, exercised at full scale (reconciliation requires
+    * exactly-once totals). */
+  def measureRotate(spark: SparkSession, halfRows: Long = 400000L,
+      batchSize: Int = 1000): Seq[(String, Double)] = {
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_rotate").toString
+    val customers = spark.range(1, 501).toDF("id")
+    val products = spark.range(1, 101).toDF("id")
+    val nFiles = math.ceil(halfRows.toDouble / batchSize).toInt
+    def publishPhase(startId: Long): org.apache.spark.sql.types.StructType = {
+      val orders = Workload.generateOrders(customers, products, halfRows,
+        startId = startId, seed = 42L + startId,
+        asOf = Date.valueOf("2026-01-01")).localCheckpoint(true)
+      val schema = orders.schema
+      val changes = orders.select(
+        col("id").as("lsn"),
+        lit(new Timestamp(0)).as("commitTs"),
+        lit("I").as("op"),
+        lit("orders").as("table"),
+        col("id").cast("long").as("key"),
+        to_json(struct(schema.fieldNames.map(col).toSeq: _*)).as("after"))
+      ChangeFeed.publish(changes.repartition(nFiles), s"$work/feed")
+      schema
+    }
+    val store = new KeyedParquetStore(s"$work/store")
+    def runPhase(schema: org.apache.spark.sql.types.StructType,
+        ckpt: String): Double = {
+      val t0 = System.nanoTime()
+      val q = CdcPipeline.start(
+        ChangeFeed.stream(spark, s"$work/feed", maxFilesPerTrigger = 1),
+        store, Map("orders" -> schema), Map("orders" -> "id"),
+        mirrorName = "cdc_rotate_mirror", checkpointDir = ckpt)
+      q.processAllAvailable()
+      q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val s1 = publishPhase(1L)
+    val w1 = runPhase(s1, s"$work/ckpt1")
+    val (b1, f1) = dirStats(s"$work/ckpt1")
+    // prune two batches SHORT of the applied watermark: the rotated
+    // mirror re-reads those files and the merge must absorb them
+    val (pruned, kept) = ChangeFeed.prune(spark, s"$work/feed",
+      upToLsn = halfRows - 2L * batchSize)
+    val s2 = publishPhase(halfRows + 1L)
+    val w2 = runPhase(s2, s"$work/ckpt2")
+    val (b2, f2) = dirStats(s"$work/ckpt2")
+    val applied = store.read(spark, "orders").count()
+    require(applied == 2L * halfRows,
+      s"rotation reconciliation failed: $applied != ${2L * halfRows}")
+    Seq(
+      "rows" -> 2.0 * halfRows,
+      "batches_per_phase" -> nFiles.toDouble,
+      "feed_files_pruned" -> pruned.toDouble,
+      "feed_files_replayed" -> kept.toDouble,
+      "phase1_wall_s" -> w1,
+      "phase2_wall_s" -> w2,
+      "phase1_ckpt_bytes" -> b1.toDouble,
+      "phase2_ckpt_bytes" -> b2.toDouble,
+      "phase1_ckpt_files" -> f1.toDouble,
+      "phase2_ckpt_files" -> f2.toDouble,
+      // < 1 means the rotated second half ended SMALLER than the
+      // first half's footprint; ~2 would mean the linear floor
+      "rotate_bytes_ratio" -> (if (b1 == 0) 0.0 else b2.toDouble / b1))
+  }
+
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", v)
 
@@ -211,7 +288,11 @@ object CdcThroughput {
     val x10 = measure(spark, rows = 200000L, batchSize = 1000)
     System.err.println(s"[cdc] x10 done: ${block(x10)}")
     val x20 = measure(spark, rows = 400000L, batchSize = 1000)
-    val line = s"""{"metric":"cdc_insert_throughput","base":${block(base)},"x10":${block(x10)},"x20":${block(x20)}}"""
+    System.err.println(s"[cdc] x20 done: ${block(x20)}")
+    // r12: x40 in two phases with feed pruning + checkpoint rotation —
+    // the bytes-plateau measurement (see measureRotate's scaladoc)
+    val x40r = measureRotate(spark, halfRows = 400000L, batchSize = 1000)
+    val line = s"""{"metric":"cdc_insert_throughput","base":${block(base)},"x10":${block(x10)},"x20":${block(x20)},"x40_rotate":${block(x40r)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("CDC_BENCH.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
