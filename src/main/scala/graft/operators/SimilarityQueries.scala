@@ -465,9 +465,10 @@ object SimilarityQueries {
     // rounds (the k-means/PageRank shape applied to linear algebra):
     // ── s17: SemDeDup — embedding-space semantic dedup as the KEEP
     // LIST a pipeline actually applies (Abbas et al. 2023's shape):
-    // coarse k-means cells gate the pair search (s4's IVF assignment —
-    // at 100 TB the cell is the partition key and no pair ever crosses
-    // cells), within-cell cosine ≥ τ edges feed transitive CC, and
+    // LEARNED k-means cells gate the pair search (2-round Lloyd +
+    // two-level routed assignment, [[IvfIndex]] — at 100 TB the cell
+    // is the partition key and no pair ever crosses cells),
+    // within-cell cosine ≥ τ edges feed transitive CC, and
     // every vector gets its component's min id as `rep_id` with
     // is_kept = (self == rep). Differs from s8 on all three axes that
     // matter operationally: learned-centroid cells instead of random
@@ -998,12 +999,14 @@ object SimilarityQueries {
               row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vid ASC) AS rank
             FROM cos)
           WHERE rank = 1 ORDER BY qid""",
-    // s18 — s4's cell machinery with the rank retained: candidates
-    // (label ≤ 3, non-query) keep their rn=1 cell, queries keep their
-    // autoProbeCells nearest cells (integer-ceil ⌈n/nf⌉ clamped to
-    // [2,8], computed in the sel CTE by the same arithmetic); join on
-    // cell, exact cosine, top-3. The label predicate sits on the
-    // candidate side only — pre-filtering, not post-filtering.
+    // s18 — the shared Lloyd+routing prefix (ivfRoutedSql) assigns
+    // every vector its routed cell; candidates (label ≤ 3, non-query)
+    // read theirs from `assigned`, queries rank the LEARNED cents2
+    // flat and keep their autoProbeCells nearest cells (integer-ceil
+    // ⌈n/nf⌉ clamped to [2, k], computed in the sel CTE by the same
+    // arithmetic); join on cell, exact cosine, top-3. The label
+    // predicate sits on the candidate side only — pre-filtering, not
+    // post-filtering.
     "s18_filtered_ann" ->
       s"""WITH $compsSql,
           ${ivfRoutedSql(2)},
@@ -1051,10 +1054,11 @@ object SimilarityQueries {
           SELECT cell, COUNT(*) AS n_assigned,
             CAST(SUM(dist2) AS BIGINT) AS inertia
           FROM assigned GROUP BY 1 ORDER BY cell""",
-    // s17 — s4's cell assignment (at the ENGINE-SIZED k, computed by
-    // the same max(8, ceil(N/256)) rule in SQL) + within-cell cosine
-    // pairs + d5's recursive-reachability CC, re-keyed to vectors;
-    // singletons kept via the LEFT join (their own id is the rep)
+    // s17 — the shared Lloyd+routing prefix (ENGINE-SIZED k and kc,
+    // computed by the same max(8, ceil(N/256)) / ceil(sqrt(k)) rules
+    // in SQL; 2 Lloyd rounds replayed as CTE chains) + within-cell
+    // cosine pairs + d5's recursive-reachability CC, re-keyed to
+    // vectors; singletons kept via the LEFT join (own id is the rep)
     "s17_semdedup" ->
       s"""WITH RECURSIVE $compsSql,
           ${ivfRoutedSql(2)},
