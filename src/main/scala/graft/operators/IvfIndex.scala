@@ -122,11 +122,17 @@ object IvfIndex {
     * otherwise recompute the corpus assignment per consumer. */
   def lloydCentroids(v: DataFrame, k: Long, rounds: Int): DataFrame = {
     val kc = autoCoarseCells(k)
-    var cents = v.filter(col("vec_id") < k)
+    // one materialization feeds every training round (each round scans
+    // the corpus for assignment + means; without the pin that is a
+    // parquet re-scan + re-quantization per consumer). At true corpus
+    // scale training runs on a bounded sample instead — the pin is
+    // then sample-sized; the routing/mean machinery is unchanged.
+    val vv = v.select("vec_id", "qv").localCheckpoint(true)
+    var cents = vv.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val assigned = routeAssign(v.select("vec_id", "qv"), cents, kc)
+      val assigned = routeAssign(vv, cents, kc)
       // 64×N explode, but shuffled only as (cell, dim) partial sums —
       // map-side combine caps the wire at 64·k rows per partition
       val means = assigned

@@ -213,7 +213,13 @@ object CdcThroughput {
         lit("orders").as("table"),
         col("id").cast("long").as("key"),
         to_json(struct(schema.fieldNames.map(col).toSeq: _*)).as("after"))
-      ChangeFeed.publish(changes.repartition(nFiles), s"$work/feed")
+      // A real feed lands in COMMIT ORDER: each file is a contiguous
+      // LSN window (the decoder drains the WAL sequentially). Range-
+      // partition by lsn to reproduce that layout — a round-robin
+      // repartition would scatter near-max LSNs into every file and
+      // make the watermark prune a no-op (nothing is fully applied).
+      ChangeFeed.publish(
+        changes.repartitionByRange(nFiles, col("lsn")), s"$work/feed")
       schema
     }
     val store = new KeyedParquetStore(s"$work/store")
@@ -283,6 +289,24 @@ object CdcThroughput {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Rotate-only mode: rerun just the x40 rotation phase and splice
+    // its block into the existing CDC_BENCH.json (the throughput
+    // blocks are ~30 min; the rotation experiment iterates separately)
+    if (sys.env.get("SPARK_GRAFT_CDC_ONLY").contains("rotate")) {
+      val x40r = measureRotate(spark, halfRows = 400000L, batchSize = 1000)
+      val path = java.nio.file.Paths.get("CDC_BENCH.json")
+      val prev = new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val cut = prev.indexOf(",\"x40_rotate\"")
+      val head = if (cut >= 0) prev.substring(0, cut)
+                 else prev.stripSuffix("}")
+      val line = s"""$head,"x40_rotate":${block(x40r)}}"""
+      java.nio.file.Files.write(path,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(line)
+      spark.stop()
+      return
+    }
     val base = measure(spark, rows = 20000L, batchSize = 1000)
     System.err.println(s"[cdc] base done: ${block(base)}")
     val x10 = measure(spark, rows = 200000L, batchSize = 1000)
