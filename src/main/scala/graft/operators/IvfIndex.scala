@@ -120,6 +120,25 @@ object IvfIndex {
     * rounds. The k-row centroid frame is checkpointed per round — it
     * is consumed three times per routing pass and the lineage would
     * otherwise recompute the corpus assignment per consumer. */
+  /** [[lloydCentroids]] behind the [[IndexStore]] build-once/serve-many
+    * split: training is an OFFLINE index build (like the SimHash and
+    * fingerprint sidecars), not per-query work — the first consumer of
+    * a corpus state pays the Lloyd rounds, every later query (and every
+    * consumer sharing the same k/rounds/quantization — s17, s18 and s19
+    * all do) opens the k-row centroid parquet. Any source append or
+    * rewrite changes the fingerprint and retrains: centroids are a
+    * whole-corpus statistic, so there is no per-row delta path — but
+    * the rebuild is the TRAINING cost (O(rounds·N·√k) routed dots),
+    * which production bounds further by sampling the training input
+    * (the machinery is sample-size-agnostic). Lloyd is deterministic
+    * (first-k init, integer means, total tie-orders), so a served
+    * centroid table is row-identical to a fresh training run — the
+    * sidecar moves WHEN training happens, never what a query returns. */
+  def servedCentroids(spark: org.apache.spark.sql.SparkSession, dataDir: String,
+      sourceTable: String, v: DataFrame, k: Long, rounds: Int): DataFrame =
+    IndexStore.getOrBuild(spark, dataDir, s"ivf_cents_${sourceTable}_k${k}_r$rounds",
+      sourceTable)(lloydCentroids(v, k, rounds))
+
   def lloydCentroids(v: DataFrame, k: Long, rounds: Int): DataFrame = {
     val kc = autoCoarseCells(k)
     // one materialization feeds every training round (each round scans

@@ -493,7 +493,10 @@ object SimilarityQueries {
       // broadcast, closing the r11 gap where flat N·k assignment was
       // O(N²/256) with a linearly-growing centroid broadcast.
       val k = autoCells(Tables.load(s, d, "embeddings").count())
-      val cents = IvfIndex.lloydCentroids(
+      // centroids SERVED from the IndexStore sidecar (train-once/
+      // serve-many): the 2 Lloyd rounds run on the first consumer of
+      // this corpus state; s17/s18/s19 share the one k-row table
+      val cents = IvfIndex.servedCentroids(s, d, "embeddings",
         v.select(col("vec_id"), col("qv")), k, rounds = 2)
       val assigned = IvfIndex.routeAssign(v, cents, IvfIndex.autoCoarseCells(k))
         .select(col("vec_id"), col("qv"), col("norm"), col("cell"))
@@ -558,7 +561,7 @@ object SimilarityQueries {
       // LEARNED centroids; corpus-side assignment goes through the
       // two-level router — O(N·√k), the s17 scale path
       val k = autoCells(stats.getLong(0))
-      val cents = IvfIndex.lloydCentroids(
+      val cents = IvfIndex.servedCentroids(s, d, "embeddings",
         prep(raw).select(col("vec_id"), col("qv")), k, rounds = 2)
       val probes = autoProbeCells(stats.getLong(0), stats.getLong(1), nCells = k)
       val cand = IvfIndex.routeAssign(
@@ -603,7 +606,7 @@ object SimilarityQueries {
     "s19_ivf_lloyd" -> { (s, d) =>
       val v = vecs(s, d)
       val k = autoCells(Tables.load(s, d, "embeddings").count())
-      val cents = IvfIndex.lloydCentroids(
+      val cents = IvfIndex.servedCentroids(s, d, "embeddings",
         v.select(col("vec_id"), col("qv")), k, rounds = 2)
       IvfIndex.routeAssign(v.select(col("vec_id"), col("qv")), cents,
         IvfIndex.autoCoarseCells(k))

@@ -93,6 +93,39 @@ class LloydRoutingSpec extends AnyFunSuite {
       s"router matched flat on only $matches/${vs.length}")
   }
 
+  test("servedCentroids: trains once per corpus state, serves row-identical " +
+    "centroids after") {
+    import graft.operators.IndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_cents_serve").toString
+    // table name doubles as the fingerprinted source
+    plantedSkew().select(col("vec_id"),
+        col("qv").as("embedding")) // schema shape irrelevant to the store
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("qv"))
+    val before = IndexStore.buildsPerformed
+    val served1 = IvfIndex.servedCentroids(spark, dir, "embeddings", v, 8L, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val afterFirst = IndexStore.buildsPerformed
+    assert(afterFirst == before + 1, "first consumer trains")
+    val served2 = IvfIndex.servedCentroids(spark, dir, "embeddings", v, 8L, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(IndexStore.buildsPerformed == afterFirst, "second consumer serves warm")
+    val fresh = IvfIndex.lloydCentroids(v, 8L, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(served1 == fresh && served2 == fresh,
+      "served centroids must be row-identical to a fresh training run")
+    // append-only growth is a WHOLE-CORPUS invalidation for centroids:
+    // new vectors move the means, so the next consumer retrains
+    plantedSkew().filter(col("vec_id") < 4)
+      .select(col("vec_id") + 10000L, col("qv"))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(s"$dir/embeddings.parquet")
+    IvfIndex.servedCentroids(spark, dir, "embeddings", v, 8L, 2).count()
+    assert(IndexStore.buildsPerformed == afterFirst + 1,
+      "source growth must retrain, not serve stale centroids")
+  }
+
   test("autoCoarseCells: ceil(sqrt) at the boundaries") {
     assert(IvfIndex.autoCoarseCells(1) == 1)
     assert(IvfIndex.autoCoarseCells(8) == 3)
