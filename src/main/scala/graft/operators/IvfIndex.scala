@@ -64,6 +64,22 @@ object IvfIndex {
     math.ceil(math.sqrt(k.toDouble)).toLong
   }
 
+  /** Training-sample stride: Lloyd never needs the whole corpus — the
+    * standard guidance (FAISS trains IVF quantizers on 39–256 points
+    * per centroid) is ~64 training vectors per cell. Systematic
+    * sampling by id (`vec_id % stride = 0`) keeps the choice
+    * deterministic and SQL-replicable: stride = ⌈n / (64·k)⌉ caps the
+    * training input at ~64·k vectors. With the occupancy-ruled
+    * k = ⌈N/256⌉ this is a constant ¼ of the corpus at every scale
+    * (training work AND the training-input pin shrink 4×); past any
+    * deployment's k ceiling (k stops tracking N) the training input
+    * becomes CONSTANT-size. Resolves to 1 (no sampling) whenever
+    * n ≤ 64·k — i.e. at every shipped SF's sf0.01 gate corpus. */
+  def trainStride(n: Long, k: Long, perCell: Long = 64L): Long = {
+    require(n > 0 && k > 0, s"need positive corpus/cell counts, got n=$n k=$k")
+    (n + perCell * k - 1) / (perCell * k)
+  }
+
   /** |a−b|² as three compiled integer dots — exact, codegen'd, no
     * interpreted zip_with per (vector, centroid). */
   private def dist2(a: Column, b: Column): Column =
@@ -135,20 +151,31 @@ object IvfIndex {
     * centroid table is row-identical to a fresh training run — the
     * sidecar moves WHEN training happens, never what a query returns. */
   def servedCentroids(spark: org.apache.spark.sql.SparkSession, dataDir: String,
-      sourceTable: String, v: DataFrame, k: Long, rounds: Int): DataFrame =
-    IndexStore.getOrBuild(spark, dataDir, s"ivf_cents_${sourceTable}_k${k}_r$rounds",
-      sourceTable)(lloydCentroids(v, k, rounds))
+      sourceTable: String, v: DataFrame, k: Long, rounds: Int,
+      stride: Long = 1L): DataFrame =
+    IndexStore.getOrBuild(spark, dataDir,
+      s"ivf_cents_${sourceTable}_k${k}_r${rounds}_s$stride",
+      sourceTable)(lloydCentroids(v, k, rounds, stride))
 
-  def lloydCentroids(v: DataFrame, k: Long, rounds: Int): DataFrame = {
+  /** `stride` > 1 trains on the systematic sample `vec_id % stride = 0`
+    * ([[trainStride]]): the per-round assignment and the means see only
+    * the sample (and the training pin is sample-sized), while callers
+    * still route the FULL corpus through the learned centroids. Init =
+    * the first k SAMPLED vectors, cids renumbered to the dense 0..k−1
+    * the router's coarse-filter contract expects (`vec_id DIV stride`
+    * — exact for the 0-based dense ids the stride predicate selects). */
+  def lloydCentroids(v: DataFrame, k: Long, rounds: Int,
+      stride: Long = 1L): DataFrame = {
+    require(stride > 0, s"need a positive training stride, got $stride")
     val kc = autoCoarseCells(k)
     // one materialization feeds every training round (each round scans
-    // the corpus for assignment + means; without the pin that is a
-    // parquet re-scan + re-quantization per consumer). At true corpus
-    // scale training runs on a bounded sample instead — the pin is
-    // then sample-sized; the routing/mean machinery is unchanged.
-    val vv = v.select("vec_id", "qv").localCheckpoint(true)
-    var cents = vv.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    // the training input for assignment + means; without the pin that
+    // is a parquet re-scan + re-quantization per consumer)
+    val vv = v.select("vec_id", "qv")
+      .filter(col("vec_id") % stride === 0)
+      .localCheckpoint(true)
+    var cents = vv.filter(col("vec_id") < k * stride)
+      .select(expr(s"vec_id DIV $stride").as("cid"), col("qv").as("cv"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val assigned = routeAssign(vv, cents, kc)

@@ -492,12 +492,17 @@ object SimilarityQueries {
       // ([[IvfIndex.routeAssign]]): O(N·√k) dots with a √k-row coarse
       // broadcast, closing the r11 gap where flat N·k assignment was
       // O(N²/256) with a linearly-growing centroid broadcast.
-      val k = autoCells(Tables.load(s, d, "embeddings").count())
+      val n = Tables.load(s, d, "embeddings").count()
+      val k = autoCells(n)
       // centroids SERVED from the IndexStore sidecar (train-once/
       // serve-many): the 2 Lloyd rounds run on the first consumer of
-      // this corpus state; s17/s18/s19 share the one k-row table
+      // this corpus state; s17/s18/s19 share the one k-row table.
+      // Training input is STRIDE-SAMPLED to ~64 vectors/cell
+      // ([[IvfIndex.trainStride]]) — the full corpus is routed, never
+      // fully trained on
       val cents = IvfIndex.servedCentroids(s, d, "embeddings",
-        v.select(col("vec_id"), col("qv")), k, rounds = 2)
+        v.select(col("vec_id"), col("qv")), k, rounds = 2,
+        stride = IvfIndex.trainStride(n, k))
       val assigned = IvfIndex.routeAssign(v, cents, IvfIndex.autoCoarseCells(k))
         .select(col("vec_id"), col("qv"), col("norm"), col("cell"))
         .localCheckpoint(true) // pair search + final keep-list join
@@ -562,7 +567,8 @@ object SimilarityQueries {
       // two-level router — O(N·√k), the s17 scale path
       val k = autoCells(stats.getLong(0))
       val cents = IvfIndex.servedCentroids(s, d, "embeddings",
-        prep(raw).select(col("vec_id"), col("qv")), k, rounds = 2)
+        prep(raw).select(col("vec_id"), col("qv")), k, rounds = 2,
+        stride = IvfIndex.trainStride(stats.getLong(0), k))
       val probes = autoProbeCells(stats.getLong(0), stats.getLong(1), nCells = k)
       val cand = IvfIndex.routeAssign(
         prep(raw.filter(col("label") <= 3 && col("vec_id") >= 5)),
@@ -605,9 +611,11 @@ object SimilarityQueries {
     // cross-engine). Cost shape = one routed assignment, O(N·√k).
     "s19_ivf_lloyd" -> { (s, d) =>
       val v = vecs(s, d)
-      val k = autoCells(Tables.load(s, d, "embeddings").count())
+      val n = Tables.load(s, d, "embeddings").count()
+      val k = autoCells(n)
       val cents = IvfIndex.servedCentroids(s, d, "embeddings",
-        v.select(col("vec_id"), col("qv")), k, rounds = 2)
+        v.select(col("vec_id"), col("qv")), k, rounds = 2,
+        stride = IvfIndex.trainStride(n, k))
       IvfIndex.routeAssign(v.select(col("vec_id"), col("qv")), cents,
         IvfIndex.autoCoarseCells(k))
         .groupBy("cell")
@@ -830,8 +838,10 @@ object SimilarityQueries {
   }
 
   /** CTE chain replaying [[IvfIndex]] relationally: engine-sized k
-    * (`kk`), coarse width kc = ⌈√k⌉ (`kcc`), first-k init centroids
-    * (`cents0`, exploded (cid, idx, q)), then per Lloyd round r: the
+    * (`kk`), coarse width kc = ⌈√k⌉ (`kcc`), training stride ⌈n/(64k)⌉
+    * (`ss`) with its systematic sample (`ct` — [[IvfIndex.trainStride]]'s
+    * ~64-per-cell cap), first-k-of-the-sample init centroids
+    * (`cents0`, cids renumbered dense, exploded (cid, idx, q)), then per Lloyd round r: the
     * fine→coarse map (`f2c{r}`), each vector's coarse cell (`vc{r}`),
     * the routed fine assignment (`va{r}` — distances computed ONLY
     * against the winning coarse cell's fine centroids), and the
@@ -840,9 +850,16 @@ object SimilarityQueries {
     * yields `assigned(vec_id, cell, dist2)`. Every step is exact
     * integer arithmetic with (dist2, id) tie-breaks, so DuckDB
     * replays the Spark trajectory bit-for-bit (DIV ≡ `//`: both
-    * truncate toward zero — s14's proven bargain). */
+    * truncate toward zero — s14's proven bargain).
+    *
+    * The MATERIALIZED hints are load-bearing: DuckDB inlines CTEs, and
+    * each round's centroid CTE references the previous round's several
+    * times — uninlined, the expression tree (and execution) grows
+    * combinatorially in the round count (measured: s17's oracle went
+    * >400 s at sf0.01; materializing ct, the cents rounds and assigned
+    * returns it to seconds and is semantics-free). */
   private def ivfRoutedSql(rounds: Int): String = {
-    def routeCtes(r: Int): String =
+    def routeCtes(r: Int, src: String): String =
       s"""fd$r AS (
             SELECT f.cid, ce.cid AS ccid,
               SUM((f.q - ce.q) * (f.q - ce.q)) AS dist2
@@ -857,7 +874,7 @@ object SimilarityQueries {
           cd$r AS (
             SELECT v.vec_id, ce.cid AS ccid,
               SUM((v.q - ce.q) * (v.q - ce.q)) AS dist2
-            FROM c v JOIN cents$r ce ON v.idx = ce.idx
+            FROM $src v JOIN cents$r ce ON v.idx = ce.idx
               AND ce.cid < (SELECT kc FROM kcc)
             GROUP BY 1, 2),
           vc$r AS (
@@ -884,24 +901,34 @@ object SimilarityQueries {
               CAST(SUM(v.q) AS BIGINT) // COUNT(*) AS q
             FROM va$r JOIN c v ON v.vec_id = va$r.vec_id
             GROUP BY 1, 2),
-          cents${r + 1} AS (
+          cents${r + 1} AS MATERIALIZED (
             SELECT p.cid, p.idx, COALESCE(m${r + 1}.q, p.q) AS q
             FROM cents$r p LEFT JOIN m${r + 1}
               ON m${r + 1}.cid = p.cid AND m${r + 1}.idx = p.idx)"""
     val roundsSql = (0 until rounds)
-      .map(r => s"${routeCtes(r)},\n          ${lloydCtes(r)}")
+      .map(r => s"${routeCtes(r, "ct")},\n          ${lloydCtes(r)}")
       .mkString(",\n          ")
+    // ss = training stride ⌈n/(64k)⌉ (integer ceil, trainStride's
+    // arithmetic); ct = the systematic training sample; cents0 = the
+    // first k SAMPLED vectors with cids renumbered dense via
+    // vec_id // stride. Training rounds route/mean over ct only; the
+    // final pass (routeCtes over c) assigns the FULL corpus.
     s"""kk AS (
           SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS k
           FROM embeddings),
         kcc AS (
           SELECT CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT) AS kc FROM kk),
-        cents0 AS (
-          SELECT vec_id AS cid, idx, q FROM c
-          WHERE vec_id < (SELECT k FROM kk)),
+        ss AS (
+          SELECT ((SELECT COUNT(*) FROM embeddings) + 64 * k - 1) // (64 * k)
+            AS st FROM kk),
+        ct AS MATERIALIZED (
+          SELECT * FROM c WHERE vec_id % (SELECT st FROM ss) = 0),
+        cents0 AS MATERIALIZED (
+          SELECT vec_id // (SELECT st FROM ss) AS cid, idx, q FROM ct
+          WHERE vec_id < (SELECT k FROM kk) * (SELECT st FROM ss)),
         $roundsSql,
-        ${routeCtes(rounds)},
-        assigned AS (SELECT vec_id, cell, dist2 FROM va$rounds)"""
+        ${routeCtes(rounds, "c")},
+        assigned AS MATERIALIZED (SELECT vec_id, cell, dist2 FROM va$rounds)"""
   }
 
   private val compsSql =

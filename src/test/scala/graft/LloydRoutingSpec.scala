@@ -126,6 +126,38 @@ class LloydRoutingSpec extends AnyFunSuite {
       "source growth must retrain, not serve stale centroids")
   }
 
+  test("trainStride: ~64 training vectors per cell, never 0, 1 at gate scale") {
+    // gate corpora: n <= 64k -> stride 1, training = everything
+    assert(IvfIndex.trainStride(500, 8) == 1)
+    assert(IvfIndex.trainStride(512, 8) == 1)
+    // first sampling boundary
+    assert(IvfIndex.trainStride(513, 8) == 2)
+    // sf0.1 shape: n=2000, k=8 -> ceil(2000/512) = 4
+    assert(IvfIndex.trainStride(2000, 8) == 4)
+    // occupancy-ruled k = N/256 makes the stride a CONSTANT 4
+    // (64/256): the sample is a fixed quarter of the corpus
+    assert(IvfIndex.trainStride(20000, 79) == 4)
+    assert(IvfIndex.trainStride(1000000L, 3907) == 4)
+    intercept[IllegalArgumentException](IvfIndex.trainStride(0, 8))
+  }
+
+  test("stride-sampled training still flattens planted skew, with dense " +
+    "renumbered cids") {
+    val v = plantedSkew() // ids 0..511 dense
+    val k = 8L
+    val stride = 4L // 128 training vectors, 16/cell
+    val learned = IvfIndex.lloydCentroids(v, k, rounds = 2, stride = stride)
+    val cids = learned.select("cid").collect().map(_.getLong(0)).sorted
+    assert(cids.toSeq == (0L until k).toSeq,
+      s"sampled init must renumber cids dense 0..k-1, got ${cids.toSeq}")
+    // the FULL corpus routes through sample-trained centroids
+    val a = IvfIndex.routeAssign(v, learned, IvfIndex.autoCoarseCells(k))
+    val occ = occupancy(a.select("vec_id", "cell"))
+    assert(occ.values.sum == 512, "full-corpus coverage")
+    assert(occ.values.max <= 512 / 2,
+      s"sample-trained centroids failed to flatten skew: $occ")
+  }
+
   test("autoCoarseCells: ceil(sqrt) at the boundaries") {
     assert(IvfIndex.autoCoarseCells(1) == 1)
     assert(IvfIndex.autoCoarseCells(8) == 3)
