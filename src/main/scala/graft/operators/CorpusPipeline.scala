@@ -301,6 +301,11 @@ object CorpusPipeline {
     // any parallelism (the same bargain the other c-queries strike
     // with integer milli-scores). The one double op per bucket is a
     // single deterministic expression, never an ordered reduction.
+    // Residual hazard: JVM Math.log and DuckDB's libm may differ by
+    // the last ulp, so a log-ratio landing within ~1e-10 of an integer
+    // micro-unit could still truncate differently across engines —
+    // order-independence is exact, engine-independence is
+    // probabilistic (no boundary case observed on the shipped data).
     val model = bucket.crossJoin(broadcast(tot))
       .select(col("b"),
         ((log((col("ct") + lit(1.0)) / (col("ctt") + b.cast("double")))

@@ -39,6 +39,11 @@ object IndexStore {
     * re-derivation). */
   @volatile var incrementalAppends: Long = 0L
 
+  /** Per-process stale-serve counter (spec evidence that a
+    * [[getOrBuildIfFresh]] call served an index trained on an OLDER
+    * corpus state instead of retraining). */
+  @volatile var staleServes: Long = 0L
+
   /** Source file inventory: path → "len|mtime" — the same driver-side
     * metadata the fingerprint hashes, kept per-file so the
     * incremental path can diff listings. */
@@ -82,19 +87,29 @@ object IndexStore {
   }
 
   /** Replace `dir` with a freshly-built parquet relation via a scratch
-    * directory + rename ([[StatsStore.writeAll]]'s pattern): a
-    * concurrent reader of the sidecar never observes a half-written
-    * build, only the old dir or the new one. The scratch lives NEXT TO
-    * the target (same filesystem → rename is a metadata move) under a
-    * `_`-prefixed name, which Spark's file listing skips. */
+    * directory + rename ([[StatsStore.writeAll]]'s pattern). The
+    * scratch lives NEXT TO the target (same filesystem → rename is a
+    * metadata move) under a `_`-prefixed name, which Spark's file
+    * listing skips. The swap renames the OLD dir aside before moving
+    * the new one in, so the target path is absent only for the gap
+    * between two metadata renames (delete-then-rename would leave it
+    * absent for the whole recursive delete); this is CRASH-atomicity —
+    * a crash leaves old-or-new plus prunable `_`-scratch — not
+    * reader-isolation: an in-flight reader that already planned the old
+    * dir's file list fails on swap, which is the single-writer
+    * getOrBuild contract (builds happen before any scan is handed
+    * out). */
   private def writeAtomically(spark: SparkSession, df: DataFrame,
       dir: String): Unit = {
     val scratch = s"${dir}_build"
     df.write.mode("overwrite").parquet(scratch)
     val dest = new org.apache.hadoop.fs.Path(dir)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(dest, true)
+    val old = new org.apache.hadoop.fs.Path(s"${dir}_old")
+    fs.delete(old, true) // leftover from a crash mid-swap
+    if (fs.exists(dest)) fs.rename(dest, old)
     fs.rename(new org.apache.hadoop.fs.Path(scratch), dest)
+    fs.delete(old, true)
   }
 
   /** Atomic small-file write (manifest / fingerprint): temp + move, so
@@ -127,6 +142,62 @@ object IndexStore {
       writeAtomically(spark, build, dir)
       writeFileAtomically(fpFile, fp)
     }
+    spark.read.parquet(dir)
+  }
+
+  /** Staleness-tolerant variant for WHOLE-CORPUS statistics (IVF/Lloyd
+    * centroids, quantizer codebooks): unlike the per-row sidecars,
+    * these have no delta path — any change means full retraining — but
+    * they are also APPROXIMATIONS whose quality degrades smoothly with
+    * corpus drift, so a live ingest stream must not retrain per
+    * micro-batch. Policy: retrain only when the source has MUTATED
+    * (any previously-trained file rewritten/deleted — the trained
+    * state is gone, serving it would be wrong-era data) or when
+    * append-only growth exceeds `maxGrowFraction` of the trained
+    * state's bytes (file metadata only — no scan). Under the
+    * threshold the TRAINED index is served as-is and the caller's
+    * routing absorbs the drift — the standard production bargain
+    * (FAISS/Milvus retrain on schedule or drift thresholds, never per
+    * insert). The trained-state manifest (per-file inventory) rides
+    * the same atomic-write protocol as the incremental manifest.
+    *
+    * Correctness domain: callers must treat the result as an INDEX
+    * (candidate geometry), never as query output — exact-result
+    * queries (s17/s18/s19's pinned oracles) use [[getOrBuild]], whose
+    * any-change invalidation keeps them bit-identical to a cold
+    * rebuild. */
+  def getOrBuildIfFresh(spark: SparkSession, dataDir: String, name: String,
+      sourceTable: String, maxGrowFraction: Double)(build: => DataFrame): DataFrame = {
+    require(maxGrowFraction >= 0.0, s"negative growth budget: $maxGrowFraction")
+    val dir = s"${rootFor(dataDir)}/$name"
+    val trainedFile = java.nio.file.Paths.get(s"$dir.trained")
+    val current = fileEntriesOf(spark, s"$dataDir/$sourceTable.parquet")
+    val prev: Map[String, String] =
+      if (java.nio.file.Files.exists(trainedFile)) {
+        val lines = new String(java.nio.file.Files.readAllBytes(trainedFile),
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+        if (lines.headOption.contains(s"v$FormatVersion"))
+          lines.drop(1).filter(_.nonEmpty).map { l =>
+            val i = l.lastIndexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
+          }.toMap
+        else Map.empty // older format: retrain
+      } else Map.empty
+    def bytesOf(m: Map[String, String]): Long =
+      m.valuesIterator.map(_.takeWhile(_ != '|').toLong).sum
+    val appendOnly = prev.nonEmpty &&
+      prev.forall { case (p, sig) => current.get(p).contains(sig) }
+    val grown = bytesOf(current) - bytesOf(prev)
+    val fresh = new java.io.File(dir).exists() && prev.nonEmpty &&
+      (current == prev ||
+        (appendOnly && grown <= (bytesOf(prev) * maxGrowFraction).toLong))
+    if (!fresh) {
+      buildsPerformed += 1
+      writeAtomically(spark, build, dir)
+      writeFileAtomically(trainedFile,
+        (s"v$FormatVersion" +:
+          current.toSeq.sortBy(_._1).map { case (p, sig) => s"$p\t$sig" })
+          .mkString("\n"))
+    } else if (current != prev) staleServes += 1
     spark.read.parquet(dir)
   }
 
@@ -176,12 +247,16 @@ object IndexStore {
     // reconcile BEFORE building: any delta_* subdirectory not recorded
     // in the manifest is a crash orphan — its rows are not covered by
     // the inventory diff, so a later delta may re-derive them; delete
-    // it (the next diff re-derives its rows exactly once)
+    // it (the next diff re-derives its rows exactly once). Stale
+    // `_building_*` scratch dirs (crash mid-delta-write) are dead
+    // weight — invisible to Spark's listing but not free on disk — so
+    // the same pass removes them.
     val dirFile = new java.io.File(dir)
     if (dirFile.exists()) {
       val children = Option(dirFile.listFiles()).getOrElse(Array.empty)
-      children.filter(f => f.isDirectory && f.getName.startsWith("delta_"))
-        .filterNot(f => validDeltas.contains(f.getName))
+      children.filter(f => f.isDirectory &&
+          ((f.getName.startsWith("delta_") && !validDeltas.contains(f.getName)) ||
+            f.getName.startsWith("_building_")))
         .foreach { orphan =>
           val p = new org.apache.hadoop.fs.Path(orphan.getAbsolutePath)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -11,7 +11,7 @@ import graft.functions.HashExprs.dot_long
   * verdict named as the scale gap in the s17/s18 family.
   *
   * Why two-level routing: with the occupancy-ruled cell count
-  * k = ⌈N/256⌉ ([[SimilarityQueries.autoCells]]), a flat
+  * k = min(⌈N/256⌉, 4⌈√N⌉, 2²⁰) ([[SimilarityQueries.autoCells]]), a flat
   * `crossJoin(broadcast(cents))` assignment costs N·k dots =
   * O(N²/256) and broadcasts a centroid table that grows linearly with
   * the corpus (~2 GB at 10⁹ vectors) — the quadratic wall just moves
@@ -69,12 +69,14 @@ object IvfIndex {
     * per centroid) is ~64 training vectors per cell. Systematic
     * sampling by id (`vec_id % stride = 0`) keeps the choice
     * deterministic and SQL-replicable: stride = ⌈n / (64·k)⌉ caps the
-    * training input at ~64·k vectors. With the occupancy-ruled
-    * k = ⌈N/256⌉ this is a constant ¼ of the corpus at every scale
-    * (training work AND the training-input pin shrink 4×); past any
-    * deployment's k ceiling (k stops tracking N) the training input
-    * becomes CONSTANT-size. Resolves to 1 (no sampling) whenever
-    * n ≤ 64·k — i.e. at every shipped SF's sf0.01 gate corpus. */
+    * training input at ~64·k vectors. With the capped cell rule
+    * ([[SimilarityQueries.autoCells]]: k = min(⌈N/256⌉, 4⌈√N⌉, 2²⁰))
+    * this is ¼ of the corpus while the occupancy term rules
+    * (N ≤ 2²⁰), O(√N) under the √N cap, and a CONSTANT ~6.7e7
+    * vectors past the 2²⁰ deployment ceiling — the training-input
+    * pin stops growing with the corpus. Resolves to 1 (no sampling)
+    * whenever n ≤ 64·k — i.e. at every shipped SF's sf0.01 gate
+    * corpus. */
   def trainStride(n: Long, k: Long, perCell: Long = 64L): Long = {
     require(n > 0 && k > 0, s"need positive corpus/cell counts, got n=$n k=$k")
     (n + perCell * k - 1) / (perCell * k)
@@ -157,6 +159,38 @@ object IvfIndex {
       s"ivf_cents_${sourceTable}_k${k}_r${rounds}_s$stride",
       sourceTable)(lloydCentroids(v, k, rounds, stride))
 
+  /** [[servedCentroids]] for LIVE corpora (r12 verdict ask #3): a
+    * streaming ingest ([[graft.streaming.IndexedIngest]]) appends a
+    * parquet file per micro-batch, and any-change invalidation would
+    * retrain full Lloyd per batch while the per-row sidecars take
+    * O(batch) deltas. Centroids are index GEOMETRY, not query output —
+    * drift degrades recall smoothly, never correctness — so the
+    * standard production policy applies: serve the trained centroids
+    * until append-only growth exceeds `maxGrowFraction` of the trained
+    * corpus bytes, then retrain once ([[IndexStore.getOrBuildIfFresh]];
+    * mutation of already-trained files always retrains). Geometry
+    * (k, stride) is computed INSIDE the builder from the corpus state
+    * being trained on — the sidecar name carries no k, so a grown
+    * corpus re-serves the old k-row table instead of cold-building
+    * under a new name. Callers derive kc from the SERVED table
+    * ([[routeAssignAuto]]), not from the current corpus size. */
+  def servedCentroidsAuto(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, sourceTable: String, v: DataFrame, rounds: Int,
+      maxGrowFraction: Double = 0.25): DataFrame =
+    IndexStore.getOrBuildIfFresh(spark, dataDir,
+      s"ivf_cents_auto_${sourceTable}_r$rounds", sourceTable, maxGrowFraction) {
+      val n = v.count()
+      val k = SimilarityQueries.autoCells(n)
+      lloydCentroids(v, k, rounds, trainStride(n, k))
+    }
+
+  /** [[routeAssign]] with the coarse width derived from the SERVED
+    * centroid table (one k-row count) — the pairing for
+    * [[servedCentroidsAuto]], where the trained k may lag the k the
+    * current corpus size would prescribe. */
+  def routeAssignAuto(v: DataFrame, cents: DataFrame): DataFrame =
+    routeAssign(v, cents, autoCoarseCells(cents.count()))
+
   /** `stride` > 1 trains on the systematic sample `vec_id % stride = 0`
     * ([[trainStride]]): the per-round assignment and the means see only
     * the sample (and the training pin is sample-sized), while callers
@@ -177,6 +211,19 @@ object IvfIndex {
     var cents = vv.filter(col("vec_id") < k * stride)
       .select(expr(s"vec_id DIV $stride").as("cid"), col("qv").as("cv"))
       .localCheckpoint(true)
+    // The init's dense-0-based-vec_id contract, enforced LOUDLY:
+    // sparse or 1-based ids would silently yield fewer than
+    // min(k, sample) centroids with non-dense cids, breaking the
+    // router's `cid < kc` coarse filter without a wrong-looking
+    // result anywhere. Two scalar aggs on already-pinned frames.
+    val sampleN = vv.count()
+    val init = cents.agg(count(lit(1)), max(col("cid"))).head()
+    val expectK = math.min(k, sampleN)
+    require(init.getLong(0) == expectK &&
+        (expectK == 0L || init.getLong(1) == expectK - 1),
+      s"IVF Lloyd init expects dense 0-based vec_ids: sampled $sampleN " +
+        s"vectors at stride $stride but init yielded ${init.getLong(0)} " +
+        s"centroids (expected $expectK, max cid ${init.get(1)})")
     for (_ <- 1 to rounds) {
       val assigned = routeAssign(vv, cents, kc)
       // 64×N explode, but shuffled only as (cell, dim) partial sums —

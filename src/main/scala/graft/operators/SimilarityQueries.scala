@@ -480,12 +480,13 @@ object SimilarityQueries {
     "s17_semdedup" -> { (s, d) =>
       val v = vecs(s, d)
       // ENGINE-SIZED cell count, the autoPlanes rule on the IVF axis:
-      // k = max(8, ⌈N/256⌉) holds expected cell occupancy ≤ ~256 so
-      // within-cell pair work stays linear in N (fixed k would grow
-      // occupancy — and pairs — quadratically, s8's frozen-plane wall
-      // on this index family). Resolves to 8 at every shipped SF and
-      // to 79 cells at the 10× probe corpus; the oracle computes the
-      // same k in SQL. Centroids are LEARNED — 2 Lloyd rounds from
+      // k = max(8, min(⌈N/256⌉, 4⌈√N⌉, 2²⁰)) holds expected cell
+      // occupancy ≤ ~256 while N ≤ 2²⁰ (fixed k would grow occupancy
+      // — and pairs — quadratically, s8's frozen-plane wall on this
+      // index family) and caps the index + training size past it
+      // ([[autoCells]]). Resolves to 8 at every shipped SF and to 79
+      // cells at the 10× probe corpus — the caps bind only past 2²⁰
+      // vectors; the oracle computes the same k in SQL. Centroids are LEARNED — 2 Lloyd rounds from
       // the first-k init ([[IvfIndex.lloydCentroids]]), so occupancy
       // follows data skew — and BOTH the training assignments and the
       // final corpus assignment go through the TWO-LEVEL router
@@ -721,16 +722,38 @@ object SimilarityQueries {
     1 + math.max(0, nPlanes - floor + 3) / 4
 
   /** [[autoPlanes]]'s occupancy rule on the IVF axis (s17/s18/s19's
-    * cell count): k = max(8, ⌈N/256⌉) holds expected cell occupancy
-    * ≤ ~256 so within-cell pair work stays linear in N. The rule
-    * governs only the PAIR stage; the assignment stage is linear only
-    * because it routes two-level ([[IvfIndex.routeAssign]], O(N·√k))
-    * — the r11 design assigned flat at N·k = O(N²/256) dots with a
-    * linearly-growing centroid broadcast, which this round's router
-    * removed. */
-  def autoCells(n: Long, targetOccupancy: Long = 256L, floor: Long = 8L): Long = {
+    * cell count), CAPPED: k = max(8, min(⌈N/256⌉, 4·⌈√N⌉, 2²⁰)).
+    * The occupancy term holds expected cell occupancy ≤ ~256 so
+    * within-cell pair work stays linear in N; uncapped it grows
+    * forever, which makes the centroid relation — and the Lloyd
+    * TRAINING input at ~64 vectors/cell ([[IvfIndex.trainStride]]) —
+    * Θ(N) (the r12 verdict's open wall). The √N cap is the standard
+    * IVF sizing band (FAISS trains k between √N and 16√N; 4√N sits in
+    * the middle and leaves every shipped SF and the 10× probe corpus
+    * on the occupancy rule — the cap binds past N ≈ 2²⁰ vectors), so
+    * past it the centroid table is O(√N) and the training input
+    * 64k = O(√N). The absolute 2²⁰ ceiling is the deployment k-max
+    * (binds past N ≈ 2³⁶): beyond it the training input is a CONSTANT
+    * 64·2²⁰ ≈ 6.7e7 vectors — the train-once cost stops growing with
+    * the corpus entirely. Occupancy past the caps grows as √N (then
+    * N/2²⁰): the within-cell stage trades linearity for a bounded
+    * index, which every production IVF accepts (probe cost stays flat;
+    * pair-style consumers like s17 shard cells or raise τ). Float
+    * sqrt is exact-or-irrational at the CEIL boundary (a perfect
+    * square's √ is exact in IEEE double below 2⁵²; a non-square's is
+    * irrational), so the SQL oracles replay the identical
+    * GREATEST/LEAST/CEIL arithmetic with no float-boundary drift.
+    * The rule governs only the PAIR stage; the assignment stage is
+    * linear only because it routes two-level
+    * ([[IvfIndex.routeAssign]], O(N·√k)) — the r11 design assigned
+    * flat at N·k = O(N²/256) dots with a linearly-growing centroid
+    * broadcast, which the r12 router removed. */
+  def autoCells(n: Long, targetOccupancy: Long = 256L, floor: Long = 8L,
+      sqrtFactor: Long = 4L, kMax: Long = 1L << 20): Long = {
     require(targetOccupancy > 0, s"targetOccupancy must be > 0, got $targetOccupancy")
-    math.max(floor, (n + targetOccupancy - 1) / targetOccupancy)
+    val occupancyRuled = (n + targetOccupancy - 1) / targetOccupancy
+    val sqrtCap = sqrtFactor * math.ceil(math.sqrt(n.toDouble)).toLong
+    math.max(floor, (occupancyRuled min sqrtCap) min kMax)
   }
 
   /** Probe-cell count for FILTERED search (s18) — the sizing rule on
@@ -914,7 +937,10 @@ object SimilarityQueries {
     // vec_id // stride. Training rounds route/mean over ct only; the
     // final pass (routeCtes over c) assigns the FULL corpus.
     s"""kk AS (
-          SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS k
+          SELECT GREATEST(8, LEAST(
+            CAST(CEIL(COUNT(*) / 256.0) AS BIGINT),
+            4 * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT),
+            CAST(1048576 AS BIGINT))) AS k
           FROM embeddings),
         kcc AS (
           SELECT CAST(CEIL(SQRT(CAST(k AS DOUBLE))) AS BIGINT) AS kc FROM kk),

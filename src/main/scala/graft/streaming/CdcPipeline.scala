@@ -173,12 +173,20 @@ object CdcPipeline {
         KeyedParquetStore.DropPolicy.KeepNullFill): Unit =
     withPinnedBatch(batch) { pinned =>
       val spark = pinned.sparkSession
-      val present = pinned.select("table").distinct().collect().map(_.getString(0))
-      present.foreach { table =>
+      // ONE driver pass collects the table fan-out AND the batch's max
+      // LSN (the applied-watermark input) from the pinned frame
+      val present = pinned.groupBy("table").agg(max("lsn").as("mx"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      present.foreach { case (table, _) =>
         val changes = lastImagePerKey(
           pinned.filter(col("table") === table), schemas(table), keyCols(table))
         store.merge(spark, table, changes, keyCols(table), dropPolicy)
       }
+      // every table's merge landed: the batch is fully applied — record
+      // the watermark LAST so a crash mid-batch leaves it conservative
+      // (a low watermark only means extra idempotent replay, never loss)
+      if (present.nonEmpty)
+        store.recordAppliedLsn(spark, present.map(_._2).max)
     }
 
   /** Consistent read AS OF an LSN — reconstruct a table's state at one
@@ -227,6 +235,50 @@ object CdcPipeline {
       t -> asOf(snap, changes.filter(col("table") === t),
         schemas(t), keyCols(t), lsn)
     }
+
+  /** Mirror lifecycle: CHECKPOINT ROTATION as ONE operation (r12
+    * verdict ask #6 — promote the measured x40_rotate choreography out
+    * of the bench harness). The file-source compact log grows linearly
+    * forever (see [[configureCheckpointRetention]]'s doc), so a
+    * long-lived mirror periodically: (1) stops, (2) prunes feed files
+    * fully applied at the store's own watermark minus a safety margin
+    * ([[ChangeFeed.prune]]; [[KeyedParquetStore.appliedLsn]] is
+    * maintained by [[applyBatch]], so no out-of-band position
+    * tracking), (3) deletes the checkpoint — the SAME `checkpointDir`
+    * restarts as a brand-new query whose source log lists only the
+    * surviving tail, O(retention window) instead of O(history). Any
+    * overlap re-read after the restart (files above the pruned
+    * watermark that were already applied) is absorbed by the
+    * idempotent by-PK merge — rotation is safe at any margin ≥ 0.
+    * Measured at 800 batches: checkpoint bytes ratio 1.00 across a
+    * rotation vs ~2× unrotated (CDC_BENCH.json `x40_rotate`).
+    *
+    * Call order: rotate, then [[start]] with the same `checkpointDir`.
+    * Returns (feedFilesPruned, feedFilesKept); (0, kept) when nothing
+    * was ever applied — nothing is deleted, including the checkpoint.
+    *
+    * @param safetyLsns extra LSN margin below the applied watermark to
+    *   KEEP on the feed (defense against a sink whose last batch is
+    *   torn mid-crash); replayed rows cost one idempotent merge each */
+  def rotateCheckpoint(
+      spark: SparkSession,
+      store: KeyedParquetStore,
+      feedDir: String,
+      mirrorName: String,
+      checkpointDir: String,
+      safetyLsns: Long = 0L): (Long, Long) = {
+    require(safetyLsns >= 0L, s"negative safety margin: $safetyLsns")
+    spark.streams.active.filter(_.name == mirrorName).foreach(_.stop())
+    store.appliedLsn(spark) match {
+      case None => (0L, 0L) // nothing applied: rotating would orphan nothing
+      case Some(applied) =>
+        val counts = ChangeFeed.prune(spark, feedDir, applied - safetyLsns)
+        val ckpt = new org.apache.hadoop.fs.Path(checkpointDir)
+        ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(ckpt, true)
+        counts
+    }
+  }
 
   /** Mirror lifecycle: DROP — completes the reference UI's
     * create/start/drop loop (/root/reference/README.md:99–106, where a

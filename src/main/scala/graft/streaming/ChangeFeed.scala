@@ -74,8 +74,10 @@ object ChangeFeed {
     val (dead, live) = perFile.partition(_.getLong(1) <= upToLsn)
     val conf = spark.sparkContext.hadoopConfiguration
     dead.foreach { r =>
-      val p = new org.apache.hadoop.fs.Path(
-        new java.net.URI(r.getString(0)).getPath)
+      // _metadata.file_path is a URI string, but feed paths may contain
+      // characters java.net.URI rejects (spaces, brackets) — hand the
+      // raw string to Hadoop's Path, which parses schemes leniently
+      val p = new org.apache.hadoop.fs.Path(r.getString(0))
       p.getFileSystem(conf).delete(p, false)
     }
     (dead.length.toLong, live.length.toLong)

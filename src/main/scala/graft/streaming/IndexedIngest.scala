@@ -43,15 +43,24 @@ object IndexedIngest {
     val fs = dir.getFileSystem(conf)
     val target = new org.apache.hadoop.fs.Path(dir, s"ingest-batch-$batchId.parquet")
     if (!fs.exists(target)) {
+      // stale scratch from a crashed earlier attempt (any batch id) is
+      // dead weight — invisible to Spark's listing, but never cleaned
+      // by the happy path once its batch replays; sweep before writing
+      if (fs.exists(dir))
+        fs.listStatus(dir)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("_ingest_scratch_"))
+          .foreach(s => fs.delete(s.getPath, true))
       // scratch is `_`-prefixed → invisible to Spark's file listing
       // (and to IndexStore's inventory) until the rename commits it
       val scratch = new org.apache.hadoop.fs.Path(dir, s"_ingest_scratch_$batchId")
       batch.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val part = fs.listStatus(scratch)
+      // a zero-partition micro-batch writes no part- file: land nothing
+      // (the corpus is unchanged) but still fall through to the index
+      // build — killing the stream over an empty trigger would wedge
+      // ingestion on any idle source
+      fs.listStatus(scratch)
         .find(f => f.isFile && f.getPath.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(
-          s"no part file written under $scratch"))
-      fs.rename(part.getPath, target)
+        .foreach(part => fs.rename(part.getPath, target))
       fs.delete(scratch, true)
     }
     IndexStore.getOrBuildIncremental(spark, dataDir, name, table)(derive)

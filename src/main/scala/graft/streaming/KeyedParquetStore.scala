@@ -61,6 +61,37 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
   def exists(spark: SparkSession, table: String): Boolean =
     fs(spark).exists(schemaPath(table))
 
+  private def watermarkPath = new Path(s"$root/_graft_applied_lsn")
+
+  /** Record the highest fully-applied LSN (monotonic — a replayed
+    * batch's lower max never regresses it). The watermark is what
+    * makes feed retention self-serve: [[CdcPipeline.rotateCheckpoint]]
+    * prunes at `appliedLsn - safety` without the operator tracking
+    * positions out of band. Tiny atomic file (create-overwrite of a
+    * one-line value) per micro-batch — the same cost class as the
+    * checkpoint's own commit marker. */
+  def recordAppliedLsn(spark: SparkSession, lsn: Long): Unit =
+    if (appliedLsn(spark).forall(_ < lsn)) {
+      val f = fs(spark)
+      val tmp = new Path(s"$root/_graft_applied_lsn.tmp")
+      val out = f.create(tmp, true)
+      try out.write(lsn.toString.getBytes("UTF-8")) finally out.close()
+      f.delete(watermarkPath, false)
+      f.rename(tmp, watermarkPath)
+    }
+
+  /** The highest applied LSN, if any batch has been applied. */
+  def appliedLsn(spark: SparkSession): Option[Long] = {
+    val f = fs(spark)
+    if (!f.exists(watermarkPath)) None
+    else {
+      val in = f.open(watermarkPath)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(s.toLong)
+    }
+  }
+
   private def writeSchema(spark: SparkSession, table: String, schema: StructType): Unit = {
     val out = fs(spark).create(schemaPath(table), true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()

@@ -94,6 +94,39 @@ class CheckpointRotationSpec extends AnyFunSuite {
     assert(listedFiles(s"$work/ckpt1") >= 10, "unrotated log lists full history")
   }
 
+  test("rotateCheckpoint API (r12 ask #6): one call stops, prunes at the " +
+    "store's own watermark, resets the checkpoint; same ckpt dir restarts " +
+    "on the surviving tail with exactly-once totals") {
+    val work = Files.createTempDirectory("graft_rotate_api").toString
+    val feed = s"$work/feed"
+    val ckpt = s"$work/ckpt" // ONE checkpoint path across the rotation
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 4)
+    (0 until 10).foreach(b => publishBatch(feed, (b * 100) until ((b + 1) * 100)))
+    runMirror(feed, ckpt, store)
+    // applyBatch maintained the applied watermark — no out-of-band LSN
+    assert(store.appliedLsn(spark).contains(999L))
+    // margin of 200 LSNs: files with maxLsn <= 799 pruned, 2 kept
+    val (pruned, kept) = CdcPipeline.rotateCheckpoint(spark, store, feed,
+      "rotation_mirror", ckpt, safetyLsns = 200L)
+    assert(pruned == 8L && kept == 2L, s"pruned=$pruned kept=$kept")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt)),
+      "rotation must reset the checkpoint")
+    // phase 2 on the SAME checkpoint path: re-reads the 2 surviving
+    // (already-applied) files plus 2 new ones
+    (10 until 12).foreach(b => publishBatch(feed, (b * 100) until ((b + 1) * 100)))
+    runMirror(feed, ckpt, store)
+    val rows = store.read(spark, "t")
+    assert(rows.count() == 1200L && rows.select("id").distinct().count() == 1200L,
+      "exactly-once totals across the rotation")
+    assert(store.appliedLsn(spark).contains(1199L))
+    // rotating with NOTHING applied is a no-op (fresh store)
+    val empty = new KeyedParquetStore(s"$work/store2", nBuckets = 4)
+    assert(CdcPipeline.rotateCheckpoint(spark, empty, feed,
+      "rotation_mirror", ckpt) == ((0L, 0L)))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt)),
+      "no-applied rotation must not delete the checkpoint")
+  }
+
   test("prune at the full committed watermark removes every applied file " +
     "and an idle rotated mirror applies nothing") {
     val work = Files.createTempDirectory("graft_rotate_spec2").toString

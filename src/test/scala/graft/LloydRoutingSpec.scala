@@ -158,6 +158,26 @@ class LloydRoutingSpec extends AnyFunSuite {
       s"sample-trained centroids failed to flatten skew: $occ")
   }
 
+  test("lloydCentroids fails loudly on non-dense vec_ids (r12 advice): " +
+    "1-based and sparse ids violate the init contract") {
+    // 1-based ids: vec_id < k selects only k-1 vectors
+    val oneBased = plantedSkew()
+      .select((col("vec_id") + 1).as("vec_id"), col("qv"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.lloydCentroids(oneBased, 8L, rounds = 1)
+    }
+    assert(e.getMessage.contains("dense 0-based"))
+    // sparse (even-only) ids: half the expected init centroids
+    val sparse = plantedSkew()
+      .select((col("vec_id") * 2).as("vec_id"), col("qv"))
+    intercept[IllegalArgumentException] {
+      IvfIndex.lloydCentroids(sparse, 8L, rounds = 1)
+    }
+    // dense ids with a stride remain in contract (cids renumbered)
+    assert(IvfIndex.lloydCentroids(plantedSkew(), 8L, rounds = 1, stride = 2L)
+      .count() == 8L)
+  }
+
   test("autoCoarseCells: ceil(sqrt) at the boundaries") {
     assert(IvfIndex.autoCoarseCells(1) == 1)
     assert(IvfIndex.autoCoarseCells(8) == 3)

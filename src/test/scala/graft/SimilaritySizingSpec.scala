@@ -76,7 +76,8 @@ class SimilaritySizingSpec extends AnyFunSuite {
     assert(h2.getAs[Double]("recall_1probe") == h1.getAs[Double]("recall_1probe"))
   }
 
-  test("autoCells (s17's IVF axis): occupancy rule, floor at shipped SFs") {
+  test("autoCells (s17's IVF axis): occupancy rule, floor at shipped SFs, " +
+    "caps past the deployment band (r12 verdict ask #2)") {
     // shipped SFs resolve to the floor — the pinned s17 oracle's SQL
     // computes the same k, so both sides stay at 8 cells
     assert(SimilarityQueries.autoCells(500) == 8)
@@ -84,11 +85,37 @@ class SimilaritySizingSpec extends AnyFunSuite {
     assert(SimilarityQueries.autoCells(2048) == 8)
     assert(SimilarityQueries.autoCells(2049) == 9)
     assert(SimilarityQueries.autoCells(20000) == 79) // the 10x probe corpus
-    val ks = (1L to 20L).map(k => SimilarityQueries.autoCells(1L << k))
+    // the √N cap binds only past N = 2^20 (occ = 4·√N exactly there),
+    // so every shipped SF and the probe corpus sit on the occupancy
+    // rule — unchanged k ⇒ unchanged oracles
+    assert(SimilarityQueries.autoCells(1L << 20) == 4096)
+    assert(SimilarityQueries.autoCells(10000000L) == 12652)  // 4·⌈√N⌉ < ⌈N/256⌉
+    assert(SimilarityQueries.autoCells(1000000000L) == 126492)
+    // the absolute 2^20 ceiling binds past N = 2^36: k — and the
+    // 64·k-vector training sample — become CONSTANT
+    assert(SimilarityQueries.autoCells(1L << 36) == (1L << 20))
+    assert(SimilarityQueries.autoCells(1L << 40) == (1L << 20))
+    val ks = (1L to 40L).map(k => SimilarityQueries.autoCells(1L << k))
     assert(ks == ks.sorted)
     intercept[IllegalArgumentException] {
       SimilarityQueries.autoCells(100, targetOccupancy = 0)
     }
+  }
+
+  test("capped k bounds the Lloyd training input sublinearly, then constant") {
+    import graft.operators.IvfIndex.trainStride
+    def trainingInput(n: Long): Long = n / trainStride(n, SimilarityQueries.autoCells(n))
+    // occupancy regime: a fixed quarter of the corpus (stride 4)
+    assert(trainingInput(1L << 18) == (1L << 16))
+    // √N-cap regime: training ≈ 64·4·√N — the N-fraction falls with N
+    val atCap = trainingInput(1L << 30)
+    assert(atCap < (1L << 30) / 100,
+      s"training input past the √N cap must be a vanishing fraction, got $atCap")
+    // absolute-ceiling regime: training input pinned at ~64·2^20
+    val ceilA = trainingInput(1L << 37)
+    val ceilB = trainingInput(1L << 40)
+    assert(ceilA <= 68000000L && ceilB <= 68000000L,
+      s"training input past k-max must be ~constant 64·2^20, got $ceilA / $ceilB")
   }
 
   test("autoProbeCells (s18's probe axis): ceil-of-inverse-selectivity, " +
