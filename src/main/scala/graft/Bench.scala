@@ -147,7 +147,7 @@ object Bench {
     def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + ms(kv._2)
     val qsFull = results.map(entry).mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor_sec":${ms(anchorSec)},"queries":$qsFull$cdcJson,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor_sec":${ms(anchorSec)},"total_per_anchor":${ms(total / anchorSec)},"queries":$qsFull$cdcJson,"sf":"$sfDir","runs":$runs}"""
     // Full per-query map goes to a file + stderr. The LAST stdout line
     // must be a COMPLETE JSON object inside the driver's bounded log
     // tail (2000 chars, minus sbt's trailing "[success] Total time"
@@ -167,7 +167,7 @@ object Bench {
     // the cdc block comes out of the queries budget so the final line
     // stays inside the driver's 2000-char tail — sized off the actual
     // block (it grew to ~800 chars with the r10 state-growth metrics)
-    val budget = math.max(300, 1370 - cdcJson.length) // −30: anchor_sec field
+    val budget = math.max(300, 1340 - cdcJson.length) // −30: anchor_sec, −30: total_per_anchor
     val kept = new StringBuilder
     var nKept = 0
     // stop at the FIRST entry that doesn't fit, so the kept set is a
@@ -183,8 +183,13 @@ object Bench {
       } else full_ = true
     }
     val truncated = nKept < results.length
+    // total_per_anchor = total / anchor_sec: the box-drift-normalized
+    // read (r12 verdict ask #4 — the anchor is useless if nothing
+    // consumes it). Compare THIS across rounds; raw totals only within
+    // a round.
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor_sec":${ms(anchorSec)},""" +
+        s""""total_per_anchor":${ms(total / anchorSec)},""" +
         s""""queries":{${kept.result()}},""" +
         s""""queries_truncated":$truncated,"nqueries":${results.length},""" +
         s""""queries_order":"slowest_first","queries_file":"BENCH_LOCAL.json"$cdcJson,""" +

@@ -173,23 +173,36 @@ object Multimodal {
 
   /** Per-row variant over any documents frame — the shape that lets
     * the fingerprint index take [[IndexStore.getOrBuildIncremental]]'s
-    * delta path (each media row derives from one document row). */
-  def syntheticNearDupMediaFrom(docs: DataFrame): DataFrame = {
+    * delta path (each media row derives from one document row).
+    *
+    * `famMod` (default 97 — the m8 oracle's pinned modulus) is the
+    * duplicate-family axis: scale probes pass 97·factor so a grown
+    * corpus has MORE families of the SAME size (real corpora's shape —
+    * duplication is bounded by actual copying, not corpus size),
+    * instead of 97 families growing ×factor (which makes within-family
+    * pair work grow quadratically BY CONSTRUCTION and measures the
+    * data, not the plan — the r11 m8/m9 probe artifact). Bound: the
+    * pattern argument a = fam·72+72 must keep a²·2654435761 inside
+    * int64, so famMod ≤ 817 (probe factor ≤ 8). */
+  def syntheticNearDupMediaFrom(docs: DataFrame,
+      famMod: Long = 97L): DataFrame = {
+    require(famMod >= 1L && famMod <= 817L,
+      s"famMod=$famMod: pattern arithmetic is int64-safe only to 817")
     val s = docs.sparkSession
     import s.implicits._
     docs
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val fam = id % 97
-          val scale = ((id / 97) % 3).toInt + 1
+          val fam = id % famMod
+          val scale = ((id / famMod) % 3).toInt + 1
           val (w, h) = (9 * scale, 8 * scale)
           def pix(x: Int, y: Int): Byte = {
             val a = fam * 72 + (y / scale) * 9 + (x / scale) + 1
             ((a * a * 2654435761L % 1000000007L) % 251).toByte
           }
           val bytes =
-            if ((id / 97) % 2 == 0) MediaCodec.encodeBmpPixels(w, h, pix)
+            if ((id / famMod) % 2 == 0) MediaCodec.encodeBmpPixels(w, h, pix)
             else MediaCodec.encodePngPixels(w, h, pix)
           (id, bytes)
         }
@@ -209,16 +222,20 @@ object Multimodal {
     syntheticNearDupAudioFrom(Tables.load(s, dir, "documents"))
 
   /** Per-row variant over any documents frame (see
-    * [[syntheticNearDupMediaFrom]]). */
-  def syntheticNearDupAudioFrom(docs: DataFrame): DataFrame = {
+    * [[syntheticNearDupMediaFrom]]; same famMod contract — the audio
+    * argument a = fam·131+65 caps famMod at 449, probe factor ≤ 5). */
+  def syntheticNearDupAudioFrom(docs: DataFrame,
+      famMod: Long = 89L): DataFrame = {
+    require(famMod >= 1L && famMod <= 449L,
+      s"famMod=$famMod: sample arithmetic is int64-safe only to 449")
     val s = docs.sparkSession
     import s.implicits._
     docs
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val fam = id % 89
-          val gain = ((id / 89) % 3).toInt + 1
+          val fam = id % famMod
+          val gain = ((id / famMod) % 3).toInt + 1
           val samples = Array.tabulate[Short](65) { i =>
             val a = fam * 131 + i + 1
             val p = ((a * a * 2654435761L % 1000000007L) % 1009L - 504L).toInt
@@ -248,6 +265,36 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "dhash")
+  }
+
+  /** m9's fingerprint derivation as a frame transform (WAV decode →
+    * gain-invariant 64-bit delta-sign hash) — the audio analogue of
+    * [[perceptualHashes]], shared by the query and the scale probe. */
+  def audioHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          MediaCodec.pcmSamples16(bytes)
+            .flatMap { case (_, _, samples) =>
+              MediaCodec.audioDeltaHash64(samples) }
+            .map(hash => (id, hash))
+        }
+      }
+      .toDF("doc_id", "ahash")
+  }
+
+  /** The m8/m9 SERVING plan over an arbitrary fingerprint frame —
+    * public probe surface for [[graft.tools.MediaFamilyProbe]] (the
+    * banded join itself is package-private in DedupQueries).
+    * `limited = false` skips the queries' rank+limit tail so the probe
+    * can COUNT the raw candidate-pair population. */
+  def bandedPairsFor(hashes: DataFrame, sigCol: String,
+      limited: Boolean = true): DataFrame = {
+    val pairs = DedupQueries.bandedHammingPairs(hashes, sigCol)
+    if (limited) pairs.orderBy("hamming", "da", "db").limit(1000) else pairs
   }
 
   /** Windowed audio feature extraction over WAV-PCM payloads: per
@@ -503,18 +550,7 @@ object Multimodal {
       // path on ingest appends)
       val hashes = IndexStore.getOrBuildIncremental(s, d, "ahash64",
         "documents") { src =>
-        syntheticNearDupAudioFrom(src)
-          .select("doc_id", "content")
-          .as[(Long, Array[Byte])]
-          .mapPartitions { it =>
-            it.flatMap { case (id, bytes) =>
-              MediaCodec.pcmSamples16(bytes)
-                .flatMap { case (_, _, samples) =>
-                  MediaCodec.audioDeltaHash64(samples) }
-                .map(hash => (id, hash))
-            }
-          }
-          .toDF("doc_id", "ahash")
+        audioHashes(syntheticNearDupAudioFrom(src))
       }
       DedupQueries.bandedHammingPairs(hashes, "ahash")
         .orderBy("hamming", "da", "db")

@@ -54,6 +54,14 @@ def main():
     bench = json.load(open(args.bench))
     bench_s = bench["value"]
     bench_n = len(bench["queries"])
+    # anchor-normalized total (r12 verdict ask #4): totals drift
+    # ±15-40% with box state on identical code; total/anchor_sec is the
+    # figure that is comparable ACROSS rounds
+    anchor = bench.get("anchor_sec")
+    anchor_txt = (
+        f" · anchor {anchor:.3f} s → **{bench_s / anchor:.0f}× anchor** "
+        f"(the round-over-round comparable figure)"
+        if anchor else "")
 
     block = (
         f"{START}\n"
@@ -61,7 +69,7 @@ def main():
         f"(DuckDB selfcheck at sf0.01) · **{tests_ok} tests green"
         f"{'' if tests_fail == 0 else f', {tests_fail} FAILED'}** (`sbt test`) · "
         f"local bench **{bench_s:.1f} s / {bench_n} queries** "
-        f"(sf0.1, local[32], median-of-3). "
+        f"(sf0.1, local[32], median-of-3){anchor_txt}. "
         f"_This block is emitted by `tools/gen_counts.py` from the round's "
         f"artifacts — do not hand-edit._\n"
         f"{END}"
