@@ -52,6 +52,37 @@ class StreamingDeltaIndexSpec extends AnyFunSuite {
     assert(served.map(_.getLong(0)) == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("zero-partition micro-batch: lands nothing, still refreshes the " +
+    "index, never kills the stream (r12 advice); stale scratch swept") {
+    import org.apache.spark.sql.types._
+    val dataDir = Files.createTempDirectory("graft_ingest_empty").toString
+    // seed one real batch so the index exists
+    import spark.implicits._
+    IndexedIngest.landAndIndex(Seq((1L, "alpha")).toDF("doc_id", "text"),
+      0L, dataDir, "documents", "lens")(lens)
+    // fake a crashed earlier attempt: a stale scratch dir in the corpus
+    val stale = java.nio.file.Paths.get(
+      s"$dataDir/documents.parquet/_ingest_scratch_99")
+    java.nio.file.Files.createDirectories(stale)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(empty.rdd.getNumPartitions == 0, "the zero-partition shape under test")
+    // must not throw (the pre-fix IllegalStateException killed the
+    // stream when the writer produced no part- file; Spark 4.1's
+    // writer happens to emit one empty file for this shape — the
+    // contract under test is the OBSERVABLE one: no crash, no rows
+    // added, scratch swept, index current either way)
+    IndexedIngest.landAndIndex(empty, 7L, dataDir, "documents", "lens")(lens)
+    assert(!java.nio.file.Files.exists(stale), "stale scratch must be swept")
+    assert(spark.read.parquet(s"$dataDir/documents.parquet").count() == 1L,
+      "an empty batch must add no corpus rows")
+    val served = IndexStore.getOrBuildIncremental(spark, dataDir, "lens",
+      "documents") { _ => fail("must serve warm"): DataFrame }
+    assert(served.count() == 1L, "index current over the unchanged corpus")
+  }
+
   test("crash after sink work, before checkpoint commit: the replayed " +
     "batch re-lands nothing, the index serves warm, totals exact") {
     import spark.implicits._
