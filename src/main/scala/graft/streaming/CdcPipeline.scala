@@ -280,6 +280,39 @@ object CdcPipeline {
     }
   }
 
+  /** On-disk footprint of a checkpoint directory (driver-side metadata
+    * walk — the figure [[rotateIfOversized]]'s policy reads). */
+  def checkpointBytes(spark: SparkSession, checkpointDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var total = 0L
+      while (it.hasNext) total += it.next().getLen
+      total
+    }
+  }
+
+  /** [[rotateCheckpoint]] as a POLICY: rotate only when the
+    * checkpoint's footprint has crossed `maxCheckpointBytes`. The
+    * compact log grows ~520 B/batch forever (measured, SCALE.md), so a
+    * long-lived mirror calls this between restarts — or on a cadence —
+    * and metadata stays O(threshold) without the operator deciding
+    * when. Returns the prune counts when a rotation happened, None
+    * when the footprint is still under budget (no stop, no delete). */
+  def rotateIfOversized(
+      spark: SparkSession,
+      store: KeyedParquetStore,
+      feedDir: String,
+      mirrorName: String,
+      checkpointDir: String,
+      maxCheckpointBytes: Long,
+      safetyLsns: Long = 0L): Option[(Long, Long)] =
+    if (checkpointBytes(spark, checkpointDir) <= maxCheckpointBytes) None
+    else Some(rotateCheckpoint(spark, store, feedDir, mirrorName,
+      checkpointDir, safetyLsns))
+
   /** Mirror lifecycle: DROP — completes the reference UI's
     * create/start/drop loop (/root/reference/README.md:99–106, where a
     * mirror is a named Temporal workflow the UI can tear down). Stops

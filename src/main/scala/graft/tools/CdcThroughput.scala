@@ -235,15 +235,20 @@ object CdcThroughput {
       (System.nanoTime() - t0) / 1e9
     }
     val s1 = publishPhase(1L)
-    val w1 = runPhase(s1, s"$work/ckpt1")
-    val (b1, f1) = dirStats(s"$work/ckpt1")
-    // prune two batches SHORT of the applied watermark: the rotated
-    // mirror re-reads those files and the merge must absorb them
-    val (pruned, kept) = ChangeFeed.prune(spark, s"$work/feed",
-      upToLsn = halfRows - 2L * batchSize)
+    val w1 = runPhase(s1, s"$work/ckpt")
+    val (b1, f1) = dirStats(s"$work/ckpt")
+    // rotation through the PRODUCT operation (r12 ask #6 — the bench
+    // drives CdcPipeline.rotateCheckpoint, not hand-rolled prune
+    // choreography): the applied watermark comes from the store's own
+    // sidecar, the safety margin holds back two batches so the rotated
+    // mirror re-reads those files and the merge must absorb them, and
+    // the SAME checkpoint path restarts fresh
+    val (pruned, kept) = CdcPipeline.rotateCheckpoint(spark, store,
+      s"$work/feed", "cdc_rotate_mirror", s"$work/ckpt",
+      safetyLsns = 2L * batchSize)
     val s2 = publishPhase(halfRows + 1L)
-    val w2 = runPhase(s2, s"$work/ckpt2")
-    val (b2, f2) = dirStats(s"$work/ckpt2")
+    val w2 = runPhase(s2, s"$work/ckpt")
+    val (b2, f2) = dirStats(s"$work/ckpt")
     val applied = store.read(spark, "orders").count()
     require(applied == 2L * halfRows,
       s"rotation reconciliation failed: $applied != ${2L * halfRows}")

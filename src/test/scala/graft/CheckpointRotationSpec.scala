@@ -127,6 +127,30 @@ class CheckpointRotationSpec extends AnyFunSuite {
       "no-applied rotation must not delete the checkpoint")
   }
 
+  test("rotateIfOversized: under-budget checkpoints are untouched; an " +
+    "over-budget one rotates through the same API") {
+    val work = Files.createTempDirectory("graft_rotate_policy").toString
+    val feed = s"$work/feed"
+    val ckpt = s"$work/ckpt"
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 4)
+    (0 until 5).foreach(b => publishBatch(feed, (b * 100) until ((b + 1) * 100)))
+    runMirror(feed, ckpt, store)
+    val bytes = CdcPipeline.checkpointBytes(spark, ckpt)
+    assert(bytes > 0L)
+    // generous budget: the policy must not stop/delete anything
+    assert(CdcPipeline.rotateIfOversized(spark, store, feed,
+      "rotation_mirror", ckpt, maxCheckpointBytes = bytes * 10).isEmpty)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt)))
+    // 1-byte budget: rotation fires, feed pruned at the watermark
+    val rotated = CdcPipeline.rotateIfOversized(spark, store, feed,
+      "rotation_mirror", ckpt, maxCheckpointBytes = 1L)
+    assert(rotated.contains((5L, 0L)), s"got $rotated")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt)))
+    // restart on the same path: nothing to re-read, totals unchanged
+    runMirror(feed, ckpt, store)
+    assert(store.read(spark, "t").count() == 500L)
+  }
+
   test("prune at the full committed watermark removes every applied file " +
     "and an idle rotated mirror applies nothing") {
     val work = Files.createTempDirectory("graft_rotate_spec2").toString
