@@ -159,6 +159,66 @@ object DedupQueries {
     * distinct (a close pair can collide in several bands). Complete by
     * the pigeonhole bound (requires hammingMax < nBands); never an
     * all-pairs signature compare. */
+  /** [[SimilarityQueries.autoPlanes]]'s rule on the MINHASH-BANDING
+    * axis (d3's band width): rows-per-band r = max(2, ⌈log₂(N/1280)⌉).
+    * Why r must track log N: a band of r minhashes collides for a
+    * random pair with probability ~j₀^r (j₀ = the corpus's background
+    * Jaccard), so expected candidate noise is ~N²·b·j₀^r — FIXED r is
+    * quadratic in corpus size, and only r ≳ log(N)/log(1/j₀) keeps the
+    * candidate stage linear (the LSH-forest sizing argument, with the
+    * design constant pinned at j₀ = ½ — conservative for shingle
+    * corpora). Widening r also RAISES the effective Jaccard threshold
+    * each band fires at (t ≈ (1/b)^(1/r)) — the recall side of the
+    * standard trade, same as autoPlanes' probed-fraction cost; the
+    * signature budget m = 4r grows with it (more hashing per doc,
+    * linear). The divisor 1280 places both shipped SFs (500 / 5,000
+    * docs) on the floor — the pinned d3 oracle keeps its 4×2 geometry
+    * — and is exact at power-of-two boundaries (both log₂ inputs are
+    * exactly representable doubles there), monotone in N; spec-pinned
+    * in SimilaritySizingSpec, wall + candidate growth measured by
+    * [[graft.tools.BandWidthProbe]]. */
+  def autoMinhashRows(n: Long, target: Long = 1280L, floor: Int = 2): Int = {
+    require(target > 0, s"target must be > 0, got $target")
+    if (n <= target) floor
+    else math.max(floor,
+      math.ceil(math.log(n.toDouble / target) / math.log(2.0)).toInt)
+  }
+
+  /** d3's banding generalized over the band width: m = bands·r
+    * minhashes per doc, band key = the band's r minhash values in
+    * hash-index order (deterministic; ':'-joined integers cannot
+    * alias). One explode + two hash aggregates + a self equi-join on
+    * (band, key) — the candidate stage never compares documents
+    * pairwise outside a colliding bucket. */
+  private[graft] def minhashCandidates(sh: DataFrame, r: Int,
+      bands: Int = 4): DataFrame = {
+    require(r >= 1 && bands >= 1, s"need positive banding, got r=$r bands=$bands")
+    val m = bands * r
+    val minhash = sh
+      .select(col("doc_id"), col("shash"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("i"))
+      .withColumn("hv",
+        ((lit(2L) * col("i") + 1) * col("shash") + col("i") * 12345L + 1) % 1000000007L)
+      .groupBy("doc_id", "i").agg(min("hv").as("mh"))
+    val keyed = minhash
+      .withColumn("band", expr(s"i div $r"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws(":", expr(
+        "transform(array_sort(collect_list(struct(i, mh))), p -> CAST(p.mh AS STRING))"))
+        .as("key"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+  }
+
+  /** Candidate → exact-Jaccard verify at band width `r` — d3's full
+    * pipeline over an arbitrary shingle frame (public probe surface
+    * for [[graft.tools.BandWidthProbe]]). */
+  def minhashPairsAt(sh: DataFrame, r: Int, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame =
+    jaccardOf(minhashCandidates(sh, r, bands), sh, threshold)
+
   private[operators] def bandedHammingPairs(sigs: DataFrame, sigCol: String,
       hammingMax: Int = 3, nBands: Int = 4, bandBits: Int = 16): DataFrame = {
     require(hammingMax < nBands,
@@ -322,28 +382,19 @@ object DedupQueries {
       jaccardOf(cand, sh, 0.8)
     },
 
-    // MinHash + LSH banding: K=8 signature, 4 bands × 2 rows;
-    // candidates = band-bucket collisions; verified at 0.8
+    // MinHash + LSH banding, ENGINE-SIZED band width (r13 — the last
+    // fixed-width index in the repo, the same rule family as
+    // autoPlanes/autoCells): 4 bands × r rows, r = autoMinhashRows(N).
+    // At the shipped SFs (500 / 5,000 docs) r resolves to the floor 2
+    // ⇒ the EXACT pre-r13 geometry (K=8 signature, 4×2 banding), so
+    // the pinned DuckDB oracle is unchanged — like s8, the widening is
+    // spec-pinned and probe-measured, not oracle-replayed. Candidates
+    // = band-bucket collisions; verified at 0.8.
     "d3_minhash_lsh" -> { (s, d) =>
+      val n = Tables.load(s, d, "documents").count()
       // computed once, consumed by minhash + verification + sizes
       val sh = shingleSets(s, d).localCheckpoint(true)
-      val minhash = sh
-        .select(col("doc_id"), col("shash"), explode(expr("sequence(0, 7)")).as("i"))
-        .withColumn("hv",
-          ((lit(2L) * col("i") + 1) * col("shash") + col("i") * 12345L + 1) % 1000000007L)
-        .groupBy("doc_id", "i").agg(min("hv").as("mh"))
-      val bands = minhash
-        .withColumn("band", expr("i div 2"))
-        .groupBy("doc_id", "band")
-        .agg(
-          min(when(col("i") % 2 === 0, col("mh"))).as("m0"),
-          min(when(col("i") % 2 === 1, col("mh"))).as("m1"))
-        .withColumn("key", concat_ws(":", col("m0"), col("m1")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-      jaccardOf(cand, sh, 0.8)
+      minhashPairsAt(sh, autoMinhashRows(n))
     },
 
     // transitive near-dup clusters: connected components over the d2

@@ -118,6 +118,37 @@ class SimilaritySizingSpec extends AnyFunSuite {
       s"training input past k-max must be ~constant 64·2^20, got $ceilA / $ceilB")
   }
 
+  test("autoMinhashRows (d3's band-width axis): floor at shipped SFs, " +
+    "log2 widening past the divisor, monotone (r13)") {
+    import graft.operators.DedupQueries.autoMinhashRows
+    // both shipped SFs (500 / 5,000 docs) sit on the floor — the
+    // pinned d3 oracle keeps its 4x2 banding
+    assert(autoMinhashRows(500) == 2)
+    assert(autoMinhashRows(1280) == 2)
+    assert(autoMinhashRows(5000) == 2)   // ceil(log2(3.906)) = 2
+    assert(autoMinhashRows(5120) == 2)   // exact power-of-two boundary
+    assert(autoMinhashRows(5121) == 3)
+    assert(autoMinhashRows(20000) == 4)  // the 10x probe corpus
+    assert(autoMinhashRows(80000) == 6)  // the 40x probe corpus
+    assert(autoMinhashRows(1L << 20) == 10)
+    val rs = (1L to 40L).map(k => autoMinhashRows(1L << k))
+    assert(rs == rs.sorted)
+    intercept[IllegalArgumentException] { autoMinhashRows(100, target = 0) }
+  }
+
+  test("minhash auto == fixed 4x2 at shipped scale: the pinned d3 oracle " +
+    "is untouched") {
+    import graft.operators.DedupQueries
+    val auto = SparkEntry.queries("d3_minhash_lsh")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val sh = DedupQueries.shinglesOf(
+      graft.sources.Tables.load(spark, sf, "documents")).localCheckpoint(true)
+    val fixed = DedupQueries.minhashPairsAt(sh, 2)
+      .collect().map(_.toSeq).toSet
+    assert(auto == fixed, "shipped-SF geometry must be the pre-r13 4x2 banding")
+    assert(auto.nonEmpty)
+  }
+
   test("autoProbeCells (s18's probe axis): ceil-of-inverse-selectivity, " +
     "floor 2, cap at the cell count") {
     import graft.operators.SimilarityQueries.autoProbeCells
