@@ -112,6 +112,24 @@ object IndexStore {
     fs.delete(old, true)
   }
 
+  /** ONE inventory codec for every manifest flavor (incremental
+    * `.manifest`, staleness `.trained`): version header, optional
+    * extra header lines, then `path\tlen|mtime` per file. A version
+    * mismatch reads as empty (= cold/retrain) — bump [[FormatVersion]]
+    * in ONE place and every manifest invalidates together. */
+  private def parseInventory(lines: Seq[String],
+      skipHeaders: Int): Map[String, String] =
+    if (!lines.headOption.contains(s"v$FormatVersion")) Map.empty
+    else lines.drop(1 + skipHeaders).filter(_.nonEmpty).map { l =>
+      val i = l.lastIndexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+
+  private def renderInventory(entries: Map[String, String],
+      extraHeaders: Seq[String]): String =
+    (s"v$FormatVersion" +: extraHeaders ++:
+      entries.toSeq.sortBy(_._1).map { case (p, sig) => s"$p\t$sig" })
+      .mkString("\n")
+
   /** Atomic small-file write (manifest / fingerprint): temp + move, so
     * a reader never sees a torn header. */
   private def writeFileAtomically(target: java.nio.file.Path,
@@ -173,15 +191,12 @@ object IndexStore {
     val trainedFile = java.nio.file.Paths.get(s"$dir.trained")
     val current = fileEntriesOf(spark, s"$dataDir/$sourceTable.parquet")
     val prev: Map[String, String] =
-      if (java.nio.file.Files.exists(trainedFile)) {
-        val lines = new String(java.nio.file.Files.readAllBytes(trainedFile),
-          java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
-        if (lines.headOption.contains(s"v$FormatVersion"))
-          lines.drop(1).filter(_.nonEmpty).map { l =>
-            val i = l.lastIndexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
-          }.toMap
-        else Map.empty // older format: retrain
-      } else Map.empty
+      if (java.nio.file.Files.exists(trainedFile))
+        parseInventory(new String(
+          java.nio.file.Files.readAllBytes(trainedFile),
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq,
+          skipHeaders = 0) // older format reads empty: retrain
+      else Map.empty
     def bytesOf(m: Map[String, String]): Long =
       m.valuesIterator.map(_.takeWhile(_ != '|').toLong).sum
     val appendOnly = prev.nonEmpty &&
@@ -194,9 +209,7 @@ object IndexStore {
       buildsPerformed += 1
       writeAtomically(spark, build, dir)
       writeFileAtomically(trainedFile,
-        (s"v$FormatVersion" +:
-          current.toSeq.sortBy(_._1).map { case (p, sig) => s"$p\t$sig" })
-          .mkString("\n"))
+        renderInventory(current, extraHeaders = Nil))
     } else if (current != prev) staleServes += 1
     spark.read.parquet(dir)
   }
@@ -232,17 +245,13 @@ object IndexStore {
       if (java.nio.file.Files.exists(manifest)) {
         val lines = new String(java.nio.file.Files.readAllBytes(manifest),
           java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
-        if (lines.headOption.contains(s"v$FormatVersion")) {
-          val deltas = lines.drop(1).headOption match {
-            case Some(d) if d.startsWith("deltas=") =>
-              d.stripPrefix("deltas=").split(',').filter(_.nonEmpty).toSet
-            case _ => Set.empty[String]
-          }
-          val entries = lines.drop(2).filter(_.nonEmpty).map { l =>
-            val i = l.lastIndexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
-          }.toMap
-          (entries, deltas)
-        } else (Map.empty, Set.empty) // older format: treat as cold
+        val deltas = lines.drop(1).headOption match {
+          case Some(d) if d.startsWith("deltas=") =>
+            d.stripPrefix("deltas=").split(',').filter(_.nonEmpty).toSet
+          case _ => Set.empty[String]
+        }
+        // older format parses empty: treat as cold
+        (parseInventory(lines, skipHeaders = 1), deltas)
       } else (Map.empty, Set.empty)
     // reconcile BEFORE building: any delta_* subdirectory not recorded
     // in the manifest is a crash orphan — its rows are not covered by
@@ -266,10 +275,8 @@ object IndexStore {
     val sidecarExists = dirFile.exists()
     val mutated = prev.exists { case (p, sig) => !current.get(p).contains(sig) }
     def writeManifest(deltas: Set[String]): Unit =
-      writeFileAtomically(manifest,
-        (Seq(s"v$FormatVersion", s"deltas=${deltas.toSeq.sorted.mkString(",")}") ++
-          current.toSeq.sortBy(_._1).map { case (p, sig) => s"$p\t$sig" })
-          .mkString("\n"))
+      writeFileAtomically(manifest, renderInventory(current,
+        extraHeaders = Seq(s"deltas=${deltas.toSeq.sorted.mkString(",")}")))
     if (prev.nonEmpty && sidecarExists && !mutated) {
       val newFiles = (current.keySet -- prev.keySet).toSeq.sorted
       if (newFiles.nonEmpty) { // append-only growth: delta build

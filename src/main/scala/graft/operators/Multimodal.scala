@@ -530,9 +530,9 @@ object Multimodal {
         "documents") { src =>
         perceptualHashes(syntheticNearDupMediaFrom(src))
       }
-      DedupQueries.bandedHammingPairs(hashes, "dhash")
-        .orderBy("hamming", "da", "db")
-        .limit(1000)
+      // the shared serving tail — the same surface MediaFamilyProbe
+      // times, so the probe cannot drift from the query
+      bandedPairsFor(hashes, "dhash")
     },
 
     // ── m9: perceptual near-dup AUDIO dedup — m8's pipeline with the
@@ -543,8 +543,6 @@ object Multimodal {
     // closed-form from the sample formula, so the hash gate proves
     // decode → sign-chain → band-pair end-to-end over REAL WAV bytes.
     "m9_audio_dedup" -> { (s, d) =>
-      val spark = s
-      import spark.implicits._
       // persisted fingerprint index, like m8 (decode once per corpus
       // state, serve the 16-byte rows; per-row derivation ⇒ delta
       // path on ingest appends)
@@ -552,9 +550,7 @@ object Multimodal {
         "documents") { src =>
         audioHashes(syntheticNearDupAudioFrom(src))
       }
-      DedupQueries.bandedHammingPairs(hashes, "ahash")
-        .orderBy("hamming", "da", "db")
-        .limit(1000)
+      bandedPairsFor(hashes, "ahash") // shared with MediaFamilyProbe
     },
 
     "m6_media_dedup" -> { (s, d) =>

@@ -236,6 +236,38 @@ object CdcPipeline {
         schemas(t), keyCols(t), lsn)
     }
 
+  /** Leaf names of every feed file the checkpoint's file-source log
+    * has recorded as PROCESSED — the ground truth [[rotateCheckpoint]]
+    * gates deletion on. The log files (deltas + compacts under
+    * `sources/<i>/`) are JSON-lines with `"path"` entries; leaf-name
+    * matching suffices because a feed is one directory. Unreadable or
+    * absent log ⇒ empty set ⇒ nothing is prunable (fail safe). */
+  private[streaming] def sourceLogPaths(
+      spark: SparkSession, checkpointDir: String): Set[String] = {
+    val src = new org.apache.hadoop.fs.Path(s"$checkpointDir/sources")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(src)) return Set.empty
+    try {
+      val names = scala.collection.mutable.Set.empty[String]
+      val it = fs.listFiles(src, true)
+      val pathRe = """"path":"([^"]+)"""".r
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && !st.getPath.getName.endsWith(".tmp")) {
+          val in = fs.open(st.getPath)
+          val body =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          pathRe.findAllMatchIn(body).foreach { m =>
+            names += new org.apache.hadoop.fs.Path(
+              java.net.URLDecoder.decode(m.group(1), "UTF-8")).getName
+          }
+        }
+      }
+      names.toSet
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+  }
+
   /** Mirror lifecycle: CHECKPOINT ROTATION as ONE operation (r12
     * verdict ask #6 — promote the measured x40_rotate choreography out
     * of the bench harness). The file-source compact log grows linearly
@@ -249,13 +281,24 @@ object CdcPipeline {
     * surviving tail, O(retention window) instead of O(history). Any
     * overlap re-read after the restart (files above the pruned
     * watermark that were already applied) is absorbed by the
-    * idempotent by-PK merge — rotation is safe at any margin ≥ 0.
-    * Measured at 800 batches: checkpoint bytes ratio 1.00 across a
-    * rotation vs ~2× unrotated (CDC_BENCH.json `x40_rotate`).
+    * idempotent by-PK merge.
+    *
+    * Deletion is DOUBLY gated: a feed file goes only if its max LSN is
+    * under the watermark−margin AND the checkpoint's own source log
+    * records the file as processed ([[sourceLogPaths]]). The LSN
+    * watermark alone is not proof of delivery when feed files can land
+    * out of LSN order (a decoder retry/backfill writes old LSNs with a
+    * new mtime AFTER newer LSNs were applied — the watermark has moved
+    * past a file the source never read); the second gate makes
+    * rotation safe at any margin ≥ 0 under ANY arrival order, because
+    * an unread file is never deleted regardless of its LSNs. Measured
+    * at 800 batches: checkpoint bytes ratio 1.00 across a rotation vs
+    * ~2× unrotated (CDC_BENCH.json `x40_rotate`).
     *
     * Call order: rotate, then [[start]] with the same `checkpointDir`.
-    * Returns (feedFilesPruned, feedFilesKept); (0, kept) when nothing
-    * was ever applied — nothing is deleted, including the checkpoint.
+    * Returns (feedFilesPruned, feedFilesKept — survivors on the feed);
+    * (0, 0) without stopping the mirror or touching anything when no
+    * batch was ever applied.
     *
     * @param safetyLsns extra LSN margin below the applied watermark to
     *   KEEP on the feed (defense against a sink whose last batch is
@@ -268,11 +311,13 @@ object CdcPipeline {
       checkpointDir: String,
       safetyLsns: Long = 0L): (Long, Long) = {
     require(safetyLsns >= 0L, s"negative safety margin: $safetyLsns")
-    spark.streams.active.filter(_.name == mirrorName).foreach(_.stop())
     store.appliedLsn(spark) match {
       case None => (0L, 0L) // nothing applied: rotating would orphan nothing
       case Some(applied) =>
-        val counts = ChangeFeed.prune(spark, feedDir, applied - safetyLsns)
+        spark.streams.active.filter(_.name == mirrorName).foreach(_.stop())
+        val processed = sourceLogPaths(spark, checkpointDir)
+        val counts = ChangeFeed.prune(spark, feedDir, applied - safetyLsns,
+          onlyFiles = Some(processed))
         val ckpt = new org.apache.hadoop.fs.Path(checkpointDir)
         ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(ckpt, true)
@@ -281,17 +326,23 @@ object CdcPipeline {
   }
 
   /** On-disk footprint of a checkpoint directory (driver-side metadata
-    * walk — the figure [[rotateIfOversized]]'s policy reads). */
+    * walk — the figure [[rotateIfOversized]]'s policy reads). The walk
+    * races a LIVE mirror's own log churn (compaction deletes entries
+    * between the parent listing and the descent), so a listing error
+    * reads as 0 — the policy skips that cycle instead of crashing the
+    * operator's cadence loop. */
   def checkpointBytes(spark: SparkSession, checkpointDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else {
-      val it = fs.listFiles(p, true)
-      var total = 0L
-      while (it.hasNext) total += it.next().getLen
-      total
-    }
+    try {
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true)
+        var total = 0L
+        while (it.hasNext) total += it.next().getLen
+        total
+      }
+    } catch { case scala.util.control.NonFatal(_) => 0L }
   }
 
   /** [[rotateCheckpoint]] as a POLICY: rotate only when the

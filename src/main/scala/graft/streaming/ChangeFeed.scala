@@ -65,13 +65,24 @@ object ChangeFeed {
     * one. Call with the query STOPPED.
     *
     * One feed scan computes per-file max LSN (file-count-sized driver
-    * result); returns (filesDeleted, filesKept). */
-  def prune(spark: SparkSession, feedDir: String, upToLsn: Long): (Long, Long) = {
+    * result); returns (filesDeleted, filesKept).
+    *
+    * `onlyFiles` (leaf names) further gates deletion to files a
+    * consumer PROVABLY processed — [[CdcPipeline.rotateCheckpoint]]
+    * passes the checkpoint source log's file set, so a feed file that
+    * landed out of LSN order (old LSNs, new mtime — never read by the
+    * stopped mirror) survives the prune no matter where the watermark
+    * sits. None = LSN-only (the caller owns the in-order guarantee). */
+  def prune(spark: SparkSession, feedDir: String, upToLsn: Long,
+      onlyFiles: Option[Set[String]] = None): (Long, Long) = {
     val perFile = readAll(spark, feedDir)
       .select(col("lsn"), expr("_metadata.file_path").as("path"))
       .groupBy("path").agg(max("lsn").as("maxLsn"))
       .collect()
-    val (dead, live) = perFile.partition(_.getLong(1) <= upToLsn)
+    def processed(path: String): Boolean = onlyFiles.forall(
+      _.contains(new org.apache.hadoop.fs.Path(path).getName))
+    val (dead, live) = perFile.partition(r =>
+      r.getLong(1) <= upToLsn && processed(r.getString(0)))
     val conf = spark.sparkContext.hadoopConfiguration
     dead.foreach { r =>
       // _metadata.file_path is a URI string, but feed paths may contain

@@ -43,12 +43,23 @@ object IndexedIngest {
     val fs = dir.getFileSystem(conf)
     val target = new org.apache.hadoop.fs.Path(dir, s"ingest-batch-$batchId.parquet")
     if (!fs.exists(target)) {
-      // stale scratch from a crashed earlier attempt (any batch id) is
-      // dead weight — invisible to Spark's listing, but never cleaned
-      // by the happy path once its batch replays; sweep before writing
+      // stale scratch from a crashed EARLIER batch is dead weight —
+      // invisible to Spark's listing, but never cleaned by the happy
+      // path once its batch replays with the target already landed.
+      // Only ids strictly below the current batch are swept: micro-
+      // batches are sequential within the stream, so batch b running
+      // proves every b' < b is committed and its scratch dead; the
+      // current id's leftover is handled by the overwrite-mode write,
+      // and a FUTURE id here would mean a second writer on the table
+      // (outside the single-writer contract — never deleted blindly)
       if (fs.exists(dir))
         fs.listStatus(dir)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("_ingest_scratch_"))
+          .filter { s =>
+            val n = s.getPath.getName
+            s.isDirectory && n.startsWith("_ingest_scratch_") &&
+              scala.util.Try(n.stripPrefix("_ingest_scratch_").toLong)
+                .toOption.exists(_ < batchId)
+          }
           .foreach(s => fs.delete(s.getPath, true))
       // scratch is `_`-prefixed → invisible to Spark's file listing
       // (and to IndexStore's inventory) until the rename commits it

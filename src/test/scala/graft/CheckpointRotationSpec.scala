@@ -127,6 +127,33 @@ class CheckpointRotationSpec extends AnyFunSuite {
       "no-applied rotation must not delete the checkpoint")
   }
 
+  test("out-of-LSN-order arrival: a late feed file below the watermark " +
+    "that the mirror never read SURVIVES rotation (no data loss)") {
+    val work = Files.createTempDirectory("graft_rotate_late").toString
+    val feed = s"$work/feed"
+    val ckpt = s"$work/ckpt"
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 4)
+    // files 100-199 and 300-399 applied; watermark lands at 399
+    publishBatch(feed, 100 until 200)
+    publishBatch(feed, 300 until 400)
+    runMirror(feed, ckpt, store)
+    assert(store.appliedLsn(spark).contains(399L))
+    // a decoder backfill lands the MISSING 200-299 file AFTER the
+    // mirror stopped: old LSNs, new mtime — never processed
+    publishBatch(feed, 200 until 300)
+    val (pruned, kept) = CdcPipeline.rotateCheckpoint(spark, store, feed,
+      "rotation_mirror", ckpt)
+    // the two processed files go; the unread backfill file — although
+    // its max LSN (299) is under the watermark — must survive
+    assert(pruned == 2L && kept == 1L, s"pruned=$pruned kept=$kept")
+    // the restarted mirror reads the survivor: no change is ever lost
+    runMirror(feed, ckpt, store)
+    val rows = store.read(spark, "t")
+    assert(rows.count() == 300L)
+    assert(rows.agg(min("id"), max("id")).head() ==
+      org.apache.spark.sql.Row(100L, 399L))
+  }
+
   test("rotateIfOversized: under-budget checkpoints are untouched; an " +
     "over-budget one rotates through the same API") {
     val work = Files.createTempDirectory("graft_rotate_policy").toString

@@ -158,6 +158,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("chunk"), plan)
   }
 
+  test("d3 minhash candidates come from the band-key equi-join at the " +
+    "engine-sized width, never all-pairs") {
+    val df = SparkEntry.queries("d3_minhash_lsh")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("band"), plan)
+  }
+
   test("j12 advisor end-to-end: measured decision matches the data, and the " +
     "physical plan salts the skewed fact side (explodes the small dim)") {
     import org.apache.spark.sql.functions.{col, lit, round, when}

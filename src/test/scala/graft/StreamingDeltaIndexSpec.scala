@@ -60,10 +60,15 @@ class StreamingDeltaIndexSpec extends AnyFunSuite {
     import spark.implicits._
     IndexedIngest.landAndIndex(Seq((1L, "alpha")).toDF("doc_id", "text"),
       0L, dataDir, "documents", "lens")(lens)
-    // fake a crashed earlier attempt: a stale scratch dir in the corpus
+    // fake a crashed EARLIER batch's scratch (id 3 < the batch under
+    // test) plus a FUTURE id (99 — another writer's possible in-flight
+    // scratch, outside this stream's proof of deadness)
     val stale = java.nio.file.Paths.get(
+      s"$dataDir/documents.parquet/_ingest_scratch_3")
+    val foreign = java.nio.file.Paths.get(
       s"$dataDir/documents.parquet/_ingest_scratch_99")
     java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.createDirectories(foreign)
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))
     val empty = spark.createDataFrame(
@@ -75,7 +80,10 @@ class StreamingDeltaIndexSpec extends AnyFunSuite {
     // contract under test is the OBSERVABLE one: no crash, no rows
     // added, scratch swept, index current either way)
     IndexedIngest.landAndIndex(empty, 7L, dataDir, "documents", "lens")(lens)
-    assert(!java.nio.file.Files.exists(stale), "stale scratch must be swept")
+    assert(!java.nio.file.Files.exists(stale),
+      "an earlier batch's stale scratch must be swept")
+    assert(java.nio.file.Files.exists(foreign),
+      "a future-id scratch is never this stream's to delete")
     assert(spark.read.parquet(s"$dataDir/documents.parquet").count() == 1L,
       "an empty batch must add no corpus rows")
     val served = IndexStore.getOrBuildIncremental(spark, dataDir, "lens",
