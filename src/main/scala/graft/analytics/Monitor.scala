@@ -102,6 +102,53 @@ object Monitor {
       spark: SparkSession, store: KeyedParquetStore, tables: Seq[String]): DataFrame =
     databaseSizeOf(storageReport(spark, store, tables))
 
+  /** §"REPLICATION INFRASTRUCTURE" (monitoring.ps1:960–1030): the
+    * reference checks replication slots, `wal_level`, and
+    * `max_wal_senders` with OK/WARNING rows. The engine's exact
+    * analogues, one check row each:
+    *
+    *  - `applied_watermark` ↔ a slot's confirmed-flush LSN: the
+    *    store-maintained applied-LSN sidecar
+    *    ([[KeyedParquetStore.appliedLsn]]) — WARNING when absent
+    *    (nothing ever applied → retention/rotation cannot engage);
+    *  - `checkpoint_retention` ↔ `wal_level = logical`: the session
+    *    retention SQLConfs
+    *    ([[graft.streaming.CdcPipeline.configureCheckpointRetention]])
+    *    — WARNING when the file-source log deletion conf is off
+    *    (metadata grows O(batches²/compactInterval), the measured r10
+    *    artifact);
+    *  - `active_mirrors` ↔ WAL-sender occupancy: live StreamingQuery
+    *    count vs the session's max (Spark has no hard sender cap —
+    *    the health bar is ≥ 1 active when a mirror is expected).
+    *
+    * Driver-side metadata only (one tiny file read + conf reads) —
+    * never a table scan. */
+  def replicationInfra(spark: SparkSession,
+      store: KeyedParquetStore): DataFrame = {
+    import spark.implicits._
+    val applied = store.appliedLsn(spark)
+    val logDeletion = spark.conf
+      .getOption("spark.sql.streaming.fileSource.log.deletion")
+      .contains("true")
+    val retain = spark.conf
+      .getOption("spark.sql.streaming.minBatchesToRetain").getOrElse("100")
+    val mirrors = spark.streams.active.length
+    Seq(
+      ("applied_watermark",
+        if (applied.isDefined) "OK" else "WARNING",
+        applied.map(l => s"lsn=$l").getOrElse("nothing applied yet"),
+        if (applied.isDefined) "Healthy" else "Check Setup"),
+      ("checkpoint_retention",
+        if (logDeletion) "OK" else "WARNING",
+        s"log.deletion=$logDeletion minBatchesToRetain=$retain",
+        if (logDeletion) "Optimal" else "Suboptimal"),
+      ("active_mirrors",
+        if (mirrors > 0) "OK" else "WARNING",
+        s"$mirrors streaming queries",
+        if (mirrors > 0) "Healthy" else "Idle"))
+      .toDF("component", "status", "details", "health")
+  }
+
   /** §"ACTIVE STREAMS" (≈ container/connection health,
     * monitoring.ps1:704–831): live StreamingQuery states. */
   def streamHealth(spark: SparkSession): DataFrame = {
@@ -126,6 +173,7 @@ object Monitor {
       "database_size" -> databaseSizeOf(storage),
       "lag" -> lag,
       "sync_summary" -> syncSummary(lag),
-      "streams" -> streamHealth(spark))
+      "streams" -> streamHealth(spark),
+      "replication_infra" -> replicationInfra(spark, store))
   }
 }

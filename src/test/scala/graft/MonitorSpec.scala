@@ -62,6 +62,28 @@ class MonitorSpec extends AnyFunSuite {
     val db = reports("database_size").collect().head
     assert(db.getAs[Long]("n_tables") == 2L)
     assert(db.getAs[Long]("total_bytes") == declared.values.sum)
+
+    // replication infrastructure (pg_replication_slots / wal_level /
+    // max_wal_senders analogue, monitoring.ps1:960–1030): snapshot-only
+    // store → no applied watermark yet (WARNING, like zero slots); the
+    // retention confs are session state set by CdcPipeline.start
+    val infra = reports("replication_infra").orderBy("component").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(3))).toMap
+    assert(infra.keySet ==
+      Set("applied_watermark", "checkpoint_retention", "active_mirrors"))
+    assert(infra("applied_watermark")._1 == "WARNING",
+      "snapshot-only store has no applied LSN — must warn, not invent one")
+    // after one applied batch the watermark row turns OK with the LSN
+    CdcPipeline.applyBatch(
+      Seq((42L, new java.sql.Timestamp(0L), "I", "orders", 13L,
+        """{"id":13,"cust":1}"""))
+        .toDF("lsn", "commitTs", "op", "table", "key", "after"),
+      store, Map("orders" -> reports("lag").sparkSession.read
+        .parquet(s"${store.root}/orders").drop("bucket").schema),
+      Map("orders" -> "id"))
+    val infra2 = Monitor.replicationInfra(spark, store)
+      .filter($"component" === "applied_watermark").collect().head
+    assert(infra2.getString(1) == "OK" && infra2.getString(2) == "lsn=42")
   }
 
   test("storage report handles a missing table as zeros") {
