@@ -127,11 +127,18 @@ object Monitor {
       store: KeyedParquetStore): DataFrame = {
     import spark.implicits._
     val applied = store.appliedLsn(spark)
-    val logDeletion = spark.conf
-      .getOption("spark.sql.streaming.fileSource.log.deletion")
-      .contains("true")
+    // the knobs that DISTINGUISH a configured session: log.deletion
+    // defaults to true in OSS Spark (checking it would be vacuous);
+    // cleanupDelay defaults to 10 min and minBatchesToRetain to 100 —
+    // the r10 unbounded-metadata defaults configureCheckpointRetention
+    // exists to replace
+    val cleanupDelay = spark.conf
+      .getOption("spark.sql.streaming.fileSource.log.cleanupDelay")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(600000L)
     val retain = spark.conf
-      .getOption("spark.sql.streaming.minBatchesToRetain").getOrElse("100")
+      .getOption("spark.sql.streaming.minBatchesToRetain")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(100L)
+    val configured = cleanupDelay == 0L && retain < 100L
     val mirrors = spark.streams.active.length
     Seq(
       ("applied_watermark",
@@ -139,9 +146,9 @@ object Monitor {
         applied.map(l => s"lsn=$l").getOrElse("nothing applied yet"),
         if (applied.isDefined) "Healthy" else "Check Setup"),
       ("checkpoint_retention",
-        if (logDeletion) "OK" else "WARNING",
-        s"log.deletion=$logDeletion minBatchesToRetain=$retain",
-        if (logDeletion) "Optimal" else "Suboptimal"),
+        if (configured) "OK" else "WARNING",
+        s"cleanupDelay=$cleanupDelay minBatchesToRetain=$retain",
+        if (configured) "Optimal" else "Suboptimal"),
       ("active_mirrors",
         if (mirrors > 0) "OK" else "WARNING",
         s"$mirrors streaming queries",

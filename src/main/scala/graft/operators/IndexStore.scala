@@ -245,12 +245,17 @@ object IndexStore {
       if (java.nio.file.Files.exists(manifest)) {
         val lines = new String(java.nio.file.Files.readAllBytes(manifest),
           java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+        // the deltas header is trusted ONLY under the current format
+        // version — a version-mismatched manifest must read fully cold
+        // (empty inventory AND no vouched deltas), so the reconcile
+        // pass prunes the old derivation's delta dirs instead of
+        // serving them
         val deltas = lines.drop(1).headOption match {
-          case Some(d) if d.startsWith("deltas=") =>
+          case Some(d) if lines.headOption.contains(s"v$FormatVersion") &&
+              d.startsWith("deltas=") =>
             d.stripPrefix("deltas=").split(',').filter(_.nonEmpty).toSet
           case _ => Set.empty[String]
         }
-        // older format parses empty: treat as cold
         (parseInventory(lines, skipHeaders = 1), deltas)
       } else (Map.empty, Set.empty)
     // reconcile BEFORE building: any delta_* subdirectory not recorded

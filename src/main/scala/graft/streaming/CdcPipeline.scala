@@ -236,21 +236,43 @@ object CdcPipeline {
         schemas(t), keyCols(t), lsn)
     }
 
-  /** Leaf names of every feed file the checkpoint's file-source log
-    * has recorded as PROCESSED — the ground truth [[rotateCheckpoint]]
-    * gates deletion on. The log files (deltas + compacts under
-    * `sources/<i>/`) are JSON-lines with `"path"` entries; leaf-name
-    * matching suffices because a feed is one directory. Unreadable or
-    * absent log ⇒ empty set ⇒ nothing is prunable (fail safe). */
+  /** Leaf names of every feed file the checkpoint records as part of a
+    * COMMITTED batch — the ground truth [[rotateCheckpoint]] gates
+    * deletion on. Two details are load-bearing:
+    *
+    *  - Spark writes the source-log entry (`sources/<i>/<id>`) at
+    *    offset-PLANNING time, before the batch runs; only the commit
+    *    marker (`commits/<id>`) proves the sink work happened. Each
+    *    log entry carries its `"batchId"`, so entries above the max
+    *    committed id are excluded — a file planned into a batch the
+    *    stop() interrupted is NOT deletable (its replay would be lost
+    *    with the checkpoint).
+    *  - Leaf names are compared in the log's own URI-encoded form on
+    *    BOTH sides (no decoding anywhere): the source log and
+    *    `_metadata.file_path` come from the same Spark path
+    *    representation, and any decoder here would have to match the
+    *    other side's exactly or files with encoded characters become
+    *    unprunable forever.
+    *
+    * Unreadable/absent log or zero commits ⇒ empty set ⇒ nothing is
+    * prunable (fail safe; [[rotateCheckpoint]] then also leaves the
+    * checkpoint in place). */
   private[streaming] def sourceLogPaths(
       spark: SparkSession, checkpointDir: String): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val commits = new org.apache.hadoop.fs.Path(s"$checkpointDir/commits")
     val src = new org.apache.hadoop.fs.Path(s"$checkpointDir/sources")
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(src)) return Set.empty
+    val fs = src.getFileSystem(conf)
     try {
+      if (!fs.exists(src) || !fs.exists(commits)) return Set.empty
+      val committed = fs.listStatus(commits).toSeq
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      if (committed.isEmpty) return Set.empty
+      val maxCommitted = committed.max
       val names = scala.collection.mutable.Set.empty[String]
       val it = fs.listFiles(src, true)
       val pathRe = """"path":"([^"]+)"""".r
+      val batchRe = """"batchId":(\d+)""".r
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && !st.getPath.getName.endsWith(".tmp")) {
@@ -258,9 +280,13 @@ object CdcPipeline {
           val body =
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
-          pathRe.findAllMatchIn(body).foreach { m =>
-            names += new org.apache.hadoop.fs.Path(
-              java.net.URLDecoder.decode(m.group(1), "UTF-8")).getName
+          // one JSON entry per line: pair each path with ITS batchId
+          body.linesIterator.foreach { line =>
+            for {
+              p <- pathRe.findFirstMatchIn(line)
+              b <- batchRe.findFirstMatchIn(line)
+              if b.group(1).toLong <= maxCommitted
+            } names += new org.apache.hadoop.fs.Path(p.group(1)).getName
           }
         }
       }
@@ -295,10 +321,15 @@ object CdcPipeline {
     * at 800 batches: checkpoint bytes ratio 1.00 across a rotation vs
     * ~2× unrotated (CDC_BENCH.json `x40_rotate`).
     *
-    * Call order: rotate, then [[start]] with the same `checkpointDir`.
+    * Call order: rotate, then [[start]] with the same `checkpointDir` —
+    * the named mirror is ALWAYS stopped (even on the no-op paths), so
+    * rotate-then-start never races a live query with the same name.
     * Returns (feedFilesPruned, feedFilesKept — survivors on the feed);
-    * (0, 0) without stopping the mirror or touching anything when no
-    * batch was ever applied.
+    * (0, 0) with feed and checkpoint left untouched when nothing was
+    * ever applied OR when the checkpoint's committed-file set cannot
+    * be established (unreadable log, zero commits) — wiping the
+    * checkpoint without pruning would force a full-feed replay every
+    * cadence cycle while the feed never shrinks.
     *
     * @param safetyLsns extra LSN margin below the applied watermark to
     *   KEEP on the feed (defense against a sink whose last batch is
@@ -311,26 +342,33 @@ object CdcPipeline {
       checkpointDir: String,
       safetyLsns: Long = 0L): (Long, Long) = {
     require(safetyLsns >= 0L, s"negative safety margin: $safetyLsns")
+    spark.streams.active.filter(_.name == mirrorName).foreach(_.stop())
     store.appliedLsn(spark) match {
       case None => (0L, 0L) // nothing applied: rotating would orphan nothing
       case Some(applied) =>
-        spark.streams.active.filter(_.name == mirrorName).foreach(_.stop())
         val processed = sourceLogPaths(spark, checkpointDir)
-        val counts = ChangeFeed.prune(spark, feedDir, applied - safetyLsns,
-          onlyFiles = Some(processed))
-        val ckpt = new org.apache.hadoop.fs.Path(checkpointDir)
-        ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(ckpt, true)
-        counts
+        if (processed.isEmpty) (0L, 0L) // fail safe: keep feed AND checkpoint
+        else {
+          val counts = ChangeFeed.prune(spark, feedDir, applied - safetyLsns,
+            onlyFiles = Some(processed))
+          val ckpt = new org.apache.hadoop.fs.Path(checkpointDir)
+          ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(ckpt, true)
+          counts
+        }
     }
   }
 
   /** On-disk footprint of a checkpoint directory (driver-side metadata
     * walk — the figure [[rotateIfOversized]]'s policy reads). The walk
     * races a LIVE mirror's own log churn (compaction deletes entries
-    * between the parent listing and the descent), so a listing error
-    * reads as 0 — the policy skips that cycle instead of crashing the
-    * operator's cadence loop. */
+    * between the parent listing and the descent), so a VANISHED-entry
+    * error reads as 0 — the policy skips that cycle instead of
+    * crashing the operator's cadence loop. Only the race class is
+    * swallowed: persistent failures (permissions, bad URI) PROPAGATE,
+    * because mapping them to 0 would silently disable
+    * [[rotateIfOversized]] forever — the exact unbounded-metadata
+    * failure the policy exists to prevent. */
   def checkpointBytes(spark: SparkSession, checkpointDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -342,7 +380,7 @@ object CdcPipeline {
         while (it.hasNext) total += it.next().getLen
         total
       }
-    } catch { case scala.util.control.NonFatal(_) => 0L }
+    } catch { case _: java.io.FileNotFoundException => 0L }
   }
 
   /** [[rotateCheckpoint]] as a POLICY: rotate only when the

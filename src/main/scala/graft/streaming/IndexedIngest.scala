@@ -46,19 +46,22 @@ object IndexedIngest {
       // stale scratch from a crashed EARLIER batch is dead weight —
       // invisible to Spark's listing, but never cleaned by the happy
       // path once its batch replays with the target already landed.
-      // Only ids strictly below the current batch are swept: micro-
-      // batches are sequential within the stream, so batch b running
-      // proves every b' < b is committed and its scratch dead; the
-      // current id's leftover is handled by the overwrite-mode write,
-      // and a FUTURE id here would mean a second writer on the table
-      // (outside the single-writer contract — never deleted blindly)
+      // Swept when provably dead: id strictly below the current batch
+      // (micro-batches are sequential, so batch b running proves every
+      // b' < b committed), OR the id's target file already landed (a
+      // PRIOR INCARNATION's batch after a checkpoint drop-recreate
+      // resets ids to 0 — its landed target proves its scratch dead).
+      // The current id's leftover is handled by the overwrite-mode
+      // write; an unlanded future id may be another writer's in-flight
+      // scratch and is never deleted blindly.
       if (fs.exists(dir))
         fs.listStatus(dir)
           .filter { s =>
             val n = s.getPath.getName
             s.isDirectory && n.startsWith("_ingest_scratch_") &&
               scala.util.Try(n.stripPrefix("_ingest_scratch_").toLong)
-                .toOption.exists(_ < batchId)
+                .toOption.exists(k => k < batchId || fs.exists(
+                  new org.apache.hadoop.fs.Path(dir, s"ingest-batch-$k.parquet")))
           }
           .foreach(s => fs.delete(s.getPath, true))
       // scratch is `_`-prefixed → invisible to Spark's file listing
