@@ -138,7 +138,12 @@ object Monitor {
     val retain = spark.conf
       .getOption("spark.sql.streaming.minBatchesToRetain")
       .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(100L)
-    val configured = cleanupDelay == 0L && retain < 100L
+    // "configured" = both knobs tightened BELOW the unbounded-growth
+    // defaults (10-min cleanup delay, 100 retained batches) — any such
+    // session is a deliberate retention setup, not just the one value
+    // configureCheckpointRetention happens to write (a 1 s cleanup
+    // delay is configured and sane; exact-matching 0 would WARN on it)
+    val configured = cleanupDelay < 600000L && retain < 100L
     val mirrors = spark.streams.active.length
     Seq(
       ("applied_watermark",

@@ -236,9 +236,19 @@ object CdcPipeline {
         schemas(t), keyCols(t), lsn)
     }
 
-  /** Leaf names of every feed file the checkpoint records as part of a
-    * COMMITTED batch — the ground truth [[rotateCheckpoint]] gates
-    * deletion on. Two details are load-bearing:
+  /** The source-log format version this parser understands —
+    * `HDFSMetadataLog`'s `v1` header line (verified against Spark
+    * 4.1.2's on-disk logs). A header this code doesn't recognize means
+    * the entry regexes below cannot be trusted either, so the scan
+    * reports DEGRADED instead of silently returning an empty set. */
+  private val SourceLogVersion = "v1"
+
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Canonical leaf names ([[ChangeFeed.canonicalLeaf]]) of every feed
+    * file the checkpoint records as part of a COMMITTED batch — the
+    * ground truth [[rotateCheckpoint]] gates deletion on. Three
+    * details are load-bearing:
     *
     *  - Spark writes the source-log entry (`sources/<i>/<id>`) at
     *    offset-PLANNING time, before the batch runs; only the commit
@@ -247,27 +257,35 @@ object CdcPipeline {
     *    committed id are excluded — a file planned into a batch the
     *    stop() interrupted is NOT deletable (its replay would be lost
     *    with the checkpoint).
-    *  - Leaf names are compared in the log's own URI-encoded form on
-    *    BOTH sides (no decoding anywhere): the source log and
-    *    `_metadata.file_path` come from the same Spark path
-    *    representation, and any decoder here would have to match the
-    *    other side's exactly or files with encoded characters become
-    *    unprunable forever.
+    *  - Leaf names are canonicalized through the SAME function
+    *    [[ChangeFeed.prune]] applies to `_metadata.file_path` — on
+    *    Spark 4.1 both sides carry the URI-encoded `SparkPath` form,
+    *    but a one-sided representation drift in either would make
+    *    encoded-name files permanently unprunable, so both sides
+    *    decode to the literal name via one codec.
+    *  - The scan VALIDATES what it parses: an unrecognized version
+    *    header or an entry line missing path/batchId returns
+    *    `Left(reason)` (and warns via slf4j) instead of a silent empty
+    *    set — a Spark-version format drift must surface as a visible
+    *    degraded mode in [[Rotation.skipped]], not as every rotation
+    *    quietly becoming a no-op while the checkpoint-bytes plateau
+    *    stops holding.
     *
-    * Unreadable/absent log or zero commits ⇒ empty set ⇒ nothing is
-    * prunable (fail safe; [[rotateCheckpoint]] then also leaves the
-    * checkpoint in place). */
+    * `Right(Set.empty)` = genuinely nothing committed (absent log /
+    * zero commit markers — a young checkpoint, not an error);
+    * `Left(reason)` = the log exists but cannot be trusted. Both make
+    * [[rotateCheckpoint]] skip (fail safe), with distinct reasons. */
   private[streaming] def sourceLogPaths(
-      spark: SparkSession, checkpointDir: String): Set[String] = {
+      spark: SparkSession, checkpointDir: String): Either[String, Set[String]] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val commits = new org.apache.hadoop.fs.Path(s"$checkpointDir/commits")
     val src = new org.apache.hadoop.fs.Path(s"$checkpointDir/sources")
     val fs = src.getFileSystem(conf)
     try {
-      if (!fs.exists(src) || !fs.exists(commits)) return Set.empty
+      if (!fs.exists(src) || !fs.exists(commits)) return Right(Set.empty)
       val committed = fs.listStatus(commits).toSeq
         .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
-      if (committed.isEmpty) return Set.empty
+      if (committed.isEmpty) return Right(Set.empty)
       val maxCommitted = committed.max
       val names = scala.collection.mutable.Set.empty[String]
       val it = fs.listFiles(src, true)
@@ -275,23 +293,112 @@ object CdcPipeline {
       val batchRe = """"batchId":(\d+)""".r
       while (it.hasNext) {
         val st = it.next()
-        if (st.isFile && !st.getPath.getName.endsWith(".tmp")) {
+        val leaf = st.getPath.getName
+        // skip scratch and checksum sidecars (".tmp", ".<name>.crc") —
+        // they are not log entries and must not trip validation
+        if (st.isFile && !leaf.endsWith(".tmp") && !leaf.startsWith(".")) {
           val in = fs.open(st.getPath)
           val body =
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
+          val lines = body.linesIterator.toSeq
+          if (!lines.headOption.contains(SourceLogVersion)) {
+            val reason = s"unrecognized source-log version header " +
+              s"'${lines.headOption.getOrElse("<empty>").take(40)}' in $leaf " +
+              s"(expected $SourceLogVersion)"
+            logger.warn(s"checkpoint rotation degraded: $reason")
+            return Left(reason)
+          }
           // one JSON entry per line: pair each path with ITS batchId
-          body.linesIterator.foreach { line =>
-            for {
-              p <- pathRe.findFirstMatchIn(line)
-              b <- batchRe.findFirstMatchIn(line)
-              if b.group(1).toLong <= maxCommitted
-            } names += new org.apache.hadoop.fs.Path(p.group(1)).getName
+          lines.drop(1).filter(_.nonEmpty).foreach { line =>
+            (pathRe.findFirstMatchIn(line), batchRe.findFirstMatchIn(line)) match {
+              case (Some(p), Some(b)) =>
+                if (b.group(1).toLong <= maxCommitted)
+                  names += ChangeFeed.canonicalLeaf(p.group(1))
+              case _ =>
+                val reason =
+                  s"unparsable source-log entry in $leaf: '${line.take(80)}'"
+                logger.warn(s"checkpoint rotation degraded: $reason")
+                return Left(reason)
+            }
           }
         }
       }
-      names.toSet
-    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+      Right(names.toSet)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        val reason = s"source log unreadable: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        logger.warn(s"checkpoint rotation degraded: $reason")
+        Left(reason)
+    }
+  }
+
+  /** Outcome of one [[rotateCheckpoint]] attempt. `skipped` empty =
+    * the rotation HAPPENED (feed pruned at the gates, checkpoint
+    * reset); `skipped = Some(reason)` = nothing was touched and the
+    * reason says why — the caller can distinguish "young checkpoint"
+    * from "source-log format drift" instead of reading (0, 0) for
+    * both. */
+  final case class Rotation(prunedFiles: Long, keptFiles: Long,
+      skipped: Option[String] = None) {
+    def rotated: Boolean = skipped.isEmpty
+  }
+
+  /** CONSUMER REGISTRY for a shared feed — the reference provisions
+    * FOUR replication slots on one WAL (volumes/postgresql.conf:4–5;
+    * per-table mirrors README.md:99–106), i.e. several consumers
+    * tailing one change stream, each with its own position. A feed
+    * file is deletable only when EVERY consumer has committed it, so
+    * each mirror registers its checkpoint here (tiny pointer file
+    * `<feedDir>/_consumers/<name>`, atomic tmp+rename; the `_` prefix
+    * keeps Spark's file listing from reading it as feed data) and
+    * [[rotateCheckpoint]] prunes at the INTERSECTION of all registered
+    * consumers' committed sets — the exact analogue of Postgres
+    * holding WAL at the MIN over slots' confirmed-flush LSNs.
+    *
+    * [[rotateCheckpoint]] self-registers its caller, so single-mirror
+    * deployments never call this; multi-mirror deployments register
+    * every OTHER mirror (or simply rotate each mirror once — the
+    * registry then knows them all). [[drop]] unregisters. */
+  def registerConsumer(spark: SparkSession, feedDir: String,
+      mirrorName: String, checkpointDir: String): Unit = {
+    require(mirrorName.nonEmpty && !mirrorName.contains("/"),
+      s"consumer name must be a plain file name: '$mirrorName'")
+    val dir = new org.apache.hadoop.fs.Path(s"$feedDir/_consumers")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$mirrorName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(checkpointDir.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(dir, mirrorName),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Remove a consumer's registration (mirror decommissioned — its
+    * position no longer holds feed files). */
+  def unregisterConsumer(spark: SparkSession, feedDir: String,
+      mirrorName: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$feedDir/_consumers/$mirrorName")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  /** All registered consumers of a feed: name → checkpointDir. */
+  def registeredConsumers(spark: SparkSession,
+      feedDir: String): Map[String, String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$feedDir/_consumers")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        val ckpt = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        s.getPath.getName -> ckpt
+      }.toMap
   }
 
   /** Mirror lifecycle: CHECKPOINT ROTATION as ONE operation (r12
@@ -309,27 +416,41 @@ object CdcPipeline {
     * watermark that were already applied) is absorbed by the
     * idempotent by-PK merge.
     *
-    * Deletion is DOUBLY gated: a feed file goes only if its max LSN is
-    * under the watermark−margin AND the checkpoint's own source log
-    * records the file as processed ([[sourceLogPaths]]). The LSN
-    * watermark alone is not proof of delivery when feed files can land
-    * out of LSN order (a decoder retry/backfill writes old LSNs with a
-    * new mtime AFTER newer LSNs were applied — the watermark has moved
-    * past a file the source never read); the second gate makes
-    * rotation safe at any margin ≥ 0 under ANY arrival order, because
-    * an unread file is never deleted regardless of its LSNs. Measured
-    * at 800 batches: checkpoint bytes ratio 1.00 across a rotation vs
-    * ~2× unrotated (CDC_BENCH.json `x40_rotate`).
+    * Deletion is TRIPLY gated: a feed file goes only if its max LSN is
+    * under the watermark−margin, AND the checkpoint's own source log
+    * records the file as committed ([[sourceLogPaths]]), AND every
+    * OTHER registered consumer of the feed ([[registerConsumer]]) has
+    * committed it too — one feed can serve several mirrors (the
+    * reference provisions four replication slots on one WAL,
+    * volumes/postgresql.conf:4–5), and pruning at one consumer's
+    * position would silently lose files a lagging consumer still
+    * needs. The LSN watermark alone is not proof of delivery when feed
+    * files can land out of LSN order (a decoder retry/backfill writes
+    * old LSNs with a new mtime AFTER newer LSNs were applied — the
+    * watermark has moved past a file the source never read); the
+    * committed-set gates make rotation safe at any margin ≥ 0 under
+    * ANY arrival order, because an unread file is never deleted
+    * regardless of its LSNs. Measured at 800 batches: checkpoint bytes
+    * ratio 1.00 across a rotation vs ~2× unrotated (CDC_BENCH.json
+    * `x40_rotate`).
     *
     * Call order: rotate, then [[start]] with the same `checkpointDir` —
-    * the named mirror is ALWAYS stopped (even on the no-op paths), so
+    * the named mirror is ALWAYS stopped (even on the skip paths), so
     * rotate-then-start never races a live query with the same name.
-    * Returns (feedFilesPruned, feedFilesKept — survivors on the feed);
-    * (0, 0) with feed and checkpoint left untouched when nothing was
-    * ever applied OR when the checkpoint's committed-file set cannot
-    * be established (unreadable log, zero commits) — wiping the
-    * checkpoint without pruning would force a full-feed replay every
-    * cadence cycle while the feed never shrinks.
+    * The caller is self-registered as a consumer before anything else,
+    * so the registry converges to the full consumer set as each mirror
+    * rotates. Skip paths (feed AND checkpoint left untouched, reason
+    * in [[Rotation.skipped]]): nothing ever applied; the caller's own
+    * committed set empty or DEGRADED (unreadable/format-drifted source
+    * log — wiping the checkpoint without pruning would force a
+    * full-feed replay every cadence cycle while the feed never
+    * shrinks); any other registered consumer's source log degraded
+    * (its position cannot be trusted, so no deletion is provably
+    * safe). A lagging-but-readable consumer does NOT skip: the prune
+    * simply keeps everything it hasn't committed. A rotated consumer's
+    * own checkpoint is deleted, so until its next restart re-commits
+    * the surviving files, OTHER mirrors' rotations read its committed
+    * set as empty and prune nothing — conservative by construction.
     *
     * @param safetyLsns extra LSN margin below the applied watermark to
     *   KEEP on the feed (defense against a sink whose last batch is
@@ -340,21 +461,41 @@ object CdcPipeline {
       feedDir: String,
       mirrorName: String,
       checkpointDir: String,
-      safetyLsns: Long = 0L): (Long, Long) = {
+      safetyLsns: Long = 0L): Rotation = {
     require(safetyLsns >= 0L, s"negative safety margin: $safetyLsns")
     spark.streams.active.filter(_.name == mirrorName).foreach(_.stop())
+    registerConsumer(spark, feedDir, mirrorName, checkpointDir)
     store.appliedLsn(spark) match {
-      case None => (0L, 0L) // nothing applied: rotating would orphan nothing
+      case None => // nothing applied: rotating would orphan nothing
+        Rotation(0L, 0L, Some("nothing applied yet (no watermark)"))
       case Some(applied) =>
-        val processed = sourceLogPaths(spark, checkpointDir)
-        if (processed.isEmpty) (0L, 0L) // fail safe: keep feed AND checkpoint
-        else {
-          val counts = ChangeFeed.prune(spark, feedDir, applied - safetyLsns,
-            onlyFiles = Some(processed))
-          val ckpt = new org.apache.hadoop.fs.Path(checkpointDir)
-          ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(ckpt, true)
-          counts
+        sourceLogPaths(spark, checkpointDir) match {
+          case Left(reason) =>
+            Rotation(0L, 0L, Some(s"own source log degraded: $reason"))
+          case Right(own) if own.isEmpty =>
+            Rotation(0L, 0L, Some("no committed batches in the source log"))
+          case Right(own) =>
+            // every other consumer's committed set, fail-safe on any
+            // degraded one; a missing/young checkpoint reads as empty
+            // (= that consumer holds everything)
+            val others = (registeredConsumers(spark, feedDir) - mirrorName)
+              .toSeq.sortBy(_._1)
+              .map { case (n, ckpt) => n -> sourceLogPaths(spark, ckpt) }
+            others.collectFirst { case (n, Left(reason)) => (n, reason) } match {
+              case Some((n, reason)) =>
+                Rotation(0L, 0L,
+                  Some(s"consumer '$n' source log degraded: $reason"))
+              case None =>
+                val prunable = others
+                  .collect { case (_, Right(s)) => s }
+                  .foldLeft(own)(_ intersect _)
+                val (pruned, kept) = ChangeFeed.prune(spark, feedDir,
+                  applied - safetyLsns, onlyFiles = Some(prunable))
+                val ckpt = new org.apache.hadoop.fs.Path(checkpointDir)
+                ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .delete(ckpt, true)
+                Rotation(pruned, kept)
+            }
         }
     }
   }
@@ -388,8 +529,14 @@ object CdcPipeline {
     * compact log grows ~520 B/batch forever (measured, SCALE.md), so a
     * long-lived mirror calls this between restarts — or on a cadence —
     * and metadata stays O(threshold) without the operator deciding
-    * when. Returns the prune counts when a rotation happened, None
-    * when the footprint is still under budget (no stop, no delete). */
+    * when. Returns None when the footprint is still under budget (no
+    * stop, no delete); Some([[Rotation]]) when the budget was crossed —
+    * including the DEGRADED case `Some(Rotation(0, 0, Some(reason)))`,
+    * i.e. "budget exceeded but rotation skipped", which a cadence
+    * caller must be able to distinguish from healthy-under-budget (a
+    * silently swallowed skip here would disable retention forever —
+    * the exact unbounded-metadata failure the policy exists to
+    * prevent). */
   def rotateIfOversized(
       spark: SparkSession,
       store: KeyedParquetStore,
@@ -397,7 +544,7 @@ object CdcPipeline {
       mirrorName: String,
       checkpointDir: String,
       maxCheckpointBytes: Long,
-      safetyLsns: Long = 0L): Option[(Long, Long)] =
+      safetyLsns: Long = 0L): Option[Rotation] =
     if (checkpointBytes(spark, checkpointDir) <= maxCheckpointBytes) None
     else Some(rotateCheckpoint(spark, store, feedDir, mirrorName,
       checkpointDir, safetyLsns))
@@ -421,11 +568,16 @@ object CdcPipeline {
       mirrorName: String,
       checkpointDir: String,
       store: Option[KeyedParquetStore] = None,
-      dropTargets: Seq[String] = Nil): Unit = {
+      dropTargets: Seq[String] = Nil,
+      feedDir: Option[String] = None): Unit = {
     spark.streams.active.filter(_.name == mirrorName).foreach(_.stop())
     val ckpt = new org.apache.hadoop.fs.Path(checkpointDir)
     val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(ckpt, true)
+    // a dropped mirror must release its feed position, or its (now
+    // frozen) committed set blocks every other consumer's pruning
+    // forever — the slot-drop half of the reference's mirror teardown
+    feedDir.foreach(unregisterConsumer(spark, _, mirrorName))
     for (s <- store; t <- dropTargets) s.drop(spark, t)
   }
 

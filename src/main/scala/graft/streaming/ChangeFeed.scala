@@ -49,6 +49,29 @@ object ChangeFeed {
     events.select(schema.fieldNames.map(col).toSeq: _*)
       .write.mode("append").json(feedDir)
 
+  /** Canonical LITERAL leaf name of a file-path string that may arrive
+    * in either of Spark's two representations: the URI-encoded form
+    * (`SparkPath` — what the checkpoint source log's `"path"` field
+    * and `_metadata.file_path` both carry on Spark 4.1, e.g.
+    * `with%20space.json`) or a raw literal form (an external tool's
+    * hand-built path). Decode through `java.net.URI` when the string
+    * parses as one (URI path decoding maps `%20`→space, `%2520`→`%20`;
+    * it does NOT form-decode `+` — that's URLDecoder's rule, not
+    * URI's), fall back to the raw leaf when it doesn't (a literal
+    * space/bracket makes the URI ctor throw — but then the string IS
+    * the literal name already). Encoding is injective, so two distinct
+    * files never converge to one canonical leaf.
+    *
+    * EVERY membership test between a processed-file set and a feed
+    * file must pass BOTH sides through this one function
+    * ([[CdcPipeline.sourceLogPaths]] builds the sets, [[prune]] tests
+    * them) — one-sided decoding makes encoded-name files permanently
+    * unprunable (fail-safe but unbounded feed growth). */
+  private[graft] def canonicalLeaf(p: String): String =
+    scala.util.Try(
+      new org.apache.hadoop.fs.Path(new java.net.URI(p)).getName)
+      .getOrElse(new org.apache.hadoop.fs.Path(p).getName)
+
   /** FEED RETENTION: delete feed files whose every event is at or
     * below the mirror's applied-LSN watermark. This is the engine's
     * half of bounding a long-lived mirror's metadata — Spark's
@@ -67,20 +90,22 @@ object ChangeFeed {
     * One feed scan computes per-file max LSN (file-count-sized driver
     * result); returns (filesDeleted, filesKept).
     *
-    * `onlyFiles` (leaf names) further gates deletion to files a
-    * consumer PROVABLY processed — [[CdcPipeline.rotateCheckpoint]]
-    * passes the checkpoint source log's file set, so a feed file that
-    * landed out of LSN order (old LSNs, new mtime — never read by the
-    * stopped mirror) survives the prune no matter where the watermark
-    * sits. None = LSN-only (the caller owns the in-order guarantee). */
+    * `onlyFiles` ([[canonicalLeaf]] names) further gates deletion to
+    * files every consumer PROVABLY processed —
+    * [[CdcPipeline.rotateCheckpoint]] passes the intersection of the
+    * registered consumers' committed source-log file sets, so a feed
+    * file that landed out of LSN order (old LSNs, new mtime — never
+    * read by the stopped mirror) survives the prune no matter where
+    * the watermark sits. None = LSN-only (the caller owns the
+    * in-order guarantee). */
   def prune(spark: SparkSession, feedDir: String, upToLsn: Long,
       onlyFiles: Option[Set[String]] = None): (Long, Long) = {
     val perFile = readAll(spark, feedDir)
       .select(col("lsn"), expr("_metadata.file_path").as("path"))
       .groupBy("path").agg(max("lsn").as("maxLsn"))
       .collect()
-    def processed(path: String): Boolean = onlyFiles.forall(
-      _.contains(new org.apache.hadoop.fs.Path(path).getName))
+    def processed(path: String): Boolean =
+      onlyFiles.forall(_.contains(canonicalLeaf(path)))
     val (dead, live) = perFile.partition(r =>
       r.getLong(1) <= upToLsn && processed(r.getString(0)))
     val conf = spark.sparkContext.hadoopConfiguration

@@ -76,8 +76,15 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
       val tmp = new Path(s"$root/_graft_applied_lsn.tmp")
       val out = f.create(tmp, true)
       try out.write(lsn.toString.getBytes("UTF-8")) finally out.close()
-      f.delete(watermarkPath, false)
-      f.rename(tmp, watermarkPath)
+      // OVERWRITING rename (FileContext), not delete-then-rename: a
+      // concurrent reader (Monitor.replicationInfra, rotateIfOversized
+      // on a cadence thread) must never observe the gap where the
+      // watermark is absent, and a crash between the two calls must
+      // not lose it until the next batch
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, watermarkPath,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
 
   /** The highest applied LSN, if any batch has been applied. */

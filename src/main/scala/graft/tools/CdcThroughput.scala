@@ -243,9 +243,11 @@ object CdcThroughput {
     // sidecar, the safety margin holds back two batches so the rotated
     // mirror re-reads those files and the merge must absorb them, and
     // the SAME checkpoint path restarts fresh
-    val (pruned, kept) = CdcPipeline.rotateCheckpoint(spark, store,
+    val rotation = CdcPipeline.rotateCheckpoint(spark, store,
       s"$work/feed", "cdc_rotate_mirror", s"$work/ckpt",
       safetyLsns = 2L * batchSize)
+    require(rotation.rotated, s"rotation skipped: ${rotation.skipped}")
+    val (pruned, kept) = (rotation.prunedFiles, rotation.keptFiles)
     val s2 = publishPhase(halfRows + 1L)
     val w2 = runPhase(s2, s"$work/ckpt")
     val (b2, f2) = dirStats(s"$work/ckpt")

@@ -106,9 +106,9 @@ class CheckpointRotationSpec extends AnyFunSuite {
     // applyBatch maintained the applied watermark — no out-of-band LSN
     assert(store.appliedLsn(spark).contains(999L))
     // margin of 200 LSNs: files with maxLsn <= 799 pruned, 2 kept
-    val (pruned, kept) = CdcPipeline.rotateCheckpoint(spark, store, feed,
+    val r = CdcPipeline.rotateCheckpoint(spark, store, feed,
       "rotation_mirror", ckpt, safetyLsns = 200L)
-    assert(pruned == 8L && kept == 2L, s"pruned=$pruned kept=$kept")
+    assert(r == CdcPipeline.Rotation(8L, 2L), s"got $r")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt)),
       "rotation must reset the checkpoint")
     // phase 2 on the SAME checkpoint path: re-reads the 2 surviving
@@ -119,10 +119,12 @@ class CheckpointRotationSpec extends AnyFunSuite {
     assert(rows.count() == 1200L && rows.select("id").distinct().count() == 1200L,
       "exactly-once totals across the rotation")
     assert(store.appliedLsn(spark).contains(1199L))
-    // rotating with NOTHING applied is a no-op (fresh store)
+    // rotating with NOTHING applied is a visible skip (fresh store)
     val empty = new KeyedParquetStore(s"$work/store2", nBuckets = 4)
-    assert(CdcPipeline.rotateCheckpoint(spark, empty, feed,
-      "rotation_mirror", ckpt) == ((0L, 0L)))
+    val skip = CdcPipeline.rotateCheckpoint(spark, empty, feed,
+      "rotation_mirror", ckpt)
+    assert(!skip.rotated && skip.prunedFiles == 0L &&
+      skip.skipped.exists(_.contains("nothing applied")), s"got $skip")
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt)),
       "no-applied rotation must not delete the checkpoint")
   }
@@ -141,11 +143,11 @@ class CheckpointRotationSpec extends AnyFunSuite {
     // a decoder backfill lands the MISSING 200-299 file AFTER the
     // mirror stopped: old LSNs, new mtime — never processed
     publishBatch(feed, 200 until 300)
-    val (pruned, kept) = CdcPipeline.rotateCheckpoint(spark, store, feed,
+    val r = CdcPipeline.rotateCheckpoint(spark, store, feed,
       "rotation_mirror", ckpt)
     // the two processed files go; the unread backfill file — although
     // its max LSN (299) is under the watermark — must survive
-    assert(pruned == 2L && kept == 1L, s"pruned=$pruned kept=$kept")
+    assert(r == CdcPipeline.Rotation(2L, 1L), s"got $r")
     // the restarted mirror reads the survivor: no change is ever lost
     runMirror(feed, ckpt, store)
     val rows = store.read(spark, "t")
@@ -171,11 +173,128 @@ class CheckpointRotationSpec extends AnyFunSuite {
     // 1-byte budget: rotation fires, feed pruned at the watermark
     val rotated = CdcPipeline.rotateIfOversized(spark, store, feed,
       "rotation_mirror", ckpt, maxCheckpointBytes = 1L)
-    assert(rotated.contains((5L, 0L)), s"got $rotated")
+    assert(rotated.contains(CdcPipeline.Rotation(5L, 0L)), s"got $rotated")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt)))
     // restart on the same path: nothing to re-read, totals unchanged
     runMirror(feed, ckpt, store)
     assert(store.read(spark, "t").count() == 500L)
+  }
+
+  test("multi-consumer feed (r13 ask #1): rotating mirror A prunes NOTHING " +
+    "lagging mirror B hasn't committed; once B catches up the remainder " +
+    "prunes; both mirrors exactly-once") {
+    val work = Files.createTempDirectory("graft_rotate_multi").toString
+    val feed = s"$work/feed"
+    val storeA = new KeyedParquetStore(s"$work/storeA", nBuckets = 4)
+    val storeB = new KeyedParquetStore(s"$work/storeB", nBuckets = 4)
+    def run(name: String, ckpt: String, store: KeyedParquetStore): Unit = {
+      val q = CdcPipeline.start(
+        ChangeFeed.stream(spark, feed, maxFilesPerTrigger = 1),
+        store, Map("t" -> rowSchema), Map("t" -> "id"),
+        mirrorName = name, checkpointDir = ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    // B consumes the first 2 files, then lags while 3 more land and A
+    // consumes all 5 — the reference's several-slots-one-WAL shape
+    (0 until 2).foreach(b => publishBatch(feed, (b * 100) until ((b + 1) * 100)))
+    run("mirror_b", s"$work/ckptB", storeB)
+    CdcPipeline.registerConsumer(spark, feed, "mirror_b", s"$work/ckptB")
+    (2 until 5).foreach(b => publishBatch(feed, (b * 100) until ((b + 1) * 100)))
+    run("mirror_a", s"$work/ckptA", storeA)
+    assert(storeA.appliedLsn(spark).contains(499L))
+    // A rotates at its own full watermark — but only the 2 files B has
+    // COMMITTED may go; the 3 B still needs survive
+    val r1 = CdcPipeline.rotateCheckpoint(spark, storeA, feed,
+      "mirror_a", s"$work/ckptA")
+    assert(r1 == CdcPipeline.Rotation(2L, 3L), s"got $r1")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$work/ckptB")),
+      "only the rotating mirror's checkpoint is reset")
+    // B catches up on the survivors — zero loss, exactly-once
+    run("mirror_b", s"$work/ckptB", storeB)
+    val rowsB = store2Rows(storeB)
+    assert(rowsB == (500L, 500L), s"B totals $rowsB")
+    // A restarts on its rotated checkpoint: replays the 3 survivors,
+    // merge absorbs them; its new source log re-commits those files
+    run("mirror_a", s"$work/ckptA", storeA)
+    assert(store2Rows(storeA) == (500L, 500L))
+    // now EVERY registered consumer has committed the survivors —
+    // rotating A again prunes the remainder
+    val r2 = CdcPipeline.rotateCheckpoint(spark, storeA, feed,
+      "mirror_a", s"$work/ckptA")
+    assert(r2 == CdcPipeline.Rotation(3L, 0L), s"got $r2")
+    assert(store2Rows(storeA) == (500L, 500L) && store2Rows(storeB) == (500L, 500L))
+    // registry lifecycle: both consumers visible; drop(feedDir=…)
+    // releases B's position
+    assert(CdcPipeline.registeredConsumers(spark, feed).keySet ==
+      Set("mirror_a", "mirror_b"))
+    CdcPipeline.drop(spark, "mirror_b", s"$work/ckptB", feedDir = Some(feed))
+    assert(CdcPipeline.registeredConsumers(spark, feed).keySet == Set("mirror_a"))
+  }
+
+  private def store2Rows(store: KeyedParquetStore): (Long, Long) = {
+    val rows = store.read(spark, "t")
+    (rows.count(), rows.select("id").distinct().count())
+  }
+
+  test("special-character feed file names (encoded-form leaves) prune " +
+    "end-to-end — both comparison sides share one canonical codec") {
+    val work = Files.createTempDirectory("graft_rotate_enc").toString
+    val feed = s"$work/feed"
+    Files.createDirectories(java.nio.file.Paths.get(feed))
+    // a hand-written decoder file with a space AND a literal percent
+    // sequence in its name — Spark represents both encoded
+    // (with%20space / pct%2520enc) in the source log and in
+    // _metadata.file_path
+    Seq("with space.json" -> 1L, "pct%20enc.json" -> 2L).foreach {
+      case (name, lsn) =>
+        Files.write(java.nio.file.Paths.get(feed, name),
+          s"""{"lsn":$lsn,"commitTs":"2024-01-01T00:00:00.000Z","op":"I","table":"t","key":$lsn,"after":"{\\"id\\":$lsn,\\"v\\":\\"x\\"}"}""".getBytes("UTF-8"))
+    }
+    publishBatch(feed, 10 until 20)
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 4)
+    runMirror(feed, s"$work/ckpt", store)
+    assert(store.read(spark, "t").count() == 12L)
+    // full-watermark rotation: ALL THREE files must prune — a one-sided
+    // decode would leave the special-character files unprunable forever
+    val r = CdcPipeline.rotateCheckpoint(spark, store, feed,
+      "rotation_mirror", s"$work/ckpt")
+    assert(r == CdcPipeline.Rotation(3L, 0L), s"got $r")
+  }
+
+  test("degraded source log is VISIBLE (r13 ask #3): unknown version " +
+    "header or unparsable entry skips with a reason; rotateIfOversized " +
+    "surfaces budget-exceeded-but-skipped") {
+    val work = Files.createTempDirectory("graft_rotate_degraded").toString
+    val feed = s"$work/feed"
+    val ckpt = s"$work/ckpt"
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 4)
+    (0 until 3).foreach(b => publishBatch(feed, (b * 100) until ((b + 1) * 100)))
+    runMirror(feed, ckpt, store)
+    // a format-drifted log file lands in sources/0 (e.g. a future Spark
+    // writes v2): rotation must SKIP and say why, never silently no-op
+    val drifted = java.nio.file.Paths.get(s"$ckpt/sources/0/99")
+    Files.write(drifted, "v2\n{\"some\":\"future-format\"}".getBytes("UTF-8"))
+    val r = CdcPipeline.rotateCheckpoint(spark, store, feed,
+      "rotation_mirror", ckpt)
+    assert(!r.rotated && r.skipped.exists(_.contains("version")), s"got $r")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt)) &&
+      new java.io.File(feed).listFiles().count(_.getName.endsWith(".json")) == 3,
+      "degraded rotation must leave feed and checkpoint untouched")
+    // the policy wrapper makes the same state distinguishable from
+    // healthy-under-budget: budget exceeded AND rotation skipped
+    val policy = CdcPipeline.rotateIfOversized(spark, store, feed,
+      "rotation_mirror", ckpt, maxCheckpointBytes = 1L)
+    assert(policy.exists(p => !p.rotated && p.skipped.nonEmpty), s"got $policy")
+    // unparsable-entry drift (right version, wrong shape) is equally loud
+    Files.write(drifted, "v1\n{\"noPathField\":42}".getBytes("UTF-8"))
+    val r2 = CdcPipeline.rotateCheckpoint(spark, store, feed,
+      "rotation_mirror", ckpt)
+    assert(!r2.rotated && r2.skipped.exists(_.contains("unparsable")), s"got $r2")
+    // cured log (drift file removed): the same call rotates normally
+    Files.delete(drifted)
+    val r3 = CdcPipeline.rotateCheckpoint(spark, store, feed,
+      "rotation_mirror", ckpt)
+    assert(r3 == CdcPipeline.Rotation(3L, 0L), s"got $r3")
   }
 
   test("prune at the full committed watermark removes every applied file " +
