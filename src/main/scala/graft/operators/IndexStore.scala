@@ -22,14 +22,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * source data (every index here is), so a served index is
   * row-identical to a rebuild — the sidecar can change WHEN work
   * happens, never what a query returns.
+  *
+  * Serving note (v3): data lives in immutable `<index>/v<N>/` version
+  * dirs behind an atomic `<index>.current` pointer — a rebuild commits
+  * a NEW version and swaps the pointer, so an in-flight reader that
+  * planned the old version's file list is never broken (the
+  * FAISS/Lucene generation-swap pattern); delta builds only APPEND
+  * files inside the served version, which is reader-safe by itself.
+  * The new and previously-served versions are retained, older ones
+  * pruned — reader lifetime is bounded by one rebuild interval.
   */
 object IndexStore {
 
   /** Bump when any builder's derivation changes — stale sidecars from
     * an older derivation must rebuild, not serve. (v2: the manifest
     * records the set of VALID delta directories, so a delta orphaned
-    * by a crash is pruned instead of double-served.) */
-  val FormatVersion: Int = 2
+    * by a crash is pruned instead of double-served. v3: VERSIONED data
+    * dirs `<index>/v<N>/` behind an atomic current-pointer file, so a
+    * rebuild never breaks an in-flight reader.) */
+  val FormatVersion: Int = 3
 
   /** Per-process build counter (spec evidence for build-once). */
   @volatile var buildsPerformed: Long = 0L
@@ -86,31 +97,76 @@ object IndexStore {
     s"${sys.props("java.io.tmpdir")}/graft_index_$tag"
   }
 
-  /** Replace `dir` with a freshly-built parquet relation via a scratch
-    * directory + rename ([[StatsStore.writeAll]]'s pattern). The
-    * scratch lives NEXT TO the target (same filesystem → rename is a
-    * metadata move) under a `_`-prefixed name, which Spark's file
-    * listing skips. The swap renames the OLD dir aside before moving
-    * the new one in, so the target path is absent only for the gap
-    * between two metadata renames (delete-then-rename would leave it
-    * absent for the whole recursive delete); this is CRASH-atomicity —
-    * a crash leaves old-or-new plus prunable `_`-scratch — not
-    * reader-isolation: an in-flight reader that already planned the old
-    * dir's file list fails on swap, which is the single-writer
-    * getOrBuild contract (builds happen before any scan is handed
-    * out). */
-  private def writeAtomically(spark: SparkSession, df: DataFrame,
-      dir: String): Unit = {
-    val scratch = s"${dir}_build"
-    df.write.mode("overwrite").parquet(scratch)
-    val dest = new org.apache.hadoop.fs.Path(dir)
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(s"${dir}_old")
-    fs.delete(old, true) // leftover from a crash mid-swap
-    if (fs.exists(dest)) fs.rename(dest, old)
-    fs.rename(new org.apache.hadoop.fs.Path(scratch), dest)
-    fs.delete(old, true)
+  /** READER-ISOLATED version commit (r13 verdict ask #2): each full
+    * build lands as an immutable `<dir>/v<N>` directory, and the
+    * `<dir>.current` pointer file is swapped atomically AFTER the data
+    * rename — a reader that planned v<N-1>'s file list keeps reading
+    * it untouched while v<N> builds and commits (at a serving
+    * deployment a retrain takes hours and queries are continuous; the
+    * pre-v3 swap-in-place broke any scan planned before the swap).
+    *
+    * Retention: the new version and the previously-SERVED one are
+    * kept; everything older is pruned — a reader's lifetime is bounded
+    * by one retrain interval, which at hours-per-retrain dwarfs any
+    * query. Crash points: before the data rename ⇒ a `_v*_build`
+    * scratch the next build sweeps; between rename and pointer ⇒ an
+    * unreferenced v-dir the next build prunes; the pointer write
+    * itself is tmp+ATOMIC_MOVE. Both renames are CHECKED — many Hadoop
+    * filesystems report failure by returning false, and proceeding
+    * would commit a pointer/manifest that vouches for missing data.
+    *
+    * Returns the committed version's data path. */
+  private def commitNewVersion(spark: SparkSession, df: DataFrame,
+      dir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevServed = currentVersion(dir)
+    val existing: Seq[Int] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("v")) scala.util.Try(n.stripPrefix("v").toInt).toOption
+        else {
+          // single-writer contract: any _v*_build scratch here is a
+          // dead crash leftover — sweep it now
+          if (n.startsWith("_v") && n.endsWith("_build"))
+            fs.delete(s.getPath, true)
+          None
+        }
+      }
+    val next = (existing :+ 0).max + 1
+    val scratch = new org.apache.hadoop.fs.Path(s"$dir/_v${next}_build")
+    df.write.mode("overwrite").parquet(scratch.toString)
+    val dest = new org.apache.hadoop.fs.Path(versionPath(dir, next))
+    if (!fs.rename(scratch, dest))
+      throw new java.io.IOException(
+        s"index version commit failed: rename $scratch -> $dest returned " +
+          "false; scratch left in place, pointer not moved")
+    writeFileAtomically(pointerFile(dir), s"v$next")
+    existing.filterNot(v => prevServed.contains(v))
+      .foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(versionPath(dir, v)), true))
+    dest.toString
   }
+
+  private def pointerFile(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(s"$dir.current")
+
+  private def versionPath(dir: String, n: Int): String = s"$dir/v$n"
+
+  /** The version the pointer names, if the pointer exists and parses. */
+  private def currentVersion(dir: String): Option[Int] =
+    if (!java.nio.file.Files.exists(pointerFile(dir))) None
+    else scala.util.Try(new String(
+      java.nio.file.Files.readAllBytes(pointerFile(dir)),
+      java.nio.charset.StandardCharsets.UTF_8).trim.stripPrefix("v").toInt)
+      .toOption
+
+  /** The data path currently served: pointer names it AND it exists on
+    * disk (a pointer orphaned by manual deletion reads as cold). */
+  private def servedPath(dir: String): Option[String] =
+    currentVersion(dir).map(versionPath(dir, _))
+      .filter(p => new java.io.File(p).exists())
 
   /** ONE inventory codec for every manifest flavor (incremental
     * `.manifest`, staleness `.trained`): version header, optional
@@ -151,16 +207,17 @@ object IndexStore {
     val dir = s"${rootFor(dataDir)}/$name"
     val fpFile = java.nio.file.Paths.get(s"$dir.fingerprint")
     val fp = fingerprintOf(spark, s"$dataDir/$sourceTable.parquet")
+    val served = servedPath(dir)
     val warm = java.nio.file.Files.exists(fpFile) &&
       new String(java.nio.file.Files.readAllBytes(fpFile),
         java.nio.charset.StandardCharsets.UTF_8) == fp &&
-      new java.io.File(dir).exists()
+      served.isDefined
     if (!warm) {
       buildsPerformed += 1
-      writeAtomically(spark, build, dir)
+      val committed = commitNewVersion(spark, build, dir)
       writeFileAtomically(fpFile, fp)
-    }
-    spark.read.parquet(dir)
+      spark.read.parquet(committed)
+    } else spark.read.parquet(served.get)
   }
 
   /** Staleness-tolerant variant for WHOLE-CORPUS statistics (IVF/Lloyd
@@ -202,16 +259,20 @@ object IndexStore {
     val appendOnly = prev.nonEmpty &&
       prev.forall { case (p, sig) => current.get(p).contains(sig) }
     val grown = bytesOf(current) - bytesOf(prev)
-    val fresh = new java.io.File(dir).exists() && prev.nonEmpty &&
+    val served = servedPath(dir)
+    val fresh = served.isDefined && prev.nonEmpty &&
       (current == prev ||
         (appendOnly && grown <= (bytesOf(prev) * maxGrowFraction).toLong))
     if (!fresh) {
       buildsPerformed += 1
-      writeAtomically(spark, build, dir)
+      val committed = commitNewVersion(spark, build, dir)
       writeFileAtomically(trainedFile,
         renderInventory(current, extraHeaders = Nil))
-    } else if (current != prev) staleServes += 1
-    spark.read.parquet(dir)
+      spark.read.parquet(committed)
+    } else {
+      if (current != prev) staleServes += 1
+      spark.read.parquet(served.get)
+    }
   }
 
   /** Incremental variant for PER-ROW builders — `derive` must map each
@@ -258,6 +319,11 @@ object IndexStore {
         }
         (parseInventory(lines, skipHeaders = 1), deltas)
       } else (Map.empty, Set.empty)
+    // the versioned data root this index currently serves — deltas
+    // APPEND files inside it (reader-safe: an in-flight reader's
+    // planned file list stays valid), full rebuilds commit a NEW
+    // version next to it (reader-isolated, see commitNewVersion)
+    var served = servedPath(dir)
     // reconcile BEFORE building: any delta_* subdirectory not recorded
     // in the manifest is a crash orphan — its rows are not covered by
     // the inventory diff, so a later delta may re-derive them; delete
@@ -265,9 +331,8 @@ object IndexStore {
     // `_building_*` scratch dirs (crash mid-delta-write) are dead
     // weight — invisible to Spark's listing but not free on disk — so
     // the same pass removes them.
-    val dirFile = new java.io.File(dir)
-    if (dirFile.exists()) {
-      val children = Option(dirFile.listFiles()).getOrElse(Array.empty)
+    served.map(new java.io.File(_)).foreach { dataDir =>
+      val children = Option(dataDir.listFiles()).getOrElse(Array.empty)
       children.filter(f => f.isDirectory &&
           ((f.getName.startsWith("delta_") && !validDeltas.contains(f.getName)) ||
             f.getName.startsWith("_building_")))
@@ -277,12 +342,11 @@ object IndexStore {
             .delete(p, true)
         }
     }
-    val sidecarExists = dirFile.exists()
     val mutated = prev.exists { case (p, sig) => !current.get(p).contains(sig) }
     def writeManifest(deltas: Set[String]): Unit =
       writeFileAtomically(manifest, renderInventory(current,
         extraHeaders = Seq(s"deltas=${deltas.toSeq.sorted.mkString(",")}")))
-    if (prev.nonEmpty && sidecarExists && !mutated) {
+    if (prev.nonEmpty && served.isDefined && !mutated) {
       val newFiles = (current.keySet -- prev.keySet).toSeq.sorted
       if (newFiles.nonEmpty) { // append-only growth: delta build
         buildsPerformed += 1
@@ -296,27 +360,31 @@ object IndexStore {
           .digest(newFiles.mkString("\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .map("%02x".format(_)).mkString.take(16)
-        val scratch = new org.apache.hadoop.fs.Path(s"$dir/_building_$tag")
+        val scratch = new org.apache.hadoop.fs.Path(s"${served.get}/_building_$tag")
         val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
         derive(spark.read.parquet(newFiles: _*))
           .write.mode("overwrite").parquet(scratch.toString)
-        val target = new org.apache.hadoop.fs.Path(s"$dir/delta_$tag")
+        val target = new org.apache.hadoop.fs.Path(s"${served.get}/delta_$tag")
         fs.delete(target, true) // replayed delta: overwrite
-        fs.rename(scratch, target)
+        if (!fs.rename(scratch, target))
+          throw new java.io.IOException(
+            s"delta commit failed: rename $scratch -> $target returned " +
+              "false; manifest not updated")
         writeManifest(validDeltas + s"delta_$tag")
       } else if (current != prev) writeManifest(validDeltas) // shrunk-proof: unreachable; keep inventory honest
       // else: unchanged — serve warm
     } else {
-      if (!(sidecarExists && current == prev)) {
+      if (!(served.isDefined && current == prev)) {
         buildsPerformed += 1 // cold, mutated, or shrunk: full rebuild
-        // atomic replace — also clears every delta dir, so the
+        // a NEW version — also starts with zero delta dirs, so the
         // manifest's delta list resets to empty
-        writeAtomically(spark, derive(spark.read.parquet(srcDir)), dir)
+        served = Some(
+          commitNewVersion(spark, derive(spark.read.parquet(srcDir)), dir))
       }
       writeManifest(Set.empty)
     }
     // recursive lookup flattens base + delta_* subdirectories into one
     // scan (plain partition discovery would misread delta dirs)
-    spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    spark.read.option("recursiveFileLookup", "true").parquet(served.get)
   }
 }

@@ -115,6 +115,40 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(rebuilt == fresh)
   }
 
+  test("reader isolation (r13 ask #2): a DataFrame planned over v1 keeps " +
+    "reading while v2 builds and commits; versions older than the " +
+    "previously-served one are pruned") {
+    val src = freshSource()
+    def index() = IndexStore.getOrBuild(spark, src, "lens_iso", "documents") {
+      spark.read.parquet(s"$src/documents.parquet")
+        .select(col("doc_id"), length(col("text")).as("len"))
+    }
+    val v1Reader = index() // plans v1's file list eagerly
+    val n1 = v1Reader.count()
+    val idxDir = new java.io.File(s"${IndexStore.rootFor(src)}/lens_iso")
+    def versions() = Option(idxDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName).sorted.toSeq
+    assert(versions() == Seq("v1"))
+    // source mutates → NEXT serve retrains into v2 while the v1 plan
+    // is still held open
+    graft.sources.Tables.load(spark, sf, "documents")
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .write.mode("append").parquet(s"$src/documents.parquet")
+    val v2Reader = index()
+    assert(versions() == Seq("v1", "v2"), "previous version must survive the swap")
+    // BOTH read successfully: the in-flight v1 reader was not broken
+    assert(v1Reader.count() == n1, "v1 reader must still scan its planned files")
+    assert(v2Reader.count() == 2 * n1)
+    // a third build prunes v1 (older than the previously-served v2)
+    graft.sources.Tables.load(spark, sf, "documents")
+      .withColumn("doc_id", col("doc_id") + lit(2000000L))
+      .write.mode("append").parquet(s"$src/documents.parquet")
+    val v3Reader = index()
+    assert(versions() == Seq("v2", "v3"), "v1 must be pruned once unreferenced")
+    assert(v2Reader.count() == 2 * n1 && v3Reader.count() == 3 * n1)
+  }
+
   test("crash between delta write and manifest update, then ANOTHER " +
     "append: the orphaned delta is pruned, rows served exactly once") {
     val src = freshSource()

@@ -91,6 +91,47 @@ class StreamingDeltaIndexSpec extends AnyFunSuite {
     assert(served.count() == 1L, "index current over the unchanged corpus")
   }
 
+  test("checkpoint DROP-RECREATE (r13 advice): the new incarnation's " +
+    "batch ids reset to 0 but its files never collide with the old " +
+    "incarnation's — rows arriving between drop and restart are kept") {
+    import spark.implicits._
+    val dataDir = Files.createTempDirectory("graft_ingest_incarn").toString
+    val ckpt = s"$dataDir/ckpt"
+    // incarnation 1: two batches (ids 0, 1)
+    val src1 = MemoryStream[(Long, String)](spark)
+    val q1 = IndexedIngest.start(src1.toDF().toDF("doc_id", "text"),
+      dataDir, "documents", "lens", ckpt)(lens)
+    src1.addData((1L, "alpha"), (2L, "beta"))
+    q1.processAllAvailable()
+    src1.addData((3L, "gamma"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(s"$dataDir/documents.parquet").count() == 3)
+    // operator drops the checkpoint (the reference's drop-then-recreate
+    // mirror lifecycle); the corpus and its landed batch files remain
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    // incarnation 2 on the SAME checkpoint path: fresh query id, batch
+    // ids reset to 0/1 — DIFFERENT rows under colliding batch ids
+    val src2 = MemoryStream[(Long, String)](spark)
+    val q2 = IndexedIngest.start(src2.toDF().toDF("doc_id", "text"),
+      dataDir, "documents", "lens", ckpt)(lens)
+    src2.addData((10L, "delta epsilon"))
+    q2.processAllAvailable()
+    src2.addData((11L, "zeta"))
+    q2.processAllAvailable()
+    q2.stop()
+    val corpus = spark.read.parquet(s"$dataDir/documents.parquet")
+    assert(corpus.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 10L, 11L),
+      "the new incarnation's batches must LAND, not dedupe against the old one's")
+    // the index followed: current over the union corpus
+    val served = IndexStore.getOrBuildIncremental(spark, dataDir, "lens",
+      "documents") { _ => fail("must serve warm"): DataFrame }
+    assert(served.count() == 5)
+    assert(served.orderBy("doc_id").collect().toSeq ==
+      lens(corpus).orderBy("doc_id").collect().toSeq)
+  }
+
   test("crash after sink work, before checkpoint commit: the replayed " +
     "batch re-lands nothing, the index serves warm, totals exact") {
     import spark.implicits._
