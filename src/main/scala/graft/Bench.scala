@@ -57,14 +57,21 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val anchorSec = {
+    // r13 verdict ask #4: ONE anchor reading carries the box's measured
+    // 23% one-day spread — the same round produced two same-day figures
+    // 18% apart (259× vs 306×) on identical code. Three interleaved
+    // readings (start / after half the queries / end) give the
+    // normalized total an error bar: anchor_sec = median of the three
+    // medians, anchor_spread = (max−min)/median across them.
+    val anchorReadings = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def measureAnchor(label: String): Unit = {
       anchorOnce() // warm
       val ts = Seq.fill(3)(anchorOnce()).sorted
-      val m = ts(1)
-      System.err.println(f"[bench] __anchor__ median=$m%7.3f s  " +
+      anchorReadings += ts(1)
+      System.err.println(f"[bench] __anchor_$label%s__ median=${ts(1)}%7.3f s  " +
         f"runs=[${ts.map(t => f"$t%.3f").mkString(", ")}]")
-      m
     }
+    measureAnchor("start")
     // Every inventory query is benched (the former d4 demo exclusion
     // is gone — d4 was retired for the bounded-seed d12 lookup in r9).
     // dev loop only: SPARK_GRAFT_BENCH_ONLY=q1,q2 re-times a subset
@@ -72,7 +79,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keySet.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map { name =>
+    val results = names.zipWithIndex.map { case (name, qi) =>
+      if (names.length >= 4 && qi == names.length / 2) measureAnchor("mid")
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -125,6 +133,12 @@ object Bench {
         }
       name -> med
     }
+    if (names.length >= 4) measureAnchor("end")
+    val sortedAnchors = anchorReadings.sorted.toSeq
+    val anchorSec = sortedAnchors(sortedAnchors.length / 2)
+    val anchorSpread =
+      if (sortedAnchors.length < 2 || anchorSec == 0.0) 0.0
+      else (sortedAnchors.last - sortedAnchors.head) / anchorSec
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // one CDC insert-throughput run per full bench (r7 verdict item 4:
     // the reference's only published perf number is 1.04 ops/s insert
@@ -147,7 +161,7 @@ object Bench {
     def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + ms(kv._2)
     val qsFull = results.map(entry).mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor_sec":${ms(anchorSec)},"total_per_anchor":${ms(total / anchorSec)},"queries":$qsFull$cdcJson,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor_sec":${ms(anchorSec)},"anchor_spread":${ms(anchorSpread)},"total_per_anchor":${ms(total / anchorSec)},"queries":$qsFull$cdcJson,"sf":"$sfDir","runs":$runs}"""
     // Full per-query map goes to a file + stderr. The LAST stdout line
     // must be a COMPLETE JSON object inside the driver's bounded log
     // tail (2000 chars, minus sbt's trailing "[success] Total time"
@@ -167,7 +181,7 @@ object Bench {
     // the cdc block comes out of the queries budget so the final line
     // stays inside the driver's 2000-char tail — sized off the actual
     // block (it grew to ~800 chars with the r10 state-growth metrics)
-    val budget = math.max(300, 1340 - cdcJson.length) // −30: anchor_sec, −30: total_per_anchor
+    val budget = math.max(300, 1315 - cdcJson.length) // −30: anchor_sec, −30: total_per_anchor, −25: anchor_spread
     val kept = new StringBuilder
     var nKept = 0
     // stop at the FIRST entry that doesn't fit, so the kept set is a
@@ -189,6 +203,7 @@ object Bench {
     // a round.
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","anchor_sec":${ms(anchorSec)},""" +
+        s""""anchor_spread":${ms(anchorSpread)},""" +
         s""""total_per_anchor":${ms(total / anchorSec)},""" +
         s""""queries":{${kept.result()}},""" +
         s""""queries_truncated":$truncated,"nqueries":${results.length},""" +

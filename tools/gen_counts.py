@@ -58,9 +58,16 @@ def main():
     # ±15-40% with box state on identical code; total/anchor_sec is the
     # figure that is comparable ACROSS rounds
     anchor = bench.get("anchor_sec")
+    # r13 ask #4: the anchor's own spread (start/mid/end interleaved
+    # readings) is the error bar on the normalized figure — carry it so
+    # a round-over-round delta inside the bar is read as noise
+    spread = bench.get("anchor_spread")
+    spread_txt = f" ±{spread * 100:.0f}%" if spread is not None else ""
     anchor_txt = (
-        f" · anchor {anchor:.3f} s → **{bench_s / anchor:.0f}× anchor** "
-        f"(the round-over-round comparable figure)"
+        f" · anchor {anchor:.3f} s{spread_txt} → "
+        f"**{bench_s / anchor:.0f}× anchor{spread_txt}** "
+        f"(the round-over-round comparable figure; ± is the measured "
+        f"within-run anchor spread)"
         if anchor else "")
 
     block = (
