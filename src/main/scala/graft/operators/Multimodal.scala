@@ -181,13 +181,17 @@ object Multimodal {
     * duplication is bounded by actual copying, not corpus size),
     * instead of 97 families growing ×factor (which makes within-family
     * pair work grow quadratically BY CONSTRUCTION and measures the
-    * data, not the plan — the r11 m8/m9 probe artifact). Bound: the
-    * pattern argument a = fam·72+72 must keep a²·2654435761 inside
-    * int64, so famMod ≤ 817 (probe factor ≤ 8). */
+    * data, not the plan — the r11 m8/m9 probe artifact). The pattern
+    * arithmetic is MOD-REDUCED ((a² mod M)·K mod M, r13 ask #6):
+    * identical residues to the r11 direct form wherever that form was
+    * int64-safe (so the pinned m8 oracle is unchanged at famMod 97),
+    * but the only remaining overflow bound is a² itself —
+    * a = fam·72+72 ⇒ famMod ≤ 4·10⁷ (probe factors to ×40 and far
+    * beyond). */
   def syntheticNearDupMediaFrom(docs: DataFrame,
       famMod: Long = 97L): DataFrame = {
-    require(famMod >= 1L && famMod <= 817L,
-      s"famMod=$famMod: pattern arithmetic is int64-safe only to 817")
+    require(famMod >= 1L && famMod <= 40000000L,
+      s"famMod=$famMod: a=famMod*72+72 must keep a*a inside int64")
     val s = docs.sparkSession
     import s.implicits._
     docs
@@ -199,7 +203,10 @@ object Multimodal {
           val (w, h) = (9 * scale, 8 * scale)
           def pix(x: Int, y: Int): Byte = {
             val a = fam * 72 + (y / scale) * 9 + (x / scale) + 1
-            ((a * a * 2654435761L % 1000000007L) % 251).toByte
+            // reduce a² mod M BEFORE the Knuth multiply: same residue
+            // as the direct product (mod arithmetic), but the partial
+            // stays ≤ (M−1)·K ≈ 2.7e18 < 2^63 at ANY famMod
+            ((a * a % 1000000007L) * 2654435761L % 1000000007L % 251).toByte
           }
           val bytes =
             if ((id / famMod) % 2 == 0) MediaCodec.encodeBmpPixels(w, h, pix)
@@ -222,12 +229,14 @@ object Multimodal {
     syntheticNearDupAudioFrom(Tables.load(s, dir, "documents"))
 
   /** Per-row variant over any documents frame (see
-    * [[syntheticNearDupMediaFrom]]; same famMod contract — the audio
-    * argument a = fam·131+65 caps famMod at 449, probe factor ≤ 5). */
+    * [[syntheticNearDupMediaFrom]]; same famMod contract and the same
+    * mod-reduced arithmetic — a = fam·131+65 bounds famMod at 2·10⁷,
+    * residues unchanged from the r11 form at every previously-legal
+    * famMod). */
   def syntheticNearDupAudioFrom(docs: DataFrame,
       famMod: Long = 89L): DataFrame = {
-    require(famMod >= 1L && famMod <= 449L,
-      s"famMod=$famMod: sample arithmetic is int64-safe only to 449")
+    require(famMod >= 1L && famMod <= 20000000L,
+      s"famMod=$famMod: a=famMod*131+65 must keep a*a inside int64")
     val s = docs.sparkSession
     import s.implicits._
     docs
@@ -238,7 +247,8 @@ object Multimodal {
           val gain = ((id / famMod) % 3).toInt + 1
           val samples = Array.tabulate[Short](65) { i =>
             val a = fam * 131 + i + 1
-            val p = ((a * a * 2654435761L % 1000000007L) % 1009L - 504L).toInt
+            val p = ((a * a % 1000000007L) * 2654435761L % 1000000007L
+              % 1009L - 504L).toInt
             (gain * p).toShort
           }
           (id, MediaCodec.encodeWavPcm16(8000, 1, samples))

@@ -146,6 +146,13 @@ object Ranks {
           .select(lit(i).as("_p_idx"), lit(n0).as("_pn"), lit(d0).as("_pd"))
         Some(acc.fold(row)(_ unionByName row))
       }.get
+    // NOT pinned (r13 ask #5, adjudicated r14): the degenerate/live
+    // branches below both descend from this frame, but AQE's
+    // stage-level reuse already shares the histogram shuffle between
+    // them (the a15 dump shows ONE FileScan with both branches reading
+    // the same ShuffleQueryStage); an eager localCheckpoint here
+    // measured within noise (±5% raw) while hiding the upstream
+    // windows from the plan gates.
     val targets = hist.crossJoin(broadcast(pFrame))
       .withColumn("_rank", // clamp: p=0 still selects the minimum
         expr("GREATEST(CAST(1 AS BIGINT), CAST((_pn * _w_total + _pd - 1) div _pd AS BIGINT))"))

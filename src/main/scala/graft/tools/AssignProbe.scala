@@ -41,8 +41,9 @@ object AssignProbe {
         .as("qv"))
 
   /** Embeddings-only `factor`× copy (ScaleProbe's builder, minus the
-    * other tables — this probe never reads them). */
-  private def buildScaled(spark: SparkSession, src: String, out: String,
+    * other tables — this probe never reads them; LloydRoundsProbe
+    * shares the corpus). */
+  private[tools] def buildScaled(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
     if (new java.io.File(s"$out/embeddings.parquet").exists()) return
     val base = spark.read.parquet(s"$src/embeddings.parquet")

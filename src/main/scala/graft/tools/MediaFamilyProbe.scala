@@ -15,11 +15,16 @@ import graft.operators.Multimodal
   * grow this way: duplication is bounded by actual copying), and also
   * re-measures the uncontrolled arm on the same corpus for contrast.
   *
-  * Factors are capped by the generators' int64-safe pattern arithmetic
-  * (media famMod ≤ 817 ⇒ ×8; audio famMod ≤ 449 ⇒ ×5 — see the
-  * `require`s in Multimodal). The timed surface is the SERVING plan:
-  * fingerprints derived once and pinned (the warm-sidecar state m8/m9
-  * serve from), then the banded-Hamming join + rank + limit.
+  * r13 ask #6 lifted the old ×8/×5 factor caps: the generators'
+  * pattern arithmetic is now mod-reduced (residues unchanged at every
+  * previously-legal famMod), so both arms run to ×40 like the text
+  * probes — the depth where a quadratic term would actually show. The
+  * uncontrolled contrast arm stays at the old ×8/×5 (its pair
+  * population grows ×factor² BY CONSTRUCTION; at ×40 that is 1600× the
+  * base pairs and measures only the synthetic data). The timed surface
+  * is the SERVING plan: fingerprints derived once and pinned (the
+  * warm-sidecar state m8/m9 serve from), then the banded-Hamming join
+  * + rank + limit.
   *
   * Run: sbt "runMain graft.tools.MediaFamilyProbe /root/testdata/sf0.1"
   */
@@ -41,18 +46,18 @@ object MediaFamilyProbe {
     spark.sparkContext.setLogLevel("WARN")
     val baseN = graft.sources.Tables.load(spark, src, "documents").count()
 
-    // (probe name, base famMod, factor, hash column,
-    //  docs+famMod -> fingerprint frame)
-    val arms: Seq[(String, Long, Int, String, (DataFrame, Long) => DataFrame)] =
+    // (probe name, base famMod, controlled factor, uncontrolled factor,
+    //  hash column, docs+famMod -> fingerprint frame)
+    val arms: Seq[(String, Long, Int, Int, String, (DataFrame, Long) => DataFrame)] =
       Seq(
-        ("m8_media", 97L, 8, "dhash",
+        ("m8_media", 97L, 40, 8, "dhash",
           (docs, fm) => Multimodal.perceptualHashes(
             Multimodal.syntheticNearDupMediaFrom(docs, fm))),
-        ("m9_audio", 89L, 5, "ahash",
+        ("m9_audio", 89L, 40, 5, "ahash",
           (docs, fm) => Multimodal.audioHashes(
             Multimodal.syntheticNearDupAudioFrom(docs, fm))))
 
-    arms.foreach { case (name, baseMod, factor, sigCol, hashesOf) =>
+    arms.foreach { case (name, baseMod, factor, uncFactor, sigCol, hashesOf) =>
       def docsOf(n: Long): DataFrame =
         spark.range(0, n, 1, 32).select(col("id").as("doc_id"))
       def serve(hashes: DataFrame): Double =
@@ -70,13 +75,13 @@ object MediaFamilyProbe {
         (w, pairs)
       }
       val (baseS, basePairs) = run(baseN, baseMod)
-      // uncontrolled: corpus ×factor, SAME famMod — families grow
-      // ×factor, pair work ×factor² (the r11 artifact, reproduced)
-      val (uncS, uncPairs) = run(baseN * factor, baseMod)
+      // uncontrolled: corpus ×f, SAME famMod — families grow ×f, pair
+      // work ×f² (the r11 artifact, reproduced at a bounded factor)
+      val (uncS, uncPairs) = run(baseN * uncFactor, baseMod)
       // controlled: corpus ×factor, famMod ×factor — family size
       // PINNED, family count grows; linear plan ⇒ ratio near d13's
       val (ctlS, ctlPairs) = run(baseN * factor, baseMod * factor)
-      println(f"""{"probe":"media_family","arm":"$name","base_n":$baseN,"factor":$factor,""" +
+      println(f"""{"probe":"media_family","arm":"$name","base_n":$baseN,"factor":$factor,"uncontrolled_factor":$uncFactor,""" +
         f""""base_s":$baseS%.3f,"uncontrolled_s":$uncS%.3f,"controlled_s":$ctlS%.3f,""" +
         f""""uncontrolled_ratio":${uncS / baseS}%.2f,"controlled_ratio":${ctlS / baseS}%.2f,""" +
         f""""base_pairs":$basePairs,"uncontrolled_pairs":$uncPairs,"controlled_pairs":$ctlPairs}""")
