@@ -368,13 +368,8 @@ object CdcPipeline {
     val dir = new org.apache.hadoop.fs.Path(s"$feedDir/_consumers")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".$mirrorName.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(checkpointDir.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, new org.apache.hadoop.fs.Path(dir, mirrorName),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    AtomicFiles.writeAtomically(spark,
+      new org.apache.hadoop.fs.Path(dir, mirrorName), checkpointDir)
   }
 
   /** Remove a consumer's registration (mirror decommissioned — its

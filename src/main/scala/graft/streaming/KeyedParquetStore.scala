@@ -72,19 +72,15 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     * checkpoint's own commit marker. */
   def recordAppliedLsn(spark: SparkSession, lsn: Long): Unit =
     if (appliedLsn(spark).forall(_ < lsn)) {
-      val f = fs(spark)
-      val tmp = new Path(s"$root/_graft_applied_lsn.tmp")
-      val out = f.create(tmp, true)
-      try out.write(lsn.toString.getBytes("UTF-8")) finally out.close()
-      // OVERWRITING rename (FileContext), not delete-then-rename: a
-      // concurrent reader (Monitor.replicationInfra, rotateIfOversized
-      // on a cadence thread) must never observe the gap where the
-      // watermark is absent, and a crash between the two calls must
-      // not lose it until the next batch
-      org.apache.hadoop.fs.FileContext
-        .getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
-        .rename(tmp, watermarkPath,
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // OVERWRITING atomic rename from a per-call-unique tmp
+      // ([[AtomicFiles]]), not delete-then-rename: a concurrent reader
+      // (Monitor.replicationInfra, rotateIfOversized on a cadence
+      // thread) must never observe the gap where the watermark is
+      // absent, a crash must not lose it until the next batch, and two
+      // mirrors sharing one store write CONCURRENTLY — racing
+      // lower-LSN writers are the benign pre-existing race (a lower
+      // watermark only means extra idempotent replay, never loss)
+      AtomicFiles.writeAtomically(spark, watermarkPath, lsn.toString)
     }
 
   /** The highest applied LSN, if any batch has been applied. */
