@@ -119,12 +119,19 @@ object Monitor {
     *    artifact);
     *  - `active_mirrors` ↔ WAL-sender occupancy: live StreamingQuery
     *    count vs the session's max (Spark has no hard sender cap —
-    *    the health bar is ≥ 1 active when a mirror is expected).
+    *    the health bar is ≥ 1 active when a mirror is expected);
+    *  - `feed_consumers` (when `feedDir` is given) ↔ the slot LIST
+    *    itself: the feed's registered consumer positions
+    *    ([[graft.streaming.CdcPipeline.registeredConsumers]]) —
+    *    WARNING when empty (feed pruning cannot engage: rotation
+    *    gates deletion on registered consumers' committed sets, and a
+    *    feed nobody registered on only ever grows).
     *
-    * Driver-side metadata only (one tiny file read + conf reads) —
+    * Driver-side metadata only (tiny file reads + conf reads) —
     * never a table scan. */
   def replicationInfra(spark: SparkSession,
-      store: KeyedParquetStore): DataFrame = {
+      store: KeyedParquetStore,
+      feedDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val applied = store.appliedLsn(spark)
     // the knobs that DISTINGUISH a configured session: log.deletion
@@ -145,7 +152,7 @@ object Monitor {
     // delay is configured and sane; exact-matching 0 would WARN on it)
     val configured = cleanupDelay < 600000L && retain < 100L
     val mirrors = spark.streams.active.length
-    Seq(
+    val rows = Seq(
       ("applied_watermark",
         if (applied.isDefined) "OK" else "WARNING",
         applied.map(l => s"lsn=$l").getOrElse("nothing applied yet"),
@@ -157,8 +164,18 @@ object Monitor {
       ("active_mirrors",
         if (mirrors > 0) "OK" else "WARNING",
         s"$mirrors streaming queries",
-        if (mirrors > 0) "Healthy" else "Idle"))
-      .toDF("component", "status", "details", "health")
+        if (mirrors > 0) "Healthy" else "Idle")) ++
+      feedDir.map { f =>
+        val consumers = graft.streaming.CdcPipeline
+          .registeredConsumers(spark, f).keys.toSeq.sorted
+        ("feed_consumers",
+          if (consumers.nonEmpty) "OK" else "WARNING",
+          if (consumers.nonEmpty)
+            s"${consumers.size} registered: ${consumers.mkString(", ")}"
+          else "no consumer registrations - feed pruning cannot engage",
+          if (consumers.nonEmpty) "Healthy" else "Check Setup")
+      }
+    rows.toDF("component", "status", "details", "health")
   }
 
   /** §"ACTIVE STREAMS" (≈ container/connection health,

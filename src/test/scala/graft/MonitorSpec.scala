@@ -86,6 +86,25 @@ class MonitorSpec extends AnyFunSuite {
     assert(infra2.getString(1) == "OK" && infra2.getString(2) == "lsn=42")
   }
 
+  test("feed_consumers infra row (r14): unregistered feed warns — pruning " +
+    "cannot engage; registrations flip it OK and list the positions") {
+    val work = Files.createTempDirectory("mon_feed").toString
+    val feed = s"$work/feed"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 2)
+    def row() = Monitor.replicationInfra(spark, store, Some(feed))
+      .filter(col("component") === "feed_consumers").collect().head
+    val bare = row()
+    assert(bare.getString(1) == "WARNING" && bare.getString(3) == "Check Setup")
+    CdcPipeline.registerConsumer(spark, feed, "mirror_b", s"$work/ckptB")
+    CdcPipeline.registerConsumer(spark, feed, "mirror_a", s"$work/ckptA")
+    val reg = row()
+    assert(reg.getString(1) == "OK" &&
+      reg.getString(2) == "2 registered: mirror_a, mirror_b", reg.toString)
+    // no feedDir → the row is absent (the pre-r14 three-row report)
+    assert(Monitor.replicationInfra(spark, store).count() == 3)
+  }
+
   test("storage report handles a missing table as zeros") {
     val store = new KeyedParquetStore(
       Files.createTempDirectory("mon_store_empty").toString, nBuckets = 2)
