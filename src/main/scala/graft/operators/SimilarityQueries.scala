@@ -69,6 +69,82 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     },
 
+    // ── s20: HYBRID retrieval — the production RAG shape: a lexical
+    // BM25 rank list and a semantic cosine rank list, fused by
+    // reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009: score =
+    // Σ_arms 1/(60+rank)) — no score calibration between arms, only
+    // ranks, which is WHY RRF is the default fusion in production
+    // retrieval stacks. Arms follow the engine's existing disciplines:
+    // the lexical arm is t17's integer-exact BM25 (rational idf
+    // surrogate, ×10⁴ floor-div — bit-identical across engines); the
+    // semantic arm is s1's compiled-dot cosine against anchor vec 0.
+    // Each arm reduces to its top-50 via TakeOrdered (never a global
+    // sort); the rank window then runs over that bounded 50-row frame
+    // (a SinglePartition exchange over ≤50 rows — deliberate, the one
+    // place it is the right call). Fusion contributions are
+    // 10⁹ div (60+rank): pure integer division, exact in both
+    // engines; an id missing from one arm contributes 0 there (-1
+    // sentinel in the output). At 100 TB each arm's candidate
+    // generation is the already-scaled machinery (inverted term
+    // pruning for BM25, IVF routing for cosine) — fusion itself only
+    // ever touches 2×50 rows.
+    "s20_hybrid_rrf" -> { (s, d) =>
+      import graft.functions.HashExprs.tokenize
+      val qterms = Seq("spark", "join", "vector")
+      // lexical arm (t17's shape: one tokenize pass, tiny pinned frame)
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), tokenize(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          filter(col("toks"), t => t.isin(qterms: _*)).as("qtoks"))
+        .localCheckpoint(true)
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_toks"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val bm25 = tf.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("c", expr(
+          "((2*n_docs - 2*df + 1) * 22 * tf * t_toks * 10000) div " +
+            "((2*df + 1) * (10*t_toks*tf + 3*t_toks + 9*n_docs*dl))"))
+        .groupBy("doc_id").agg(sum("c").as("score10k"))
+        .orderBy(col("score10k").desc, col("doc_id").asc)
+        .limit(50)
+      val lex = bm25.withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("score10k").desc, col("doc_id").asc)))
+        .select(col("doc_id").as("id"), col("lex_rank"))
+      // semantic arm (s1's shape: 1-row anchor broadcast, compiled dot)
+      val v = vecs(s, d)
+      val anchor = v.filter(col("vec_id") === 0)
+        .select(col("qv").as("va"), col("norm").as("qn"))
+      val sem = v.filter(col("vec_id") > 0)
+        .select(col("vec_id").as("id"), col("qv").as("vb"), col("norm").as("vn"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("cos_raw", dotCol / (col("qn") * col("vn")))
+        .orderBy(col("cos_raw").desc, col("id").asc)
+        .limit(50)
+        .withColumn("sem_rank", row_number().over(
+          Window.orderBy(col("cos_raw").desc, col("id").asc)))
+        .select(col("id"), col("sem_rank"))
+      // fusion as UNION + per-id max-rank aggregate, not a join: a
+      // FULL OUTER join cannot broadcast in Spark (it planned as a
+      // SortMergeJoin even at 2×50 rows), while the union spelling is
+      // one ≤100-row hash aggregate and generalizes to k arms with
+      // zero joins — the shape a production fusion layer wants anyway
+      lex.select(col("id"), col("lex_rank"), lit(-1).as("sem_rank"))
+        .unionByName(sem.select(col("id"), lit(-1).as("lex_rank"),
+          col("sem_rank")))
+        .groupBy("id")
+        .agg(max("lex_rank").as("lex_rank"), max("sem_rank").as("sem_rank"))
+        .withColumn("rrf1e9",
+          when(col("lex_rank") > 0, expr("1000000000 div (60 + lex_rank)"))
+            .otherwise(lit(0L)) +
+            when(col("sem_rank") > 0, expr("1000000000 div (60 + sem_rank)"))
+              .otherwise(lit(0L)))
+        .orderBy(col("rrf1e9").desc, col("id").asc)
+        .limit(20)
+    },
+
     // LSH-bucketed ANN: 6 deterministic pseudo-random hyperplanes →
     // 64-bucket space; candidates share a bucket; rerank inside.
     // Hyperplane j component at dim d: ((j*64+d)*2654435761) % 97 - 48
@@ -1016,6 +1092,53 @@ object SimilarityQueries {
               row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vid ASC) AS rank
             FROM cos)
           WHERE rank = 1 ORDER BY qid""",
+    // s20 — both arms replayed verbatim (t17's integer BM25, s1's
+    // cosine), fused with the same 10⁹ // (60+rank) integer terms
+    "s20_hybrid_rrf" ->
+      s"""WITH $compsSql,
+          dd AS (
+            SELECT doc_id,
+              CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS dl,
+              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents),
+          stats AS (
+            SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_toks FROM dd),
+          tf AS (
+            SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+              SELECT doc_id, dl, unnest(toks) AS term FROM dd)
+            WHERE term IN ('spark', 'join', 'vector')
+            GROUP BY 1, 2, 3),
+          df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+          bm AS (
+            SELECT doc_id, CAST(SUM(cc) AS BIGINT) AS score10k FROM (
+              SELECT doc_id,
+                ((2*n_docs - 2*df + 1) * 22 * tf * t_toks * 10000) //
+                ((2*df + 1) * (10*t_toks*tf + 3*t_toks + 9*n_docs*dl)) AS cc
+              FROM tf JOIN df USING (term) CROSS JOIN stats)
+            GROUP BY 1 ORDER BY score10k DESC, doc_id LIMIT 50),
+          lex AS (
+            SELECT doc_id AS id,
+              row_number() OVER (ORDER BY score10k DESC, doc_id) AS lex_rank
+            FROM bm),
+          dots AS (
+            SELECT vc.vec_id AS id, SUM(qc.q * vc.q) AS dot
+            FROM c qc JOIN c vc ON qc.idx = vc.idx
+            WHERE qc.vec_id = 0 AND vc.vec_id > 0
+            GROUP BY 1),
+          cosr AS (
+            SELECT id, dot / (qn.norm * vn.norm) AS cos_raw
+            FROM dots JOIN n qn ON qn.vec_id = 0 JOIN n vn ON vn.vec_id = id),
+          sem50 AS (SELECT id, cos_raw FROM cosr ORDER BY cos_raw DESC, id LIMIT 50),
+          sem AS (
+            SELECT id, row_number() OVER (ORDER BY cos_raw DESC, id) AS sem_rank
+            FROM sem50)
+          SELECT id,
+            COALESCE(lex_rank, -1) AS lex_rank,
+            COALESCE(sem_rank, -1) AS sem_rank,
+            COALESCE(1000000000 // (60 + lex_rank), 0) +
+              COALESCE(1000000000 // (60 + sem_rank), 0) AS rrf1e9
+          FROM lex FULL OUTER JOIN sem USING (id)
+          ORDER BY rrf1e9 DESC, id LIMIT 20""",
     "s3_cosine_neardup" ->
       s"""WITH $compsSql,
           dots AS (

@@ -76,15 +76,29 @@ class StatsStore(spark: SparkSession, val path: String) {
 
   private def writeAll(rows: Seq[StoredStats]): Unit = {
     import spark.implicits._
-    // rewrite via a temp dir + atomic-ish move so a concurrent reader
-    // never sees a half-written sidecar
+    // rewrite via a temp dir + old-aside swap (r14, the IndexStore
+    // discipline): a reader never sees a half-written sidecar, the
+    // dest is absent only between two metadata renames (not for a
+    // whole recursive delete), and both renames are CHECKED — a false
+    // return must not leave the sidecar silently destroyed. A reader
+    // that races the swap window reads "no stats" and re-analyzes:
+    // costs one scan, never correctness (advisor stats change physics
+    // only). Crash at any point is self-healing the same way.
     val tmp = path + ".tmp"
     spark.createDataset(rows).repartition(1).write
       .mode("overwrite").parquet(tmp)
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(dest, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dest)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(old, true) // leftover from a crash mid-swap
+    if (fs.exists(dest) && !fs.rename(dest, old))
+      throw new java.io.IOException(
+        s"stats sidecar swap failed: rename $dest -> $old returned false")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dest))
+      throw new java.io.IOException(
+        s"stats sidecar swap failed: rename $tmp -> $dest returned false" +
+          (if (fs.exists(old)) s"; previous sidecar preserved at $old" else ""))
+    fs.delete(old, true)
   }
 
   /** Stored statistics for (table, key) if present AND still valid for

@@ -93,6 +93,7 @@ object DumpPlans {
     "s17_semdedup" -> "SemDeDup keep list: IVF-cell-gated cosine pairs -> CC reps -> broadcast label join (singletons kept)",
     "s18_filtered_ann" -> "filtered vector search: label predicate PUSHED to the candidate scan (pre-filter), engine-sized cell count + probe widening, broadcast cell equi-join",
     "s19_ivf_lloyd" -> "learned-IVF index card: 2-round Lloyd centroids, two-level routed assignment (coarse cross join is sqrt(k)-row broadcast; fine stage an equi-join on the coarse key)",
+    "s20_hybrid_rrf" -> "hybrid retrieval: BM25 + cosine arms each TakeOrdered top-50, RRF fusion joins two 50-row lists (no global sort, no sort-merge)",
     "c9_dsir_weights" -> "DSIR importance weights: one-pass 4096-bucket dual histogram, broadcast model join, map-combined per-doc log-ratio sum")
 
   def main(args: Array[String]): Unit = {

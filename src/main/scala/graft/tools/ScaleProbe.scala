@@ -209,7 +209,10 @@ object ScaleProbe {
       "s18_filtered_ann", "c9_dsir_weights",
       // r12: learned-IVF index card (Lloyd + two-level routed
       // assignment, O(N*sqrt(k)) dots)
-      "s19_ivf_lloyd")
+      "s19_ivf_lloyd",
+      // r14: hybrid retrieval (BM25 arm + cosine arm, RRF fusion —
+      // each arm a TakeOrdered top-50, fusion touches 2x50 rows)
+      "s20_hybrid_rrf")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
