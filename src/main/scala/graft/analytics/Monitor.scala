@@ -125,13 +125,23 @@ object Monitor {
     *    ([[graft.streaming.CdcPipeline.registeredConsumers]]) —
     *    WARNING when empty (feed pruning cannot engage: rotation
     *    gates deletion on registered consumers' committed sets, and a
-    *    feed nobody registered on only ever grows).
+    *    feed nobody registered on only ever grows) or when any
+    *    registration has been INVALIDATED (a mirror's continuity is
+    *    broken and awaits rebuild + acknowledgment);
+    *  - `consumer_lag` (when `feedDir` is given) ↔ a slot's
+    *    restart-LSN lag vs `max_slot_wal_keep_size`: per-consumer
+    *    retention drag ([[graft.streaming.CdcPipeline.consumerLag]])
+    *    — WARNING when any consumer's position is unreadable
+    *    (degraded: it holds the WHOLE feed) or holds more than
+    *    `maxConsumerHeldBytes`; the remedy is
+    *    [[graft.streaming.CdcPipeline.invalidateConsumersOverBudget]].
     *
     * Driver-side metadata only (tiny file reads + conf reads) —
     * never a table scan. */
   def replicationInfra(spark: SparkSession,
       store: KeyedParquetStore,
-      feedDir: Option[String] = None): DataFrame = {
+      feedDir: Option[String] = None,
+      maxConsumerHeldBytes: Long = 1L << 30): DataFrame = {
     import spark.implicits._
     val applied = store.appliedLsn(spark)
     // the knobs that DISTINGUISH a configured session: log.deletion
@@ -165,15 +175,35 @@ object Monitor {
         if (mirrors > 0) "OK" else "WARNING",
         s"$mirrors streaming queries",
         if (mirrors > 0) "Healthy" else "Idle")) ++
-      feedDir.map { f =>
+      feedDir.toSeq.flatMap { f =>
         val consumers = graft.streaming.CdcPipeline
           .registeredConsumers(spark, f).keys.toSeq.sorted
-        ("feed_consumers",
-          if (consumers.nonEmpty) "OK" else "WARNING",
-          if (consumers.nonEmpty)
-            s"${consumers.size} registered: ${consumers.mkString(", ")}"
-          else "no consumer registrations - feed pruning cannot engage",
-          if (consumers.nonEmpty) "Healthy" else "Check Setup")
+        val invalidated = graft.streaming.CdcPipeline
+          .invalidatedConsumers(spark, f).keys.toSeq.sorted
+        val lag = graft.streaming.CdcPipeline.consumerLag(spark, f)
+        val laggards = lag.filter(c =>
+          c.degraded.isDefined || c.heldBytes > maxConsumerHeldBytes)
+        Seq(
+          ("feed_consumers",
+            if (consumers.nonEmpty && invalidated.isEmpty) "OK" else "WARNING",
+            (if (consumers.nonEmpty)
+              s"${consumers.size} registered: ${consumers.mkString(", ")}"
+            else "no consumer registrations - feed pruning cannot engage") +
+              (if (invalidated.nonEmpty)
+                s"; ${invalidated.size} INVALIDATED awaiting rebuild: " +
+                  invalidated.mkString(", ")
+              else ""),
+            if (consumers.nonEmpty && invalidated.isEmpty) "Healthy"
+            else if (invalidated.nonEmpty) "Rebuild Required"
+            else "Check Setup"),
+          ("consumer_lag",
+            if (laggards.isEmpty) "OK" else "WARNING",
+            if (lag.isEmpty) "no valid consumers"
+            else lag.map(c => s"${c.name}: holds ${c.heldFiles} files/" +
+              s"${c.heldBytes} B" +
+              c.degraded.map(_ => " (position UNREADABLE)").getOrElse(""))
+              .mkString("; "),
+            if (laggards.isEmpty) "Healthy" else "Feed Bloat Risk"))
       }
     rows.toDF("component", "status", "details", "health")
   }

@@ -145,6 +145,62 @@ object SimilarityQueries {
         .limit(20)
     },
 
+    // ── s21: CORESET SELECTION — greedy k-center (Gonzalez's
+    // farthest-first traversal, the classic 2-approximation to
+    // optimal k-center cover): seed = smallest vec_id, then k−1 times
+    // the point FARTHEST from everything chosen so far (max of
+    // min-distance). The curation use: a diversity-maximizing subset
+    // for expensive downstream passes (human eval, reranker seeds)
+    // where similarity-blind sampling wastes budget on near-dups.
+    // Determinism: distances are exact int64 squared-L2 on micro-unit
+    // quantized components, so every argmax and tie-break (largest
+    // min-dist, then smallest vec_id) replays bit-equal in DuckDB's
+    // unrolled greedy. Scale: k linear passes over N rows, each a
+    // codegen'd per-row LEAST over ≤k literal-center dot products
+    // followed by a TakeOrdered(1) reduction — no join, no shuffle
+    // beyond the reduction; driver state is k×64 longs (the centers
+    // ride the plan as array literals, never a broadcast table). The
+    // closing assignment pass (cluster sizes) is the same per-row
+    // expression + a k-group hash aggregate.
+    "s21_coreset" -> { (s, d) =>
+      val k = 5
+      val quant = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("qv"))
+        .withColumn("n2", dot_long(col("qv"), col("qv")))
+        .localCheckpoint(true) // k+2 passes reuse it (persist at scale)
+      // exact |x − c|² = x·x − 2x·c + c·c with c a plan literal
+      def d2To(center: IndexedSeq[Long]): Column =
+        col("n2") - lit(2L) * dot_long(col("qv"), typedLit(center)) +
+          lit(center.map(x => x * x).sum)
+      def minDist(cs: Seq[Column]): Column =
+        if (cs.sizeIs == 1) cs.head else least(cs: _*)
+      val seed = quant.orderBy(asc("vec_id")).limit(1)
+        .select(col("vec_id"), col("qv")).head()
+      var centers = Vector(
+        (1, seed.getLong(0), 0L, seed.getSeq[Long](1).toIndexedSeq))
+      for (step <- 2 to k) {
+        val nxt = quant
+          .filter(!col("vec_id").isin(centers.map(_._2): _*))
+          .select(col("vec_id"),
+            minDist(centers.map(c => d2To(c._4))).as("md"), col("qv"))
+          .orderBy(col("md").desc, col("vec_id").asc).limit(1).head()
+        centers = centers :+ ((step, nxt.getLong(0), nxt.getLong(1),
+          nxt.getSeq[Long](2).toIndexedSeq))
+      }
+      // nearest-center assignment; ties break to the earlier center —
+      // LEAST over (dist, step) structs is the codegen'd argmin
+      val best = minDist(centers.map(c =>
+        struct(d2To(c._4).as("d"), lit(c._1).as("st"))))
+      val counts = quant.select(best.getField("st").as("step"))
+        .groupBy("step").agg(count(lit(1)).as("n_assigned"))
+      import s.implicits._
+      val cent = centers.map(c => (c._1, c._2, c._3))
+        .toDF("step", "vec_id", "dist_q")
+      cent.join(counts, Seq("step")).orderBy("step")
+    },
+
     // LSH-bucketed ANN: 6 deterministic pseudo-random hyperplanes →
     // 64-bucket space; candidates share a bucket; rerank inside.
     // Hyperplane j component at dim d: ((j*64+d)*2654435761) % 97 - 48
@@ -1042,6 +1098,51 @@ object SimilarityQueries {
                FROM embeddings)),
        n AS (SELECT vec_id, sqrt(SUM(q * q)) AS norm FROM c GROUP BY 1)"""
 
+  /** s21's oracle: the farthest-first greedy UNROLLED to k=5 steps —
+    * `pd` is the all-pairs exact-integer distance table (oracle scale
+    * only), `m_i` the running min-dist after i centers, `c_{i+1}` the
+    * argmax with the same (md DESC, vec_id ASC) tie-break the engine
+    * applies. Every value is exact int64 arithmetic on the shared
+    * micro-unit quantization, so selection replays bit-equal. */
+  private val coresetSql: String = {
+    val k = 5
+    val sb = new StringBuilder
+    sb ++= s"""WITH $compsSql,
+      pd AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+          SUM((a.q - b.q) * (a.q - b.q)) AS d2
+        FROM c a JOIN c b ON a.idx = b.idx GROUP BY 1, 2),
+      c1 AS (SELECT MIN(vec_id) AS id FROM c),
+      m1 AS (SELECT va AS vec_id, d2 AS md FROM pd JOIN c1 ON pd.vb = c1.id)"""
+    for (i <- 2 to k) {
+      val excl = (1 until i).map(j => s"SELECT id FROM c$j")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+      c$i AS (SELECT vec_id AS id, md FROM m${i - 1}
+        WHERE vec_id NOT IN ($excl) ORDER BY md DESC, vec_id LIMIT 1)"""
+      if (i < k) sb ++= s""",
+      m$i AS (SELECT m.vec_id, LEAST(m.md, pd.d2) AS md
+        FROM m${i - 1} m JOIN pd ON m.vec_id = pd.va
+        JOIN c$i ON pd.vb = c$i.id)"""
+    }
+    val centRows = s"SELECT 1 AS step, id AS vec_id, CAST(0 AS BIGINT) AS dist_q FROM c1" +
+      (2 to k).map(i =>
+        s" UNION ALL SELECT $i, id, CAST(md AS BIGINT) FROM c$i").mkString
+    sb ++= s""",
+      cent AS ($centRows),
+      asg AS (
+        SELECT va, step FROM (
+          SELECT pd.va, cent.step,
+            row_number() OVER (PARTITION BY pd.va
+              ORDER BY pd.d2 ASC, cent.step ASC) AS rn
+          FROM pd JOIN cent ON pd.vb = cent.vec_id)
+        WHERE rn = 1),
+      cnt AS (SELECT step, COUNT(*) AS n_assigned FROM asg GROUP BY 1)
+      SELECT cent.step, cent.vec_id, cent.dist_q, cnt.n_assigned
+      FROM cent JOIN cnt USING (step) ORDER BY step"""
+    sb.toString
+  }
+
   /** Shared CTE chain for the LSH-bucket oracles (s2, s8, s9):
     * hyperplane weights → projections → sign-pattern bucket. */
   private val lshBucketsSql =
@@ -1139,6 +1240,7 @@ object SimilarityQueries {
               COALESCE(1000000000 // (60 + sem_rank), 0) AS rrf1e9
           FROM lex FULL OUTER JOIN sem USING (id)
           ORDER BY rrf1e9 DESC, id LIMIT 20""",
+    "s21_coreset" -> coresetSql,
     "s3_cosine_neardup" ->
       s"""WITH $compsSql,
           dots AS (

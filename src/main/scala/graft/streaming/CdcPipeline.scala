@@ -50,6 +50,15 @@ object CdcPipeline {
     * @param mirrorName names the StreamingQuery (the reference's
     *                  Temporal MirrorName search attribute,
     *                  scripts/mirror-name-search.sh:6–9)
+    * @param feedDir   when the changes stream tails a shared
+    *                  [[ChangeFeed]] directory, pass it so the mirror
+    *                  registers as a consumer AT START (the registry
+    *                  then gates feed pruning on this mirror from its
+    *                  first batch, not only from its first rotation) —
+    *                  and so a mirror whose registration was
+    *                  INVALIDATED ([[invalidateConsumersOverBudget]])
+    *                  fails loudly here instead of silently resuming
+    *                  past pruned files
     */
   def start(
       changes: DataFrame,
@@ -58,7 +67,13 @@ object CdcPipeline {
       keyCols: Map[String, String],
       mirrorName: String,
       checkpointDir: String,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+      feedDir: Option[String] = None): StreamingQuery = {
+    // registerConsumer throws IllegalStateException on an invalidated
+    // name — the postgres analogue is a replica on a lost slot, which
+    // ERRORS rather than skipping WAL it can never replay
+    feedDir.foreach(f =>
+      registerConsumer(changes.sparkSession, f, mirrorName, checkpointDir))
     // a long-lived mirror MUST cap its own metadata (r10 verdict ask
     // #4) — without retention the checkpoint grows superlinearly and
     // eventually fills the driver's disk at exactly the moment nobody
@@ -365,6 +380,14 @@ object CdcPipeline {
       mirrorName: String, checkpointDir: String): Unit = {
     require(mirrorName.nonEmpty && !mirrorName.contains("/"),
       s"consumer name must be a plain file name: '$mirrorName'")
+    invalidatedConsumers(spark, feedDir).get(mirrorName).foreach { why =>
+      throw new IllegalStateException(
+        s"consumer '$mirrorName' on feed $feedDir was INVALIDATED ($why): " +
+          "feed files it never read may already be pruned, so continuing " +
+          "from its old position would silently skip rows. Re-snapshot the " +
+          "store, start on a FRESH checkpointDir, and call " +
+          "acknowledgeInvalidation(...) first.")
+    }
     val dir = new org.apache.hadoop.fs.Path(s"$feedDir/_consumers")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
@@ -373,27 +396,143 @@ object CdcPipeline {
   }
 
   /** Remove a consumer's registration (mirror decommissioned — its
-    * position no longer holds feed files). */
+    * position no longer holds feed files). Clears any invalidation
+    * marker too: a decommissioned consumer leaves no trace. */
   def unregisterConsumer(spark: SparkSession, feedDir: String,
       mirrorName: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$feedDir/_consumers/$mirrorName")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    fs.delete(invalidMarker(feedDir, mirrorName), false)
   }
 
-  /** All registered consumers of a feed: name → checkpointDir. */
+  /** All VALID registered consumers of a feed: name → checkpointDir.
+    * A consumer with an invalidation marker is excluded — its position
+    * no longer holds feed files (the whole point of invalidation), and
+    * [[rotateCheckpoint]]'s prune gate must not wait on it. */
   def registeredConsumers(spark: SparkSession,
       feedDir: String): Map[String, String] = {
     val dir = new org.apache.hadoop.fs.Path(s"$feedDir/_consumers")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Map.empty
-    else fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-      .map { s =>
+    else {
+      val all = fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      val invalid = all.map(_.getPath.getName)
+        .filter(_.endsWith(InvalidSuffix))
+        .map(_.dropRight(InvalidSuffix.length)).toSet
+      all.filter { s =>
+        val n = s.getPath.getName
+        !n.endsWith(InvalidSuffix) && !invalid.contains(n)
+      }.map { s =>
         val in = fs.open(s.getPath)
         val ckpt = try scala.io.Source.fromInputStream(in, "UTF-8")
           .mkString.trim finally in.close()
         s.getPath.getName -> ckpt
       }.toMap
+    }
+  }
+
+  private val InvalidSuffix = ".invalid"
+
+  private def invalidMarker(feedDir: String, name: String) =
+    new org.apache.hadoop.fs.Path(s"$feedDir/_consumers/$name$InvalidSuffix")
+
+  /** Consumers whose registration was INVALIDATED
+    * ([[invalidateConsumersOverBudget]]): name → recorded reason. The
+    * marker outlives the registration (it is the proof the consumer's
+    * continuity was broken) until [[acknowledgeInvalidation]] or
+    * [[unregisterConsumer]] clears it. */
+  def invalidatedConsumers(spark: SparkSession,
+      feedDir: String): Map[String, String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$feedDir/_consumers")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(InvalidSuffix) &&
+        !s.getPath.getName.startsWith("."))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        val why = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        s.getPath.getName.dropRight(InvalidSuffix.length) -> why
+      }.toMap
+  }
+
+  /** Operator acknowledgment that an invalidated consumer has been
+    * rebuilt (fresh snapshot + fresh checkpoint): clears the marker so
+    * [[registerConsumer]]/[[start]] accept the name again. */
+  def acknowledgeInvalidation(spark: SparkSession, feedDir: String,
+      mirrorName: String): Unit =
+    invalidMarker(feedDir, mirrorName)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(invalidMarker(feedDir, mirrorName), false)
+
+  /** One consumer's retention drag on a shared feed — the engine's
+    * `pg_replication_slots` lag row. `heldFiles`/`heldBytes` = feed
+    * data files this consumer has NOT committed (everything its
+    * registration forces [[rotateCheckpoint]] to keep); a `degraded`
+    * consumer's position cannot be read at all, so it holds the whole
+    * feed. */
+  final case class ConsumerLag(name: String, checkpointDir: String,
+      committedFiles: Long, heldFiles: Long, heldBytes: Long,
+      degraded: Option[String])
+
+  /** Per-consumer retention drag for every VALID registration on a
+    * feed (invalidated consumers hold nothing by definition). Driver
+    * metadata only: one feed FS listing + each consumer's source-log
+    * scan — never a data read. The monitoring input for the
+    * `max_slot_wal_keep_size` analogue below, and the row
+    * [[graft.analytics.Monitor.replicationInfra]] surfaces. */
+  def consumerLag(spark: SparkSession, feedDir: String): Seq[ConsumerLag] = {
+    val feed = ChangeFeed.dataFiles(spark, feedDir) // canonical leaf → bytes
+    registeredConsumers(spark, feedDir).toSeq.sortBy(_._1).map {
+      case (name, ckpt) =>
+        sourceLogPaths(spark, ckpt) match {
+          case Left(reason) =>
+            ConsumerLag(name, ckpt, 0L, feed.size.toLong,
+              feed.valuesIterator.sum, Some(reason))
+          case Right(committed) =>
+            val held = feed.filter { case (leaf, _) => !committed(leaf) }
+            ConsumerLag(name, ckpt,
+              feed.keysIterator.count(committed).toLong,
+              held.size.toLong, held.valuesIterator.sum, None)
+        }
+    }
+  }
+
+  /** The `max_slot_wal_keep_size` analogue (the reference provisions
+    * four replication slots on one WAL, volumes/postgresql.conf:4–5 —
+    * and Postgres itself answers the dead-slot-pins-WAL failure mode
+    * by INVALIDATING slots whose retention drag exceeds a byte budget,
+    * `wal_status = 'lost'`): any valid consumer holding more than
+    * `maxHeldBytes` of feed data is invalidated — its registration is
+    * replaced by a reasoned marker, so it stops gating
+    * [[rotateCheckpoint]]'s prune and the feed can shrink again. The
+    * invalidated mirror's next [[start]]/[[registerConsumer]] fails
+    * LOUDLY (its continuity is broken — files it never read may be
+    * pruned); recovery is a fresh snapshot + fresh checkpoint +
+    * [[acknowledgeInvalidation]].
+    *
+    * Marker first, registration second: a crash between the two
+    * leaves both present, and every reader treats the marker as
+    * authoritative, so a half-invalidated consumer can neither gate
+    * pruning nor silently resume. Returns the invalidated rows. */
+  def invalidateConsumersOverBudget(spark: SparkSession, feedDir: String,
+      maxHeldBytes: Long): Seq[ConsumerLag] = {
+    require(maxHeldBytes >= 0L, s"negative byte budget: $maxHeldBytes")
+    val over = consumerLag(spark, feedDir).filter(_.heldBytes > maxHeldBytes)
+    over.foreach { c =>
+      val why = s"retention drag ${c.heldBytes} B over budget " +
+        s"$maxHeldBytes B (${c.heldFiles} held files" +
+        c.degraded.map(d => s"; position unreadable: $d").getOrElse("") + ")"
+      logger.warn(s"invalidating feed consumer '${c.name}': $why")
+      AtomicFiles.writeAtomically(spark, invalidMarker(feedDir, c.name), why)
+      val reg = new org.apache.hadoop.fs.Path(s"$feedDir/_consumers/${c.name}")
+      reg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(reg, false)
+    }
+    over
   }
 
   /** Mirror lifecycle: CHECKPOINT ROTATION as ONE operation (r12
@@ -459,6 +598,15 @@ object CdcPipeline {
       safetyLsns: Long = 0L): Rotation = {
     require(safetyLsns >= 0L, s"negative safety margin: $safetyLsns")
     spark.streams.active.filter(_.name == mirrorName).foreach(_.stop())
+    // an invalidated caller cannot rotate: its continuity is already
+    // broken (budget invalidation pruned past its position) — surface
+    // the recovery path as a reasoned skip, not an exception mid-cadence
+    invalidatedConsumers(spark, feedDir).get(mirrorName) match {
+      case Some(why) =>
+        return Rotation(0L, 0L, Some(s"consumer invalidated ($why) — " +
+          "re-snapshot onto a fresh checkpoint, then acknowledgeInvalidation"))
+      case None =>
+    }
     registerConsumer(spark, feedDir, mirrorName, checkpointDir)
     store.appliedLsn(spark) match {
       case None => // nothing applied: rotating would orphan nothing

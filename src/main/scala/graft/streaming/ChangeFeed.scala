@@ -49,6 +49,21 @@ object ChangeFeed {
     events.select(schema.fieldNames.map(col).toSeq: _*)
       .write.mode("append").json(feedDir)
 
+  /** Driver-side listing of the feed's DATA files, canonical leaf →
+    * bytes: everything except `_`-prefixed metadata (`_consumers/`,
+    * `_SUCCESS`) and hidden files. File-count-sized FS metadata walk,
+    * no data read — the denominator for
+    * [[CdcPipeline.consumerLag]]'s per-consumer retention drag. */
+  def dataFiles(spark: SparkSession, feedDir: String): Map[String, Long] = {
+    val dir = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => canonicalLeaf(s.getPath.toString) -> s.getLen).toMap
+  }
+
   /** Canonical LITERAL leaf name of a file-path string that may arrive
     * in either of Spark's two representations: the URI-encoded form
     * (`SparkPath` — what the checkpoint source log's `"path"` field

@@ -236,6 +236,87 @@ class CheckpointRotationSpec extends AnyFunSuite {
     (rows.count(), rows.select("id").distinct().count())
   }
 
+  test("stale-consumer invalidation (r14, max_slot_wal_keep_size analogue): " +
+    "lag is visible, budget invalidation unblocks pruning, and the " +
+    "invalidated mirror fails LOUDLY until rebuilt + acknowledged") {
+    val work = Files.createTempDirectory("graft_rotate_stale").toString
+    val feed = s"$work/feed"
+    val storeA = new KeyedParquetStore(s"$work/storeA", nBuckets = 4)
+    val storeB = new KeyedParquetStore(s"$work/storeB", nBuckets = 4)
+    def run(name: String, ckpt: String, store: KeyedParquetStore): Unit = {
+      // feedDir at start = the mirror registers as a consumer from its
+      // FIRST batch (r14) — no manual registerConsumer call anywhere here
+      val q = CdcPipeline.start(
+        ChangeFeed.stream(spark, feed, maxFilesPerTrigger = 1),
+        store, Map("t" -> rowSchema), Map("t" -> "id"),
+        mirrorName = name, checkpointDir = ckpt, feedDir = Some(feed))
+      q.processAllAvailable(); q.stop()
+    }
+    // B consumes ONE file then dies for good; A consumes all five
+    publishBatch(feed, 0 until 100)
+    run("mirror_b", s"$work/ckptB", storeB)
+    (1 until 5).foreach(b => publishBatch(feed, (b * 100) until ((b + 1) * 100)))
+    run("mirror_a", s"$work/ckptA", storeA)
+    // the lag report reads like pg_replication_slots: B drags 4 files
+    val lag0 = CdcPipeline.consumerLag(spark, feed)
+      .map(c => c.name -> ((c.committedFiles, c.heldFiles))).toMap
+    assert(lag0 == Map("mirror_a" -> ((5L, 0L)), "mirror_b" -> ((1L, 4L))),
+      s"got $lag0")
+    // A's rotation is gated by dead B: only B's one committed file goes
+    val r1 = CdcPipeline.rotateCheckpoint(spark, storeA, feed,
+      "mirror_a", s"$work/ckptA")
+    assert(r1 == CdcPipeline.Rotation(1L, 4L), s"got $r1")
+    run("mirror_a", s"$work/ckptA", storeA) // re-commit the survivors
+    // monitoring sees the drag BEFORE anyone acts on it
+    val pre = graft.analytics.Monitor
+      .replicationInfra(spark, storeA, Some(feed), maxConsumerHeldBytes = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pre("consumer_lag") == "WARNING" && pre("feed_consumers") == "OK",
+      s"got $pre")
+    // the budget policy invalidates ONLY the laggard (A holds 0 bytes)
+    val inv = CdcPipeline.invalidateConsumersOverBudget(spark, feed,
+      maxHeldBytes = 0L)
+    assert(inv.map(_.name) == Seq("mirror_b") && inv.head.heldFiles == 4L,
+      s"got $inv")
+    assert(CdcPipeline.registeredConsumers(spark, feed).keySet ==
+      Set("mirror_a"))
+    assert(CdcPipeline.invalidatedConsumers(spark, feed).keySet ==
+      Set("mirror_b"))
+    val post = graft.analytics.Monitor
+      .replicationInfra(spark, storeA, Some(feed))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(post("feed_consumers")._1 == "WARNING" &&
+      post("feed_consumers")._2.contains("INVALIDATED"), s"got $post")
+    // with B no longer gating, A's next rotation drains the feed
+    val r2 = CdcPipeline.rotateCheckpoint(spark, storeA, feed,
+      "mirror_a", s"$work/ckptA")
+    assert(r2 == CdcPipeline.Rotation(4L, 0L), s"got $r2")
+    // the invalidated mirror CANNOT silently resume: start throws,
+    // rotate skips with the recorded reason
+    val boom = intercept[IllegalStateException] {
+      run("mirror_b", s"$work/ckptB", storeB)
+    }
+    assert(boom.getMessage.contains("INVALIDATED") &&
+      boom.getMessage.contains("over budget"))
+    val rb = CdcPipeline.rotateCheckpoint(spark, storeB, feed,
+      "mirror_b", s"$work/ckptB")
+    assert(!rb.rotated && rb.skipped.exists(_.contains("invalidated")),
+      s"got $rb")
+    // recovery = fresh snapshot + fresh checkpoint + acknowledgment —
+    // then the name is a first-class consumer again, exactly-once
+    val storeB2 = new KeyedParquetStore(s"$work/storeB2", nBuckets = 4)
+    CdcPipeline.snapshot(spark, storeB2,
+      Map("t" -> storeA.read(spark, "t")), Map("t" -> "id"))
+    CdcPipeline.acknowledgeInvalidation(spark, feed, "mirror_b")
+    publishBatch(feed, 500 until 600)
+    run("mirror_b", s"$work/ckptB2", storeB2)
+    assert(store2Rows(storeB2) == ((600L, 600L)))
+    assert(store2Rows(storeA) == ((500L, 500L)))
+    assert(CdcPipeline.registeredConsumers(spark, feed).keySet ==
+      Set("mirror_a", "mirror_b"))
+  }
+
   test("special-character feed file names (encoded-form leaves) prune " +
     "end-to-end — both comparison sides share one canonical codec") {
     val work = Files.createTempDirectory("graft_rotate_enc").toString
