@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -215,6 +216,27 @@ object ProfileQueries {
     // a hot key's per-task share back to ~4× mean (capped at 16, the
     // factor saltedJoin's dim-replication side pays for). All integer
     // arithmetic, ties broken by key — bit-stable across engines.
+    // ── dq6: DISTRIBUTION-SHIFT report — per-slice token-distribution
+    // drift vs the REST of the corpus (the audit a mixing plan reads
+    // before reweighting, and the alarm that fires when one source's
+    // crawl changes shape between snapshots). Metric: total-variation
+    // distance over the global top-200-token vocabulary + '<other>',
+    // on a fixed 1e-9 probability grid — TV = Σ|p_slice − p_rest| / 2.
+    // Why TV and not KL/JS: TV needs no transcendentals, so on the
+    // integer grid (p = cnt·1e9 div tot) every value is EXACT in both
+    // engines — the oracle hashes bit-equal and a drift alert never
+    // flaps on a last-ulp log difference. Scale shape: ONE tokenize +
+    // explode pass → (lang, term) counts (map-side combined); the
+    // vocabulary is a 200-row TakeOrdered broadcast; the comparison
+    // grid is |slices|×201 rows — constant-size state regardless of
+    // corpus size; rest-counts derive from the slice counts (no
+    // second token scan; the n_docs scan prunes to the lang column).
+    // The one unbounded product (cnt·1e9) runs in DECIMAL(38,0), so a
+    // 100 TB slice (term counts ≫ 2^33) cannot overflow it.
+    "dq6_dist_shift" -> { (s, d) =>
+      distShift(Tables.load(s, d, "documents"))
+    },
+
     "dq5_skew_advisor" -> { (s, d) =>
       val counts = Tables.load(s, d, "events")
         .groupBy("user_id").agg(count(lit(1)).as("cnt"))
@@ -231,6 +253,53 @@ object ProfileQueries {
         .limit(5)
     }
   )
+
+  /** dq6's engine: per-slice token-distribution drift vs the REST of
+    * the corpus over the global top-`vocabSize` vocabulary +
+    * '<other>', as exact-integer total-variation distance on a 1e-9
+    * probability grid (see the dq6 entry above for the full design
+    * rationale). `docs` needs (`lang`, `text`); output one row per
+    * slice: (lang, n_docs, tv_nano, top_term, top_gap_nano), slices
+    * that ARE the whole corpus omitted (no rest to compare). */
+  def distShift(docs: DataFrame, vocabSize: Int = 200): DataFrame = {
+    import graft.functions.HashExprs.tokenize
+    val termCounts = docs
+      .select(col("lang"), explode(tokenize(col("text"))).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cs"))
+      .localCheckpoint(true) // one token pass serves vocab AND grid
+    val vocab = termCounts.groupBy("term").agg(sum("cs").as("cg"))
+      .orderBy(col("cg").desc, col("term").asc).limit(vocabSize)
+      .select(col("term"), lit(true).as("inv"))
+    val sliced = termCounts
+      .join(broadcast(vocab), Seq("term"), "left")
+      .withColumn("vterm",
+        when(col("inv"), col("term")).otherwise(lit("<other>")))
+      .groupBy("lang", "vterm").agg(sum("cs").as("cs"))
+      .localCheckpoint(true) // |slices|×(vocabSize+1) rows
+    val gterm = sliced.groupBy("vterm").agg(sum("cs").as("cg"))
+    val tots = sliced.groupBy("lang").agg(sum("cs").as("ts"))
+    val grid = broadcast(tots.select("lang")).crossJoin(broadcast(gterm))
+      .join(sliced, Seq("lang", "vterm"), "left")
+      .na.fill(0L, Seq("cs"))
+      .join(broadcast(tots), Seq("lang"))
+      .crossJoin(broadcast(sliced.agg(sum("cs").as("tg"))))
+      .filter(col("tg") > col("ts")) // a slice that IS the corpus has no rest
+      .withColumn("ps",
+        expr("CAST((CAST(cs AS DECIMAL(38,0)) * 1000000000) DIV ts AS BIGINT)"))
+      .withColumn("pr",
+        expr("CAST((CAST(cg - cs AS DECIMAL(38,0)) * 1000000000) DIV (tg - ts) AS BIGINT)"))
+      .withColumn("gap", abs(col("ps") - col("pr")))
+    val tv = grid.groupBy("lang").agg(expr("sum(gap) DIV 2").as("tv_nano"))
+    val top = grid.withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("gap").desc, col("vterm").asc)))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("vterm").as("top_term"),
+        col("gap").as("top_gap_nano"))
+    val nd = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    tv.join(top, Seq("lang")).join(nd, Seq("lang"))
+      .select("lang", "n_docs", "tv_nano", "top_term", "top_gap_nano")
+      .orderBy("lang")
+  }
 
   private def colProfileSql(c: String): String =
     s"""SELECT '$c' AS column_name, COUNT(*) AS n,
@@ -363,6 +432,48 @@ object ProfileQueries {
            least(16, greatest(1, cnt // greatest(4 * (total // n_keys), 1)))
              AS salt_factor
          FROM c CROSS JOIN g
-         ORDER BY cnt DESC, user_id LIMIT 5"""
+         ORDER BY cnt DESC, user_id LIMIT 5""",
+    // dq6 — same nano-grid integer arithmetic (HUGEINT stands in for
+    // Spark's DECIMAL(38,0) on the one unbounded product)
+    "dq6_dist_shift" ->
+      """WITH tok AS (
+           SELECT lang,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         vocab AS (
+           SELECT term FROM (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1)
+           ORDER BY c DESC, term LIMIT 200),
+         sc AS (
+           SELECT lang,
+             CASE WHEN term IN (SELECT term FROM vocab) THEN term
+                  ELSE '<other>' END AS vterm,
+             COUNT(*) AS cs
+           FROM tok GROUP BY 1, 2),
+         gterm AS (SELECT vterm, SUM(cs) AS cg FROM sc GROUP BY 1),
+         tots AS (SELECT lang, SUM(cs) AS ts FROM sc GROUP BY 1),
+         gtot AS (SELECT SUM(cs) AS tg FROM sc),
+         grid AS (
+           SELECT l.lang, g.vterm, COALESCE(sc.cs, 0) AS cs, g.cg
+           FROM (SELECT DISTINCT lang FROM sc) l
+           CROSS JOIN gterm g
+           LEFT JOIN sc ON sc.lang = l.lang AND sc.vterm = g.vterm),
+         gaps AS (
+           SELECT lang, vterm,
+             abs(CAST((CAST(cs AS HUGEINT) * 1000000000) // ts AS BIGINT)
+               - CAST((CAST(cg - cs AS HUGEINT) * 1000000000) // (tg - ts) AS BIGINT))
+               AS gap
+           FROM grid JOIN tots USING (lang) CROSS JOIN gtot
+           WHERE tg > ts),
+         tv AS (SELECT lang, CAST(SUM(gap) // 2 AS BIGINT) AS tv_nano
+                FROM gaps GROUP BY 1),
+         top AS (
+           SELECT lang, vterm AS top_term, gap AS top_gap_nano FROM (
+             SELECT lang, vterm, gap,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY gap DESC, vterm ASC) AS rn
+             FROM gaps) WHERE rn = 1),
+         nd AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+         SELECT tv.lang, nd.n_docs, tv.tv_nano, top.top_term, top.top_gap_nano
+         FROM tv JOIN top USING (lang) JOIN nd USING (lang) ORDER BY lang"""
   )
 }

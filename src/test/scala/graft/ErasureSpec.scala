@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupQueries, Erasure, IndexStore}
+import graft.streaming.KeyedParquetStore
+
+/** Right-to-be-forgotten — the contract is the CASCADE: after
+  * [[Erasure.forget]], neither the table nor any persisted derived
+  * artifact (here the shared simhash64 signature sidecar behind
+  * d6/d13) may keep serving the tombstoned rows. */
+class ErasureSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("corpus forget: residue 0; the warm signature sidecar is forced " +
+    "through a FULL rebuild and serves no forgotten id") {
+    val work = Files.createTempDirectory("graft_erasure").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      Paths.get(s"$work/documents.parquet"))
+    val q = DedupQueries.queries("d13_simhash64_lookup")
+    q(spark, work).collect() // builds the sidecar
+    val warmBuilds = IndexStore.buildsPerformed
+    q(spark, work).collect()
+    assert(IndexStore.buildsPerformed == warmBuilds,
+      "sidecar must be warm before the erasure")
+
+    val ids = Seq(0L, 7L, 13L)
+    val rep = Erasure.forget(spark, work, "documents", "doc_id", ids)
+    assert(rep == Erasure.Report("documents", 500L, 497L, 0L), s"got $rep")
+
+    // the rewrite replaced indexed files → next access is a FULL
+    // rebuild (never a delta over mutated data), serving zero
+    // tombstoned rows
+    q(spark, work).collect()
+    assert(IndexStore.buildsPerformed == warmBuilds + 1,
+      "table rewrite must force exactly one full sidecar rebuild")
+    val served = IndexStore.getOrBuildIncremental(
+      spark, work, "simhash64", "documents")(_ =>
+      fail("sidecar must be warm after the post-erasure rebuild"))
+    assert(served.count() == 497L)
+    assert(served.filter(col("doc_id").isin(ids: _*)).count() == 0L,
+      "no derived signature may survive for a forgotten id")
+
+    // a crashed prior attempt's leftovers are swept, not tripped over
+    Files.createDirectories(Paths.get(s"$work/documents.parquet._forget_scratch"))
+    val rep2 = Erasure.forget(spark, work, "documents", "doc_id", Seq(21L))
+    assert(rep2 == Erasure.Report("documents", 497L, 496L, 0L), s"got $rep2")
+  }
+
+  test("store forget: delete tombstones ride the product merge path, " +
+    "idempotently, and advance the applied watermark") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_erasure_store").toString
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 4)
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    store.snapshot(spark, "t",
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"), "id")
+    Erasure.forgetFromStore(spark, store, "t", "id", rowSchema, Seq(5L, 6L))
+    val rows = store.read(spark, "t")
+    assert(rows.count() == 98L &&
+      rows.filter(col("id").isin(5L, 6L)).count() == 0L)
+    val wm1 = store.appliedLsn(spark)
+    assert(wm1.contains(2L), s"two tombstones from lsn 1: got $wm1")
+    // idempotent: the same erasure again is absorbed, watermark moves on
+    Erasure.forgetFromStore(spark, store, "t", "id", rowSchema, Seq(5L, 6L))
+    assert(store.read(spark, "t").count() == 98L)
+    assert(store.appliedLsn(spark).exists(_ > 2L))
+  }
+}
