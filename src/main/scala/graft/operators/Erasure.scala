@@ -80,6 +80,74 @@ object Erasure {
       after.join(tomb, Seq(keyCol), "left_semi").count())
   }
 
+  /** Redact a key's CHANGE HISTORY from the retained feed — the last
+    * place a forgotten row survives: [[forgetFromStore]] removes the
+    * current image, but every retained feed file still carries the
+    * key's past after-images until retention prunes it, and a replay /
+    * [[graft.streaming.CdcPipeline.asOf]] read would resurrect them.
+    * For hard erasure deadlines shorter than the retention window,
+    * this rewrites exactly the feed files containing the tombstoned
+    * events, UNDER THEIR ORIGINAL LEAF NAMES (atomic old-aside swap
+    * per file): existing checkpoints' source logs stay valid — a
+    * committed file is never re-read, so the rewritten content is
+    * only seen by NEW readers, which is the point.
+    *
+    * Call with mirrors tailing this feed STOPPED (a live tail could
+    * race a swap mid-listing). Shape: the discovery scan (which files
+    * hold the keys) is one distributed pass; the rewrite loops over
+    * AFFECTED files only — bounded by the tombstone set's locality,
+    * not the feed size, and each feed file is micro-batch-sized by
+    * construction. A file whose every event is tombstoned is rewritten
+    * empty, not deleted (deleting would confuse nothing — but keeping
+    * it preserves the file set that consumer registries and source
+    * logs already reference).
+    *
+    * Returns (filesRewritten, eventsRemoved). */
+  def forgetFromFeed(spark: SparkSession, feedDir: String, table: String,
+      keys: Seq[Long]): (Long, Long) = {
+    require(keys.nonEmpty, "empty tombstone set")
+    import graft.streaming.ChangeFeed
+    val conf = spark.sparkContext.hadoopConfiguration
+    def isTomb = col("table") === lit(table) && col("key").isin(keys: _*)
+    val affected = ChangeFeed.readAll(spark, feedDir)
+      .filter(isTomb)
+      .select(expr("_metadata.file_path").as("path")).distinct()
+      .collect().map(_.getString(0)).sorted
+    var removed = 0L
+    affected.foreach { p =>
+      // _metadata.file_path may carry URI-encoded forms — hand the raw
+      // string to Hadoop's lenient Path parser (the prune discipline)
+      val orig = new org.apache.hadoop.fs.Path(p)
+      val fs = orig.getFileSystem(conf)
+      val scratchDir = new org.apache.hadoop.fs.Path(
+        orig.getParent, s"_redact_scratch_${orig.getName}")
+      val oldAside = new org.apache.hadoop.fs.Path(
+        orig.getParent, s"_redact_old_${orig.getName}")
+      fs.delete(scratchDir, true)
+      fs.delete(oldAside, false)
+      val file = spark.read.schema(ChangeFeed.schema).json(p)
+      removed += file.filter(isTomb).count()
+      file.filter(!isTomb)
+        .select(ChangeFeed.schema.fieldNames.map(col).toSeq: _*)
+        .coalesce(1).write.json(scratchDir.toString)
+      val part = fs.listStatus(scratchDir)
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .headOption.getOrElse(throw new java.io.IOException(
+          s"redaction write produced no part file in $scratchDir"))
+      if (!fs.rename(orig, oldAside))
+        throw new java.io.IOException(
+          s"feed redaction swap failed: $orig -> $oldAside returned false")
+      if (!fs.rename(part, orig)) {
+        fs.rename(oldAside, orig) // restore; best effort
+        throw new java.io.IOException(
+          s"feed redaction swap failed: $part -> $orig returned false")
+      }
+      fs.delete(oldAside, false)
+      fs.delete(scratchDir, true)
+    }
+    (affected.length.toLong, removed)
+  }
+
   /** Erase keys from a [[graft.streaming.KeyedParquetStore]] table by
     * applying delete tombstones THROUGH the replication merge — one
     * synthetic change batch at LSNs above the applied watermark, so

@@ -296,7 +296,10 @@ object ProfileQueries {
       .select(col("lang"), col("vterm").as("top_term"),
         col("gap").as("top_gap_nano"))
     val nd = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    tv.join(top, Seq("lang")).join(nd, Seq("lang"))
+    // report join of three |slices|-row frames: size stats don't
+    // survive the window chain, so Spark would sort-merge — broadcast
+    // the tiny sides explicitly
+    tv.join(broadcast(top), Seq("lang")).join(broadcast(nd), Seq("lang"))
       .select("lang", "n_docs", "tv_nano", "top_term", "top_gap_nano")
       .orderBy("lang")
   }

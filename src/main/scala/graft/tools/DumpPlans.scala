@@ -94,7 +94,9 @@ object DumpPlans {
     "s18_filtered_ann" -> "filtered vector search: label predicate PUSHED to the candidate scan (pre-filter), engine-sized cell count + probe widening, broadcast cell equi-join",
     "s19_ivf_lloyd" -> "learned-IVF index card: 2-round Lloyd centroids, two-level routed assignment (coarse cross join is sqrt(k)-row broadcast; fine stage an equi-join on the coarse key)",
     "s20_hybrid_rrf" -> "hybrid retrieval: BM25 + cosine arms each TakeOrdered top-50, RRF fusion joins two 50-row lists (no global sort, no sort-merge)",
-    "c9_dsir_weights" -> "DSIR importance weights: one-pass 4096-bucket dual histogram, broadcast model join, map-combined per-doc log-ratio sum")
+    "c9_dsir_weights" -> "DSIR importance weights: one-pass 4096-bucket dual histogram, broadcast model join, map-combined per-doc log-ratio sum",
+    "s21_coreset" -> "greedy k-center coreset: k linear passes with literal-center compiled dots + TakeOrdered(1) reductions; assignment one LEAST-struct argmin pass, k-group hash agg",
+    "dq6_dist_shift" -> "distribution-shift TV report: one tokenize+explode pass to (lang,term) counts, 200-row vocab broadcast, constant |slices|x201 comparison grid")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -212,7 +212,11 @@ object ScaleProbe {
       "s19_ivf_lloyd",
       // r14: hybrid retrieval (BM25 arm + cosine arm, RRF fusion —
       // each arm a TakeOrdered top-50, fusion touches 2x50 rows)
-      "s20_hybrid_rrf")
+      "s20_hybrid_rrf",
+      // r14: coreset selection (k linear passes over N, literal-center
+      // expressions) and the distribution-shift TV report (constant
+      // |slices|x201 comparison grid regardless of corpus size)
+      "s21_coreset", "dq6_dist_shift")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

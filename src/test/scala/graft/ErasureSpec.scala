@@ -51,6 +51,64 @@ class ErasureSpec extends AnyFunSuite {
     assert(rep2 == Erasure.Report("documents", 497L, 496L, 0L), s"got $rep2")
   }
 
+  test("feed forget: change history redacted in place under the original " +
+    "leaf names; fresh replay and asOf no longer resurrect the keys; " +
+    "unaffected files byte-identical") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_erasure_feed").toString
+    val feed = s"$work/feed"
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def publish(ids: Range): Unit =
+      graft.streaming.ChangeFeed.publish(
+        ids.map { i =>
+          (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+            "I", "t", i.toLong, s"""{"id":$i,"v":"v$i"}""")
+        }.toDF("lsn", "commitTs", "op", "table", "key", "after")
+          .coalesce(1), feed)
+    publish(0 until 10); publish(10 until 20); publish(20 until 30)
+    val feedFiles = new java.io.File(feed).listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    assert(feedFiles.length == 3)
+    // keys 5 and 15 live in files 1 and 2; file 3 must stay untouched
+    val untouched = feedFiles.find { f =>
+      !new String(Files.readAllBytes(f.toPath), "UTF-8").contains("\"key\":5") &&
+        !new String(Files.readAllBytes(f.toPath), "UTF-8").contains("\"key\":15")
+    }.get
+    val untouchedBytes = Files.readAllBytes(untouched.toPath)
+
+    val (files, removed) = graft.operators.Erasure
+      .forgetFromFeed(spark, feed, "t", Seq(5L, 15L))
+    assert((files, removed) == ((2L, 2L)), s"got ($files, $removed)")
+    // same leaf names, nothing new in the directory
+    val after = new java.io.File(feed).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).sorted
+    assert(after.toSeq == feedFiles.map(_.getName).toSeq.sorted)
+    assert(java.util.Arrays.equals(
+      untouchedBytes, Files.readAllBytes(untouched.toPath)),
+      "files without tombstoned events must be byte-identical")
+
+    // a FRESH full replay can no longer resurrect the keys
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 4)
+    val q = graft.streaming.CdcPipeline.start(
+      graft.streaming.ChangeFeed.stream(spark, feed),
+      store, Map("t" -> rowSchema), Map("t" -> "id"),
+      mirrorName = "redact_mirror", checkpointDir = s"$work/ckpt")
+    q.processAllAvailable(); q.stop()
+    val rows = store.read(spark, "t")
+    assert(rows.count() == 28L &&
+      rows.filter(col("id").isin(5L, 15L)).count() == 0L)
+    // and neither can a point-in-time read over the retained feed
+    val cut = graft.streaming.CdcPipeline.asOf(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        rowSchema),
+      graft.streaming.ChangeFeed.readAll(spark, feed),
+      rowSchema, "id", lsn = 29L)
+    assert(cut.count() == 28L &&
+      cut.filter(col("id").isin(5L, 15L)).count() == 0L)
+  }
+
   test("store forget: delete tombstones ride the product merge path, " +
     "idempotently, and advance the applied watermark") {
     import spark.implicits._

@@ -376,4 +376,32 @@ class PlanQualitySpec extends AnyFunSuite {
     // map-side combine on both the bucket histogram and the doc sum
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
+
+  test("s21 coreset: centers ride the plan as literals — the assignment " +
+    "pass has NO join at all; the 5x5 report join never sort-merges") {
+    val df = SparkEntry.queries("s21_coreset")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    // exactly one join in the whole output plan: the k-row report join
+    // (counts side reaches it join-free — broadcast centers would show
+    // a second join here)
+    assert("Join".r.findAllIn(plan).length <= 2, plan) // one join, ≤2 mentions
+    assert(plan.contains("dot_long"), "compiled dot must be in the plan: " + plan)
+  }
+
+  test("dq6 distribution shift: vocab and grid joins broadcast; nothing " +
+    "sort-merges; TV and top-gap aggregate over the constant-size grid") {
+    val df = SparkEntry.queries("dq6_dist_shift")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only nested-loop joins allowed are the intentional 1-row
+    // scalar broadcasts (corpus total)
+    assert(plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("Cross")), plan)
+  }
 }
