@@ -201,6 +201,64 @@ object SimilarityQueries {
       cent.join(counts, Seq("step")).orderBy("step")
     },
 
+    // ── s22: MMR RERANKING — maximal marginal relevance (Carbonell &
+    // Goldstein 1998): from a relevance pool, greedily pick k results
+    // maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the standard
+    // diversity rerank between retrieval and the user (RAG context
+    // assembly: k near-identical top hits waste the context window).
+    // λ = 0.7, pool = top-20 by cosine vs anchor vec 0, k = 5.
+    // Determinism: every cosine is ONE IEEE division of an exact
+    // integer dot by a product of exact-int-derived norms — correctly
+    // rounded, order-free, bit-identical across engines — then FLOORED
+    // to ppm, so the greedy argmax, the 7·rel − 3·maxsim scoring
+    // (λ ×10, pure integers) and all tie-breaks replay exactly in the
+    // SQL unroll. Scale: the POOL is the only corpus-sized work (one
+    // TakeOrdered top-20 — linear, and in production the arm is the
+    // already-indexed s20/s18 machinery); the rerank touches
+    // ≤ k·|pool| rows at ANY corpus size, selected vectors riding the
+    // plan as literals (the s21 discipline — no join, no broadcast
+    // table).
+    "s22_mmr_rerank" -> { (s, d) =>
+      val k = 5
+      val poolN = 20
+      val v = vecs(s, d)
+      val anchor = v.filter(col("vec_id") === 0)
+        .select(col("qv").as("va"), col("norm").as("qn"))
+      val pool = v.filter(col("vec_id") > 0)
+        .select(col("vec_id").as("id"), col("qv"), col("norm"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("rel_ppm",
+          floor(dot_long(col("qv"), col("va")) / (col("qn") * col("norm"))
+            * lit(1000000.0)))
+        .select(col("id"), col("rel_ppm"), col("qv"), col("norm"))
+        .orderBy(col("rel_ppm").desc, col("id").asc).limit(poolN)
+        .localCheckpoint(true) // ≤20 rows from here on
+      def simTo(cVec: IndexedSeq[Long], cNorm: Double): Column =
+        floor(dot_long(col("qv"), typedLit(cVec)) /
+          (col("norm") * lit(cNorm)) * lit(1000000.0))
+      val first = pool.orderBy(col("rel_ppm").desc, col("id").asc).limit(1)
+        .select(col("id"), col("rel_ppm"), col("qv"), col("norm")).head()
+      // (step, id, rel_ppm, score10_ppm, qv, norm); step 1 has no
+      // diversity penalty: score = 7·rel
+      var sel = Vector((1, first.getLong(0), first.getLong(1),
+        7L * first.getLong(1), first.getSeq[Long](2).toIndexedSeq,
+        first.getDouble(3)))
+      for (step <- 2 to k) {
+        val maxSim = sel.map(c => simTo(c._5, c._6))
+          .reduceLeft((a, b) => greatest(a, b))
+        val nxt = pool.filter(!col("id").isin(sel.map(_._2): _*))
+          .select(col("id"), col("rel_ppm"),
+            (lit(7L) * col("rel_ppm") - lit(3L) * maxSim).as("score"),
+            col("qv"), col("norm"))
+          .orderBy(col("score").desc, col("id").asc).limit(1).head()
+        sel = sel :+ ((step, nxt.getLong(0), nxt.getLong(1), nxt.getLong(2),
+          nxt.getSeq[Long](3).toIndexedSeq, nxt.getDouble(4)))
+      }
+      import s.implicits._
+      sel.map(c => (c._1, c._2, c._3, c._4))
+        .toDF("step", "id", "rel_ppm", "score10_ppm").orderBy("step")
+    },
+
     // LSH-bucketed ANN: 6 deterministic pseudo-random hyperplanes →
     // 64-bucket space; candidates share a bucket; rerank inside.
     // Hyperplane j component at dim d: ((j*64+d)*2654435761) % 97 - 48
@@ -1143,6 +1201,54 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** s22's oracle: MMR greedy UNROLLED to k=5 — `pool` is the top-20
+    * relevance cut, `ps` the pool-internal pairwise sims (both floored
+    * to ppm off bit-identical IEEE divisions of exact integers), `m_i`
+    * the running max-sim after i selections, `s_{i+1}` the argmax of
+    * 7·rel − 3·maxsim with the engine's (score DESC, id ASC)
+    * tie-break. A selected id drops out of `m_i` automatically: `ps`
+    * has no self-pairs, so the inner join on ib = s_i.id excludes it. */
+  private val mmrSql: String = {
+    val k = 5
+    val sb = new StringBuilder
+    sb ++= s"""WITH $compsSql,
+      da AS (
+        SELECT vc.vec_id AS id, SUM(qc.q * vc.q) AS dot
+        FROM c qc JOIN c vc ON qc.idx = vc.idx
+        WHERE qc.vec_id = 0 AND vc.vec_id > 0 GROUP BY 1),
+      rel AS (
+        SELECT id,
+          CAST(FLOOR(dot / (qn.norm * vn.norm) * 1000000) AS BIGINT) AS rel_ppm
+        FROM da JOIN n qn ON qn.vec_id = 0 JOIN n vn ON vn.vec_id = id),
+      pool AS (SELECT id, rel_ppm FROM rel ORDER BY rel_ppm DESC, id LIMIT 20),
+      ps AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+          CAST(FLOOR(SUM(a.q * b.q) / (na.norm * nb.norm) * 1000000) AS BIGINT) AS sim_ppm
+        FROM c a JOIN c b ON a.idx = b.idx AND a.vec_id <> b.vec_id
+        JOIN pool pa ON a.vec_id = pa.id JOIN pool pb ON b.vec_id = pb.id
+        JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+        GROUP BY a.vec_id, b.vec_id, na.norm, nb.norm),
+      s1 AS (SELECT id, rel_ppm FROM pool ORDER BY rel_ppm DESC, id LIMIT 1),
+      m1 AS (
+        SELECT p.id, p.rel_ppm, ps.sim_ppm AS ms
+        FROM pool p JOIN ps ON ps.ia = p.id JOIN s1 ON ps.ib = s1.id)"""
+    for (i <- 2 to k) {
+      sb ++= s""",
+      s$i AS (SELECT id, rel_ppm, 7 * rel_ppm - 3 * ms AS score
+        FROM m${i - 1} ORDER BY score DESC, id LIMIT 1)"""
+      if (i < k) sb ++= s""",
+      m$i AS (
+        SELECT m.id, m.rel_ppm, GREATEST(m.ms, ps.sim_ppm) AS ms
+        FROM m${i - 1} m JOIN ps ON ps.ia = m.id JOIN s$i ON ps.ib = s$i.id)"""
+    }
+    sb ++= s"""
+      SELECT 1 AS step, id, rel_ppm, 7 * rel_ppm AS score10_ppm FROM s1"""
+    (2 to k).foreach(i => sb ++= s"""
+      UNION ALL SELECT $i, id, rel_ppm, score FROM s$i""")
+    sb ++= " ORDER BY step"
+    sb.toString
+  }
+
   /** Shared CTE chain for the LSH-bucket oracles (s2, s8, s9):
     * hyperplane weights → projections → sign-pattern bucket. */
   private val lshBucketsSql =
@@ -1241,6 +1347,7 @@ object SimilarityQueries {
           FROM lex FULL OUTER JOIN sem USING (id)
           ORDER BY rrf1e9 DESC, id LIMIT 20""",
     "s21_coreset" -> coresetSql,
+    "s22_mmr_rerank" -> mmrSql,
     "s3_cosine_neardup" ->
       s"""WITH $compsSql,
           dots AS (

@@ -216,7 +216,10 @@ object ScaleProbe {
       // r14: coreset selection (k linear passes over N, literal-center
       // expressions) and the distribution-shift TV report (constant
       // |slices|x201 comparison grid regardless of corpus size)
-      "s21_coreset", "dq6_dist_shift")
+      "s21_coreset", "dq6_dist_shift",
+      // r14: MMR rerank (pool = one TakeOrdered top-20; the rerank
+      // itself touches <= k*pool rows at any corpus size)
+      "s22_mmr_rerank")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
