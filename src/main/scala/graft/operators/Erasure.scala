@@ -53,11 +53,17 @@ object Erasure {
     val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val scratch = new org.apache.hadoop.fs.Path(src + "._forget_scratch")
     val old = new org.apache.hadoop.fs.Path(src + "._forget_old")
-    // sweep a prior crashed attempt: scratch is always droppable (the
-    // swap had not happened); an orphaned _old means a completed swap
-    // whose cleanup was interrupted
+    // crash recovery BEFORE any sweep: an attempt that died between
+    // the two swap renames leaves src ABSENT and the data in _old —
+    // restore it first (deleting _old in that state would destroy the
+    // only copy). Scratch is always droppable (pre-swap); _old is
+    // droppable only while src exists (completed swap, interrupted
+    // cleanup).
+    if (!fs.exists(srcPath) && fs.exists(old) && !fs.rename(old, srcPath))
+      throw new java.io.IOException(
+        s"erasure crash recovery failed: rename $old -> $srcPath returned false")
     fs.delete(scratch, true)
-    fs.delete(old, true)
+    if (fs.exists(srcPath)) fs.delete(old, true)
     import spark.implicits._
     def tomb = broadcast(ids.toDF(keyCol))
     val rowsBefore = spark.read.parquet(src).count()
@@ -108,6 +114,28 @@ object Erasure {
     require(keys.nonEmpty, "empty tombstone set")
     import graft.streaming.ChangeFeed
     val conf = spark.sparkContext.hadoopConfiguration
+    // crash recovery BEFORE discovery: an attempt that died mid-swap
+    // left the original ABSENT and the data in its _redact_old_ twin —
+    // such a file would not even appear in the discovery scan, so the
+    // orphan sweep must run first (restore when the original is
+    // missing, drop when the swap completed and only cleanup died)
+    val feedPath = new org.apache.hadoop.fs.Path(feedDir)
+    val feedFs = feedPath.getFileSystem(conf)
+    if (feedFs.exists(feedPath)) feedFs.listStatus(feedPath).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("_redact_old_")) {
+        val orig = new org.apache.hadoop.fs.Path(
+          st.getPath.getParent, nm.stripPrefix("_redact_old_"))
+        if (!feedFs.exists(orig)) {
+          if (!feedFs.rename(st.getPath, orig))
+            throw new java.io.IOException(
+              s"redaction crash recovery failed: ${st.getPath} -> $orig " +
+                "returned false")
+        } else feedFs.delete(st.getPath, false)
+      } else if (nm.startsWith("_redact_scratch_")) {
+        feedFs.delete(st.getPath, true)
+      }
+    }
     def isTomb = col("table") === lit(table) && col("key").isin(keys: _*)
     val affected = ChangeFeed.readAll(spark, feedDir)
       .filter(isTomb)
@@ -123,8 +151,14 @@ object Erasure {
         orig.getParent, s"_redact_scratch_${orig.getName}")
       val oldAside = new org.apache.hadoop.fs.Path(
         orig.getParent, s"_redact_old_${orig.getName}")
+      // same crash-recovery discipline as forget(): restore a
+      // mid-swap orphan before sweeping leftovers
+      if (!fs.exists(orig) && fs.exists(oldAside) &&
+          !fs.rename(oldAside, orig))
+        throw new java.io.IOException(
+          s"redaction crash recovery failed: $oldAside -> $orig returned false")
       fs.delete(scratchDir, true)
-      fs.delete(oldAside, false)
+      if (fs.exists(orig)) fs.delete(oldAside, false)
       val file = spark.read.schema(ChangeFeed.schema).json(p)
       removed += file.filter(isTomb).count()
       file.filter(!isTomb)

@@ -49,6 +49,13 @@ class ErasureSpec extends AnyFunSuite {
     Files.createDirectories(Paths.get(s"$work/documents.parquet._forget_scratch"))
     val rep2 = Erasure.forget(spark, work, "documents", "doc_id", Seq(21L))
     assert(rep2 == Erasure.Report("documents", 497L, 496L, 0L), s"got $rep2")
+
+    // the WORST crash point — between the two swap renames, src absent
+    // and _old holding the only copy — must RESTORE, never sweep
+    Files.move(Paths.get(s"$work/documents.parquet"),
+      Paths.get(s"$work/documents.parquet._forget_old"))
+    val rep3 = Erasure.forget(spark, work, "documents", "doc_id", Seq(22L))
+    assert(rep3 == Erasure.Report("documents", 496L, 495L, 0L), s"got $rep3")
   }
 
   test("feed forget: change history redacted in place under the original " +
@@ -107,6 +114,19 @@ class ErasureSpec extends AnyFunSuite {
       rowSchema, "id", lsn = 29L)
     assert(cut.count() == 28L &&
       cut.filter(col("id").isin(5L, 15L)).count() == 0L)
+
+    // worst crash point: a feed file parked in its _redact_old_ twin
+    // (original ABSENT — invisible to discovery) must be restored by
+    // the up-front orphan sweep, then redacted like any other
+    val victim = new java.io.File(feed).listFiles()
+      .filter(_.getName.endsWith(".json")).minBy(_.getName)
+    Files.move(victim.toPath,
+      victim.toPath.resolveSibling(s"_redact_old_${victim.getName}"))
+    val (files2, removed2) = graft.operators.Erasure
+      .forgetFromFeed(spark, feed, "t", Seq(7L))
+    assert((files2, removed2) == ((1L, 1L)), s"got ($files2, $removed2)")
+    assert(graft.streaming.ChangeFeed.readAll(spark, feed).count() == 27L,
+      "restored file's surviving events must be back on the feed")
   }
 
   test("store forget: delete tombstones ride the product merge path, " +
