@@ -222,7 +222,8 @@ object Monitor {
   def report(
       spark: SparkSession,
       store: KeyedParquetStore,
-      sources: Map[String, DataFrame]): Map[String, DataFrame] = {
+      sources: Map[String, DataFrame],
+      feedDir: Option[String] = None): Map[String, DataFrame] = {
     val lag = lagReport(spark, store, sources)
     // storage walked ONCE; the database-size rollup aggregates it
     val storage = storageReport(spark, store, sources.keys.toSeq)
@@ -233,6 +234,8 @@ object Monitor {
       "lag" -> lag,
       "sync_summary" -> syncSummary(lag),
       "streams" -> streamHealth(spark),
-      "replication_infra" -> replicationInfra(spark, store))
+      // feedDir opts the bundle into the consumer-registry rows
+      // (feed_consumers + consumer_lag)
+      "replication_infra" -> replicationInfra(spark, store, feedDir))
   }
 }

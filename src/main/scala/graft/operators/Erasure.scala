@@ -86,6 +86,57 @@ object Erasure {
       after.join(tomb, Seq(keyCol), "left_semi").count())
   }
 
+  /** One edge of an erasure cascade: child rows of `childTable` are
+    * tombstoned when their `fkCol` matches a tombstoned value of the
+    * parent's `parentKeyCol`. `childKeyCol` is the CHILD's own primary
+    * key — the column the next cascade level (and [[forget]]) keys on. */
+  final case class CascadeEdge(childTable: String, fkCol: String,
+      childKeyCol: String)
+
+  /** FK-CASCADE erasure — the relational half of right-to-be-forgotten:
+    * deleting a subject's row is not enough when child tables still
+    * reference it (a customer's orders, those orders' line items).
+    * Walks the edges in order, DERIVING each level's tombstone set
+    * from the previous level via a distributed semi-join (the
+    * tombstone frontier is collected per level — erasure subjects are
+    * human-scale sets, and each collected column is just the keys),
+    * then runs [[forget]] bottom-up: children first, parent last, so a
+    * crash mid-cascade can only ever leave ORPHAN-FREE state + an
+    * un-erased parent (re-run completes it) — never a dangling child
+    * pointing at an erased parent.
+    *
+    * Returns the per-table reports in erasure (bottom-up) order. */
+  def forgetCascade(spark: SparkSession, dataDir: String,
+      parentTable: String, parentKeyCol: String, ids: Seq[Long],
+      edges: Seq[(String, CascadeEdge)]): Seq[Report] = {
+    require(ids.nonEmpty, "empty tombstone set")
+    // level-by-level tombstone derivation: table → its tombstoned keys
+    val tombs = scala.collection.mutable.LinkedHashMap(
+      parentTable -> ids)
+    edges.foreach { case (fromTable, e) =>
+      val parentKeys = tombs.getOrElse(fromTable, throw new IllegalArgumentException(
+        s"cascade edge from '$fromTable' before any tombstones derived for it"))
+      import spark.implicits._
+      val childIds =
+        if (parentKeys.isEmpty) Seq.empty[Long]
+        else spark.read.parquet(s"$dataDir/${e.childTable}.parquet")
+          .join(broadcast(parentKeys.toDF(e.fkCol)), Seq(e.fkCol), "left_semi")
+          .select(col(e.childKeyCol)).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+      tombs(e.childTable) = tombs.getOrElse(e.childTable, Seq.empty) ++ childIds
+    }
+    // erase bottom-up: deepest children first, parent last
+    val order = tombs.toSeq.reverse
+    order.flatMap { case (table, keys) =>
+      val keyCol = if (table == parentTable) parentKeyCol
+        else edges.collectFirst {
+          case (_, e) if e.childTable == table => e.childKeyCol
+        }.get
+      if (keys.isEmpty) None
+      else Some(forget(spark, dataDir, table, keyCol, keys.distinct))
+    }
+  }
+
   /** Redact a key's CHANGE HISTORY from the retained feed — the last
     * place a forgotten row survives: [[forgetFromStore]] removes the
     * current image, but every retained feed file still carries the

@@ -58,6 +58,47 @@ class ErasureSpec extends AnyFunSuite {
     assert(rep3 == Erasure.Report("documents", 496L, 495L, 0L), s"got $rep3")
   }
 
+  test("cascade forget: child tombstones derived by semi-join, erased " +
+    "bottom-up (lineitem, orders, customer), zero FK orphans, residue 0") {
+    val work = Files.createTempDirectory("graft_erasure_cascade").toString
+    Seq("customer", "orders", "lineitem").foreach(t =>
+      Files.copy(Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        Paths.get(s"$work/$t.parquet")))
+    val orders = spark.read.parquet(s"$work/orders.parquet")
+    val li = spark.read.parquet(s"$work/lineitem.parquet")
+    // two subjects that actually HAVE orders (the cascade must walk)
+    val subjects = orders.select("o_custkey").distinct()
+      .orderBy("o_custkey").limit(2).collect().map(_.getLong(0)).toSeq
+    val doomedOrders = orders.filter(col("o_custkey").isin(subjects: _*))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val nOrders = doomedOrders.size.toLong
+    val nLi = li.filter(col("l_orderkey").isin(doomedOrders.toSeq: _*)).count()
+    assert(nOrders > 0 && nLi > 0, "subjects must have cascade depth")
+
+    val reps = graft.operators.Erasure.forgetCascade(spark, work,
+      "customer", "c_custkey", subjects,
+      edges = Seq(
+        "customer" -> graft.operators.Erasure.CascadeEdge(
+          "orders", "o_custkey", "o_orderkey"),
+        "orders" -> graft.operators.Erasure.CascadeEdge(
+          "lineitem", "l_orderkey", "l_orderkey")))
+    assert(reps.map(_.table) == Seq("lineitem", "orders", "customer"),
+      s"bottom-up order: got ${reps.map(_.table)}")
+    assert(reps.forall(_.residue == 0L), s"got $reps")
+    val byTable = reps.map(r => r.table -> (r.rowsBefore - r.rowsAfter)).toMap
+    assert(byTable("customer") == 2L && byTable("orders") == nOrders &&
+      byTable("lineitem") == nLi, s"got $byTable (want 2/$nOrders/$nLi)")
+
+    // referential integrity after the cascade: nothing dangles
+    val c2 = spark.read.parquet(s"$work/customer.parquet")
+    val o2 = spark.read.parquet(s"$work/orders.parquet")
+    val l2 = spark.read.parquet(s"$work/lineitem.parquet")
+    assert(o2.join(c2, o2("o_custkey") === c2("c_custkey"), "left_anti")
+      .count() == 0L, "no order may reference an erased customer")
+    assert(l2.join(o2, l2("l_orderkey") === o2("o_orderkey"), "left_anti")
+      .count() == 0L, "no line item may reference an erased order")
+  }
+
   test("feed forget: change history redacted in place under the original " +
     "leaf names; fresh replay and asOf no longer resurrect the keys; " +
     "unaffected files byte-identical") {
