@@ -149,6 +149,45 @@ object IndexStore {
     dest.toString
   }
 
+  /** HARD-DELETE every index version except the one currently served,
+    * across all of `dataDir`'s sidecars. The version-commit protocol
+    * deliberately RETAINS the previously-served version so in-flight
+    * readers survive a rebuild — but after an erasure
+    * ([[graft.operators.Erasure.forget]]) that retained version still
+    * holds the forgotten rows' derived signatures ON DISK, which a
+    * right-to-be-forgotten obligation covers too. Call this after the
+    * post-erasure rebuilds have committed (i.e. after each index has
+    * been served once over the rewritten corpus); the reader-isolation
+    * trade is knowingly given up for the erased interval — the
+    * operator is choosing erasure over reader grace, exactly like
+    * VACUUM FULL after a bulk DELETE. Returns the number of version
+    * directories destroyed. */
+  def pruneUnservedVersions(spark: SparkSession, dataDir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(rootFor(dataDir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    var dropped = 0
+    fs.listStatus(root).filter(_.isDirectory).foreach { idx =>
+      // strip the listing's file: scheme — the pointer lookup is
+      // java.nio on the plain path (the sidecar root is local-tmp by
+      // design, see rootFor)
+      val dir = idx.getPath.toUri.getPath
+      val served = currentVersion(dir)
+      // no readable pointer = nothing provably served; leave the index
+      // alone rather than reason about state this code cannot see
+      if (served.isDefined) {
+        fs.listStatus(idx.getPath).filter(_.isDirectory).foreach { v =>
+          val n = v.getPath.getName
+          val keep = served.exists(s => n == s"v$s")
+          if (n.startsWith("v") && !keep) {
+            fs.delete(v.getPath, true); dropped += 1
+          }
+        }
+      }
+    }
+    dropped
+  }
+
   private def pointerFile(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(s"$dir.current")
 

@@ -517,7 +517,12 @@ object CdcPipeline {
     * Marker first, registration second: a crash between the two
     * leaves both present, and every reader treats the marker as
     * authoritative, so a half-invalidated consumer can neither gate
-    * pruning nor silently resume. Returns the invalidated rows. */
+    * pruning nor silently resume. Aimed at DEAD mirrors; a live
+    * over-budget mirror keeps running until its next read hits a
+    * pruned file, fails, and is then forced through the same rebuild
+    * path by its restart — the analogue of Postgres killing the
+    * walsender when its slot is invalidated. Returns the invalidated
+    * rows. */
   def invalidateConsumersOverBudget(spark: SparkSession, feedDir: String,
       maxHeldBytes: Long): Seq[ConsumerLag] = {
     require(maxHeldBytes >= 0L, s"negative byte budget: $maxHeldBytes")

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CorpusDrift
+
+/** Streaming token-distribution drift monitor — the content-shaped
+  * complement to the scalar CUSUM monitor. Calibration is part of the
+  * test: the threshold sits between the corpus's self-TV (floor noise
+  * only) and a planted out-of-vocabulary batch's TV, both measured
+  * through the SAME shared scoring kernel the monitor runs. */
+class CorpusDriftSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("in-distribution batch stays quiet, planted drift batch alerts; " +
+    "self-TV is floor-noise only; scoring is stateless per batch") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_corpus_drift").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    CorpusDrift.trainBaseline(docs).write.parquet(s"$work/baseline")
+    val baseline = spark.read.parquet(s"$work/baseline")
+    assert(baseline.count() >= 2L, "vocab rows + (possibly) <other>")
+
+    // calibration through the shared kernel
+    val selfTv = CorpusDrift.score(docs, baseline)
+      .head().getAs[Long]("tv_nano")
+    assert(selfTv < 2000000L,
+      s"corpus vs own baseline must be floor noise only: $selfTv")
+    val drifted = (1 to 50)
+      .map(i => (9000L + i, s"zzzdrift$i zzzdrift zzzdrift qqq$i"))
+      .toDF("doc_id", "text")
+    val driftTv = CorpusDrift.score(drifted, baseline)
+      .head().getAs[Long]("tv_nano")
+    assert(driftTv > 10L * (selfTv + 1),
+      s"planted OOV batch must dominate self-noise: $driftTv vs $selfTv")
+    val threshold = (selfTv + driftTv) / 2
+
+    // streaming: batch 0 in-distribution, batch 1 planted drift
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = CorpusDrift.start(
+      stream.toDF().toDF("doc_id", "text"),
+      s"$work/baseline", s"$work/alerts", s"$work/ckpt", threshold)
+    stream.addData(docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(drifted.as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val alerts = spark.read.parquet(s"$work/alerts")
+      .orderBy("batch_id").collect()
+    assert(alerts.length == 2, s"got ${alerts.length}")
+    assert(!alerts(0).getAs[Boolean]("drifted") &&
+      alerts(0).getAs[Long]("tv_nano") == selfTv,
+      s"batch 0 must score exactly the kernel's self-TV: ${alerts(0)}")
+    assert(alerts(1).getAs[Boolean]("drifted") &&
+      alerts(1).getAs[Long]("tv_nano") == driftTv,
+      s"batch 1 must score exactly the kernel's drift-TV: ${alerts(1)}")
+    assert(alerts(1).getAs[Long]("n_docs") == 50L)
+  }
+}

@@ -56,6 +56,25 @@ class ErasureSpec extends AnyFunSuite {
       Paths.get(s"$work/documents.parquet._forget_old"))
     val rep3 = Erasure.forget(spark, work, "documents", "doc_id", Seq(22L))
     assert(rep3 == Erasure.Report("documents", 496L, 495L, 0L), s"got $rep3")
+
+    // the RETAINED previous index version still holds the forgotten
+    // rows' signatures on disk (reader-isolation keeps new+previous) —
+    // after the post-erasure rebuild, the purge destroys the residue
+    // and the served index keeps working
+    q(spark, work).collect() // rebuild over the 495-row corpus
+    val idxDir = new java.io.File(s"${IndexStore.rootFor(work)}/simhash64")
+    assert(idxDir.listFiles().count(f =>
+      f.isDirectory && f.getName.startsWith("v")) >= 2,
+      "precondition: a previous version must be retained")
+    val dropped = IndexStore.pruneUnservedVersions(spark, work)
+    assert(dropped >= 1, s"got $dropped")
+    assert(idxDir.listFiles().count(f =>
+      f.isDirectory && f.getName.startsWith("v")) == 1,
+      "only the served version may survive the purge")
+    val postPurge = IndexStore.getOrBuildIncremental(
+      spark, work, "simhash64", "documents")(_ =>
+      fail("purge must not invalidate the served version"))
+    assert(postPurge.count() == 495L)
   }
 
   test("cascade forget: child tombstones derived by semi-join, erased " +
