@@ -45,6 +45,29 @@ object Erasure {
   final case class Report(table: String, rowsBefore: Long,
       rowsAfter: Long, residue: Long)
 
+  /** The one old-aside swap both erasure sites share: park the
+    * original, move the replacement in, drop the parked copy — every
+    * rename CHECKED (a false return on many Hadoop filesystems is
+    * failure, and proceeding would delete the only surviving copy),
+    * with a best-effort restore when the second rename fails. Crash
+    * ordering contract for CALLERS: before invoking, restore any
+    * orphaned old-aside whose original is absent (a crash between the
+    * two renames here) and only then sweep leftovers. */
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+      replacement: org.apache.hadoop.fs.Path,
+      orig: org.apache.hadoop.fs.Path,
+      oldAside: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.rename(orig, oldAside))
+      throw new java.io.IOException(
+        s"swap failed: rename $orig -> $oldAside returned false")
+    if (!fs.rename(replacement, orig)) {
+      fs.rename(oldAside, orig) // restore the original; best effort
+      throw new java.io.IOException(
+        s"swap failed: rename $replacement -> $orig returned false")
+    }
+    fs.delete(oldAside, true)
+  }
+
   def forget(spark: SparkSession, dataDir: String, table: String,
       keyCol: String, ids: Seq[Long]): Report = {
     require(ids.nonEmpty, "empty tombstone set")
@@ -69,18 +92,7 @@ object Erasure {
     val rowsBefore = spark.read.parquet(src).count()
     spark.read.parquet(src).join(tomb, Seq(keyCol), "left_anti")
       .write.parquet(scratch.toString)
-    // old-aside swap with CHECKED renames (a false return on many
-    // Hadoop filesystems is failure, and proceeding would delete the
-    // only surviving copy)
-    if (!fs.rename(srcPath, old))
-      throw new java.io.IOException(
-        s"erasure swap failed: rename $srcPath -> $old returned false")
-    if (!fs.rename(scratch, srcPath)) {
-      fs.rename(old, srcPath) // restore the original; best effort
-      throw new java.io.IOException(
-        s"erasure swap failed: rename $scratch -> $srcPath returned false")
-    }
-    fs.delete(old, true)
+    swapIn(fs, scratch, srcPath, old)
     val after = spark.read.parquet(src)
     Report(table, rowsBefore, after.count(),
       after.join(tomb, Seq(keyCol), "left_semi").count())
@@ -96,44 +108,88 @@ object Erasure {
   /** FK-CASCADE erasure — the relational half of right-to-be-forgotten:
     * deleting a subject's row is not enough when child tables still
     * reference it (a customer's orders, those orders' line items).
-    * Walks the edges in order, DERIVING each level's tombstone set
-    * from the previous level via a distributed semi-join (the
-    * tombstone frontier is collected per level — erasure subjects are
-    * human-scale sets, and each collected column is just the keys),
-    * then runs [[forget]] bottom-up: children first, parent last, so a
-    * crash mid-cascade can only ever leave ORPHAN-FREE state + an
-    * un-erased parent (re-run completes it) — never a dangling child
-    * pointing at an erased parent.
+    * Derives tombstones to a FIXPOINT over the edge set (so
+    * multi-parent/diamond shapes converge — a single ordered pass
+    * would miss keys a later edge adds to an earlier table), each
+    * derivation one distributed semi-join with the parent keys
+    * broadcast (erasure subjects are human-scale sets; the collected
+    * column is just the keys). Erasure then runs in CHILD-BEFORE-
+    * PARENT topological order (Kahn over the edges; cycles rejected),
+    * so a crash mid-cascade can only ever leave ORPHAN-FREE state +
+    * un-erased ancestors (re-run completes it) — never a dangling
+    * child pointing at an erased parent.
     *
     * Returns the per-table reports in erasure (bottom-up) order. */
   def forgetCascade(spark: SparkSession, dataDir: String,
       parentTable: String, parentKeyCol: String, ids: Seq[Long],
       edges: Seq[(String, CascadeEdge)]): Seq[Report] = {
     require(ids.nonEmpty, "empty tombstone set")
-    // level-by-level tombstone derivation: table → its tombstoned keys
-    val tombs = scala.collection.mutable.LinkedHashMap(
-      parentTable -> ids)
-    edges.foreach { case (fromTable, e) =>
-      val parentKeys = tombs.getOrElse(fromTable, throw new IllegalArgumentException(
-        s"cascade edge from '$fromTable' before any tombstones derived for it"))
-      import spark.implicits._
-      val childIds =
-        if (parentKeys.isEmpty) Seq.empty[Long]
-        else spark.read.parquet(s"$dataDir/${e.childTable}.parquet")
-          .join(broadcast(parentKeys.toDF(e.fkCol)), Seq(e.fkCol), "left_semi")
-          .select(col(e.childKeyCol)).distinct()
-          .collect().map(_.getLong(0)).toSeq.sorted
-      tombs(e.childTable) = tombs.getOrElse(e.childTable, Seq.empty) ++ childIds
+    // a table's key column: the cascade root's is given; every other
+    // table's is its childKeyCol (must be consistent across edges)
+    val keyColOf: Map[String, String] =
+      edges.groupBy(_._2.childTable).map { case (t, es) =>
+        val cols = es.map(_._2.childKeyCol).distinct
+        require(cols.size == 1,
+          s"table '$t' reached with conflicting key columns $cols")
+        t -> cols.head
+      } + (parentTable -> parentKeyCol)
+    edges.foreach { case (from, _) =>
+      require(keyColOf.contains(from),
+        s"cascade edge from '$from', which no edge reaches and which is " +
+          "not the root — unreachable parent")
     }
-    // erase bottom-up: deepest children first, parent last
-    val order = tombs.toSeq.reverse
-    order.flatMap { case (table, keys) =>
-      val keyCol = if (table == parentTable) parentKeyCol
-        else edges.collectFirst {
-          case (_, e) if e.childTable == table => e.childKeyCol
-        }.get
+    // FIXPOINT derivation, not single-pass: with multi-parent shapes
+    // (A→X, X→Y, A→B, B→X) one pass misses the X tombstones the B→X
+    // edge adds AFTER X→Y already ran. Re-sweep all edges until no set
+    // grows; each pass only re-joins edges whose parent set grew, so
+    // the loop is bounded by the DAG depth (and a cycle, which can
+    // never converge by construction here since key sets are finite
+    // and monotone, just stops adding).
+    import spark.implicits._
+    val tombs = scala.collection.mutable.Map(parentTable -> ids.toSet)
+    var grew = true
+    while (grew) {
+      grew = false
+      edges.foreach { case (fromTable, e) =>
+        val parentKeys = tombs.getOrElse(fromTable, Set.empty)
+        if (parentKeys.nonEmpty) {
+          val have = tombs.getOrElse(e.childTable, Set.empty)
+          val derived = spark.read
+            .parquet(s"$dataDir/${e.childTable}.parquet")
+            .join(broadcast(parentKeys.toSeq.toDF(e.fkCol)),
+              Seq(e.fkCol), "left_semi")
+            .select(col(e.childKeyCol)).distinct()
+            .collect().map(_.getLong(0)).toSet
+          if (!derived.subsetOf(have)) {
+            tombs(e.childTable) = have ++ derived
+            grew = true
+          }
+        }
+      }
+    }
+    // erase in CHILD-BEFORE-PARENT topological order (Kahn over the
+    // parent→child edges: a table is erasable once every table it
+    // points AT — its children — has been erased), so a crash at any
+    // point leaves orphan-free state + un-erased ancestors for the
+    // re-run. Insertion order alone is wrong for shapes like
+    // (A→X, A→B, B→X), where it would erase B before its child X.
+    val tables = keyColOf.keys.toSeq.sorted
+    val childrenOf: Map[String, Set[String]] = tables.map { t =>
+      t -> edges.collect { case (f, e) if f == t => e.childTable }.toSet
+    }.toMap
+    val erased = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (erased.size < tables.size) {
+      val ready = tables.filter(t => !erased.contains(t) &&
+        childrenOf(t).forall(erased.contains))
+      require(ready.nonEmpty,
+        s"cascade edges contain a cycle among ${tables.diff(erased.toSeq)}")
+      ready.foreach(erased.add)
+    }
+    erased.toSeq.flatMap { table =>
+      val keys = tombs.getOrElse(table, Set.empty)
       if (keys.isEmpty) None
-      else Some(forget(spark, dataDir, table, keyCol, keys.distinct))
+      else Some(forget(spark, dataDir, table, keyColOf(table),
+        keys.toSeq.sorted))
     }
   }
 
@@ -202,14 +258,8 @@ object Erasure {
         orig.getParent, s"_redact_scratch_${orig.getName}")
       val oldAside = new org.apache.hadoop.fs.Path(
         orig.getParent, s"_redact_old_${orig.getName}")
-      // same crash-recovery discipline as forget(): restore a
-      // mid-swap orphan before sweeping leftovers
-      if (!fs.exists(orig) && fs.exists(oldAside) &&
-          !fs.rename(oldAside, orig))
-        throw new java.io.IOException(
-          s"redaction crash recovery failed: $oldAside -> $orig returned false")
-      fs.delete(scratchDir, true)
-      if (fs.exists(orig)) fs.delete(oldAside, false)
+      // (crash leftovers were swept/restored up front — discovery ran
+      // on clean state, so no per-file recovery is needed here)
       val file = spark.read.schema(ChangeFeed.schema).json(p)
       removed += file.filter(isTomb).count()
       file.filter(!isTomb)
@@ -219,39 +269,42 @@ object Erasure {
         .map(_.getPath).filter(_.getName.startsWith("part-"))
         .headOption.getOrElse(throw new java.io.IOException(
           s"redaction write produced no part file in $scratchDir"))
-      if (!fs.rename(orig, oldAside))
-        throw new java.io.IOException(
-          s"feed redaction swap failed: $orig -> $oldAside returned false")
-      if (!fs.rename(part, orig)) {
-        fs.rename(oldAside, orig) // restore; best effort
-        throw new java.io.IOException(
-          s"feed redaction swap failed: $part -> $orig returned false")
-      }
-      fs.delete(oldAside, false)
+      swapIn(fs, part, orig, oldAside)
       fs.delete(scratchDir, true)
     }
     (affected.length.toLong, removed)
   }
 
   /** Erase keys from a [[graft.streaming.KeyedParquetStore]] table by
-    * applying delete tombstones THROUGH the replication merge — one
-    * synthetic change batch at LSNs above the applied watermark, so
-    * the store's exactly-once/idempotency guarantees hold and a
-    * concurrent mirror's later batches re-delete harmlessly. */
+    * applying delete tombstones THROUGH the replication merge (the
+    * same last-image + idempotent by-PK path a mirror's batches take),
+    * WITHOUT touching the applied-LSN watermark: the watermark means
+    * "every feed position ≤ this was applied", and synthetic
+    * out-of-band LSNs above it would let rotation prune feed files the
+    * store never read (eroding exactly the safety margin the
+    * watermark exists for). The tombstones' LSNs only order the batch
+    * internally.
+    *
+    * Contract for LIVE-replicated tables: publish `op='D'` events
+    * through the FEED instead (one erasure, every mirror converges) —
+    * an out-of-band store delete can be resurrected by a lagging
+    * mirror later applying an older update of the same key. This
+    * helper is for store-resident tables, or mirrors stopped and
+    * caught up. */
   def forgetFromStore(spark: SparkSession,
       store: graft.streaming.KeyedParquetStore, table: String,
       keyCol: String, rowSchema: StructType, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "empty tombstone set")
-    val base = store.appliedLsn(spark).getOrElse(0L) + 1L
     import spark.implicits._
     val batch = ids.zipWithIndex
-      .map { case (id, i) => (base + i, id) }
+      .map { case (id, i) => (i + 1L, id) }
       .toDF("lsn", "key")
       .select(col("lsn"),
         to_timestamp(lit("2000-01-01 00:00:00")).as("commitTs"),
         lit("D").as("op"), lit(table).as("table"), col("key"),
         lit(null).cast("string").as("after"))
-    graft.streaming.CdcPipeline.applyBatch(batch, store,
-      Map(table -> rowSchema), Map(table -> keyCol))
+    val changes = graft.streaming.CdcPipeline
+      .lastImagePerKey(batch, rowSchema, keyCol)
+    store.merge(spark, table, changes, keyCol)
   }
 }

@@ -296,11 +296,21 @@ object ProfileQueries {
       .select(col("lang"), col("vterm").as("top_term"),
         col("gap").as("top_gap_nano"))
     val nd = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    // a slice whose documents yield ZERO tokens (blank/whitespace
+    // text — e.g. a crawler source going dark) must not vanish from
+    // the report: it IS the drift alarm. It gets the TV ceiling and a
+    // '<none>' marker term. (A tokened slice that is the WHOLE corpus
+    // stays omitted — there is no rest to compare against.)
+    val tokenless = nd.join(tots, Seq("lang"), "left_anti")
+      .select(col("lang"), col("n_docs"),
+        lit(1000000000L).as("tv_nano"), lit("<none>").as("top_term"),
+        lit(1000000000L).as("top_gap_nano"))
     // report join of three |slices|-row frames: size stats don't
     // survive the window chain, so Spark would sort-merge — broadcast
     // the tiny sides explicitly
     tv.join(broadcast(top), Seq("lang")).join(broadcast(nd), Seq("lang"))
       .select("lang", "n_docs", "tv_nano", "top_term", "top_gap_nano")
+      .unionByName(tokenless)
       .orderBy("lang")
   }
 
@@ -476,7 +486,14 @@ object ProfileQueries {
                  ORDER BY gap DESC, vterm ASC) AS rn
              FROM gaps) WHERE rn = 1),
          nd AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
-         SELECT tv.lang, nd.n_docs, tv.tv_nano, top.top_term, top.top_gap_nano
-         FROM tv JOIN top USING (lang) JOIN nd USING (lang) ORDER BY lang"""
+         SELECT * FROM (
+           SELECT tv.lang, nd.n_docs, tv.tv_nano, top.top_term,
+             top.top_gap_nano
+           FROM tv JOIN top USING (lang) JOIN nd USING (lang)
+           UNION ALL
+           SELECT lang, n_docs, CAST(1000000000 AS BIGINT) AS tv_nano,
+             '<none>' AS top_term, CAST(1000000000 AS BIGINT) AS top_gap_nano
+           FROM nd WHERE lang NOT IN (SELECT lang FROM tots))
+         ORDER BY lang"""
   )
 }

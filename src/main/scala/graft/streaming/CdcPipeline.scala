@@ -380,6 +380,10 @@ object CdcPipeline {
       mirrorName: String, checkpointDir: String): Unit = {
     require(mirrorName.nonEmpty && !mirrorName.contains("/"),
       s"consumer name must be a plain file name: '$mirrorName'")
+    require(!mirrorName.endsWith(InvalidSuffix),
+      s"consumer name must not end with the reserved '$InvalidSuffix' " +
+        s"marker suffix: '$mirrorName' (the registry would read it as an " +
+        "invalidation marker, hiding the consumer from the prune gate)")
     invalidatedConsumers(spark, feedDir).get(mirrorName).foreach { why =>
       throw new IllegalStateException(
         s"consumer '$mirrorName' on feed $feedDir was INVALIDATED ($why): " +
@@ -526,11 +530,19 @@ object CdcPipeline {
   def invalidateConsumersOverBudget(spark: SparkSession, feedDir: String,
       maxHeldBytes: Long): Seq[ConsumerLag] = {
     require(maxHeldBytes >= 0L, s"negative byte budget: $maxHeldBytes")
-    val over = consumerLag(spark, feedDir).filter(_.heldBytes > maxHeldBytes)
+    // DEGRADED positions are exempt: a Left from sourceLogPaths can be
+    // the documented transient race (a LIVE mirror's log compaction
+    // deleting entries mid-listing), and invalidation is destructive —
+    // a healthy caught-up mirror must never be condemned on a read
+    // race. Degraded consumers stay visible as WARNINGs in
+    // [[graft.analytics.Monitor.replicationInfra]]'s consumer_lag row;
+    // if one is genuinely dead-with-unreadable-log, the operator
+    // decision is [[unregisterConsumer]], not this budget policy.
+    val over = consumerLag(spark, feedDir)
+      .filter(c => c.degraded.isEmpty && c.heldBytes > maxHeldBytes)
     over.foreach { c =>
       val why = s"retention drag ${c.heldBytes} B over budget " +
-        s"$maxHeldBytes B (${c.heldFiles} held files" +
-        c.degraded.map(d => s"; position unreadable: $d").getOrElse("") + ")"
+        s"$maxHeldBytes B (${c.heldFiles} held files)"
       logger.warn(s"invalidating feed consumer '${c.name}': $why")
       AtomicFiles.writeAtomically(spark, invalidMarker(feedDir, c.name), why)
       val reg = new org.apache.hadoop.fs.Path(s"$feedDir/_consumers/${c.name}")

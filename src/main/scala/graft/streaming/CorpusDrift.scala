@@ -56,6 +56,7 @@ object CorpusDrift {
     val counts = docs
       .select(explode(tokenize(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // ONE tokenize pass serves grid + total
     // vterm mapping against the baseline vocabulary ('<other>' is a
     // baseline row itself, so the right join keeps EVERY baseline term
     // — absent ones score their full p_nano)
@@ -83,10 +84,15 @@ object CorpusDrift {
           expr("CAST((CAST(c AS DECIMAL(38,0)) * 1000000000) DIV tot AS BIGINT)"))
           .otherwise(lit(0L)))
       .withColumn("gap", abs(col("p_nano") - col("q_nano")))
+    // an EMPTY (or zero-token) frame carries no distributional
+    // evidence — scoring it against the baseline would read ~0.5e9
+    // (every baseline term's full mass "missing") and trip any sane
+    // threshold on a no-data trigger; no evidence ⇒ no drift (0)
     grid.agg(
       lit(nDocs).as("n_docs"),
       coalesce(max("tot"), lit(0L)).as("n_toks"),
-      expr("coalesce(sum(gap), 0) DIV 2").as("tv_nano"))
+      expr("CASE WHEN coalesce(max(tot), 0) = 0 THEN 0 " +
+        "ELSE coalesce(sum(gap), 0) DIV 2 END").as("tv_nano"))
   }
 
   /** Start the monitor: every micro-batch of `docs` (streaming, with a

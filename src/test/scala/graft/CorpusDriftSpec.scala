@@ -32,6 +32,12 @@ class CorpusDriftSpec extends AnyFunSuite {
     val drifted = (1 to 50)
       .map(i => (9000L + i, s"zzzdrift$i zzzdrift zzzdrift qqq$i"))
       .toDF("doc_id", "text")
+    // a zero-token frame carries no evidence: tv must be a hard 0,
+    // never the ~0.5e9 a naive "all baseline mass missing" read gives
+    val emptyRow = CorpusDrift.score(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), baseline).head()
+    assert((emptyRow.getAs[Long]("n_docs"), emptyRow.getAs[Long]("n_toks"),
+      emptyRow.getAs[Long]("tv_nano")) == ((0L, 0L, 0L)), s"got $emptyRow")
     val driftTv = CorpusDrift.score(drifted, baseline)
       .head().getAs[Long]("tv_nano")
     assert(driftTv > 10L * (selfTv + 1),

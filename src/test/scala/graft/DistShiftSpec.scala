@@ -31,6 +31,17 @@ class DistShiftSpec extends AnyFunSuite {
       .map(r => (r.getLong(2), r.getLong(4)))
     assert(z.forall(_ == ((0L, 0L))), s"identical slices must read 0: ${z.toSeq}")
 
+    // a TOKEN-LESS slice (crawler gone dark: blank text) must appear
+    // as the alarm row, not vanish through the report joins
+    val dark = Seq(("en", "x y"), ("de", "x y"), ("xx", "  "), ("xx", ""))
+      .toDF("lang", "text")
+    val darkRows = ProfileQueries.distShift(dark).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(darkRows("xx") == ((2L, 1000000000L, "<none>")), s"got $darkRows")
+    assert(darkRows.keySet == Set("de", "en", "xx"),
+      "tokened slices keep their rows alongside the alarm")
+
     // real corpus: TV within [0, 1e9], every slice present exactly once
     val real = ProfileQueries
       .queries("dq6_dist_shift")(spark, "/root/testdata/sf0.001").collect()

@@ -190,7 +190,7 @@ class ErasureSpec extends AnyFunSuite {
   }
 
   test("store forget: delete tombstones ride the product merge path, " +
-    "idempotently, and advance the applied watermark") {
+    "idempotently, WITHOUT touching the applied-LSN watermark") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft_erasure_store").toString
     val store = new KeyedParquetStore(s"$work/store", nBuckets = 4)
@@ -198,15 +198,19 @@ class ErasureSpec extends AnyFunSuite {
       StructField("id", LongType), StructField("v", StringType)))
     store.snapshot(spark, "t",
       (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"), "id")
+    // a real stream position the erasure must not run past: rotation
+    // prunes at this watermark, and synthetic LSNs above it would let
+    // feed files the store never read be deleted
+    store.recordAppliedLsn(spark, 41L)
     Erasure.forgetFromStore(spark, store, "t", "id", rowSchema, Seq(5L, 6L))
     val rows = store.read(spark, "t")
     assert(rows.count() == 98L &&
       rows.filter(col("id").isin(5L, 6L)).count() == 0L)
-    val wm1 = store.appliedLsn(spark)
-    assert(wm1.contains(2L), s"two tombstones from lsn 1: got $wm1")
-    // idempotent: the same erasure again is absorbed, watermark moves on
+    assert(store.appliedLsn(spark).contains(41L),
+      "out-of-band erasure must not move the stream watermark")
+    // idempotent: the same erasure again is absorbed
     Erasure.forgetFromStore(spark, store, "t", "id", rowSchema, Seq(5L, 6L))
     assert(store.read(spark, "t").count() == 98L)
-    assert(store.appliedLsn(spark).exists(_ > 2L))
+    assert(store.appliedLsn(spark).contains(41L))
   }
 }
