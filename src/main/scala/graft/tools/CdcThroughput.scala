@@ -270,6 +270,104 @@ object CdcThroughput {
       "rotate_bytes_ratio" -> (if (b1 == 0) 0.0 else b2.toDouble / b1))
   }
 
+  /** Multi-consumer retention measured END-TO-END (r14): two mirrors
+    * tailing ONE feed — the reference's several-slots-one-WAL shape.
+    * Phase 1: both consume, A's rotation prunes at the registry
+    * intersection (B caught up ⇒ near-full prune). Phase 2 lands while
+    * B is DEAD: A's rotation keeps everything B has not committed (the
+    * retention drag made measurable), the byte-budget policy then
+    * invalidates B (`max_slot_wal_keep_size` analogue), and A's next
+    * rotation drains the feed. Throughout: A's store exactly-once at
+    * 2×halfRows, B retains exactly phase 1, and B's restart FAILS
+    * LOUDLY (asserted). */
+  def measureTwoMirrors(spark: SparkSession, halfRows: Long = 100000L,
+      batchSize: Int = 1000): Seq[(String, Double)] = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_cdc_two").toString
+    val feed = s"$work/feed"
+    val customers = spark.range(1, 501).toDF("id")
+    val products = spark.range(1, 101).toDF("id")
+    val nFiles = math.ceil(halfRows.toDouble / batchSize).toInt
+    def publishPhase(startId: Long): org.apache.spark.sql.types.StructType = {
+      val orders = Workload.generateOrders(customers, products, halfRows,
+        startId = startId, seed = 42L + startId,
+        asOf = Date.valueOf("2026-01-01")).localCheckpoint(true)
+      val schema = orders.schema
+      val changes = orders.select(
+        col("id").as("lsn"), lit(new Timestamp(0)).as("commitTs"),
+        lit("I").as("op"), lit("orders").as("table"),
+        col("id").cast("long").as("key"),
+        to_json(struct(schema.fieldNames.map(col).toSeq: _*)).as("after"))
+      ChangeFeed.publish(
+        changes.repartitionByRange(nFiles, col("lsn")), feed)
+      schema
+    }
+    val storeA = new KeyedParquetStore(s"$work/storeA")
+    val storeB = new KeyedParquetStore(s"$work/storeB")
+    def run(name: String, ckpt: String, store: KeyedParquetStore,
+        schema: org.apache.spark.sql.types.StructType): Double = {
+      val t0 = System.nanoTime()
+      val q = CdcPipeline.start(
+        ChangeFeed.stream(spark, feed, maxFilesPerTrigger = 1),
+        store, Map("orders" -> schema), Map("orders" -> "id"),
+        mirrorName = name, checkpointDir = ckpt, feedDir = Some(feed))
+      q.processAllAvailable(); q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val s1 = publishPhase(1L)
+    val wA1 = run("mirror_a", s"$work/ckptA", storeA, s1)
+    val wB1 = run("mirror_b", s"$work/ckptB", storeB, s1)
+    // both caught up: the intersection gate prunes near-fully
+    val rotBoth = CdcPipeline.rotateCheckpoint(spark, storeA, feed,
+      "mirror_a", s"$work/ckptA", safetyLsns = 2L * batchSize)
+    require(rotBoth.rotated, s"rotation skipped: ${rotBoth.skipped}")
+    run("mirror_a", s"$work/ckptA", storeA, s1) // re-commit survivors
+    // phase 2 with B dead: the laggard's drag must hold the feed
+    val s2 = publishPhase(halfRows + 1L)
+    val wA2 = run("mirror_a", s"$work/ckptA", storeA, s2)
+    val bHeld = CdcPipeline.consumerLag(spark, feed)
+      .find(_.name == "mirror_b").map(_.heldFiles).getOrElse(-1L)
+    val rotLag = CdcPipeline.rotateCheckpoint(spark, storeA, feed,
+      "mirror_a", s"$work/ckptA", safetyLsns = 2L * batchSize)
+    require(rotLag.rotated, s"rotation skipped: ${rotLag.skipped}")
+    run("mirror_a", s"$work/ckptA", storeA, s2)
+    // budget invalidation unblocks retention
+    val inv = CdcPipeline
+      .invalidateConsumersOverBudget(spark, feed, maxHeldBytes = 1L)
+    require(inv.map(_.name) == Seq("mirror_b"), s"invalidated: $inv")
+    val rotFree = CdcPipeline.rotateCheckpoint(spark, storeA, feed,
+      "mirror_a", s"$work/ckptA", safetyLsns = 2L * batchSize)
+    require(rotFree.rotated, s"rotation skipped: ${rotFree.skipped}")
+    val rowsA = storeA.read(spark, "orders").count()
+    val rowsB = storeB.read(spark, "orders").count()
+    require(rowsA == 2L * halfRows && rowsB == halfRows,
+      s"exactly-once broken: A=$rowsA B=$rowsB")
+    val bRestartFails = scala.util.Try(
+      run("mirror_b", s"$work/ckptB", storeB, s2)).isFailure
+    require(bRestartFails, "invalidated mirror restart must fail loudly")
+    Seq(
+      "rows_a" -> rowsA.toDouble,
+      "rows_b" -> rowsB.toDouble,
+      "batches_per_phase" -> nFiles.toDouble,
+      "phase1_pruned_both_live" -> rotBoth.prunedFiles.toDouble,
+      "phase1_kept_both_live" -> rotBoth.keptFiles.toDouble,
+      "b_held_files_while_dead" -> bHeld.toDouble,
+      "phase2_pruned_b_dead" -> rotLag.prunedFiles.toDouble,
+      "phase2_kept_b_dead" -> rotLag.keptFiles.toDouble,
+      "pruned_after_invalidation" -> rotFree.prunedFiles.toDouble,
+      "kept_after_invalidation" -> rotFree.keptFiles.toDouble,
+      "b_restart_fails" -> (if (bRestartFails) 1.0 else 0.0),
+      "wall_a_phase1_s" -> wA1,
+      "wall_b_phase1_s" -> wB1,
+      "wall_a_phase2_s" -> wA2)
+  }
+
+  /** Replace `key`'s block in an existing CDC_BENCH.json body (blocks
+    * are flat — no nested braces) and append the new one. */
+  private def splice(prev: String, key: String, blk: String): String =
+    prev.replaceAll(",\"" + key + "\":\\{[^}]*\\}", "")
+      .stripSuffix("}") + s""","$key":$blk}"""
+
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", v)
 
@@ -304,10 +402,21 @@ object CdcThroughput {
       val path = java.nio.file.Paths.get("CDC_BENCH.json")
       val prev = new String(java.nio.file.Files.readAllBytes(path),
         java.nio.charset.StandardCharsets.UTF_8)
-      val cut = prev.indexOf(",\"x40_rotate\"")
-      val head = if (cut >= 0) prev.substring(0, cut)
-                 else prev.stripSuffix("}")
-      val line = s"""$head,"x40_rotate":${block(x40r)}}"""
+      val line = splice(prev, "x40_rotate", block(x40r))
+      java.nio.file.Files.write(path,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(line)
+      spark.stop()
+      return
+    }
+    // Two-mirror mode: the r14 multi-consumer retention scenario,
+    // spliced into CDC_BENCH.json like the rotate-only mode
+    if (sys.env.get("SPARK_GRAFT_CDC_ONLY").contains("two_mirrors")) {
+      val two = measureTwoMirrors(spark, halfRows = 100000L, batchSize = 1000)
+      val path = java.nio.file.Paths.get("CDC_BENCH.json")
+      val prev = new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val line = splice(prev, "two_mirrors", block(two))
       java.nio.file.Files.write(path,
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(line)
