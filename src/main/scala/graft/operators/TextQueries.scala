@@ -683,6 +683,37 @@ object TextQueries {
             .as("auc_bp"))
     },
 
+    // ── t27: TOKENIZER FERTILITY per language — the standard
+    // tokenizer-eval report: tokens per word (fertility) and
+    // characters per token each language pays under ONE shared
+    // tokenizer. A corpus-majority-trained BPE under-serves minority
+    // languages (high fertility = longer sequences per sentence =
+    // higher training cost and less effective context per document) —
+    // this is the number that motivates vocabulary rebalancing.
+    // Reuses t22's compiled encode (char_syms → PinnedMerges fold)
+    // with the per-doc frame rolled up per lang: one corpus scan,
+    // |langs|-row output, exact integer basis points.
+    "t27_fertility" -> { (s, d) =>
+      val B = TextQueries.BpeBoundary
+      val enc = TextQueries.PinnedMerges.foldLeft(col("s0")) {
+        case (c, (l, r)) => bpe_merge_step(c, l, r)
+      }
+      Tables.load(s, d, "documents")
+        .select(col("lang"), char_syms(tokenize(col("text")), B).as("s0"))
+        .select(col("lang"),
+          count_in(col("s0"), Seq(B)).as("w"),
+          (size(col("s0")).cast("long") - count_in(col("s0"), Seq(B))).as("ch"),
+          (size(enc).cast("long") - count_in(col("s0"), Seq(B))).as("bp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+          sum("ch").as("n_chars"), sum("bp").as("n_bpe"))
+        .withColumn("chars_per_token_bp",
+          expr("(n_chars * 10000) DIV nullif(n_bpe, 0)"))
+        .withColumn("fertility_bp",
+          expr("(n_bpe * 10000) DIV nullif(n_words, 0)"))
+        .orderBy("lang")
+    },
+
     // ── t25: inverted-index phrase search — the serving-side read of
     // a corpus index: positional postings (doc_id, pos, token) from
     // ONE posexplode, a phrase match as equi-joins on
@@ -1125,6 +1156,46 @@ object TextQueries {
           SELECT doc_id, n_words, n_chars, n_bpe,
             (n_chars * 10000) // NULLIF(n_bpe, 0) AS compression_bp
           FROM f ORDER BY doc_id""",
+
+    // t27 — t22's encode chain with lang carried through and a
+    // per-language rollup; the same merge fold keeps model and oracle
+    // from drifting
+    "t27_fertility" ->
+      s"""WITH t AS (
+            SELECT lang,
+              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents),
+          w AS (
+            SELECT lang, CAST(len(toks) AS BIGINT) AS n_words,
+              CASE WHEN len(toks) = 0 THEN '' ELSE list_reduce(
+                list_transform(toks, wd ->
+                  list_reduce(
+                    list_transform(string_split(wd, ''), c -> chr(2)||c||chr(3)),
+                    (a, b) -> a || b)
+                  || chr(2)||chr(1)||chr(3)),
+                (a, b) -> a || b) END AS s0
+            FROM t),
+          m AS (
+            SELECT lang, n_words,
+              CAST(length(s0) - length(replace(s0, chr(2), '')) AS BIGINT)
+                - n_words AS n_chars,
+              $bpeEncodeFoldSql AS sm
+            FROM w),
+          f AS (
+            SELECT lang, n_words, n_chars,
+              CAST(length(sm) - length(replace(sm, chr(2), '')) AS BIGINT)
+                - n_words AS n_bpe
+            FROM m),
+          g AS (
+            SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_words) AS BIGINT) AS n_words,
+              CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+              CAST(SUM(n_bpe) AS BIGINT) AS n_bpe
+            FROM f GROUP BY 1)
+          SELECT lang, n_docs, n_words, n_chars, n_bpe,
+            (n_chars * 10000) // NULLIF(n_bpe, 0) AS chars_per_token_bp,
+            (n_bpe * 10000) // NULLIF(n_words, 0) AS fertility_bp
+          FROM g ORDER BY lang""",
 
     // t23 — the same shipped weight table as a VALUES relation;
     // COUNT/SUM cast back to BIGINT (DuckDB sums to HUGEINT); label

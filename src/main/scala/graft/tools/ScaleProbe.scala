@@ -219,7 +219,10 @@ object ScaleProbe {
       "s21_coreset", "dq6_dist_shift",
       // r14: MMR rerank (pool = one TakeOrdered top-20; the rerank
       // itself touches <= k*pool rows at any corpus size)
-      "s22_mmr_rerank")
+      "s22_mmr_rerank",
+      // r14: per-lang tokenizer fertility (one compiled-encode scan,
+      // |langs|-row rollup)
+      "t27_fertility")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
