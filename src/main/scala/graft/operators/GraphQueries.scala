@@ -235,6 +235,46 @@ object GraphQueries {
         .select(col("seed").as("part_id"), col("rec").as("rec_part_id"),
           col("cn"), col("ra_micro"), col("rk"))
         .orderBy("part_id", "rk")
+    },
+
+    // ── g4: BOUNDED BFS REACHABILITY — hop-distance levels from a
+    // seed set over g2's support-thresholded co-purchase graph (the
+    // "how far does influence spread" primitive under product-affinity
+    // exploration, blast-radius analysis, neighborhood sampling).
+    // Pregel-as-dataflow: each round joins the FRONTIER (previous
+    // level only, never the whole visited set) against the adjacency,
+    // anti-joins out already-visited nodes (BFS's dedup — this is what
+    // keeps the dataflow node-bounded where a naive path recursion is
+    // exponential), and localCheckpoints to keep lineage shallow —
+    // the g1/d5 iterative discipline. Output is the per-level summary
+    // (exact counts + id range), so result size is O(depth) at any
+    // graph size. The oracle replays min-hop BFS as a recursive CTE
+    // with UNION (not UNION ALL) recursion — DuckDB's row dedup is
+    // the visited-set analogue, keeping the recursion node-bounded
+    // too. 100 TB shape: per-round cost is |frontier|·avg-degree
+    // through one equi-join; depth bounds total rounds.
+    "g4_reach" -> { (s, d) =>
+      val maxHops = 4
+      val edges = coPurchaseEdges(s, d, minSupport = 2)
+      val und = edges.select(col("u").as("src"), col("v").as("dst"))
+        .union(edges.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint(true)
+      val seeds = und.select(col("src").as("id")).distinct()
+        .filter(col("id") < 10)
+      var visited = seeds.withColumn("hops", lit(0)).localCheckpoint(true)
+      for (h <- 1 to maxHops) {
+        val frontier = visited.filter(col("hops") === h - 1)
+          .select(col("id").as("src"))
+        val next = und.join(frontier, "src")
+          .select(col("dst").as("id")).distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti")
+          .withColumn("hops", lit(h))
+        visited = visited.unionByName(next).localCheckpoint(true)
+      }
+      visited.groupBy("hops")
+        .agg(count(lit(1)).as("n_parts"),
+          min("id").as("min_part"), max("id").as("max_part"))
+        .orderBy("hops")
     }
   )
 
@@ -328,6 +368,34 @@ object GraphQueries {
                  ORDER BY ra_micro DESC, rec) AS rk
              FROM nov)
            SELECT seed AS part_id, rec AS rec_part_id, cn, ra_micro, rk
-           FROM rk WHERE rk <= 5 ORDER BY part_id, rk""")
+           FROM rk WHERE rk <= 5 ORDER BY part_id, rk""",
+      // g4 — min-hop BFS as a recursive CTE; UNION (not UNION ALL)
+      // recursion is the visited-set analogue that keeps the state
+      // node-bounded instead of path-exponential
+      "g4_reach" ->
+        """WITH RECURSIVE op AS (
+             SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           hot AS (SELECT ok FROM op GROUP BY ok HAVING COUNT(*) > 64),
+           cold AS (SELECT * FROM op WHERE ok NOT IN (SELECT ok FROM hot)),
+           e AS (
+             SELECT u, v FROM (
+               SELECT x.pk AS u, y.pk AS v, COUNT(*) AS support
+               FROM cold x JOIN cold y ON x.ok = y.ok AND x.pk < y.pk
+               GROUP BY 1, 2)
+             WHERE support >= 2),
+           und AS (
+             SELECT u AS src, v AS dst FROM e
+             UNION ALL SELECT v, u FROM e),
+           seeds AS (SELECT DISTINCT src AS id FROM und WHERE src < 10),
+           walk AS (
+             SELECT id, 0 AS hops FROM seeds
+             UNION
+             SELECT und.dst, walk.hops + 1
+             FROM walk JOIN und ON und.src = walk.id
+             WHERE walk.hops < 4),
+           mh AS (SELECT id, MIN(hops) AS hops FROM walk GROUP BY 1)
+           SELECT hops, COUNT(*) AS n_parts, MIN(id) AS min_part,
+             MAX(id) AS max_part
+           FROM mh GROUP BY 1 ORDER BY 1""")
   }
 }

@@ -97,7 +97,8 @@ object DumpPlans {
     "c9_dsir_weights" -> "DSIR importance weights: one-pass 4096-bucket dual histogram, broadcast model join, map-combined per-doc log-ratio sum",
     "s21_coreset" -> "greedy k-center coreset: k linear passes with literal-center compiled dots + TakeOrdered(1) reductions; assignment one LEAST-struct argmin pass, k-group hash agg",
     "dq6_dist_shift" -> "distribution-shift TV report: one tokenize+explode pass to (lang,term) counts, 200-row vocab broadcast, constant |slices|x201 comparison grid",
-    "s22_mmr_rerank" -> "MMR diversity rerank: pool via one TakeOrdered top-20 (anchor broadcast, compiled dots); greedy steps over <=20 rows with selected vectors as plan literals")
+    "s22_mmr_rerank" -> "MMR diversity rerank: pool via one TakeOrdered top-20 (anchor broadcast, compiled dots); greedy steps over <=20 rows with selected vectors as plan literals",
+    "g4_reach" -> "bounded BFS reachability: per-round frontier equi-join + anti-join dedup over checkpointed adjacency (Pregel-as-dataflow), O(depth) output")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

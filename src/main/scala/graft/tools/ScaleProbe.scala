@@ -222,7 +222,11 @@ object ScaleProbe {
       "s22_mmr_rerank",
       // r14: per-lang tokenizer fertility (one compiled-encode scan,
       // |langs|-row rollup)
-      "t27_fertility")
+      "t27_fertility",
+      // r14: bounded BFS reachability (per-round cost frontier-bounded;
+      // seeds stay copy-0 parts on the disjoint-copy 10x graph, so the
+      // measured axis is the edge-build prefix like g3)
+      "g4_reach")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

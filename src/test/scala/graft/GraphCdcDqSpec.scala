@@ -85,4 +85,41 @@ class GraphCdcDqSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expected)
   }
+
+  test("g4: driver BFS replica matches the level summary exactly") {
+    val out = graft.operators.GraphQueries.queries("g4_reach")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // rebuild g2's support>=2 co-purchase graph driver-side
+    val op = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = op.groupBy(_._1).map { case (_, xs) => xs.map(_._2).sorted }
+      .filter(_.length <= 64) // hot-order cut (df > 64 excluded)
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    byOrder.foreach { parts =>
+      for (i <- parts.indices; j <- (i + 1) until parts.length
+           if parts(i) != parts(j))
+        support((parts(i), parts(j))) =
+          support.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    support.foreach { case ((u, v), c) =>
+      if (c >= 2) { adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    }
+    val nodes = adj.keySet.toSet
+    var level = nodes.filter(_ < 10)
+    var seen = level
+    val levels = scala.collection.mutable.ArrayBuffer((0, level))
+    for (h <- 1 to 4) {
+      level = level.flatMap(adj).diff(seen)
+      seen = seen ++ level
+      if (level.nonEmpty) levels += ((h, level))
+    }
+    val expected = levels.map { case (h, ids) =>
+      (h, ids.size.toLong, ids.min, ids.max) }.toSeq
+    assert(out.toSeq == expected, s"engine ${out.toSeq} vs replica $expected")
+    assert(out.head._1 == 0 && out.head._2 > 0, "seed level present")
+  }
 }
