@@ -82,8 +82,19 @@ object Workload {
     * indexed-dim pattern. `after` images are built by `afterJson`
     * from (key, lsn); null for deletes.
     *
+    * `pKeyChange` carves PRIMARY-KEY-CHANGING updates out of the
+    * update share (the REPLICA IDENTITY event the reference's WAL
+    * source emits — [[graft.streaming.ChangeEvent.beforeKey]]): the
+    * sampled existing key becomes `beforeKey` and the event's `key`
+    * is a fresh one from maxKey+n+1+i — disjoint from the insert key
+    * range maxKey+1+i, so a generated stream never aliases a move
+    * target with an insert. Ordinary events carry beforeKey null.
+    *
     * @param existingKeys one-column DF `id` of current keys
     * @param mix          (pInsert, pDelete) — remainder is updates
+    * @param pKeyChange   fraction of ALL events that are key-changing
+    *                     updates (taken from the update share; must
+    *                     fit inside it)
     */
   def generateChanges(
       existingKeys: DataFrame,
@@ -92,8 +103,12 @@ object Workload {
       startLsn: Long,
       seed: Long,
       afterJson: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
-      mix: (Double, Double) = (0.4, 0.2)): DataFrame = {
+      mix: (Double, Double) = (0.4, 0.2),
+      pKeyChange: Double = 0.0): DataFrame = {
     val (pI, pD) = mix
+    require(pKeyChange >= 0.0 && pI + pD + pKeyChange <= 1.0,
+      s"key-change share $pKeyChange does not fit inside the update share " +
+        s"(pI=$pI, pD=$pD)")
     // same de-funneled rank assignment as [[indexed]]
     val keyIdx = graft.operators.Ranks.globalRank(
         existingKeys.select(col("id").cast("long").as("existing_key")),
@@ -112,16 +127,21 @@ object Workload {
         draw(col("id"), 11, seed, nKeys).as("key_idx"))
       .withColumn("op",
         when(col("r") < pI, "I").when(col("r") < pI + pD, "D").otherwise("U"))
+      .withColumn("kc",
+        col("op") === "U" && col("r") < pI + pD + pKeyChange)
       .join(broadcast(keyIdx), Seq("key_idx"))
       .withColumn("key",
-        when(col("op") === "I", lit(maxKey) + 1 + col("i")).otherwise(col("existing_key")))
+        when(col("op") === "I", lit(maxKey) + 1 + col("i"))
+          .when(col("kc"), lit(maxKey) + 1 + n + col("i"))
+          .otherwise(col("existing_key")))
       .select(
         col("lsn"),
         lit(new Timestamp(0)).as("commitTs"),
         col("op"),
         lit(table).as("table"),
         col("key"),
-        when(col("op") =!= "D", afterJson(col("key"), col("lsn"))).as("after"))
+        when(col("op") =!= "D", afterJson(col("key"), col("lsn"))).as("after"),
+        when(col("kc"), col("existing_key")).as("beforeKey"))
   }
 
   /** Result metrics of one stress run (insert.ps1:336–381's summary). */

@@ -198,6 +198,42 @@ object CdcQueries {
         .orderBy("tbl")
     },
 
+    // ── PK-CHANGING UPDATE apply (REPLICA IDENTITY semantics): the
+    // events feed reinterpreted so every 'purchase' is an UPDATE that
+    // MOVES its row to a new primary key (beforeKey = user_id, key =
+    // user_id + 100) — the old-tuple event Postgres logical decoding
+    // emits so a PK change replicates as delete(old)+upsert(new)
+    // (volumes/postgresql.conf:3). This query runs the ENGINE's
+    // normalizeKeyChanges expansion through the same lastImagePerKey
+    // the apply path uses; the oracle spells the expansion as an
+    // explicit UNION ALL of the delete half. Moved-to keys may collide
+    // with other users' native keys (user_id+100 overlaps the key
+    // domain) — deliberately: both sides resolve the collision by the
+    // same max-LSN rule, so the hash pins the semantics under
+    // contention too. Converged rows where op != D, ordered by key.
+    "cdc_pk_change" -> { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      import graft.streaming.CdcPipeline
+      val rowSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("cents", LongType)))
+      val move = col("event_type") === "purchase"
+      val env = Tables.events(s, d).select(
+        col("event_id").as("lsn"),
+        to_timestamp(lit("2000-01-01 00:00:00")).as("commitTs"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        lit("t").as("table"),
+        when(move, col("user_id") + 100).otherwise(col("user_id")).as("key"),
+        when(col("event_type") =!= "error", to_json(struct(
+          when(move, col("user_id") + 100).otherwise(col("user_id")).as("user_id"),
+          col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")))).as("after"),
+        when(move, col("user_id")).as("beforeKey"))
+      CdcPipeline.lastImagePerKey(env, rowSchema, "user_id")
+        .filter(col("op") =!= "D").drop("op")
+        .orderBy("user_id")
+    },
+
     // ── Log compaction — the Kafka-compacted-topic shape, and what a
     // long-running CDC feed must do to stop growing without losing
     // replayability: below a compaction watermark (LSN 5000), keep
@@ -330,6 +366,28 @@ object CdcQueries {
            CAST(SUM(cents) AS BIGINT) AS sum_cents,
            MAX(event_id) AS max_lsn
          FROM state GROUP BY 1 ORDER BY tbl""",
+    // the explicit delete(old)+upsert(new) expansion — the engine's
+    // normalizeKeyChanges must converge to exactly this state
+    "cdc_pk_change" ->
+      """WITH env AS (
+           SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             CASE WHEN event_type = 'purchase' THEN user_id + 100
+                  ELSE user_id END AS key,
+             CASE WHEN event_type <> 'error'
+                  THEN CAST(round(value * 100) AS BIGINT) END AS cents
+           FROM events),
+         expanded AS (
+           SELECT lsn, op, key, cents FROM env
+           UNION ALL
+           SELECT event_id AS lsn, 'D' AS op, user_id AS key,
+             CAST(NULL AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         last AS (
+           SELECT * FROM expanded
+           QUALIFY row_number() OVER (PARTITION BY key ORDER BY lsn DESC) = 1)
+         SELECT key AS user_id, lsn AS event_id, cents
+         FROM last WHERE op <> 'D' ORDER BY user_id""",
     "cdc_compact" ->
       """WITH ev AS (
            SELECT user_id, event_id, event_type,

@@ -28,8 +28,47 @@ import org.apache.spark.sql.types.StructType
   */
 object CdcPipeline {
 
-  /** Envelope columns expected on the change stream. */
+  /** Envelope columns expected on the change stream. An optional
+    * seventh column `beforeKey` (see [[ChangeEvent.beforeKey]])
+    * carries the pre-change key of a PK-changing UPDATE. */
   val envelope: Seq[String] = Seq("lsn", "commitTs", "op", "table", "key", "after")
+
+  /** Expand PRIMARY-KEY-CHANGING updates into the two events they
+    * denote — delete(old key) + upsert(new key), both at the event's
+    * own LSN — exactly how Postgres logical decoding under REPLICA
+    * IDENTITY expects a PK change to replicate (the reference's WAL
+    * source, volumes/postgresql.conf:3). Without the expansion a
+    * key-change `U` would upsert the new key and strand the old row
+    * in the target forever.
+    *
+    * Pass-through when the frame has no `beforeKey` column (pre-r15
+    * envelope) or the value is null / equal to `key` (ordinary
+    * update). One narrow projection + explode — no shuffle, no extra
+    * scan; the per-key LSN order the downstream dedup relies on is
+    * preserved because both halves carry the source event's LSN and
+    * address DIFFERENT keys (a key-change's halves never collide in
+    * the same key partition). Chained moves inside one batch
+    * (A→B at lsn 5, B→C at lsn 7) converge correctly: B's partition
+    * sees U@5 then D@7, and max-LSN-wins keeps the delete. */
+  def normalizeKeyChanges(events: DataFrame): DataFrame =
+    if (!events.columns.contains("beforeKey")) events
+    else {
+      val others = events.columns.filterNot(c =>
+        c == "beforeKey" || c == "op" || c == "key" || c == "after").toSeq
+      val afterType = events.schema("after").dataType
+      val keyChange = col("op") === "U" && col("beforeKey").isNotNull &&
+        col("beforeKey") =!= col("key")
+      val asIs = struct(col("op").as("op"), col("key").as("key"),
+        col("after").as("after"))
+      val pair = array(
+        struct(lit("D").as("op"), col("beforeKey").as("key"),
+          lit(null).cast(afterType).as("after")),
+        asIs)
+      events
+        .withColumn("_e", explode(when(keyChange, pair).otherwise(array(asIs))))
+        .select(others.map(col) ++ Seq(col("_e.op").as("op"),
+          col("_e.key").as("key"), col("_e.after").as("after")): _*)
+    }
 
   /** Bulk snapshot of source tables into the target store (step 1). */
   def snapshot(
@@ -141,10 +180,14 @@ object CdcPipeline {
     * of a micro-batch: max(lsn) per key wins; output is `op` plus the
     * parsed row columns — the shape every sink's merge consumes. The
     * window partitions by key, so the shuffle is on the merge key —
-    * co-located with the downstream bucket/partition layout. */
+    * co-located with the downstream bucket/partition layout.
+    * PK-changing updates are expanded FIRST ([[normalizeKeyChanges]]),
+    * so every consumer of this function — [[applyBatch]], [[asOf]],
+    * [[JdbcMirror.applyEnvelopeBatch]] — applies a key-change as
+    * delete(old)+upsert(new) with no caller-side handling. */
   def lastImagePerKey(
       events: DataFrame, schema: StructType, keyCol: String): DataFrame =
-    events
+    normalizeKeyChanges(events)
       .withColumn("_rn", row_number().over(
         Window.partitionBy("key").orderBy(col("lsn").desc)))
       .filter(col("_rn") === 1)

@@ -22,6 +22,16 @@ import java.sql.Timestamp
   *                  null for deletes. JSON (not a struct) so one
   *                  stream can carry heterogeneous table schemas —
   *                  parsed per-table with from_json at apply time.
+  * @param beforeKey the row's key BEFORE the change, when the source
+  *                  reports it and it differs from `key` — the old
+  *                  tuple Postgres logical decoding emits under
+  *                  REPLICA IDENTITY (the reference's WAL source,
+  *                  volumes/postgresql.conf:3) precisely so a
+  *                  PRIMARY-KEY-CHANGING UPDATE can replicate as
+  *                  delete(old) + upsert(new); without it the target
+  *                  would upsert the new key and strand the old row
+  *                  forever. None/null = key unchanged (the common
+  *                  case, and every pre-r15 feed file).
   */
 case class ChangeEvent(
     lsn: Long,
@@ -29,4 +39,5 @@ case class ChangeEvent(
     op: String,
     table: String,
     key: Long,
-    after: String)
+    after: String,
+    beforeKey: Option[Long] = None)

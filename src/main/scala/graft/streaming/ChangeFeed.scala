@@ -18,14 +18,18 @@ import org.apache.spark.sql.types._
   */
 object ChangeFeed {
 
-  /** The on-feed JSON schema of one change event. */
+  /** The on-feed JSON schema of one change event. `beforeKey` is
+    * nullable and ABSENT from every pre-r15 feed file — the JSON
+    * reader null-fills it, so old feeds replay unchanged (null =
+    * key unchanged, see [[ChangeEvent.beforeKey]]). */
   val schema: StructType = StructType(Seq(
     StructField("lsn", LongType),
     StructField("commitTs", TimestampType),
     StructField("op", StringType),
     StructField("table", StringType),
     StructField("key", LongType),
-    StructField("after", StringType)))
+    StructField("after", StringType),
+    StructField("beforeKey", LongType)))
 
   /** Open the feed directory as a streaming DataFrame of ChangeEvents.
     *
@@ -44,9 +48,14 @@ object ChangeFeed {
     spark.read.schema(schema).json(feedDir)
 
   /** Land a batch of change events on the feed (the capture side;
-    * test/demo helper — a real deployment's decoder writes here). */
+    * test/demo helper — a real deployment's decoder writes here).
+    * Envelope columns the batch omits (`beforeKey` from a pre-r15
+    * producer) publish as null. */
   def publish(events: DataFrame, feedDir: String): Unit =
-    events.select(schema.fieldNames.map(col).toSeq: _*)
+    events.select(schema.fields.toSeq.map { f =>
+        if (events.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
       .write.mode("append").json(feedDir)
 
   /** Driver-side listing of the feed's DATA files, canonical leaf →

@@ -89,4 +89,61 @@ class ChurnSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("PK-changing updates: distributed merge applies delete(old)+upsert(new) == in-memory replay") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("churn_pkc").toString
+    val store = new KeyedParquetStore(root, nBuckets = 8)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+
+    val seedRows = (1L to 50L).map(k => (k, s"seed_$k"))
+    store.snapshot(spark, "t", seedRows.toDF("id", "v"), "id")
+
+    // 15% of events are key-changing updates (REPLICA IDENTITY moves)
+    val changes = Workload.generateChanges(
+      existingKeys = (1L to 50L).toDF("id"),
+      table = "t", n = 400, startLsn = 1000, seed = 11,
+      afterJson = (key, lsn) => to_json(struct(
+        key.as("id"), concat(lit("v"), lsn).as("v"))),
+      pKeyChange = 0.15)
+      .localCheckpoint(true)
+    val nKc = changes.filter(col("beforeKey").isNotNull).count()
+    assert(nKc > 20, s"expected a real key-change share, got $nKc")
+
+    (0 until 4).foreach { b =>
+      val batch = changes.filter(col("lsn") >= 1000 + b * 100 && col("lsn") < 1100 + b * 100)
+      CdcPipeline.applyBatch(batch, store, Map("t" -> schema), Map("t" -> "id"))
+    }
+
+    // in-memory reference replay in lsn order, expanding key-changes
+    // as delete(old)+upsert(new) — the Postgres REPLICA IDENTITY rule
+    val log = changes.orderBy("lsn")
+      .select("lsn", "op", "key", "after", "beforeKey").collect()
+    val state = scala.collection.mutable.Map[Long, String](seedRows.map {
+      case (k, v) => k -> v }: _*)
+    log.foreach { r =>
+      val key = r.getLong(2)
+      r.getString(1) match {
+        case "D" => state.remove(key)
+        case _ =>
+          if (!r.isNullAt(4) && r.getLong(4) != key) state.remove(r.getLong(4))
+          val v = "\"v\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(r.getString(3)).get.group(1)
+          state.put(key, v)
+      }
+    }
+
+    val got = store.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == state.toMap,
+      s"divergence: extra=${got.keySet -- state.keySet} missing=${state.keySet -- got.keySet}")
+    // no stranded old keys: every moved-away beforeKey whose key was
+    // never re-created is absent from the target
+    val movedAway = log.collect {
+      case r if !r.isNullAt(4) && r.getLong(4) != r.getLong(2) => r.getLong(4) }
+    assert(movedAway.nonEmpty)
+    movedAway.filterNot(state.contains).foreach { k =>
+      assert(!got.contains(k), s"stranded old key $k after PK change")
+    }
+  }
 }

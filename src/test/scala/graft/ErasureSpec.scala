@@ -118,6 +118,41 @@ class ErasureSpec extends AnyFunSuite {
       .count() == 0L, "no line item may reference an erased order")
   }
 
+  test("cascade at scale: 100k derived child keys stay a DataFrame — " +
+    "no isin literal list in the rewrite plan, residue 0") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_erasure_big").toString
+    // 3 subjects, each deriving ~33k child rows: the DERIVED set is
+    // 100k — far beyond any sane driver literal list
+    spark.range(5).select(col("id").as("c_id"))
+      .write.parquet(s"$work/cust.parquet")
+    spark.range(100000)
+      .select(col("id").as("o_id"), (col("id") % 3).as("o_cust"))
+      .write.parquet(s"$work/ord.parquet")
+
+    // plan gate on the exact rewrite frame forget() executes: the
+    // tombstone side must appear as a JOIN, never an In/InSet literal
+    val tomb100k = spark.range(100000).select(col("id").as("o_id"))
+    val plan = Erasure.survivors(spark, s"$work/ord.parquet", "o_id", tomb100k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Join") && !plan.contains("o_id IN") &&
+      !plan.contains("InSet"), s"rewrite must join, not inline keys:\n$plan")
+
+    // subjects 0 and 1 derive every o_id with o_cust in {0,1}: ~67k
+    val expectedOrd = 100000L - (100000L / 3L) // ids with id%3 != 2
+    val reps = Erasure.forgetCascade(spark, work, "cust", "c_id",
+      ids = Seq(0L, 1L),
+      edges = Seq("cust" -> Erasure.CascadeEdge("ord", "o_cust", "o_id")))
+    assert(reps.map(_.table) == Seq("ord", "cust"))
+    assert(reps.forall(_.residue == 0L), s"got $reps")
+    val byTable = reps.map(r => r.table -> (r.rowsBefore - r.rowsAfter)).toMap
+    assert(byTable("ord") == expectedOrd && byTable("cust") == 2L,
+      s"got $byTable (want $expectedOrd/2)")
+    assert(spark.read.parquet(s"$work/ord.parquet")
+      .filter(col("o_cust") < 2).count() == 0L)
+    assert(spark.read.parquet(s"$work/cust.parquet").count() == 3L)
+  }
+
   test("feed forget: change history redacted in place under the original " +
     "leaf names; fresh replay and asOf no longer resurrect the keys; " +
     "unaffected files byte-identical") {
@@ -187,6 +222,69 @@ class ErasureSpec extends AnyFunSuite {
     assert((files2, removed2) == ((1L, 1L)), s"got ($files2, $removed2)")
     assert(graft.streaming.ChangeFeed.readAll(spark, feed).count() == 27L,
       "restored file's surviving events must be back on the feed")
+  }
+
+  test("partitioned forget: only partitions holding tombstoned keys are " +
+    "rewritten; untouched partitions byte-identical; worst crash point restored") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_erasure_part").toString
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("d", to_date(col("ts")))
+      .select(col("event_id"), col("user_id"), col("value"), col("d"))
+    graft.sources.Tables.savePartitioned(ev, s"$work/ev.parquet", "d")
+    val total = ev.count()
+
+    // tombstone the event_ids of ONE day — locality guarantees only
+    // that day's partition is affected
+    val days = ev.select(date_format(col("d"), "yyyy-MM-dd"))
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(days.length > 2, "need several partitions")
+    val victimDay = days(days.length / 2)
+    val doomed = ev.filter(date_format(col("d"), "yyyy-MM-dd") === victimDay)
+      .select("event_id")
+    val nDoomed = doomed.count()
+    assert(nDoomed > 0)
+
+    // snapshot every other partition's file inventory (name, len, mtime)
+    def inventory(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$work/ev.parquet"))
+        .filterNot(_.getPath.contains(s"d=$victimDay"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = inventory()
+
+    val rep = Erasure.forgetPartitioned(spark, work, "ev", "event_id", doomed)
+    assert(rep.partitionsRewritten == 1L, s"got $rep")
+    assert(rep.partitionsUntouched == days.length - 1L, s"got $rep")
+    assert(rep.rowsBefore == total && rep.rowsAfter == total - nDoomed &&
+      rep.residue == 0L, s"got $rep")
+    assert(inventory() == before,
+      "untouched partitions must keep their files byte-identical")
+
+    // worst crash point: a partition dir parked in _forget_old_ with
+    // the original absent must be restored before discovery
+    val k = spark.read.parquet(s"$work/ev.parquet")
+      .agg(min("event_id")).collect().head.getLong(0)
+    val anyDay = new java.io.File(s"$work/ev.parquet").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("d=")).head
+    Files.move(anyDay.toPath,
+      anyDay.toPath.resolveSibling(s"_forget_old_${anyDay.getName}"))
+    val rep2 = Erasure.forgetPartitioned(spark, work, "ev", "event_id",
+      Seq(k).toDF("event_id"))
+    assert(rep2.rowsBefore == total - nDoomed, s"recovery lost rows: $rep2")
+    assert(rep2.rowsAfter == total - nDoomed - 1 && rep2.residue == 0L,
+      s"got $rep2")
+
+    // misuse guard: an unpartitioned table is told to use forget()
+    ev.select("event_id", "user_id", "value")
+      .write.parquet(s"$work/flat.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Erasure.forgetPartitioned(spark, work, "flat", "event_id",
+        Seq(1L).toDF("event_id"))
+    }
+    assert(e.getMessage.contains("forget"), e.getMessage)
   }
 
   test("store forget: delete tombstones ride the product merge path, " +
