@@ -247,9 +247,9 @@ object DedupQueries {
     // |labels| = |nodes| is a loop invariant, so the exact row count
     // is known once and holds for every generation.
     import org.apache.spark.sql.graftbridge.Bridge.withExactStats
-    val edges0 = pairs.select(col("da"), col("db"))
-      .union(pairs.select(col("db").as("da"), col("da").as("db")))
-      .localCheckpoint(true) // reused every iteration
+    val edges0 = Checkpointing.pin(pairs.select(col("da"), col("db"))
+      .union(pairs.select(col("db").as("da"), col("da").as("db"))))
+      // ^ reused every iteration; reliable-mode opt-in via Checkpointing
     // ONE pass over the checkpointed edge set yields both pinned
     // invariants: |edges| and |nodes| (= distinct da, since edges are
     // symmetrized)
@@ -258,7 +258,7 @@ object DedupQueries {
     val edges = withExactStats(edges0, nEdges, 16L)
     val nodes = edges.select(col("da").as("doc_id")).distinct()
     var labels = withExactStats(
-      nodes.withColumn("cluster_id", col("doc_id")).localCheckpoint(true),
+      Checkpointing.pin(nodes.withColumn("cluster_id", col("doc_id"))),
       nNodes, 16L)
     // Convergence check without a generation-vs-generation join: labels
     // only ever DECREASE (least of self and neighbors), so the label
@@ -288,9 +288,9 @@ object DedupQueries {
       val parents = hooked
         .select(col("doc_id").as("pid"), col("cluster_id").as("pl"))
       val next = withExactStats(
-        hooked.join(parents, hooked("cluster_id") === parents("pid"))
-          .select(hooked("doc_id"), col("pl").as("cluster_id"))
-          .localCheckpoint(true),
+        Checkpointing.pin(
+          hooked.join(parents, hooked("cluster_id") === parents("pid"))
+            .select(hooked("doc_id"), col("pl").as("cluster_id"))),
         nNodes, 16L)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0

@@ -63,8 +63,8 @@ object GraphQueries {
       .distinct()
     val hot = op.groupBy("ok").agg(count(lit(1)).as("df"))
       .filter(col("df") > 64)
-    val cold0 = op.join(broadcast(hot.select("ok")), Seq("ok"), "left_anti")
-      .localCheckpoint(true)
+    val cold0 = Checkpointing.pin(
+      op.join(broadcast(hot.select("ok")), Seq("ok"), "left_anti"))
     val cold = focusPred match {
       case None => cold0
       case Some(pred) =>
@@ -75,13 +75,13 @@ object GraphQueries {
           .select("ok").distinct()
         cold0.join(reachOrders, Seq("ok"), "left_semi")
     }
-    cold.as("x").join(cold.as("y"), "ok")
-      .where(col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
-      .select("u", "v")
-      .localCheckpoint(true)
+    Checkpointing.pin(
+      cold.as("x").join(cold.as("y"), "ok")
+        .where(col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+        .select("u", "v"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -89,14 +89,13 @@ object GraphQueries {
       // edges and degrees feed EVERY iteration — pin them once
       // (localCheckpoint truncates lineage; Bench's registry sweep
       // frees the blocks after the run, same pattern as d5/s11)
-      val e = Tables.load(s, d, "lineitem")
+      val e = Checkpointing.pin(Tables.load(s, d, "lineitem")
         .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       val und = e.select(col("a").as("src"), col("b").as("dst"))
         .union(e.select(col("b").as("src"), col("a").as("dst")))
-      val deg = und.groupBy("src").agg(count(lit(1)).as("outd"))
-        .localCheckpoint(true)
+      val deg = Checkpointing.pin(
+        und.groupBy("src").agg(count(lit(1)).as("outd")))
       var rank = deg.select(col("src").as("nid"),
         lit(1000000L).as("r"))
       for (_ <- 1 to 3) {
@@ -256,12 +255,12 @@ object GraphQueries {
     "g4_reach" -> { (s, d) =>
       val maxHops = 4
       val edges = coPurchaseEdges(s, d, minSupport = 2)
-      val und = edges.select(col("u").as("src"), col("v").as("dst"))
-        .union(edges.select(col("v").as("src"), col("u").as("dst")))
-        .localCheckpoint(true)
+      val und = Checkpointing.pin(
+        edges.select(col("u").as("src"), col("v").as("dst"))
+          .union(edges.select(col("v").as("src"), col("u").as("dst"))))
       val seeds = und.select(col("src").as("id")).distinct()
         .filter(col("id") < 10)
-      var visited = seeds.withColumn("hops", lit(0)).localCheckpoint(true)
+      var visited = Checkpointing.pin(seeds.withColumn("hops", lit(0)))
       for (h <- 1 to maxHops) {
         val frontier = visited.filter(col("hops") === h - 1)
           .select(col("id").as("src"))
@@ -269,7 +268,7 @@ object GraphQueries {
           .select(col("dst").as("id")).distinct()
           .join(visited.select("id"), Seq("id"), "left_anti")
           .withColumn("hops", lit(h))
-        visited = visited.unionByName(next).localCheckpoint(true)
+        visited = Checkpointing.pin(visited.unionByName(next))
       }
       visited.groupBy("hops")
         .agg(count(lit(1)).as("n_parts"),

@@ -149,8 +149,12 @@ object IndexStore {
     dest.toString
   }
 
-  /** HARD-DELETE every index version except the one currently served,
-    * across all of `dataDir`'s sidecars. The version-commit protocol
+  /** HARD-DELETE every index version OLDER than the one currently
+    * served, across all of `dataDir`'s sidecars (versions NEWER than
+    * the served one are in-flight rebuilds mid-commit — racing them
+    * would destroy data the pointer is about to vouch for, and they
+    * hold no erased-row residue, being built over the rewritten
+    * corpus). The version-commit protocol
     * deliberately RETAINS the previously-served version so in-flight
     * readers survive a rebuild — but after an erasure
     * ([[graft.operators.Erasure.forget]]) that retained version still
@@ -175,11 +179,18 @@ object IndexStore {
       val served = currentVersion(dir)
       // no readable pointer = nothing provably served; leave the index
       // alone rather than reason about state this code cannot see
-      if (served.isDefined) {
+      served.foreach { cur =>
         fs.listStatus(idx.getPath).filter(_.isDirectory).foreach { v =>
           val n = v.getPath.getName
-          val keep = served.exists(s => n == s"v$s")
-          if (n.startsWith("v") && !keep) {
+          // only versions OLDER than the served one are provably dead:
+          // a v<N+1> dir is a rebuild racing this purge (data renamed,
+          // pointer swap pending — commitNewVersion's commit window),
+          // and destroying it would hand the next pointer a vouched-for
+          // path with no data. Newer dirs carry no erased-row residue
+          // anyway (built over the already-rewritten corpus).
+          val ver = if (n.startsWith("v"))
+            scala.util.Try(n.stripPrefix("v").toInt).toOption else None
+          if (ver.exists(_ < cur)) {
             fs.delete(v.getPath, true); dropped += 1
           }
         }

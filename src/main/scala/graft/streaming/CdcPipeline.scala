@@ -423,10 +423,11 @@ object CdcPipeline {
       mirrorName: String, checkpointDir: String): Unit = {
     require(mirrorName.nonEmpty && !mirrorName.contains("/"),
       s"consumer name must be a plain file name: '$mirrorName'")
-    require(!mirrorName.endsWith(InvalidSuffix),
-      s"consumer name must not end with the reserved '$InvalidSuffix' " +
-        s"marker suffix: '$mirrorName' (the registry would read it as an " +
-        "invalidation marker, hiding the consumer from the prune gate)")
+    require(!mirrorName.endsWith(InvalidSuffix) &&
+        !mirrorName.endsWith(PendingSuffix),
+      s"consumer name must not end with the reserved '$InvalidSuffix' / " +
+        s"'$PendingSuffix' marker suffixes: '$mirrorName' (the registry " +
+        "would read it as a marker, hiding the consumer from the prune gate)")
     invalidatedConsumers(spark, feedDir).get(mirrorName).foreach { why =>
       throw new IllegalStateException(
         s"consumer '$mirrorName' on feed $feedDir was INVALIDATED ($why): " +
@@ -451,6 +452,7 @@ object CdcPipeline {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, false)
     fs.delete(invalidMarker(feedDir, mirrorName), false)
+    fs.delete(pendingMarker(feedDir, mirrorName), false)
   }
 
   /** All VALID registered consumers of a feed: name → checkpointDir.
@@ -470,7 +472,8 @@ object CdcPipeline {
         .map(_.dropRight(InvalidSuffix.length)).toSet
       all.filter { s =>
         val n = s.getPath.getName
-        !n.endsWith(InvalidSuffix) && !invalid.contains(n)
+        !n.endsWith(InvalidSuffix) && !n.endsWith(PendingSuffix) &&
+          !invalid.contains(n)
       }.map { s =>
         val in = fs.open(s.getPath)
         val ckpt = try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -482,8 +485,16 @@ object CdcPipeline {
 
   private val InvalidSuffix = ".invalid"
 
+  /** First-strike marker of [[invalidateConsumersOverBudget]]'s
+    * two-observation policy — present = the consumer read over budget
+    * on the previous sweep. */
+  private val PendingSuffix = ".overbudget"
+
   private def invalidMarker(feedDir: String, name: String) =
     new org.apache.hadoop.fs.Path(s"$feedDir/_consumers/$name$InvalidSuffix")
+
+  private def pendingMarker(feedDir: String, name: String) =
+    new org.apache.hadoop.fs.Path(s"$feedDir/_consumers/$name$PendingSuffix")
 
   /** Consumers whose registration was INVALIDATED
     * ([[invalidateConsumersOverBudget]]): name → recorded reason. The
@@ -510,20 +521,28 @@ object CdcPipeline {
     * rebuilt (fresh snapshot + fresh checkpoint): clears the marker so
     * [[registerConsumer]]/[[start]] accept the name again. */
   def acknowledgeInvalidation(spark: SparkSession, feedDir: String,
-      mirrorName: String): Unit =
-    invalidMarker(feedDir, mirrorName)
+      mirrorName: String): Unit = {
+    val fs = invalidMarker(feedDir, mirrorName)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(invalidMarker(feedDir, mirrorName), false)
+    fs.delete(invalidMarker(feedDir, mirrorName), false)
+    fs.delete(pendingMarker(feedDir, mirrorName), false)
+  }
 
   /** One consumer's retention drag on a shared feed — the engine's
     * `pg_replication_slots` lag row. `heldFiles`/`heldBytes` = feed
     * data files this consumer has NOT committed (everything its
     * registration forces [[rotateCheckpoint]] to keep); a `degraded`
     * consumer's position cannot be read at all, so it holds the whole
-    * feed. */
+    * feed. `committedFiles` counts committed files STILL ON the feed
+    * (the retention-relevant figure); `committedTotal` is the raw
+    * committed-set size including already-pruned files — the
+    * has-this-consumer-ever-run signal
+    * [[invalidateConsumersOverBudget]]'s bootstrap exemption reads
+    * (after a rotation prunes everything a consumer committed, its
+    * intersection count reads 0 even though it demonstrably ran). */
   final case class ConsumerLag(name: String, checkpointDir: String,
       committedFiles: Long, heldFiles: Long, heldBytes: Long,
-      degraded: Option[String])
+      degraded: Option[String], committedTotal: Long = 0L)
 
   /** Per-consumer retention drag for every VALID registration on a
     * feed (invalidated consumers hold nothing by definition). Driver
@@ -543,7 +562,8 @@ object CdcPipeline {
             val held = feed.filter { case (leaf, _) => !committed(leaf) }
             ConsumerLag(name, ckpt,
               feed.keysIterator.count(committed).toLong,
-              held.size.toLong, held.valuesIterator.sum, None)
+              held.size.toLong, held.valuesIterator.sum, None,
+              committedTotal = committed.size.toLong)
         }
     }
   }
@@ -552,10 +572,12 @@ object CdcPipeline {
     * four replication slots on one WAL, volumes/postgresql.conf:4–5 —
     * and Postgres itself answers the dead-slot-pins-WAL failure mode
     * by INVALIDATING slots whose retention drag exceeds a byte budget,
-    * `wal_status = 'lost'`): any valid consumer holding more than
-    * `maxHeldBytes` of feed data is invalidated — its registration is
-    * replaced by a reasoned marker, so it stops gating
-    * [[rotateCheckpoint]]'s prune and the feed can shrink again. The
+    * `wal_status = 'lost'`): a valid consumer holding more than
+    * `maxHeldBytes` of feed data on TWO CONSECUTIVE sweeps (and with
+    * at least one committed batch — see the exemptions in the body) is
+    * invalidated — its registration is replaced by a reasoned marker,
+    * so it stops gating [[rotateCheckpoint]]'s prune and the feed can
+    * shrink again. The
     * invalidated mirror's next [[start]]/[[registerConsumer]] fails
     * LOUDLY (its continuity is broken — files it never read may be
     * pruned); recovery is a fresh snapshot + fresh checkpoint +
@@ -573,26 +595,61 @@ object CdcPipeline {
   def invalidateConsumersOverBudget(spark: SparkSession, feedDir: String,
       maxHeldBytes: Long): Seq[ConsumerLag] = {
     require(maxHeldBytes >= 0L, s"negative byte budget: $maxHeldBytes")
-    // DEGRADED positions are exempt: a Left from sourceLogPaths can be
-    // the documented transient race (a LIVE mirror's log compaction
-    // deleting entries mid-listing), and invalidation is destructive —
-    // a healthy caught-up mirror must never be condemned on a read
-    // race. Degraded consumers stay visible as WARNINGs in
-    // [[graft.analytics.Monitor.replicationInfra]]'s consumer_lag row;
-    // if one is genuinely dead-with-unreadable-log, the operator
-    // decision is [[unregisterConsumer]], not this budget policy.
-    val over = consumerLag(spark, feedDir)
-      .filter(c => c.degraded.isEmpty && c.heldBytes > maxHeldBytes)
-    over.foreach { c =>
-      val why = s"retention drag ${c.heldBytes} B over budget " +
-        s"$maxHeldBytes B (${c.heldFiles} held files)"
-      logger.warn(s"invalidating feed consumer '${c.name}': $why")
-      AtomicFiles.writeAtomically(spark, invalidMarker(feedDir, c.name), why)
-      val reg = new org.apache.hadoop.fs.Path(s"$feedDir/_consumers/${c.name}")
-      reg.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(reg, false)
-    }
-    over
+    // Three exemptions guard this DESTRUCTIVE policy (invalidation
+    // breaks a consumer's continuity for good):
+    //  - DEGRADED positions: a Left from sourceLogPaths can be the
+    //    documented transient race (a LIVE mirror's log compaction
+    //    deleting entries mid-listing); a healthy caught-up mirror
+    //    must never be condemned on a read race. Degraded consumers
+    //    stay visible as WARNINGs in
+    //    [[graft.analytics.Monitor.replicationInfra]]; a genuinely
+    //    dead-with-unreadable-log one is the operator's
+    //    [[unregisterConsumer]] decision, not this budget policy.
+    //  - ZERO COMMITTED batches: a freshly registered / bootstrapping
+    //    mirror's young checkpoint reads as Right(empty) — "holds the
+    //    entire feed" — and condemning it before its first commit
+    //    would make a feed larger than the budget impossible to ever
+    //    join. No commits = no evidence of deadness either way; a
+    //    registration that NEVER commits is again the operator's
+    //    unregister call.
+    //  - FIRST OBSERVATION: invalidation requires the consumer over
+    //    budget on TWO CONSECUTIVE sweeps (a `.overbudget` strike
+    //    marker records the first; dropping back under budget clears
+    //    it) — one cadence interval of grace, so a live mirror caught
+    //    mid-burst or mid-catch-up is not executed on a single
+    //    snapshot. Postgres's own slot invalidation is likewise
+    //    checkpoint-cadence-grained, not instantaneous.
+    val lags = consumerLag(spark, feedDir)
+    val fs = new org.apache.hadoop.fs.Path(feedDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // under-budget consumers lose any standing strike
+    lags.filter(c => c.degraded.isEmpty && c.heldBytes <= maxHeldBytes)
+      .foreach(c => fs.delete(pendingMarker(feedDir, c.name), false))
+    lags.filter(c => c.degraded.isEmpty && c.heldBytes > maxHeldBytes)
+      .flatMap { c =>
+        val why = s"retention drag ${c.heldBytes} B over budget " +
+          s"$maxHeldBytes B (${c.heldFiles} held files)"
+        if (c.committedTotal == 0L) {
+          logger.warn(s"feed consumer '${c.name}' over budget but exempt " +
+            s"(zero committed batches ever — bootstrapping): $why")
+          None
+        } else if (!fs.exists(pendingMarker(feedDir, c.name))) {
+          logger.warn(s"feed consumer '${c.name}' over budget — first " +
+            s"strike recorded, invalidation on the next sweep: $why")
+          AtomicFiles.writeAtomically(spark,
+            pendingMarker(feedDir, c.name), why)
+          None
+        } else {
+          logger.warn(s"invalidating feed consumer '${c.name}': $why")
+          // marker first, registration second (crash-ordering: the
+          // invalidation marker is authoritative for every reader)
+          AtomicFiles.writeAtomically(spark, invalidMarker(feedDir, c.name), why)
+          fs.delete(
+            new org.apache.hadoop.fs.Path(s"$feedDir/_consumers/${c.name}"), false)
+          fs.delete(pendingMarker(feedDir, c.name), false)
+          Some(c)
+        }
+      }
   }
 
   /** Mirror lifecycle: CHECKPOINT ROTATION as ONE operation (r12

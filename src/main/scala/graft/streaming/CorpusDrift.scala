@@ -20,9 +20,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * micro-batch pays one tokenize+explode → (vterm) hash aggregate
   * (map-side combined, batch-sized) and the TV fold runs over ≤ K+1
   * rows. State across batches is ZERO — each batch is scored against
-  * the immutable baseline, so the monitor is replay-idempotent by
-  * construction (same batch ⇒ same row) and restart needs no state
-  * recovery beyond Spark's own checkpoint.
+  * the immutable baseline, so the monitor is replay-idempotent in
+  * VALUES (same batch ⇒ same row) and, because each row lands as an
+  * overwrite of its own `batch_id=` partition ([[recordScore]]), in
+  * MULTIPLICITY too — an at-least-once redelivery after a crash
+  * rewrites the row instead of appending a duplicate. Restart needs
+  * no state recovery beyond Spark's own checkpoint.
   */
 object CorpusDrift {
 
@@ -95,11 +98,28 @@ object CorpusDrift {
         "ELSE coalesce(sum(gap), 0) DIV 2 END").as("tv_nano"))
   }
 
+  /** Score one micro-batch and record its alert row under
+    * `alertDir/batch_id=<id>` — an OVERWRITE of that batch's own
+    * partition directory, so the at-least-once replay foreachBatch can
+    * deliver (crash after the write, before the commit marker) lands
+    * the SAME row in the SAME place instead of appending a duplicate:
+    * row multiplicity is replay-idempotent, not only row values.
+    * Readers take `spark.read.parquet(alertDir)` and get `batch_id`
+    * back as the partition column. */
+  def recordScore(batch: DataFrame, baseline: DataFrame, alertDir: String,
+      batchId: Long, thresholdNano: Long): Unit =
+    score(batch, baseline)
+      .withColumn("drifted", col("tv_nano") > thresholdNano)
+      .select("n_docs", "n_toks", "tv_nano", "drifted")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$alertDir/batch_id=$batchId")
+
   /** Start the monitor: every micro-batch of `docs` (streaming, with a
-    * `text` column) is scored against the baseline and appended to
-    * `alertDir` as one row — (batch_id, n_docs, n_toks, tv_nano,
-    * drifted). Read `alertDir` with plain parquet for dashboards /
-    * downstream alerting. */
+    * `text` column) is scored against the baseline and recorded as one
+    * row under `alertDir/batch_id=<id>` ([[recordScore]] — replayed
+    * batches overwrite their own partition, never double-fire). Read
+    * `alertDir` with plain parquet for dashboards / downstream
+    * alerting; `batch_id` comes back as the partition column. */
   def start(docs: DataFrame, baselinePath: String, alertDir: String,
       checkpointDir: String, thresholdNano: Long): StreamingQuery = {
     val spark = docs.sparkSession
@@ -109,13 +129,34 @@ object CorpusDrift {
       .queryName("corpus_drift_monitor")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        score(batch, baseline)
-          .withColumn("batch_id", lit(batchId))
-          .withColumn("drifted", col("tv_nano") > thresholdNano)
-          .select("batch_id", "n_docs", "n_toks", "tv_nano", "drifted")
-          .coalesce(1)
-          .write.mode("append").parquet(alertDir)
+        recordScore(batch, baseline, alertDir, batchId, thresholdNano)
       }
       .start()
   }
+
+  /** STALENESS-GATED baseline serving — the
+    * [[graft.operators.IndexStore.getOrBuildIfFresh]] treatment the
+    * IVF centroids already get ([[graft.operators.SimilarityQueries]]'s
+    * `servedCentroidsAuto`), applied to the drift baseline: on a
+    * GROWING corpus a baseline pinned at monitor start drifts away
+    * from the population it is supposed to represent, and the monitor
+    * alerts on benign vocabulary growth until someone retrains it.
+    * Policy (identical to the centroid bargain): serve the trained
+    * baseline while the corpus has only APPENDED within
+    * `maxGrowFraction` of the trained bytes; retrain past the budget;
+    * any rewrite/delete of a trained file is wrong-era data and
+    * retrains immediately. Returns the (K+1)-row baseline frame —
+    * hand `.localCheckpoint(true)` of it to [[score]]/[[start]].
+    *
+    * Correctness domain: the baseline is an INDEX-like approximation
+    * (a reference distribution), so stale-within-budget serving is the
+    * designed trade — dq6's batch audit, whose output is an ORACLE
+    * result, keeps deriving its grid inline instead. */
+  def baselineAuto(spark: SparkSession, dataDir: String,
+      table: String = "documents", vocabSize: Int = 200,
+      maxGrowFraction: Double = 0.25): DataFrame =
+    graft.operators.IndexStore.getOrBuildIfFresh(spark, dataDir,
+      s"drift_baseline_${table}_v$vocabSize", table, maxGrowFraction) {
+      trainBaseline(spark.read.parquet(s"$dataDir/$table.parquet"), vocabSize)
+    }
 }

@@ -331,7 +331,11 @@ object CdcThroughput {
       "mirror_a", s"$work/ckptA", safetyLsns = 2L * batchSize)
     require(rotLag.rotated, s"rotation skipped: ${rotLag.skipped}")
     run("mirror_a", s"$work/ckptA", storeA, s2)
-    // budget invalidation unblocks retention
+    // budget invalidation unblocks retention — TWO-STRIKE policy:
+    // the first sweep records the strike, the second invalidates
+    val strike = CdcPipeline
+      .invalidateConsumersOverBudget(spark, feed, maxHeldBytes = 1L)
+    require(strike.isEmpty, s"first sweep must only strike: $strike")
     val inv = CdcPipeline
       .invalidateConsumersOverBudget(spark, feed, maxHeldBytes = 1L)
     require(inv.map(_.name) == Seq("mirror_b"), s"invalidated: $inv")

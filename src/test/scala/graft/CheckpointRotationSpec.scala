@@ -273,7 +273,16 @@ class CheckpointRotationSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(pre("consumer_lag") == "WARNING" && pre("feed_consumers") == "OK",
       s"got $pre")
-    // the budget policy invalidates ONLY the laggard (A holds 0 bytes)
+    // the budget policy is TWO-STRIKE (a live mirror caught mid-burst
+    // must not be executed on one snapshot): the first sweep only
+    // records B's strike, the second invalidates — and ONLY the
+    // laggard (A holds 0 bytes)
+    val strike = CdcPipeline.invalidateConsumersOverBudget(spark, feed,
+      maxHeldBytes = 0L)
+    assert(strike.isEmpty, s"first observation must only strike: $strike")
+    assert(CdcPipeline.registeredConsumers(spark, feed).keySet ==
+      Set("mirror_a", "mirror_b"),
+      "a struck consumer is still registered (still gates pruning)")
     val inv = CdcPipeline.invalidateConsumersOverBudget(spark, feed,
       maxHeldBytes = 0L)
     assert(inv.map(_.name) == Seq("mirror_b") && inv.head.heldFiles == 4L,
@@ -315,6 +324,56 @@ class CheckpointRotationSpec extends AnyFunSuite {
     assert(store2Rows(storeA) == ((500L, 500L)))
     assert(CdcPipeline.registeredConsumers(spark, feed).keySet ==
       Set("mirror_a", "mirror_b"))
+  }
+
+  test("budget-invalidation exemptions: a bootstrapping consumer (zero " +
+    "committed batches ever) is never invalidated, and an under-budget " +
+    "recovery clears a standing strike") {
+    val work = Files.createTempDirectory("graft_rotate_grace").toString
+    val feed = s"$work/feed"
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 4)
+    publishBatch(feed, 0 until 100)
+    // a registered-but-never-run consumer: committed set reads empty
+    CdcPipeline.registerConsumer(spark, feed, "mirror_new", s"$work/ckptNew")
+    val sweeps = (1 to 3).map(_ =>
+      CdcPipeline.invalidateConsumersOverBudget(spark, feed, maxHeldBytes = 0L))
+    assert(sweeps.flatten.isEmpty,
+      s"bootstrapping consumer must never be invalidated: $sweeps")
+    assert(CdcPipeline.registeredConsumers(spark, feed)
+      .contains("mirror_new"))
+
+    // a consumer WITH history: first over-budget sweep only strikes;
+    // catching up before the second sweep clears the strike
+    val q = CdcPipeline.start(
+      ChangeFeed.stream(spark, feed, maxFilesPerTrigger = 1),
+      store, Map("t" -> rowSchema), Map("t" -> "id"),
+      mirrorName = "mirror_live", checkpointDir = s"$work/ckptLive",
+      feedDir = Some(feed))
+    q.processAllAvailable(); q.stop()
+    publishBatch(feed, 100 until 200) // now over budget (1 held file)
+    val strike = CdcPipeline
+      .invalidateConsumersOverBudget(spark, feed, maxHeldBytes = 0L)
+    assert(strike.isEmpty, s"first observation only strikes: $strike")
+    // the mirror catches up between sweeps — the strike must clear
+    val q2 = CdcPipeline.start(
+      ChangeFeed.stream(spark, feed, maxFilesPerTrigger = 1),
+      store, Map("t" -> rowSchema), Map("t" -> "id"),
+      mirrorName = "mirror_live", checkpointDir = s"$work/ckptLive",
+      feedDir = Some(feed))
+    q2.processAllAvailable(); q2.stop()
+    val afterCatchUp = CdcPipeline
+      .invalidateConsumersOverBudget(spark, feed, maxHeldBytes = 0L)
+    assert(afterCatchUp.isEmpty)
+    // a LATER over-budget reading starts a fresh two-strike cycle —
+    // the cleared strike did not persist
+    publishBatch(feed, 200 until 300)
+    val fresh = CdcPipeline
+      .invalidateConsumersOverBudget(spark, feed, maxHeldBytes = 0L)
+    assert(fresh.isEmpty,
+      "a recovered consumer must restart the two-strike cycle, " +
+        s"not be executed on its old strike: $fresh")
+    assert(CdcPipeline.registeredConsumers(spark, feed)
+      .contains("mirror_live"))
   }
 
   test("special-character feed file names (encoded-form leaves) prune " +

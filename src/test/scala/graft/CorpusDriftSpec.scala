@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.CorpusDrift
@@ -66,5 +67,59 @@ class CorpusDriftSpec extends AnyFunSuite {
       alerts(1).getAs[Long]("tv_nano") == driftTv,
       s"batch 1 must score exactly the kernel's drift-TV: ${alerts(1)}")
     assert(alerts(1).getAs[Long]("n_docs") == 50L)
+  }
+
+  test("alert rows are replay-idempotent in MULTIPLICITY: a redelivered " +
+    "batch overwrites its own batch_id partition, never double-fires") {
+    val work = Files.createTempDirectory("graft_drift_replay").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    CorpusDrift.trainBaseline(docs).write.parquet(s"$work/baseline")
+    val baseline = spark.read.parquet(s"$work/baseline").localCheckpoint(true)
+    val batch = docs.select("doc_id", "text").limit(20)
+    CorpusDrift.recordScore(batch, baseline, s"$work/alerts", 0L, 1000000L)
+    // foreachBatch at-least-once: the same batch id delivered again
+    CorpusDrift.recordScore(batch, baseline, s"$work/alerts", 0L, 1000000L)
+    CorpusDrift.recordScore(batch, baseline, s"$work/alerts", 1L, 1000000L)
+    val alerts = spark.read.parquet(s"$work/alerts")
+    assert(alerts.count() == 2L,
+      s"one row per batch id, got ${alerts.count()}")
+    assert(alerts.select("batch_id").distinct().count() == 2L)
+  }
+
+  test("baselineAuto: trained baseline served under the growth budget " +
+    "(stale serve, zero retrains), retrained past it") {
+    import graft.operators.IndexStore
+    val work = Files.createTempDirectory("graft_drift_stale").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(s"$work/documents.parquet")
+
+    val builds0 = IndexStore.buildsPerformed
+    def served() = CorpusDrift.baselineAuto(spark, work, maxGrowFraction = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    val trained = served()
+    assert(IndexStore.buildsPerformed == builds0 + 1, "first consumer trains")
+    assert(served() == trained)
+    assert(IndexStore.buildsPerformed == builds0 + 1, "warm serve, no retrain")
+
+    // small append (~2% of trained bytes): STALE-SERVED — the monitor
+    // keeps the trained distribution instead of alerting on benign
+    // vocabulary growth after retraining per batch
+    val stale0 = IndexStore.staleServes
+    docs.limit(10).withColumn("doc_id", col("doc_id") + 100000L)
+      .write.mode("append").parquet(s"$work/documents.parquet")
+    assert(served() == trained,
+      "under-budget growth must serve the TRAINED baseline")
+    assert(IndexStore.buildsPerformed == builds0 + 1)
+    assert(IndexStore.staleServes == stale0 + 1, "stale serve is counted")
+
+    // a full-corpus append (~100% growth) crosses the 50% budget: ONE
+    // retrain, and the new baseline reflects the grown corpus
+    docs.withColumn("doc_id", col("doc_id") + 200000L)
+      .write.mode("append").parquet(s"$work/documents.parquet")
+    served()
+    assert(IndexStore.buildsPerformed == builds0 + 2,
+      "over-budget growth must retrain exactly once")
+    assert(served() == served(), "retrained baseline is stable")
+    assert(IndexStore.buildsPerformed == builds0 + 2)
   }
 }

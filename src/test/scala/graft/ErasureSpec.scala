@@ -287,6 +287,48 @@ class ErasureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("forget"), e.getMessage)
   }
 
+  test("jdbc forget: a feed-fed Derby mirror target forgets too — " +
+    "residue 0, idempotent, and a post-redaction replay stays clean") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:grafterasure;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE t") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(32))")
+      st.close()
+    } finally conn.close()
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def envelope(ids: Seq[Long]) = ids.map { i =>
+      (i, new java.sql.Timestamp(0L), "I", "t", i, s"""{"id":$i,"v":"v$i"}""")
+    }.toDF("lsn", "commitTs", "op", "table", "key", "after")
+    graft.streaming.JdbcMirror.applyEnvelopeBatch(
+      envelope(1L to 10L), url, Map("t" -> rowSchema), Map("t" -> "id"), props)
+    def residue(ids: Seq[Long]): Long = graft.sources.Tables
+      .jdbc(spark, url, "t", props)
+      .filter(col("ID").isin(ids: _*)).count()
+    assert(residue(1L to 10L) == 10L)
+
+    Erasure.forgetFromJdbc(spark, url, "t", "id", Seq(3L, 7L), props)
+    assert(residue(Seq(3L, 7L)) == 0L, "forgotten keys must leave the mirror")
+    assert(residue(1L to 10L) == 8L, "other rows must survive")
+    // idempotent: the same sweep again is absorbed by the same path
+    Erasure.forgetFromJdbc(spark, url, "t", "id", Seq(3L, 7L), props)
+    assert(residue(1L to 10L) == 8L)
+
+    // replay after feed redaction (the composition contract): the
+    // redacted envelope no longer carries the keys, so a full replay
+    // reconverges WITHOUT resurrecting them
+    graft.streaming.JdbcMirror.applyEnvelopeBatch(
+      envelope((1L to 10L).filterNot(Set(3L, 7L))),
+      url, Map("t" -> rowSchema), Map("t" -> "id"), props)
+    assert(residue(Seq(3L, 7L)) == 0L)
+    assert(residue(1L to 10L) == 8L)
+  }
+
   test("store forget: delete tombstones ride the product merge path, " +
     "idempotently, WITHOUT touching the applied-LSN watermark") {
     import spark.implicits._

@@ -147,6 +147,19 @@ class IndexStoreSpec extends AnyFunSuite {
     val v3Reader = index()
     assert(versions() == Seq("v2", "v3"), "v1 must be pruned once unreferenced")
     assert(v2Reader.count() == 2 * n1 && v3Reader.count() == 3 * n1)
+
+    // purge-vs-rebuild race: a v4 dir whose pointer swap is pending
+    // (commitNewVersion's commit window) must SURVIVE the erasure
+    // purge — only versions OLDER than the served one are dead
+    val v4 = new java.io.File(idxDir, "v4")
+    java.nio.file.Files.createDirectories(v4.toPath)
+    java.nio.file.Files.writeString(
+      v4.toPath.resolve("part-fake.parquet"), "in-flight")
+    val dropped = IndexStore.pruneUnservedVersions(spark, src)
+    assert(dropped == 1, s"only v2 is prunable, got $dropped")
+    assert(versions() == Seq("v3", "v4"),
+      "the in-flight v4 build must survive the purge")
+    assert(v3Reader.count() == 3 * n1, "served version keeps serving")
   }
 
   test("crash between delta write and manifest update, then ANOTHER " +

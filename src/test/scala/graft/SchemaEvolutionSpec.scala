@@ -95,6 +95,56 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .collect().head.getInt(1) == 44)
   }
 
+  test("TYPE WIDENING (int -> long) is non-additive too: rejected loudly " +
+    "naming resync, never silently coerced; resync recovers") {
+    import spark.implicits._
+    val store = new KeyedParquetStore(
+      Files.createTempDirectory("evo7").toString, nBuckets = 2)
+    store.snapshot(spark, "t",
+      Seq((1L, 7), (2L, 8)).toDF("id", "n"), "id") // n: int
+    // source widened n to BIGINT — even a LOSSLESS widening must not
+    // merge silently: stored parquet files carry int32 pages, and a
+    // sidecar promising int64 would make every old file unreadable
+    // under the declared schema. The declared policy is detect + fail
+    // loudly + resync (the reference workflow's answer to DDL).
+    val widened = Seq(("U", 1L, 7000000000L)).toDF("op", "id", "n")
+    val e = intercept[IllegalArgumentException] {
+      store.merge(spark, "t", widened, "id")
+    }
+    assert(e.getMessage.contains("int") && e.getMessage.contains("bigint") &&
+      e.getMessage.contains("resync"), e.getMessage)
+    // the rejected merge left the store readable and intact
+    assert(store.read(spark, "t").count() == 2L)
+    store.resync(spark, "t",
+      Seq((1L, 7000000000L), (2L, 8L)).toDF("id", "n"), "id")
+    assert(store.schemaOf(spark, "t")("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    store.merge(spark, "t", Seq(("I", 3L, 9L)).toDF("op", "id", "n"), "id")
+    assert(store.read(spark, "t").count() == 3L)
+  }
+
+  test("COLUMN RENAME under DropPolicy.Error is caught as the drop it " +
+    "looks like (old name absent), naming the column") {
+    import spark.implicits._
+    val store = new KeyedParquetStore(
+      Files.createTempDirectory("evo8").toString, nBuckets = 2)
+    store.snapshot(spark, "t", Seq((1L, "a")).toDF("id", "v"), "id")
+    // source renamed v -> val: the batch omits v and carries val — on
+    // the CDC path a rename is indistinguishable from drop(v)+add(val),
+    // and the declared policy is the drop policy's: reject loudly
+    // (Error) or null-fill v and append val (KeepNullFill), never a
+    // silent value migration between the two names
+    val renamed = Seq(("U", 1L, "a2")).toDF("op", "id", "val")
+    val e = intercept[IllegalArgumentException] {
+      store.merge(spark, "t", renamed, "id",
+        KeyedParquetStore.DropPolicy.Error)
+    }
+    assert(e.getMessage.contains("v") && e.getMessage.contains("resync"),
+      e.getMessage)
+    store.resync(spark, "t", Seq((1L, "a")).toDF("id", "val"), "id")
+    assert(store.schemaOf(spark, "t").fieldNames.toSeq == Seq("id", "val"))
+  }
+
   test("widening then further merges keeps the widened schema") {
     import spark.implicits._
     val store = new KeyedParquetStore(

@@ -90,6 +90,17 @@ def main():
         sys.exit(f"markers not found in {args.survey}; add {START}...{END} "
                  "where the counts belong")
     open(args.survey, "w").write(new)
+
+    # README carries the same oracle-query count in its layout block —
+    # stamp it too, so it cannot drift from the artifacts (the r14
+    # advice caught a stale hand-edited 216 there)
+    readme = open("README.md").read()
+    readme2, n = re.subn(r"\(\d+ oracle-backed queries",
+                         f"({q_pass} oracle-backed queries", readme)
+    if n != 1:
+        sys.exit("README.md oracle-backed-queries line not found (or "
+                 "found more than once) — fix the layout block")
+    open("README.md", "w").write(readme2)
     print(block)
 
 
