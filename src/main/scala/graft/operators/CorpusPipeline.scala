@@ -274,6 +274,37 @@ object CorpusPipeline {
     "c9_dsir_weights" -> { (s, d) =>
       dsirWeights(Tables.load(s, d, "documents"),
         col("source").isin("src0", "src1"), 4096)
+    },
+
+    // ── c10: SEQUENCE-PACKING manifest — the step between a cleaned
+    // corpus and a training run: documents are concatenated in corpus
+    // order into fixed token-budget bins (the context-window packing
+    // every LLM dataloader does), and the manifest reports each bin's
+    // doc span, token count, and fill. Policy: a doc belongs to the
+    // bin its STARTING offset falls in (streaming append — a doc may
+    // straddle into the next bin; bins then read fill > 100% and the
+    // loader's truncation/continuation handles the tail, the standard
+    // packed-dataset contract). Deterministic: corpus order + token
+    // counts fully determine the packing. Shape: token counts are one
+    // scan; the global running offset is [[Ranks.globalCumSum]] — the
+    // de-funneled two-pass prefix sum (per-bucket windowed sums in
+    // parallel + a ≤64-row offset fold), NO single-partition global
+    // window anywhere; then one hash agg on bin_id. Output is the
+    // manifest (one row per bin) — the artifact a 100 TB run ships to
+    // its dataloader, written once per epoch plan.
+    "c10_pack_sequences" -> { (s, d) =>
+      val budget = 4096L
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          size(tokenize(col("text"))).cast("long").as("n_tokens"))
+      Ranks.globalCumSum(toks, "doc_id", "n_tokens", "cum")
+        .withColumn("bin_id", expr(s"(cum - n_tokens) DIV $budget"))
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("bin_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .withColumn("fill_bp", expr(s"(10000 * bin_tokens) DIV $budget"))
+        .orderBy("bin_id")
     }
   )
 
@@ -623,6 +654,26 @@ object CorpusPipeline {
           SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_toks,
             CAST(SUM(lr_micro) AS BIGINT) AS dsir_logw_micro
           FROM feat JOIN model USING (b)
-          GROUP BY 1, 2 ORDER BY doc_id"""
+          GROUP BY 1, 2 ORDER BY doc_id""",
+
+    // c10 — the prefix sum is a plain ordered window here; the engine's
+    // two-pass bucket spelling must land on identical offsets
+    "c10_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM t)
+         SELECT (cum - n_tokens) // 4096 AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+           (10000 * CAST(SUM(n_tokens) AS BIGINT)) // 4096 AS fill_bp
+         FROM c GROUP BY 1 ORDER BY bin_id"""
   )
 }

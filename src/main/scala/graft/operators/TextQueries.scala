@@ -714,6 +714,33 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // ── t28: n-gram NOVELTY scoring — the data-curation primitive
+    // behind "how much of this document is new against the corpus we
+    // already have" (novelty-weighted sampling, crawl prioritization,
+    // near-memorization screens all start here). Reference set = the
+    // even doc_ids' 3-token shingles; each odd doc scores the fraction
+    // of ITS shingles absent from the reference. Shares the d-family's
+    // exact shingle derivation ([[DedupQueries.shinglesOf]] — hashed
+    // trigrams, char-folded), so the oracle reuses the same shared
+    // CTE. Shape: one shuffled LEFT-ANTI join on the shingle hash (the
+    // reference side is corpus-sized — at 100 TB it shuffle-partitions
+    // by shash; nothing is broadcast or collected), one per-doc count,
+    // integer basis points. Docs with < 3 tokens have no shingles and
+    // drop out (no novelty evidence), same rule both sides.
+    "t28_ngram_novelty" -> { (s, d) =>
+      val sh = DedupQueries.shingleSets(s, d).localCheckpoint(true)
+      val ref = sh.filter(col("doc_id") % 2 === 0).select("shash").distinct()
+      val scored = sh.filter(col("doc_id") % 2 === 1)
+      val tot = scored.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val novel = scored.join(ref, Seq("shash"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      tot.join(novel, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          expr("(10000 * n_novel) DIV n_shingles").as("novelty_bp"))
+        .orderBy("doc_id")
+    },
+
     // ── t25: inverted-index phrase search — the serving-side read of
     // a corpus index: positional postings (doc_id, pos, token) from
     // ONE posexplode, a phrase match as equi-joins on
@@ -1196,6 +1223,23 @@ object TextQueries {
             (n_chars * 10000) // NULLIF(n_bpe, 0) AS chars_per_token_bp,
             (n_bpe * 10000) // NULLIF(n_words, 0) AS fertility_bp
           FROM g ORDER BY lang""",
+
+    // t28 — same shared shingle CTE as the d-family; NOT IN spells the
+    // anti-join, integer basis points spell the ratio
+    "t28_ngram_novelty" ->
+      s"""WITH ${DedupQueries.shingleSql},
+          ref AS (SELECT DISTINCT shash FROM sh WHERE doc_id % 2 = 0),
+          scored AS (SELECT doc_id, shash FROM sh WHERE doc_id % 2 = 1),
+          tot AS (
+            SELECT doc_id, COUNT(*) AS n_shingles FROM scored GROUP BY 1),
+          nov AS (
+            SELECT doc_id, COUNT(*) AS n_novel FROM scored
+            WHERE shash NOT IN (SELECT shash FROM ref) GROUP BY 1)
+          SELECT t.doc_id, t.n_shingles,
+            CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+            (10000 * CAST(COALESCE(n.n_novel, 0) AS BIGINT)) // t.n_shingles
+              AS novelty_bp
+          FROM tot t LEFT JOIN nov n USING (doc_id) ORDER BY t.doc_id""",
 
     // t23 — the same shipped weight table as a VALUES relation;
     // COUNT/SUM cast back to BIGINT (DuckDB sums to HUGEINT); label

@@ -427,6 +427,40 @@ object CdcThroughput {
       spark.stop()
       return
     }
+    // Quiet-box adjudication mode (r14 verdict wrong #2): the in-bench
+    // cdc block read −24% vs r13 while the controlled runs improved —
+    // this mode reruns the base measurement THREE times back-to-back on
+    // an otherwise idle box and splices the readings (throughput + the
+    // per-phase attribution) into CDC_BENCH.json, so a box-state dip is
+    // distinguishable from a real hot-path regression: if the quiet
+    // readings sit at/above the r13 figure with the same per-phase
+    // shape, the bench-embedded dip was load (the bench runs the cdc
+    // block AFTER ~90 s of query soak); if addBatch carries the delta,
+    // the regression is real and attributable.
+    if (sys.env.get("SPARK_GRAFT_CDC_ONLY").contains("quiet")) {
+      val runs = (1 to 3).map { i =>
+        val r = measure(spark, rows = 20000L, batchSize = 1000)
+        System.err.println(s"[cdc] quiet run $i: ${block(r)}")
+        r
+      }
+      val keys = Seq("batch_apply_rows_per_sec", "streaming_rows_per_sec",
+        "streaming_avg_addbatch_ms", "streaming_avg_latestoffset_ms",
+        "streaming_avg_walcommit_ms", "streaming_avg_commitoffsets_ms")
+      val agg: Seq[(String, Double)] = keys.flatMap { k =>
+        val vs = runs.map(_.toMap.apply(k)).sorted
+        Seq(s"${k}_median" -> vs(1), s"${k}_min" -> vs.head,
+          s"${k}_max" -> vs.last)
+      }
+      val path = java.nio.file.Paths.get("CDC_BENCH.json")
+      val prev = new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val line = splice(prev, "quiet_adjudication", block(agg))
+      java.nio.file.Files.write(path,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(line)
+      spark.stop()
+      return
+    }
     val base = measure(spark, rows = 20000L, batchSize = 1000)
     System.err.println(s"[cdc] base done: ${block(base)}")
     val x10 = measure(spark, rows = 200000L, batchSize = 1000)
@@ -436,9 +470,20 @@ object CdcThroughput {
     // r12: x40 in two phases with feed pruning + checkpoint rotation —
     // the bytes-plateau measurement (see measureRotate's scaladoc)
     val x40r = measureRotate(spark, halfRows = 400000L, batchSize = 1000)
-    val line = s"""{"metric":"cdc_insert_throughput","base":${block(base)},"x10":${block(x10)},"x20":${block(x20)},"x40_rotate":${block(x40r)}}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("CDC_BENCH.json"),
+    // splice into an existing artifact when present — the default run
+    // must not drop the separately-measured blocks (two_mirrors,
+    // quiet_adjudication)
+    val path = java.nio.file.Paths.get("CDC_BENCH.json")
+    val fresh = s"""{"metric":"cdc_insert_throughput","base":${block(base)},"x10":${block(x10)},"x20":${block(x20)},"x40_rotate":${block(x40r)}}"""
+    val line =
+      if (java.nio.file.Files.exists(path)) {
+        val prev = new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+        Seq("base" -> block(base), "x10" -> block(x10),
+          "x20" -> block(x20), "x40_rotate" -> block(x40r))
+          .foldLeft(prev) { case (acc, (k, b)) => splice(acc, k, b) }
+      } else fresh
+    try java.nio.file.Files.write(path,
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     println(line)
