@@ -187,7 +187,16 @@ object CdcPipeline {
     * delete(old)+upsert(new) with no caller-side handling. */
   def lastImagePerKey(
       events: DataFrame, schema: StructType, keyCol: String): DataFrame =
-    normalizeKeyChanges(events)
+    lastImageRaw(normalizeKeyChanges(events), schema, keyCol)
+
+  /** [[lastImagePerKey]] WITHOUT the key-change expansion — for callers
+    * that have already proven the slice carries no key-change rows
+    * ([[applyBatch]] folds that proof into its existing per-table
+    * driver pass), so the common all-null-beforeKey feed pays no
+    * explode on the hot path. */
+  private def lastImageRaw(
+      events: DataFrame, schema: StructType, keyCol: String): DataFrame =
+    events
       .withColumn("_rn", row_number().over(
         Window.partitionBy("key").orderBy(col("lsn").desc)))
       .filter(col("_rn") === 1)
@@ -231,13 +240,23 @@ object CdcPipeline {
         KeyedParquetStore.DropPolicy.KeepNullFill): Unit =
     withPinnedBatch(batch) { pinned =>
       val spark = pinned.sparkSession
-      // ONE driver pass collects the table fan-out AND the batch's max
-      // LSN (the applied-watermark input) from the pinned frame
-      val present = pinned.groupBy("table").agg(max("lsn").as("mx"))
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-      present.foreach { case (table, _) =>
-        val changes = lastImagePerKey(
-          pinned.filter(col("table") === table), schemas(table), keyCols(table))
+      // ONE driver pass collects the table fan-out, the batch's max
+      // LSN (the applied-watermark input) AND each table's key-change
+      // row count — the last lets the common no-moves slice skip the
+      // expansion explode entirely (the all-null beforeKey feed is the
+      // steady state; a per-row Generate there is pure overhead)
+      val kc = if (pinned.columns.contains("beforeKey"))
+        sum(when(col("op") === "U" && col("beforeKey").isNotNull &&
+          col("beforeKey") =!= col("key"), 1L).otherwise(0L))
+      else sum(lit(0L))
+      val present = pinned.groupBy("table")
+        .agg(max("lsn").as("mx"), kc.as("moves"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      present.foreach { case (table, _, moves) =>
+        val slice = pinned.filter(col("table") === table)
+        val changes =
+          if (moves == 0L) lastImageRaw(slice, schemas(table), keyCols(table))
+          else lastImagePerKey(slice, schemas(table), keyCols(table))
         store.merge(spark, table, changes, keyCols(table), dropPolicy)
       }
       // every table's merge landed: the batch is fully applied — record

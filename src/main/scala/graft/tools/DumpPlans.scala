@@ -98,7 +98,10 @@ object DumpPlans {
     "s21_coreset" -> "greedy k-center coreset: k linear passes with literal-center compiled dots + TakeOrdered(1) reductions; assignment one LEAST-struct argmin pass, k-group hash agg",
     "dq6_dist_shift" -> "distribution-shift TV report: one tokenize+explode pass to (lang,term) counts, 200-row vocab broadcast, constant |slices|x201 comparison grid",
     "s22_mmr_rerank" -> "MMR diversity rerank: pool via one TakeOrdered top-20 (anchor broadcast, compiled dots); greedy steps over <=20 rows with selected vectors as plan literals",
-    "g4_reach" -> "bounded BFS reachability: per-round frontier equi-join + anti-join dedup over checkpointed adjacency (Pregel-as-dataflow), O(depth) output")
+    "g4_reach" -> "bounded BFS reachability: per-round frontier equi-join + anti-join dedup over checkpointed adjacency (Pregel-as-dataflow), O(depth) output",
+    "cdc_pk_change" -> "PK-changing UPDATE apply: normalizeKeyChanges explode (delete(old)+upsert(new), no shuffle added) feeding the shared last-per-key window dedup",
+    "t28_ngram_novelty" -> "n-gram novelty: shared shingle derivation, shuffled LEFT-ANTI join on the shingle hash (reference side corpus-sized, nothing broadcast), per-doc hash agg",
+    "c10_pack_sequences" -> "sequence packing: two-pass bucket prefix sum (per-bucket windows in parallel + <=64-row offset fold, no single-partition window), bin_id hash agg")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -226,7 +226,16 @@ object ScaleProbe {
       // r14: bounded BFS reachability (per-round cost frontier-bounded;
       // seeds stay copy-0 parts on the disjoint-copy 10x graph, so the
       // measured axis is the edge-build prefix like g3)
-      "g4_reach")
+      "g4_reach",
+      // r15: n-gram novelty (shuffled anti-join on the shingle hash —
+      // both sides grow x10 on the suffixed-copy corpus, pairs don't)
+      // and the sequence-packing manifest (two-pass bucket prefix sum;
+      // bins grow linearly with tokens)
+      "t28_ngram_novelty", "c10_pack_sequences",
+      // r15: PK-change apply over the 10x-history events stream (the
+      // expansion is a projection+explode — must track the stream
+      // linearly like the other cdc projections)
+      "cdc_pk_change")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
