@@ -120,10 +120,16 @@ object Erasure {
         s"erasure crash recovery failed: rename $old -> $srcPath returned false")
     fs.delete(scratch, true)
     if (fs.exists(srcPath)) fs.delete(old, true)
-    val rowsBefore = spark.read.parquet(src).count()
+    // capture the schema BEFORE the rewrite: a sweep that tombstones
+    // every row writes a zero-row directory, which plain parquet reads
+    // cannot schema-infer — the explicit schema keeps a fully-erased
+    // table readable (as empty), which is a legal erasure outcome
+    val before = spark.read.parquet(src)
+    val schema = before.schema
+    val rowsBefore = before.count()
     survivors(spark, src, keyCol, tomb).write.parquet(scratch.toString)
     swapIn(fs, scratch, srcPath, old)
-    val after = spark.read.parquet(src)
+    val after = spark.read.schema(schema).parquet(src)
     Report(table, rowsBefore, after.count(),
       after.join(tomb, Seq(keyCol), "left_semi").count())
   }
@@ -314,7 +320,10 @@ object Erasure {
         s"$table is not hive-partitioned (data files sit directly under " +
           s"$root) — use Erasure.forget, which rewrites the whole table")
     }
-    val rowsBefore = spark.read.parquet(root).count()
+    val beforeAll = spark.read.parquet(root)
+    val fullSchema = beforeAll.schema // incl. partition columns — keeps
+    // a fully-emptied layout readable (same rationale as [[forget]])
+    val rowsBefore = beforeAll.count()
     affected.foreach { d =>
       val dir = new org.apache.hadoop.fs.Path(d)
       val scratch = new org.apache.hadoop.fs.Path(
@@ -327,7 +336,7 @@ object Erasure {
         .write.parquet(scratch.toString)
       swapIn(fs, scratch, dir, old)
     }
-    val after = spark.read.parquet(root)
+    val after = spark.read.schema(fullSchema).parquet(root)
     PartitionedReport(table,
       affected.length.toLong, (allDirs.size - affected.length).toLong,
       rowsBefore, after.count(),
@@ -453,6 +462,55 @@ object Erasure {
     * mirror later applying an older update of the same key. This
     * helper is for store-resident tables, or mirrors stopped and
     * caught up. */
+  /** POST-SWEEP CERTIFICATE — the auditable artifact a right-to-be-
+    * forgotten obligation actually wants filed: one row per (surface,
+    * table) with the RESIDUE COUNT of the tombstoned keys on that
+    * surface, across every place a row can live — corpus parquet
+    * directories, the keyed CDC store, retained change feeds, and JDBC
+    * mirror targets. Every residue MUST read 0 after the sweeps; a
+    * non-zero row names exactly which surface still serves the keys
+    * (e.g. a feed whose redaction was skipped, a mirror nobody swept).
+    * Each check is one semi-join count against the pinned tombstone
+    * frame — read-only, safe to run on a live system, |tables|-bounded
+    * driver loop with distributed counts. The derived-index surface
+    * needs no row here: index guards rebuild from the (already-swept)
+    * corpus by construction, and [[IndexStore.pruneUnservedVersions]]
+    * destroys retained on-disk residue. */
+  def certificate(spark: SparkSession, tombstones: DataFrame,
+      corpus: Seq[(String, String, String)] = Nil, // (dataDir, table, keyCol)
+      store: Seq[(graft.streaming.KeyedParquetStore, String, String)] = Nil,
+      feeds: Seq[(String, String)] = Nil, // (feedDir, table)
+      jdbc: Seq[(String, String, String, java.util.Properties)] = Nil)
+      : DataFrame = {
+    require(tombstones.columns.length == 1,
+      "tombstone frame must have exactly one column (the key)")
+    val tomb = tombstones.localCheckpoint(true)
+    def residue(df: DataFrame, keyCol: String): Long =
+      df.join(tomb.toDF(keyCol), Seq(keyCol), "left_semi").count()
+    val rows =
+      corpus.map { case (d, t, k) =>
+        ("corpus", s"$d/$t.parquet", residue(spark.read.parquet(s"$d/$t.parquet"), k))
+      } ++
+      store.map { case (s, t, k) =>
+        ("store", s"${s.root}/$t", residue(s.read(spark, t), k))
+      } ++
+      feeds.map { case (f, t) =>
+        ("feed", s"$f/$t", residue(graft.streaming.ChangeFeed.readAll(spark, f)
+          .filter(col("table") === lit(t)), "key"))
+      } ++
+      jdbc.map { case (url, t, k, props) =>
+        // JDBC column case differs per engine (Derby upper-cases) —
+        // match the key column case-insensitively
+        val df = graft.sources.Tables.jdbc(spark, url, t, props)
+        val kc = df.columns.find(_.equalsIgnoreCase(k)).getOrElse(k)
+        ("jdbc", s"$url/$t", residue(df.withColumnRenamed(kc, k), k))
+      }
+    import spark.implicits._
+    rows.toDF("surface", "location", "residue")
+      .withColumn("clean", col("residue") === 0L)
+      .orderBy("surface", "location")
+  }
+
   /** Erase keys from a JDBC mirror TARGET — the database-parity sink
     * ([[graft.streaming.JdbcMirror]]) replicated from the same feed
     * keeps serving forgotten rows after the parquet sweeps unless it is

@@ -329,6 +329,77 @@ class ErasureSpec extends AnyFunSuite {
     assert(residue(1L to 10L) == 8L)
   }
 
+  test("erasing EVERY row leaves a readable empty table (explicit-schema " +
+    "read), residue 0") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_erasure_all").toString
+    (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.parquet(s"$work/t.parquet")
+    val rep = Erasure.forget(spark, work, "t", "id", (1L to 20L))
+    assert(rep == Erasure.Report("t", 20L, 0L, 0L), s"got $rep")
+    // still a readable table for downstream readers with the schema
+    assert(spark.read.schema("id BIGINT, v STRING")
+      .parquet(s"$work/t.parquet").count() == 0L)
+  }
+
+  test("certificate: residue audit across corpus + store + feed + jdbc — " +
+    "names the dirty surface before the sweeps, all-clean after") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_erasure_cert").toString
+    val doomed = Seq(3L, 7L)
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+
+    // corpus surface
+    (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.parquet(s"$work/t.parquet")
+    // store surface
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 4)
+    store.snapshot(spark, "t",
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), "id")
+    // feed surface
+    val feed = s"$work/feed"
+    graft.streaming.ChangeFeed.publish(
+      (1L to 10L).map(i => (i, new java.sql.Timestamp(0L), "I", "t", i,
+        s"""{"id":$i,"v":"v$i"}""")).toDF(
+        "lsn", "commitTs", "op", "table", "key", "after").coalesce(1), feed)
+    // jdbc surface (embedded Derby)
+    val url = "jdbc:derby:memory:graftcert;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE t") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(32))")
+      st.close()
+    } finally conn.close()
+    graft.streaming.JdbcMirror.applyEnvelopeBatch(
+      graft.streaming.ChangeFeed.readAll(spark, feed),
+      url, Map("t" -> rowSchema), Map("t" -> "id"), props)
+
+    def cert() = Erasure.certificate(spark, doomed.toDF("key"),
+      corpus = Seq((work, "t", "id")),
+      store = Seq((store, "t", "id")),
+      feeds = Seq((feed, "t")),
+      jdbc = Seq((url, "t", "id", props)))
+
+    val before = cert().collect()
+    assert(before.length == 4)
+    assert(before.forall(r => r.getLong(2) == 2L && !r.getBoolean(3)),
+      s"every surface must report the planted residue: ${before.mkString(";")}")
+
+    // the four sweeps
+    Erasure.forget(spark, work, "t", "id", doomed)
+    Erasure.forgetFromStore(spark, store, "t", "id", rowSchema, doomed)
+    Erasure.forgetFromFeed(spark, feed, "t", doomed)
+    Erasure.forgetFromJdbc(spark, url, "t", "id", doomed, props)
+
+    val after = cert().collect()
+    assert(after.forall(r => r.getLong(2) == 0L && r.getBoolean(3)),
+      s"certificate must read clean after the sweeps: ${after.mkString(";")}")
+  }
+
   test("store forget: delete tombstones ride the product merge path, " +
     "idempotently, WITHOUT touching the applied-LSN watermark") {
     import spark.implicits._
