@@ -114,6 +114,45 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(report.head.getAs[Double]("efficiency_pct") == 100.0)
   }
 
+  test("PK-changing UPDATE through the FULL streaming path: beforeKey " +
+    "survives the feed's JSON round-trip, old key deleted, new key live; " +
+    "pre-r15 feed files (no beforeKey field) replay unchanged") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("cdc_pkc_stream").toString
+    val feed = s"$work/feed"
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 4)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+
+    // file 1: a PRE-r15 producer — raw JSON without the beforeKey field
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$feed/legacy.json"),
+      (1L to 5L).map(i =>
+        s"""{"lsn":$i,"commitTs":"2023-11-14T22:13:2$i.000Z","op":"I","table":"t","key":$i,"after":"{\\"id\\":$i,\\"v\\":\\"v$i\\"}"}""")
+        .mkString("\n"))
+    // file 2: an r15 producer — key 2 MOVES to key 200 (REPLICA
+    // IDENTITY old tuple), key 3 gets an ordinary in-place update
+    graft.streaming.ChangeFeed.publish(
+      Seq(
+        (10L, ts(10), "U", "t", 200L, """{"id":200,"v":"moved"}""", Some(2L)),
+        (11L, ts(11), "U", "t", 3L, """{"id":3,"v":"v3b"}""", Option.empty[Long]))
+        .toDF("lsn", "commitTs", "op", "table", "key", "after", "beforeKey")
+        .coalesce(1), feed)
+
+    val q = CdcPipeline.start(
+      graft.streaming.ChangeFeed.stream(spark, feed),
+      store, Map("t" -> schema), Map("t" -> "id"),
+      mirrorName = "pkc_mirror", checkpointDir = s"$work/ckpt")
+    q.processAllAvailable(); q.stop()
+
+    val got = store.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "v1", 3L -> "v3b", 4L -> "v4", 5L -> "v5",
+      200L -> "moved"),
+      s"old key 2 must be gone, 200 live, legacy rows intact: $got")
+  }
+
   test("lagReport is one lazy union-all job and keeps empty tables in the report") {
     import spark.implicits._
     val root = Files.createTempDirectory("cdc_lag").toString
