@@ -234,6 +234,45 @@ object CdcQueries {
         .orderBy("user_id")
     },
 
+    // ── Unchanged-TOAST apply (Postgres partial-UPDATE semantics):
+    // logical decoding does NOT re-emit a large out-of-line column an
+    // UPDATE left untouched — the WAL record carries a marker and the
+    // sink must inherit the previous value (the reference's psql→psql
+    // mirrors depend on this, volumes/postgresql.conf:3). The events
+    // feed reinterpreted: every non-error event is an UPDATE of a
+    // string `payload` column, but events with event_id ≡ 3 (mod 7)
+    // arrive with payload UNCHANGED — the marker ships instead of the
+    // value. This query runs the ENGINE's lastImageResolvingToast
+    // (the same per-key aggregate applyBatch's gated path uses): each
+    // key's winner takes its payload from the key's last UNMARKED
+    // event; a key whose every event was marked keeps the marker (the
+    // store-fallback input — pinned in the hash so the contract is
+    // oracle-visible). The oracle spells the inheritance as an
+    // explicit arg-max-with-FILTER. Converged non-deleted rows.
+    "cdc_toast" -> { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      import graft.streaming.CdcPipeline
+      val rowSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("payload", StringType)))
+      val marked = pmod(col("event_id"), lit(7)) === 3
+      val env = Tables.events(s, d).select(
+        col("event_id").as("lsn"),
+        to_timestamp(lit("2000-01-01 00:00:00")).as("commitTs"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        lit("t").as("table"),
+        col("user_id").as("key"),
+        when(col("event_type") =!= "error", to_json(struct(
+          col("user_id"),
+          col("event_id"),
+          when(marked, lit(CdcPipeline.UnchangedToast))
+            .otherwise(concat(lit("v"),
+              expr("CAST(round(value * 100) AS BIGINT)"))).as("payload")))).as("after"))
+      CdcPipeline.lastImageResolvingToast(env, rowSchema, "user_id")
+        .filter(col("op") =!= "D").drop("op")
+        .orderBy("user_id")
+    },
+
     // ── Log compaction — the Kafka-compacted-topic shape, and what a
     // long-running CDC feed must do to stop growing without losing
     // replayability: below a compaction watermark (LSN 5000), keep
@@ -388,6 +427,35 @@ object CdcQueries {
            QUALIFY row_number() OVER (PARTITION BY key ORDER BY lsn DESC) = 1)
          SELECT key AS user_id, lsn AS event_id, cents
          FROM last WHERE op <> 'D' ORDER BY user_id""",
+    // the explicit inherit-last-unmarked-value spelling — the engine's
+    // lastImageResolvingToast must converge to exactly this state,
+    // including keys where the marker survives (store-fallback input)
+    "cdc_toast" ->
+      """WITH env AS (
+           SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             user_id AS key,
+             CASE WHEN event_type = 'error' THEN NULL
+                  WHEN event_id % 7 = 3 THEN '__graft_unchanged_toast__'
+                  ELSE 'v' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+             END AS payload
+           FROM events),
+         winner AS (
+           SELECT key, lsn, op, payload FROM env
+           QUALIFY row_number() OVER (PARTITION BY key ORDER BY lsn DESC) = 1),
+         carried AS (
+           SELECT key,
+             arg_max(payload, lsn) FILTER (WHERE op <> 'D'
+               AND payload IS NOT NULL
+               AND payload <> '__graft_unchanged_toast__') AS inherited
+           FROM env GROUP BY key)
+         SELECT w.key AS user_id, w.lsn AS event_id,
+           CASE WHEN w.payload = '__graft_unchanged_toast__'
+                THEN COALESCE(c.inherited, w.payload)
+                ELSE w.payload END AS payload
+         FROM winner w LEFT JOIN carried c USING (key)
+         WHERE w.op <> 'D'
+         ORDER BY user_id""",
     "cdc_compact" ->
       """WITH ev AS (
            SELECT user_id, event_id, event_type,

@@ -207,6 +207,151 @@ object CdcPipeline {
         else col("_row").getField(f).as(f)
       }: _*)
 
+  /** Postgres "unchanged TOAST" placeholder. Logical decoding does NOT
+    * re-emit a large out-of-line (TOASTed) column an UPDATE left
+    * untouched — unless the table runs REPLICA IDENTITY FULL, the old
+    * value simply isn't in the WAL record, and the decoder ships a
+    * marker instead (Debezium calls it `__debezium_unavailable_value`;
+    * PeerDB's psql→psql mirrors — the reference, volumes/
+    * postgresql.conf:3 — merge the old value back at the target). A
+    * sink that upserts the marker verbatim silently corrupts every
+    * wide-text column on its first partial UPDATE, so the apply path
+    * must COALESCE the marker with the row's previous image:
+    * first the key's own earlier events in the same batch, then the
+    * target's stored row ([[applyBatch]]). Scope: StringType columns —
+    * TOAST applies to varlena types, which this engine's feed models
+    * as JSON strings. */
+  val UnchangedToast = "__graft_unchanged_toast__"
+
+  private def toastableCols(schema: StructType, keyCol: String): Seq[String] =
+    schema.fields.toSeq.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType &&
+        f.name != keyCol => f.name
+    }
+
+  /** [[lastImagePerKey]] for feeds that may carry [[UnchangedToast]]
+    * markers: per key, the max-LSN winner's marked columns resolve to
+    * that key's last UNMARKED value in the slice (by LSN, deletes
+    * excluded); a column marked in EVERY event of the slice keeps the
+    * marker, so a store-backed caller ([[applyBatch]]) can finish the
+    * resolution against the target's current row. Output shape matches
+    * [[lastImagePerKey]] exactly.
+    *
+    * One hash aggregate on the key — the same single shuffle as the
+    * window dedup, but with map-side partial aggregation (the window
+    * variant sorts whole partitions; `max(struct(lsn,…))` combines
+    * early), so the marked path is no worse at scale than the plain
+    * one. LSN uniqueness (WAL total order) makes every `max` a pure
+    * last-by-lsn — op/image never act as tie-breakers.
+    *
+    * Key-change interplay: events run [[normalizeKeyChanges]] FIRST,
+    * and in-batch inheritance is keyed on the POST-change key — a
+    * PK-changing UPDATE whose marked column must inherit from the OLD
+    * key's image resolves via the store fallback (`_resolveKey` =
+    * beforeKey), not in-batch. Inheritance also ignores an intervening
+    * in-batch delete: Postgres cannot emit U-after-D for one key inside
+    * one WAL span without the I that re-creates it carrying a full
+    * image, so the case is unreachable from a real decoder; the
+    * behavior is defined (inherit across the delete) for robustness,
+    * not fidelity. */
+  def lastImageResolvingToast(
+      events: DataFrame, schema: StructType, keyCol: String): DataFrame =
+    lastImageToastWithResolveKey(events, schema, keyCol).drop("_resolveKey")
+
+  /** [[lastImageResolvingToast]] plus a `_resolveKey` column — the key
+    * under which the row's PREVIOUS image lives in the target (the
+    * pre-change key for a PK-changing UPDATE) — so store-backed callers
+    * can finish unresolved markers with one join. */
+  private[streaming] def lastImageToastWithResolveKey(
+      events: DataFrame, schema: StructType, keyCol: String): DataFrame = {
+    val withRk =
+      if (events.columns.contains("beforeKey"))
+        events.withColumn("_resolveKey", coalesce(col("beforeKey"), col("key")))
+      else events.withColumn("_resolveKey", col("key"))
+    // normalizeKeyChanges carries non-envelope columns through both
+    // halves of the expansion, so _resolveKey survives it
+    val parsed = normalizeKeyChanges(withRk)
+      .withColumn("_row", from_json(col("after"), schema))
+    val tcols = toastableCols(schema, keyCol)
+    val winner = max(struct(col("lsn").as("l"), col("op").as("o"),
+      col("_row").as("r"), col("_resolveKey").as("rk"))).as("_w")
+    val carried = tcols.map { c =>
+      val v = col("_row").getField(c)
+      max(when(col("op") =!= "D" && v.isNotNull && v =!= UnchangedToast,
+        struct(col("lsn").as("l"), v.as("v")))).as(s"_c_$c")
+    }
+    parsed.groupBy(col("key")).agg(winner, carried: _*)
+      .select(col("_w.o").as("op") +: col("_w.rk").as("_resolveKey") +:
+        schema.fieldNames.toSeq.map { f =>
+          val w = col("_w.r").getField(f)
+          if (f == keyCol) col("key").cast(schema(f).dataType).as(f)
+          else if (tcols.contains(f))
+            when(w === UnchangedToast,
+              coalesce(col(s"_c_$f").getField("v"), lit(UnchangedToast)))
+              .otherwise(w).as(f)
+          else w.as(f)
+        }: _*)
+  }
+
+  /** Finish TOAST-marker resolution against the target's current rows:
+    * markers that survived in-batch inheritance (every event of the
+    * batch left the column untouched — the steady state for a rarely-
+    * rewritten large column) take the stored row's value, looked up
+    * under `_resolveKey` first (the pre-change key of a PK-changing
+    * UPDATE) and the row's own key second (where an at-least-once
+    * replay finds the value the FIRST apply already moved). A marker
+    * neither lookup can satisfy fails loudly: Postgres only omits a
+    * TOAST value for a row that exists, so reaching that state means
+    * the feed and the target have diverged — upserting the marker (or
+    * null) would be silent corruption. The joins are broadcast-shaped
+    * in practice (one batch's marked keys vs the store), and only run
+    * on the applyBatch slices whose driver-pass marker count was
+    * non-zero. */
+  private[streaming] def resolveToastAgainstCurrent(
+      img: DataFrame, current: DataFrame, schema: StructType,
+      keyCol: String): DataFrame = {
+    val tcols = toastableCols(schema, keyCol)
+    if (tcols.isEmpty) return img.drop("_resolveKey")
+    val marked = tcols.map(c => col(c) === UnchangedToast)
+      .reduce(_ || _)
+    val markedSafe = coalesce(marked, lit(false))
+    val clean = img.filter(!markedSafe).drop("_resolveKey")
+    val pending = img.filter(markedSafe)
+    // two lookups, old key first: a PK-changing UPDATE inherits from
+    // its beforeKey's row, but on an at-least-once REPLAY that row is
+    // already deleted and the resolved value lives under the NEW key
+    // (the first apply put it there) — without the second lookup a
+    // replayed move+marker batch would fail loudly instead of
+    // reconverging. For the common no-move marker `_resolveKey == key`
+    // and the two lookups coincide.
+    val curOld = current.select(
+      col(keyCol).as("_old_key") +: tcols.map(c => col(c).as(s"_old_$c")): _*)
+    val curNew = current.select(
+      col(keyCol).as("_new_key") +: tcols.map(c => col(c).as(s"_new_$c")): _*)
+    val resolved = pending
+      .join(curOld, pending("_resolveKey") === curOld("_old_key"), "left")
+      .join(curNew, col(keyCol) === curNew("_new_key"), "left")
+      .select(col("op") +: schema.fieldNames.toSeq.map { f =>
+        if (tcols.contains(f))
+          // neither lookup matched = the marker has nothing to inherit
+          // (fresh key, or the row was erased underneath the feed):
+          // fail loudly rather than upsert a hole over real data. A
+          // matched row whose column is legitimately NULL inherits the
+          // null — that IS the previous image.
+          when(col(f) === UnchangedToast,
+            when(col("_old_key").isNotNull, col(s"_old_$f"))
+              .when(col("_new_key").isNotNull, col(s"_new_$f"))
+              .otherwise(raise_error(lit(s"unchanged-TOAST column '$f' " +
+                "has no stored image to inherit from - feed and target " +
+                "have diverged; re-sync the table " +
+                "(KeyedParquetStore.resync)")).cast(
+                org.apache.spark.sql.types.StringType)))
+            .otherwise(col(f)).as(f)
+        else col(f)
+      }: _*)
+    clean.unionByName(resolved)
+  }
+
   /** Apply one micro-batch: multi-table fan-out (C6), last-per-key
     * dedup (C1/C3), idempotent merge. Also usable directly for batch
     * backfill. */
@@ -241,21 +386,33 @@ object CdcPipeline {
     withPinnedBatch(batch) { pinned =>
       val spark = pinned.sparkSession
       // ONE driver pass collects the table fan-out, the batch's max
-      // LSN (the applied-watermark input) AND each table's key-change
-      // row count — the last lets the common no-moves slice skip the
-      // expansion explode entirely (the all-null beforeKey feed is the
-      // steady state; a per-row Generate there is pure overhead)
+      // LSN (the applied-watermark input), each table's key-change
+      // row count AND its unchanged-TOAST marker count — the last two
+      // let the common slice (no moves, no markers — the steady state)
+      // skip the expansion explode and the store-lookup join entirely
       val kc = if (pinned.columns.contains("beforeKey"))
         sum(when(col("op") === "U" && col("beforeKey").isNotNull &&
           col("beforeKey") =!= col("key"), 1L).otherwise(0L))
       else sum(lit(0L))
+      // raw-JSON substring test: no parse, and the sentinel cannot
+      // appear in organic data (it is this engine's own marker)
+      val tc = sum(when(col("after").contains(UnchangedToast), 1L).otherwise(0L))
       val present = pinned.groupBy("table")
-        .agg(max("lsn").as("mx"), kc.as("moves"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      present.foreach { case (table, _, moves) =>
+        .agg(max("lsn").as("mx"), kc.as("moves"), tc.as("toasts"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      present.foreach { case (table, _, moves, toasts) =>
         val slice = pinned.filter(col("table") === table)
         val changes =
-          if (moves == 0L) lastImageRaw(slice, schemas(table), keyCols(table))
+          if (toasts > 0L) {
+            val img = lastImageToastWithResolveKey(slice, schemas(table), keyCols(table))
+            val current =
+              if (store.exists(spark, table)) store.read(spark, table)
+              else spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                schemas(table))
+            resolveToastAgainstCurrent(img, current, schemas(table), keyCols(table))
+          }
+          else if (moves == 0L) lastImageRaw(slice, schemas(table), keyCols(table))
           else lastImagePerKey(slice, schemas(table), keyCols(table))
         store.merge(spark, table, changes, keyCols(table), dropPolicy)
       }
@@ -288,14 +445,28 @@ object CdcPipeline {
     *                  snapshot LSN; pass an empty DF for log-only)
     * @param changes   envelope rows ([[envelope]]) for THIS table with
     *                  lsn AFTER the snapshot
+    * @param resolveToast set true when the feed may carry
+    *                  [[UnchangedToast]] markers (the feed retains
+    *                  source events verbatim, so the markers ARE in the
+    *                  retained history): winners resolve in-feed first,
+    *                  then against the snapshot image — the same
+    *                  two-step [[applyBatch]] runs. Off by default so
+    *                  marker-free feeds keep the plain window dedup
+    *                  plan unchanged.
     */
   def asOf(
       snapshot: DataFrame,
       changes: DataFrame,
       schema: StructType,
       keyCol: String,
-      lsn: Long): DataFrame = {
-    val last = lastImagePerKey(changes.filter(col("lsn") <= lsn), schema, keyCol)
+      lsn: Long,
+      resolveToast: Boolean = false): DataFrame = {
+    val cut = changes.filter(col("lsn") <= lsn)
+    val last =
+      if (resolveToast)
+        resolveToastAgainstCurrent(
+          lastImageToastWithResolveKey(cut, schema, keyCol), snapshot, schema, keyCol)
+      else lastImagePerKey(cut, schema, keyCol)
     val untouched = snapshot.join(last.select(keyCol), Seq(keyCol), "left_anti")
     untouched.unionByName(last.filter(col("op") =!= "D").drop("op"))
   }

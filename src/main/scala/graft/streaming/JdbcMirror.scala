@@ -115,7 +115,16 @@ object JdbcMirror {
   /** Apply one raw envelope micro-batch (multi-table fan-out + LWW
     * dedup + parse) into JDBC targets — the foreachBatch body of a
     * database-to-database mirror. Table name passes through unchanged;
-    * pass a `tableNameOf` to map namespaces. */
+    * pass a `tableNameOf` to map namespaces.
+    *
+    * Unchanged-TOAST markers ([[CdcPipeline.UnchangedToast]]) resolve
+    * exactly as on the parquet path: in-batch inheritance first, then
+    * the TARGET table's current rows (read back over the same JDBC
+    * connection properties) — so a psql→psql mirror keeps its wide
+    * text columns through partial UPDATEs, the behavior the reference
+    * relies on (volumes/postgresql.conf:3). The read-back is gated on
+    * a per-table marker count, so marker-free batches — the steady
+    * state — never touch the target for reads. */
   def applyEnvelopeBatch(
       batch: DataFrame,
       url: String,
@@ -124,10 +133,24 @@ object JdbcMirror {
       props: Properties = new Properties(),
       tableNameOf: String => String = identity): Unit =
     CdcPipeline.withPinnedBatch(batch) { pinned =>
-      val present = pinned.select("table").distinct().collect().map(_.getString(0))
-      present.foreach { table =>
-        val changes = CdcPipeline.lastImagePerKey(
-          pinned.filter(col("table") === table), schemas(table), keyCols(table))
+      val spark = pinned.sparkSession
+      val present = pinned.groupBy("table")
+        .agg(sum(when(col("after").contains(CdcPipeline.UnchangedToast), 1L)
+          .otherwise(0L)).as("toasts"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      present.foreach { case (table, toasts) =>
+        val slice = pinned.filter(col("table") === table)
+        val changes =
+          if (toasts == 0L)
+            CdcPipeline.lastImagePerKey(slice, schemas(table), keyCols(table))
+          else {
+            checkIdent(tableNameOf(table), "table name")
+            val current = spark.read.jdbc(url, tableNameOf(table), props)
+            CdcPipeline.resolveToastAgainstCurrent(
+              CdcPipeline.lastImageToastWithResolveKey(
+                slice, schemas(table), keyCols(table)),
+              current, schemas(table), keyCols(table))
+          }
         applyChanges(changes, url, tableNameOf(table), keyCols(table), props)
       }
     }
