@@ -274,6 +274,43 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_parts"),
           min("id").as("min_part"), max("id").as("max_part"))
         .orderBy("hops")
+    },
+
+    // ── g5: k-core decomposition (bounded peeling) over the same
+    // support-≥2 co-purchase graph as g2 — the standard "dense
+    // engagement core" extraction (community seeding, spam-ring
+    // triage, graph sparsification before expensive analytics). The
+    // 3-core = the maximal subgraph where every part retains ≥ 3
+    // co-purchase neighbors INSIDE the subgraph; peeling removes
+    // under-degree nodes and repeats, because each removal can expose
+    // new under-degree nodes. Rounds are FIXED at 6 — a bounded-
+    // iteration contract like g1's 3 BSP rounds, pinned identically
+    // in the oracle (each extra round past the fixpoint is a no-op,
+    // so on graphs that converge early — this one converges in 2–3 —
+    // the bound is invisible; a full decomposition loops the same
+    // round body until no row count change). Per round: ONE hash
+    // aggregate for degrees + two semi-joins to drop edges touching a
+    // peeled endpoint — all shuffles on the node key, nothing global,
+    // frontier shrinks monotonically. Each round's edge set is pinned
+    // (Checkpointing.pin): 6 rounds of lazy lineage would replay the
+    // whole peel history per action and defeat AQE's per-round stats.
+    "g5_kcore" -> { (s, d) =>
+      val k = 3
+      val rounds = 6
+      val e0 = coPurchaseEdges(s, d, minSupport = 2)
+      var und = Checkpointing.pin(
+        e0.select(col("u").as("src"), col("v").as("dst"))
+          .union(e0.select(col("v").as("src"), col("u").as("dst"))))
+      for (_ <- 1 to rounds) {
+        val keep = und.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select("src")
+        und = Checkpointing.pin(
+          und.join(keep, Seq("src"), "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi"))
+      }
+      und.groupBy("src").agg(count(lit(1)).as("core_deg"))
+        .select(col("src").as("part_id"), col("core_deg"))
+        .orderBy("part_id")
     }
   )
 
@@ -395,6 +432,40 @@ object GraphQueries {
            mh AS (SELECT id, MIN(hops) AS hops FROM walk GROUP BY 1)
            SELECT hops, COUNT(*) AS n_parts, MIN(id) AS min_part,
              MAX(id) AS max_part
-           FROM mh GROUP BY 1 ORDER BY 1""")
+           FROM mh GROUP BY 1 ORDER BY 1""",
+      // g5 — the same 6 peel rounds unrolled; each round drops edges
+      // whose endpoint fell under degree 3 in the PREVIOUS round's
+      // edge set, exactly the engine's semi-join pair. Every round CTE
+      // is MATERIALIZED: each is referenced 3× by its successor, and
+      // inlining would re-evaluate the whole peel history per
+      // reference — 3⁶ rebuilds of the pair join (the SQL analogue of
+      // the engine-side Checkpointing.pin on each round)
+      "g5_kcore" -> {
+        def peel(prev: String, out: String): String =
+          s"""k_$out AS MATERIALIZED (
+                SELECT src FROM $prev GROUP BY src HAVING COUNT(*) >= 3),
+              $out AS MATERIALIZED (
+                SELECT src, dst FROM $prev
+                WHERE src IN (SELECT src FROM k_$out)
+                  AND dst IN (SELECT src FROM k_$out))"""
+        val roundsSql = (1 to 6)
+          .map(i => peel(s"und${i - 1}", s"und$i")).mkString(",\n")
+        s"""WITH op AS (
+              SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            hot AS (SELECT ok FROM op GROUP BY ok HAVING COUNT(*) > 64),
+            cold AS (SELECT * FROM op WHERE ok NOT IN (SELECT ok FROM hot)),
+            e AS MATERIALIZED (
+              SELECT u, v FROM (
+                SELECT x.pk AS u, y.pk AS v, COUNT(*) AS support
+                FROM cold x JOIN cold y ON x.ok = y.ok AND x.pk < y.pk
+                GROUP BY 1, 2)
+              WHERE support >= 2),
+            und0 AS MATERIALIZED (
+              SELECT u AS src, v AS dst FROM e
+              UNION ALL SELECT v, u FROM e),
+            $roundsSql
+            SELECT src AS part_id, COUNT(*) AS core_deg
+            FROM und6 GROUP BY 1 ORDER BY 1"""
+      })
   }
 }

@@ -122,4 +122,43 @@ class GraphCdcDqSpec extends AnyFunSuite {
     assert(out.toSeq == expected, s"engine ${out.toSeq} vs replica $expected")
     assert(out.head._1 == 0 && out.head._2 > 0, "seed level present")
   }
+
+  test("g5: driver peel replica matches; 6 rounds reach the fixpoint here") {
+    val out = graft.operators.GraphQueries.queries("g5_kcore")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // rebuild the support>=2 graph driver-side (same as the g4 replica)
+    val op = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = op.groupBy(_._1).map { case (_, xs) => xs.map(_._2).sorted }
+      .filter(_.length <= 64)
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    byOrder.foreach { parts =>
+      for (i <- parts.indices; j <- (i + 1) until parts.length
+           if parts(i) != parts(j))
+        support((parts(i), parts(j))) =
+          support.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    var adj = Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    support.foreach { case ((u, v), c) =>
+      if (c >= 2) { adj = adj + (u -> (adj(u) + v)) + (v -> (adj(v) + u)) }
+    }
+    // 6 bounded peel rounds at k=3, exactly the engine's contract
+    var rounds = 0
+    for (_ <- 1 to 6) {
+      val keep = adj.collect { case (n, ns) if ns.size >= 3 => n }.toSet
+      val next = adj.collect { case (n, ns) if keep(n) =>
+        n -> ns.intersect(keep) }.toMap.filter(_._2.nonEmpty)
+      if (next != adj) rounds += 1
+      adj = next.withDefaultValue(Set.empty)
+    }
+    val expected = adj.toSeq.map { case (n, ns) => (n, ns.size.toLong) }
+      .sortBy(_._1)
+    assert(out == expected, s"engine size ${out.size} vs replica ${expected.size}")
+    // every survivor holds the 3-core invariant — i.e. the bounded
+    // 6-round contract CONVERGED on this graph (the bound is slack,
+    // not a truncation)
+    assert(out.forall(_._2 >= 3), "un-peeled under-degree survivor")
+    assert(rounds < 6, s"fixpoint not reached within the 6-round bound")
+  }
 }
