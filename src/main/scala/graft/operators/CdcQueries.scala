@@ -273,6 +273,37 @@ object CdcQueries {
         .orderBy("user_id")
     },
 
+    // ── Soft-delete target shape (the PeerDB-documented option: a
+    // DELETE marks the warehouse row and stamps the sync position
+    // instead of removing it — audit trails and reversible reads).
+    // The events feed reinterpreted as usual (error = delete); this
+    // query runs the ENGINE's softImagePerKey: EVERY key surfaces,
+    // carrying the last non-delete image it died with (cents from the
+    // last non-error event — null when the key only ever errored, the
+    // "deleted before first sync" tombstone), an is_deleted flag from
+    // the winner op, and the winner LSN as the sync stamp. The oracle
+    // spells it as winner ⋈ arg-max-with-FILTER — converged, all keys.
+    "cdc_soft_delete" -> { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      import graft.streaming.CdcPipeline
+      val rowSchema = StructType(Seq(
+        StructField("user_id", LongType), StructField("cents", LongType)))
+      val env = Tables.events(s, d).select(
+        col("event_id").as("lsn"),
+        to_timestamp(lit("2000-01-01 00:00:00")).as("commitTs"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        lit("t").as("table"),
+        col("user_id").as("key"),
+        when(col("event_type") =!= "error", to_json(struct(
+          col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")))).as("after"))
+      CdcPipeline.softImagePerKey(env, rowSchema, "user_id")
+        .select(col("user_id"), col("cents"),
+          col(CdcPipeline.SoftDeleteCol).as("is_deleted"),
+          col(CdcPipeline.SyncedLsnCol).as("synced_lsn"))
+        .orderBy("user_id")
+    },
+
     // ── Log compaction — the Kafka-compacted-topic shape, and what a
     // long-running CDC feed must do to stop growing without losing
     // replayability: below a compaction watermark (LSN 5000), keep
@@ -455,6 +486,27 @@ object CdcQueries {
                 ELSE w.payload END AS payload
          FROM winner w LEFT JOIN carried c USING (key)
          WHERE w.op <> 'D'
+         ORDER BY user_id""",
+    // winner op decides the flag; the retained image is the last
+    // non-delete event's — exactly softImagePerKey's aggregate
+    "cdc_soft_delete" ->
+      """WITH env AS (
+           SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             user_id AS key,
+             CASE WHEN event_type <> 'error'
+                  THEN CAST(round(value * 100) AS BIGINT) END AS cents
+           FROM events),
+         winner AS (
+           SELECT key, lsn, op FROM env
+           QUALIFY row_number() OVER (PARTITION BY key ORDER BY lsn DESC) = 1),
+         carried AS (
+           SELECT key,
+             arg_max(cents, lsn) FILTER (WHERE op <> 'D') AS cents
+           FROM env GROUP BY key)
+         SELECT w.key AS user_id, c.cents,
+           w.op = 'D' AS is_deleted, w.lsn AS synced_lsn
+         FROM winner w LEFT JOIN carried c USING (key)
          ORDER BY user_id""",
     "cdc_compact" ->
       """WITH ev AS (

@@ -352,6 +352,130 @@ object CdcPipeline {
     clean.unionByName(resolved)
   }
 
+  /** Soft-delete metadata columns — the PeerDB-documented target shape
+    * (public PeerDB soft-delete option: deletes MARK the target row
+    * and stamp the sync position instead of removing it, so the
+    * warehouse keeps an auditable record and downstream models can
+    * filter or time-travel). `_deleted` flags the tombstone;
+    * `_synced_lsn` is the WAL position of the last change applied to
+    * the key — both maintained on every row, not only deleted ones. */
+  val SoftDeleteCol = "_deleted"
+  val SyncedLsnCol = "_synced_lsn"
+
+  /** Converged SOFT state of one table's event slice: one row per key
+    * — the schema columns carry the key's last NON-delete image (a
+    * deleted key keeps the data it died with), [[SoftDeleteCol]] says
+    * whether the key's LAST event was a delete, [[SyncedLsnCol]] is
+    * that last event's LSN. A re-insert after a delete flips the flag
+    * back with the new image — same max-LSN rule as everywhere else.
+    * A delete with NO in-slice image leaves the data columns null;
+    * [[applyBatchSoft]] finishes those from the store's current row
+    * (retain-what-it-died-with), and a tombstone for a key the target
+    * never saw keeps the nulls — an honest record of "deleted before
+    * first sync", not corruption, so no loud failure (contrast
+    * [[resolveToastAgainstCurrent]], where a hole would OVERWRITE real
+    * data). Key-changing updates expand first, so the OLD key stays
+    * behind as a flagged tombstone — exactly what an auditable target
+    * wants from a PK change. Same single key-shuffle hash aggregate
+    * as [[lastImageResolvingToast]]. */
+  def softImagePerKey(
+      events: DataFrame, schema: StructType, keyCol: String): DataFrame =
+    softImageWithPresence(events, schema, keyCol).drop("_has_image")
+
+  /** [[softImagePerKey]] plus an internal `_has_image` flag (whether
+    * any in-slice non-delete image existed) so [[applyBatchSoft]]'s
+    * store fallback can tell an imageless tombstone from a real image
+    * whose fields are legitimately null. */
+  private def softImageWithPresence(
+      events: DataFrame, schema: StructType, keyCol: String): DataFrame = {
+    val parsed = normalizeKeyChanges(events)
+      .withColumn("_row", from_json(col("after"), schema))
+    val winner = max(struct(col("lsn").as("l"), col("op").as("o"))).as("_w")
+    val carried = max(when(col("op") =!= "D",
+      struct(col("lsn").as("l"), col("_row").as("r")))).as("_c")
+    parsed.groupBy(col("key")).agg(winner, carried)
+      .select(schema.fieldNames.toSeq.map { f =>
+        if (f == keyCol) col("key").cast(schema(f).dataType).as(f)
+        else col("_c.r").getField(f).as(f)
+      } ++ Seq(
+        (col("_w.o") === "D").as(SoftDeleteCol),
+        col("_w.l").as(SyncedLsnCol),
+        // internal: whether ANY in-slice image existed — the store
+        // fallback must not splice stored values into a real image
+        // whose fields are legitimately null
+        col("_c").isNotNull.as("_has_image")): _*)
+  }
+
+  /** [[snapshot]] for a soft-delete mirror: the initial image lands
+    * with `_deleted = false` and `_synced_lsn = 0` (every feed LSN is
+    * positive, so 0 reads as "from the snapshot"). */
+  def snapshotSoft(
+      spark: SparkSession,
+      store: KeyedParquetStore,
+      sources: Map[String, DataFrame],
+      keyCols: Map[String, String]): Unit =
+    sources.foreach { case (table, df) =>
+      store.snapshot(spark, table,
+        df.withColumn(SoftDeleteCol, lit(false))
+          .withColumn(SyncedLsnCol, lit(0L)),
+        keyCols(table))
+    }
+
+  /** [[applyBatch]] in soft-delete mode: every key's converged change
+    * lands as an UPSERT — deletes flip [[SoftDeleteCol]] instead of
+    * removing the row, so the target is append-safe for audit and
+    * reversible reads (filter `NOT _deleted` for the live view). The
+    * store-fallback join (a deleted key retains the image it died
+    * with even when the delete was the batch's only event for it) is
+    * gated on the slice's delete count — insert/update-only batches,
+    * the steady state, skip it. Idempotent: a replayed batch
+    * reconverges because the fallback reads data columns the first
+    * apply already wrote. */
+  def applyBatchSoft(
+      batch: DataFrame,
+      store: KeyedParquetStore,
+      schemas: Map[String, StructType],
+      keyCols: Map[String, String]): Unit =
+    withPinnedBatch(batch) { pinned =>
+      val spark = pinned.sparkSession
+      // a key-change U counts as a delete too: the expansion emits
+      // D(beforeKey), whose tombstone needs the same store fallback
+      val isDel =
+        if (pinned.columns.contains("beforeKey"))
+          col("op") === "D" || (col("op") === "U" &&
+            col("beforeKey").isNotNull && col("beforeKey") =!= col("key"))
+        else col("op") === "D"
+      val present = pinned.groupBy("table")
+        .agg(max("lsn").as("mx"),
+          sum(when(isDel, 1L).otherwise(0L)).as("dels"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      present.foreach { case (table, _, dels) =>
+        val schema = schemas(table)
+        val keyCol = keyCols(table)
+        val dataCols = schema.fieldNames.toSeq.filterNot(_ == keyCol)
+        val img = softImageWithPresence(
+          pinned.filter(col("table") === table), schema, keyCol)
+        val filled =
+          if (dels == 0L || !store.exists(spark, table))
+            img.drop("_has_image")
+          else {
+            val cur = store.read(spark, table).select(
+              col(keyCol).as("_cur_key") +:
+                dataCols.map(c => col(c).as(s"_cur_$c")): _*)
+            img.join(cur, img(keyCol) === cur("_cur_key"), "left")
+              .select(col(keyCol) +: (dataCols.map { f =>
+                // only an IMAGELESS tombstone inherits — any in-batch
+                // image is authoritative even where its fields are null
+                when(col(SoftDeleteCol) && !col("_has_image"), col(s"_cur_$f"))
+                  .otherwise(col(f)).as(f)
+              } ++ Seq(col(SoftDeleteCol), col(SyncedLsnCol))): _*)
+          }
+        store.merge(spark, table, filled.withColumn("op", lit("U")), keyCol)
+      }
+      if (present.nonEmpty)
+        store.recordAppliedLsn(spark, present.map(_._2).max)
+    }
+
   /** Apply one micro-batch: multi-table fan-out (C6), last-per-key
     * dedup (C1/C3), idempotent merge. Also usable directly for batch
     * backfill. */

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{CdcPipeline, ChangeEvent, KeyedParquetStore}
+
+/** Soft-delete mirror mode (the PeerDB-documented soft-delete option):
+  * a DELETE marks the target row (`_deleted` flag + `_synced_lsn`
+  * stamp) and keeps the image it died with, instead of removing it.
+  * Pins: retain-on-delete, re-insert flips back, imageless tombstones,
+  * store fallback for delete-only batches, idempotent replay, and the
+  * live view (`NOT _deleted`) agreeing with hard-delete apply. */
+class SoftDeleteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("amount", LongType)))
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  private def img(id: Long, name: String, amount: Long): String =
+    s"""{"id":$id,"name":"$name","amount":$amount}"""
+
+  private def freshStore(): KeyedParquetStore =
+    new KeyedParquetStore(
+      Files.createTempDirectory("soft_store").toString, nBuckets = 4)
+
+  private def stateOf(store: KeyedParquetStore)
+      : Map[Long, (Option[String], Option[Long], Boolean, Long)] =
+    store.read(spark, "t").collect().map { r =>
+      r.getLong(0) -> ((Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getBoolean(3), r.getLong(4)))
+    }.toMap
+
+  test("delete marks the row and keeps its image; re-insert flips back; replay converges") {
+    import spark.implicits._
+    val store = freshStore()
+    CdcPipeline.snapshotSoft(spark, store,
+      Map("t" -> Seq((1L, "a", 100L), (2L, "b", 200L), (3L, "c", 300L))
+        .toDF("id", "name", "amount")),
+      Map("t" -> "id"))
+    // snapshot rows land live, stamped with lsn 0
+    assert(stateOf(store) == Map(
+      1L -> ((Some("a"), Some(100L), false, 0L)),
+      2L -> ((Some("b"), Some(200L), false, 0L)),
+      3L -> ((Some("c"), Some(300L), false, 0L))))
+
+    val batch = Seq(
+      // update then delete in one batch: tombstone keeps the UPDATED
+      // image (what it died with), not the snapshot's
+      ChangeEvent(10, ts(10), "U", "t", 1, img(1, "a2", 110)),
+      ChangeEvent(11, ts(11), "D", "t", 1, null),
+      // delete-only for key 2: image must come from the STORE row
+      ChangeEvent(12, ts(12), "D", "t", 2, null),
+      // delete then re-insert: live again with the new image
+      ChangeEvent(13, ts(13), "D", "t", 3, null),
+      ChangeEvent(14, ts(14), "I", "t", 3, img(3, "c2", 330)),
+      // tombstone for a key the target never saw: null image, flagged
+      ChangeEvent(15, ts(15), "D", "t", 9, null)
+    ).toDF()
+    CdcPipeline.applyBatchSoft(batch, store,
+      Map("t" -> schema), Map("t" -> "id"))
+
+    val expected = Map(
+      1L -> ((Some("a2"), Some(110L), true, 11L)),
+      2L -> ((Some("b"), Some(200L), true, 12L)),
+      3L -> ((Some("c2"), Some(330L), false, 14L)),
+      9L -> ((None, None, true, 15L)))
+    assert(stateOf(store) == expected)
+
+    // the live view is exactly what hard-delete apply would keep
+    val live = store.read(spark, "t")
+      .filter(!col(CdcPipeline.SoftDeleteCol))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(live == Set(3L))
+
+    // at-least-once replay reconverges (the delete-only fallback now
+    // reads back the data the first apply retained)
+    CdcPipeline.applyBatchSoft(batch, store,
+      Map("t" -> schema), Map("t" -> "id"))
+    assert(stateOf(store) == expected)
+  }
+
+  test("PK-changing UPDATE leaves the old key as a flagged tombstone") {
+    import spark.implicits._
+    val store = freshStore()
+    CdcPipeline.snapshotSoft(spark, store,
+      Map("t" -> Seq((5L, "e", 500L)).toDF("id", "name", "amount")),
+      Map("t" -> "id"))
+    val batch = Seq(
+      ChangeEvent(20, ts(20), "U", "t", 105, img(105, "e2", 550), Some(5L))
+    ).toDF()
+    CdcPipeline.applyBatchSoft(batch, store,
+      Map("t" -> schema), Map("t" -> "id"))
+    assert(stateOf(store) == Map(
+      // the old key died carrying its stored image (delete-only slice
+      // for key 5 → store fallback), stamped at the move's LSN
+      5L -> ((Some("e"), Some(500L), true, 20L)),
+      105L -> ((Some("e2"), Some(550L), false, 20L))))
+  }
+}
