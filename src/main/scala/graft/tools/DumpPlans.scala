@@ -101,7 +101,10 @@ object DumpPlans {
     "g4_reach" -> "bounded BFS reachability: per-round frontier equi-join + anti-join dedup over checkpointed adjacency (Pregel-as-dataflow), O(depth) output",
     "cdc_pk_change" -> "PK-changing UPDATE apply: normalizeKeyChanges explode (delete(old)+upsert(new), no shuffle added) feeding the shared last-per-key window dedup",
     "t28_ngram_novelty" -> "n-gram novelty: shared shingle derivation, shuffled LEFT-ANTI join on the shingle hash (reference side corpus-sized, nothing broadcast), per-doc hash agg",
-    "c10_pack_sequences" -> "sequence packing: two-pass bucket prefix sum (per-bucket windows in parallel + <=64-row offset fold, no single-partition window), bin_id hash agg")
+    "c10_pack_sequences" -> "sequence packing: two-pass bucket prefix sum (per-bucket windows in parallel + <=64-row offset fold, no single-partition window), bin_id hash agg",
+    "cdc_toast" -> "unchanged-TOAST apply: ONE key-shuffle aggregate (max-LSN winner + last-unmarked carry, partial_max BEFORE the exchange) replaces the window dedup on the marked path",
+    "cdc_soft_delete" -> "soft-delete convergence: same single key-shuffle aggregate — winner op becomes the _deleted flag, carried non-delete image the data; no delete ever leaves the plan",
+    "g5_kcore" -> "k-core peel: 6 rounds of degree hash-agg + two semi-joins over the pinned edge set, all shuffles on the node key, frontier monotonically shrinking")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -235,7 +235,17 @@ object ScaleProbe {
       // r15: PK-change apply over the 10x-history events stream (the
       // expansion is a projection+explode — must track the stream
       // linearly like the other cdc projections)
-      "cdc_pk_change")
+      "cdc_pk_change",
+      // r15: unchanged-TOAST resolution and soft-delete convergence —
+      // both are the single key-shuffle hash aggregate (plus a
+      // broadcast-shaped fallback join that the probe's in-batch
+      // resolution path exercises on the marker-retaining keys), so
+      // both must track the 10x-history stream linearly
+      "cdc_toast", "cdc_soft_delete",
+      // r15: bounded 3-core peel on the disjoint-copy 10x graph (per
+      // round: one degree aggregate + two semi-joins; per-copy
+      // structure preserved, so peel work grows with edges)
+      "g5_kcore")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
