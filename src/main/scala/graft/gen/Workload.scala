@@ -90,11 +90,28 @@ object Workload {
     * range maxKey+1+i, so a generated stream never aliases a move
     * target with an insert. Ordinary events carry beforeKey null.
     *
+    * `pToast` carves unchanged-TOAST partial updates out of the PLAIN
+    * update share (the Postgres partial-UPDATE event —
+    * [[graft.streaming.CdcPipeline.UnchangedToast]]): those events'
+    * after-images come from `toastJson` (the caller substitutes the
+    * marker for the untouched wide column). Markers never ride
+    * key-changing updates or inserts here — a generated stream with
+    * deletes or moves can revisit a key after it left the target,
+    * which a real decoder cannot do for a partial UPDATE, and the
+    * apply path correctly fails LOUDLY on such a marker; keep
+    * `mix._2 == 0` and the marker share inside the plain-update share
+    * when generating toast streams for differential replay.
+    *
     * @param existingKeys one-column DF `id` of current keys
     * @param mix          (pInsert, pDelete) — remainder is updates
     * @param pKeyChange   fraction of ALL events that are key-changing
     *                     updates (taken from the update share; must
     *                     fit inside it)
+    * @param pToast       fraction of ALL events that are partial
+    *                     (unchanged-TOAST) updates — taken from the
+    *                     plain-update share after pKeyChange
+    * @param toastJson    after-image builder for toast events
+    *                     (required when pToast > 0)
     */
   def generateChanges(
       existingKeys: DataFrame,
@@ -104,11 +121,17 @@ object Workload {
       seed: Long,
       afterJson: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
       mix: (Double, Double) = (0.4, 0.2),
-      pKeyChange: Double = 0.0): DataFrame = {
+      pKeyChange: Double = 0.0,
+      pToast: Double = 0.0,
+      toastJson: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = null): DataFrame = {
     val (pI, pD) = mix
     require(pKeyChange >= 0.0 && pI + pD + pKeyChange <= 1.0,
       s"key-change share $pKeyChange does not fit inside the update share " +
         s"(pI=$pI, pD=$pD)")
+    require(pToast >= 0.0 && pI + pD + pKeyChange + pToast <= 1.0,
+      s"toast share $pToast does not fit inside the plain-update share")
+    require(pToast == 0.0 || toastJson != null,
+      "pToast > 0 needs a toastJson after-image builder")
     // same de-funneled rank assignment as [[indexed]]
     val keyIdx = graft.operators.Ranks.globalRank(
         existingKeys.select(col("id").cast("long").as("existing_key")),
@@ -129,6 +152,9 @@ object Workload {
         when(col("r") < pI, "I").when(col("r") < pI + pD, "D").otherwise("U"))
       .withColumn("kc",
         col("op") === "U" && col("r") < pI + pD + pKeyChange)
+      .withColumn("toast",
+        col("op") === "U" && !col("kc") &&
+          col("r") < pI + pD + pKeyChange + pToast)
       .join(broadcast(keyIdx), Seq("key_idx"))
       .withColumn("key",
         when(col("op") === "I", lit(maxKey) + 1 + col("i"))
@@ -140,7 +166,11 @@ object Workload {
         col("op"),
         lit(table).as("table"),
         col("key"),
-        when(col("op") =!= "D", afterJson(col("key"), col("lsn"))).as("after"),
+        when(col("op") === "D", lit(null).cast("string"))
+          .when(col("toast"),
+            (if (toastJson == null) lit(null).cast("string")
+             else toastJson(col("key"), col("lsn"))))
+          .otherwise(afterJson(col("key"), col("lsn"))).as("after"),
         when(col("kc"), col("existing_key")).as("beforeKey"))
   }
 

@@ -447,9 +447,20 @@ object CdcPipeline {
         else col("op") === "D"
       val present = pinned.groupBy("table")
         .agg(max("lsn").as("mx"),
-          sum(when(isDel, 1L).otherwise(0L)).as("dels"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      present.foreach { case (table, _, dels) =>
+          sum(when(isDel, 1L).otherwise(0L)).as("dels"),
+          sum(when(col("after").contains(UnchangedToast), 1L).otherwise(0L))
+            .as("toasts"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      present.foreach { case (table, _, dels, toasts) =>
+        // soft mode carries the winner's whole image; per-column TOAST
+        // inheritance is not wired here — upserting a marker would be
+        // silent corruption, so reject the batch loudly instead
+        require(toasts == 0L,
+          s"table '$table': $toasts unchanged-TOAST marker(s) in a " +
+            "soft-delete apply - marker resolution is not supported on " +
+            "the soft-delete path; resolve markers upstream " +
+            "(lastImageResolvingToast) or mirror this table with " +
+            "applyBatch")
         val schema = schemas(table)
         val keyCol = keyCols(table)
         val dataCols = schema.fieldNames.toSeq.filterNot(_ == keyCol)

@@ -146,4 +146,62 @@ class ChurnSpec extends AnyFunSuite {
       assert(!got.contains(k), s"stranded old key $k after PK change")
     }
   }
+
+  test("toast churn: markers resolve across batch boundaries, merge == in-memory replay") {
+    import spark.implicits._
+    val M = CdcPipeline.UnchangedToast
+    val root = Files.createTempDirectory("churn_toast").toString
+    val store = new KeyedParquetStore(root, nBuckets = 8)
+    // v = the "TOASTed" wide column (marker-bearing), w = a narrow
+    // column every update rewrites — per-column inheritance must keep
+    // v while w moves
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("w", LongType)))
+
+    val seedRows = (1L to 50L).map(k => (k, s"seed_$k", 0L))
+    store.snapshot(spark, "t", seedRows.toDF("id", "v", "w"), "id")
+
+    // 25% of events are partial updates (v untouched at the source);
+    // no deletes/moves — a marker may only revisit a LIVE key (the
+    // Postgres guarantee the loud divergence check enforces)
+    val changes = Workload.generateChanges(
+      existingKeys = (1L to 50L).toDF("id"),
+      table = "t", n = 400, startLsn = 1000, seed = 23,
+      afterJson = (key, lsn) => to_json(struct(
+        key.as("id"), concat(lit("v"), lsn).as("v"), lsn.as("w"))),
+      mix = (0.3, 0.0), pToast = 0.25,
+      toastJson = (key, lsn) => to_json(struct(
+        key.as("id"), lit(M).as("v"), lsn.as("w"))))
+      .localCheckpoint(true)
+    val nToast = changes.filter(col("after").contains(M)).count()
+    assert(nToast > 60, s"expected a real marker share, got $nToast")
+
+    (0 until 4).foreach { b =>
+      val batch = changes.filter(col("lsn") >= 1000 + b * 100 && col("lsn") < 1100 + b * 100)
+      CdcPipeline.applyBatch(batch, store, Map("t" -> schema), Map("t" -> "id"))
+    }
+
+    // in-memory reference replay: a marked v inherits the key's
+    // current value, w always applies
+    val log = changes.orderBy("lsn").select("op", "key", "after").collect()
+    val state = scala.collection.mutable.Map[Long, (String, Long)](
+      seedRows.map { case (k, v, w) => k -> ((v, w)) }: _*)
+    val vRe = "\"v\"\\s*:\\s*\"([^\"]+)\"".r
+    val wRe = "\"w\"\\s*:\\s*(\\d+)".r
+    log.foreach { r =>
+      val key = r.getLong(1)
+      val v = vRe.findFirstMatchIn(r.getString(2)).get.group(1)
+      val w = wRe.findFirstMatchIn(r.getString(2)).get.group(1).toLong
+      val vNew = if (v == M) state(key)._1 else v
+      state.put(key, (vNew, w))
+    }
+
+    val got = store.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == state.toMap,
+      s"divergence on ${got.keySet.union(state.keySet).count(k => got.get(k) != state.get(k))} keys")
+    // no marker ever landed in the target
+    assert(!got.values.exists(_._1 == M), "marker upserted verbatim")
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{DedupQueries, Erasure, IndexStore}
-import graft.streaming.KeyedParquetStore
+import graft.streaming.{CdcPipeline, KeyedParquetStore}
 
 /** Right-to-be-forgotten — the contract is the CASCADE: after
   * [[Erasure.forget]], neither the table nor any persisted derived
@@ -423,5 +423,41 @@ class ErasureSpec extends AnyFunSuite {
     Erasure.forgetFromStore(spark, store, "t", "id", rowSchema, Seq(5L, 6L))
     assert(store.read(spark, "t").count() == 98L)
     assert(store.appliedLsn(spark).contains(41L))
+  }
+
+  test("soft-delete store forget: right-to-be-forgotten HARD-purges rows " +
+    "the soft mode retained — even already-flagged tombstones") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val work = Files.createTempDirectory("graft_erasure_soft").toString
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 4)
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    CdcPipeline.snapshotSoft(spark, store,
+      Map("t" -> (0L until 20L).map(i => (i, s"pii$i")).toDF("id", "v")),
+      Map("t" -> "id"))
+    // soft-delete key 5: the row STAYS, flagged, image retained — the
+    // audit-mode behavior that is exactly wrong for erasure
+    val del = Seq((100L, new Timestamp(0), "D", "t", 5L,
+      null.asInstanceOf[String])).toDF("lsn", "commitTs", "op", "table", "key", "after")
+    CdcPipeline.applyBatchSoft(del, store,
+      Map("t" -> rowSchema), Map("t" -> "id"))
+    val flagged = store.read(spark, "t").filter(col("id") === 5L).collect()
+    assert(flagged.length == 1 && flagged.head.getBoolean(2) &&
+      flagged.head.getString(1) == "pii5",
+      "precondition: soft delete retains the flagged image")
+
+    // erasure must remove the rows outright — a flagged tombstone
+    // still carries the image (and the key is itself an identifier)
+    Erasure.forgetFromStore(spark, store, "t", "id", rowSchema, Seq(5L, 6L))
+    val after = store.read(spark, "t")
+    assert(after.filter(col("id").isin(5L, 6L)).count() == 0L,
+      "forgotten keys must not survive as soft tombstones")
+    assert(after.count() == 18L)
+    // and the certificate counts a soft tombstone as residue (it IS a
+    // row): clean only after the hard purge
+    val cert = Erasure.certificate(spark, Seq(5L, 6L).toDF("key"),
+      store = Seq((store, "t", "id")))
+    assert(cert.collect().forall(r => r.getLong(2) == 0L && r.getBoolean(3)))
   }
 }

@@ -106,4 +106,23 @@ class SoftDeleteSpec extends AnyFunSuite {
       5L -> ((Some("e"), Some(500L), true, 20L)),
       105L -> ((Some("e2"), Some(550L), false, 20L))))
   }
+
+  test("unchanged-TOAST markers reject loudly on the soft path (no silent upsert)") {
+    import spark.implicits._
+    val store = freshStore()
+    CdcPipeline.snapshotSoft(spark, store,
+      Map("t" -> Seq((1L, "a", 100L)).toDF("id", "name", "amount")),
+      Map("t" -> "id"))
+    val marked = Seq(
+      ChangeEvent(30, ts(30), "U", "t", 1,
+        s"""{"id":1,"name":"${CdcPipeline.UnchangedToast}","amount":110}""")
+    ).toDF()
+    val e = intercept[IllegalArgumentException] {
+      CdcPipeline.applyBatchSoft(marked, store,
+        Map("t" -> schema), Map("t" -> "id"))
+    }
+    assert(e.getMessage.contains("unchanged-TOAST"))
+    // nothing half-applied
+    assert(stateOf(store) == Map(1L -> ((Some("a"), Some(100L), false, 0L))))
+  }
 }
