@@ -98,6 +98,9 @@ object CdcPipeline {
     *                  INVALIDATED ([[invalidateConsumersOverBudget]])
     *                  fails loudly here instead of silently resuming
     *                  past pruned files
+    * @param softDelete run the mirror in soft-delete mode
+    *                  ([[applyBatchSoft]] — deletes mark rows instead
+    *                  of removing them); snapshot via [[snapshotSoft]]
     */
   def start(
       changes: DataFrame,
@@ -107,7 +110,8 @@ object CdcPipeline {
       mirrorName: String,
       checkpointDir: String,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-      feedDir: Option[String] = None): StreamingQuery = {
+      feedDir: Option[String] = None,
+      softDelete: Boolean = false): StreamingQuery = {
     // registerConsumer throws IllegalStateException on an invalidated
     // name — the postgres analogue is a replica on a lost slot, which
     // ERRORS rather than skipping WAL it can never replay
@@ -122,7 +126,11 @@ object CdcPipeline {
       .queryName(mirrorName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, store, schemas, keyCols)
+        // soft mode: same micro-batch contract, upsert-only merge —
+        // the snapshot must have landed via snapshotSoft so the meta
+        // columns exist from batch 0
+        if (softDelete) applyBatchSoft(batch, store, schemas, keyCols)
+        else applyBatch(batch, store, schemas, keyCols)
       }
     // trigger interval = the reference's inter-batch delay knob
     // (insert.ps1:13,327–329 backpressure analogue)

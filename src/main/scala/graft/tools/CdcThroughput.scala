@@ -368,6 +368,56 @@ object CdcThroughput {
 
   /** Replace `key`'s block in an existing CDC_BENCH.json body (blocks
     * are flat — no nested braces) and append the new one. */
+  /** Marked-vs-plain apply cost — what the unchanged-TOAST gate
+    * actually buys and what the marked path actually costs. Two
+    * identical pure-update workloads over the same seeded store, one
+    * with a 25% marker share: the plain run must take the
+    * expansion-free window-dedup path (the gate working), the marked
+    * run pays the per-key aggregate + the store read-back fallback
+    * PER BATCH. Batch-apply surface only — the streaming machinery
+    * around it is identical and already attributed per phase. */
+  def measureToast(spark: SparkSession, rows: Long = 50000L,
+      batchSize: Int = 1000): Seq[(String, Double)] = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_toast").toString
+    val nKeys = 5000L
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("w", LongType)))
+    val keys = spark.range(1, nKeys + 1).toDF("id")
+    val seed = spark.range(1, nKeys + 1).select(col("id"),
+      concat(lit("wide_"), col("id")).as("v"), lit(0L).as("w"))
+    def run(name: String, pToast: Double): Double = {
+      val store = new KeyedParquetStore(s"$work/store_$name")
+      store.snapshot(spark, "t", seed, "id")
+      val changes = Workload.generateChanges(keys, "t", rows,
+        startLsn = 1000L, seed = 77L,
+        afterJson = (key, lsn) => to_json(struct(key.as("id"),
+          concat(lit("v"), lsn).as("v"), lsn.as("w"))),
+        mix = (0.0, 0.0), pToast = pToast,
+        toastJson = (key, lsn) => to_json(struct(key.as("id"),
+          lit(CdcPipeline.UnchangedToast).as("v"), lsn.as("w"))))
+        .localCheckpoint(true)
+      val nB = math.ceil(rows.toDouble / batchSize).toInt
+      val t0 = System.nanoTime()
+      (0 until nB).foreach { b =>
+        val lo = 1000L + b.toLong * batchSize
+        CdcPipeline.applyBatch(
+          changes.filter(col("lsn") >= lo && col("lsn") < lo + batchSize),
+          store, Map("t" -> schema), Map("t" -> "id"))
+      }
+      val s = (System.nanoTime() - t0) / 1e9
+      val got = store.read(spark, "t").count()
+      require(got == nKeys, s"toast run $name: $got != $nKeys")
+      rows / s
+    }
+    val plain = run("plain", 0.0)
+    val marked = run("marked", 0.25)
+    Seq(
+      "toast_plain_rows_per_sec" -> plain,
+      "toast_marked_rows_per_sec" -> marked,
+      "toast_overhead_pct" -> ((plain / marked - 1.0) * 100.0))
+  }
+
   private def splice(prev: String, key: String, blk: String): String =
     prev.replaceAll(",\"" + key + "\":\\{[^}]*\\}", "")
       .stripSuffix("}") + s""","$key":$blk}"""
@@ -407,6 +457,19 @@ object CdcThroughput {
       val prev = new String(java.nio.file.Files.readAllBytes(path),
         java.nio.charset.StandardCharsets.UTF_8)
       val line = splice(prev, "x40_rotate", block(x40r))
+      java.nio.file.Files.write(path,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(line)
+      spark.stop()
+      return
+    }
+    // Toast mode: marked-vs-plain apply cost, spliced as its own block
+    if (sys.env.get("SPARK_GRAFT_CDC_ONLY").contains("toast")) {
+      val tm = measureToast(spark, rows = 50000L, batchSize = 1000)
+      val path = java.nio.file.Paths.get("CDC_BENCH.json")
+      val prev = new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val line = splice(prev, "toast", block(tm))
       java.nio.file.Files.write(path,
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(line)

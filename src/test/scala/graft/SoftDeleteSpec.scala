@@ -107,6 +107,28 @@ class SoftDeleteSpec extends AnyFunSuite {
       105L -> ((Some("e2"), Some(550L), false, 20L))))
   }
 
+  test("streaming round-trip: start(softDelete = true) marks deletes through foreachBatch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = freshStore()
+    val ckpt = java.nio.file.Files.createTempDirectory("soft_ckpt").toString
+    CdcPipeline.snapshotSoft(spark, store,
+      Map("t" -> Seq((1L, "a", 100L)).toDF("id", "name", "amount")),
+      Map("t" -> "id"))
+    val stream = MemoryStream[ChangeEvent](spark)
+    stream.addData(
+      ChangeEvent(1, ts(1), "U", "t", 1, img(1, "a2", 120)),
+      ChangeEvent(2, ts(2), "D", "t", 1, null),
+      ChangeEvent(3, ts(3), "I", "t", 2, img(2, "b", 200)))
+    val q = CdcPipeline.start(stream.toDF(), store,
+      Map("t" -> schema), Map("t" -> "id"),
+      mirrorName = "soft_mirror", checkpointDir = ckpt, softDelete = true)
+    try q.processAllAvailable() finally q.stop()
+    assert(stateOf(store) == Map(
+      1L -> ((Some("a2"), Some(120L), true, 2L)),
+      2L -> ((Some("b"), Some(200L), false, 3L))))
+  }
+
   test("unchanged-TOAST markers reject loudly on the soft path (no silent upsert)") {
     import spark.implicits._
     val store = freshStore()
