@@ -58,6 +58,54 @@ object ChangeFeed {
       }: _*)
       .write.mode("append").json(feedDir)
 
+  /** [[publish]] with TRANSACTION-ATOMIC, COMMIT-ORDERED file
+    * boundaries: every source transaction (= one `commitTs` — Postgres
+    * commit timestamps are per transaction, and a transaction's WAL
+    * records are consecutive) lands whole inside exactly one feed
+    * file, and files are written SEQUENTIALLY in commit order.
+    * Micro-batches are whole files and the file source consumes
+    * oldest-modtime first, so a mirror's target never exposes a
+    * partial transaction at a batch boundary AND never applies
+    * batches out of commit order — the transaction-consistent sync
+    * grouping PeerDB documents for its CDC batches, made a property
+    * of the feed layout rather than of sink-side bookkeeping. A plain
+    * hash `repartition(n)` before [[publish]] gives neither property:
+    * parallel part files land with interleaved transactions and
+    * effectively random modtimes, so a key's newer change can be
+    * overwritten by its older one in a later micro-batch (the
+    * unconditional LWW merge trusts consumption order, as a WAL tail
+    * should).
+    *
+    * The sequential write is inherent to the contract, not a
+    * limitation — a real decoder is a single WAL cursor emitting
+    * files in commit order by construction; this helper reproduces
+    * that shape for batch-landed feeds. Transactions are assigned to
+    * files by commit-order ntile (one |transactions|-row window — the
+    * event rows themselves never pass through a single partition). */
+  def publishTransactional(events: DataFrame, feedDir: String,
+      nFiles: Int): Unit = {
+    val aligned = events.select(schema.fields.toSeq.map { f =>
+      if (events.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val fileOf = aligned.select("commitTs").distinct()
+      .withColumn("_file", ntile(nFiles).over(
+        org.apache.spark.sql.expressions.Window.orderBy("commitTs")))
+    val tagged = aligned.join(broadcast(fileOf), Seq("commitTs"))
+      .localCheckpoint(true) // nFiles sequential writes read this once
+    try
+      (1 to nFiles).foreach { k =>
+        val slice = tagged.filter(col("_file") === k).drop("_file")
+          .repartition(1).sortWithinPartitions("commitTs", "lsn")
+        // guard against an empty trailing ntile writing nothing —
+        // harmless, but skipping keeps modtimes strictly useful
+        if (!slice.isEmpty)
+          slice.write.mode("append").json(feedDir)
+      }
+    finally org.apache.spark.sql.graftbridge.Bridge.persistedRdd(tagged)
+      .foreach(_.unpersist(blocking = false))
+  }
+
   /** Driver-side listing of the feed's DATA files, canonical leaf →
     * bytes: everything except `_`-prefixed metadata (`_consumers/`,
     * `_SUCCESS`) and hidden files. File-count-sized FS metadata walk,

@@ -103,4 +103,78 @@ class ChangeFeedSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(state == Seq((1L, "a2"), (2L, "b")))
   }
+
+  test("transactional publish: no transaction spans two files, files range in " +
+    "commit order, micro-batches apply whole transactions in order") {
+    import spark.implicits._
+    val feed = Files.createTempDirectory("feed_txn").toString
+    val root = Files.createTempDirectory("feed_txn_store").toString
+    val ckpt = Files.createTempDirectory("feed_txn_ckpt").toString
+    val store = new KeyedParquetStore(root, nBuckets = 4)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+
+    // 40 transactions x 15 events; keys cycle over 30 ids so the same
+    // key is touched by MANY transactions — the cross-file ordering
+    // hazard a plain repartition(n) publish would create
+    val events = (0 until 600).map { i =>
+      val txn = i / 15
+      val key = (i % 30).toLong
+      ChangeEvent(i.toLong + 1, ts(txn.toLong), "U", "t", key,
+        s"""{"id":$key,"v":"v${i + 1}"}""")
+    }
+    ChangeFeed.publishTransactional(events.toDF(), feed, nFiles = 8)
+
+    // layout gates: per-file commitTs sets are disjoint (atomicity) and
+    // per-file ranges are ordered by modification time (the file
+    // source consumes oldest-first — commit order = processing order)
+    val files = new java.io.File(feed).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).sortBy(f => (f.lastModified, f.getName))
+    assert(files.length > 1, "need multiple files to gate the layout")
+    val perFile = files.map { f =>
+      val ts = spark.read.schema(ChangeFeed.schema).json(f.getPath)
+        .select("commitTs").collect().map(_.getTimestamp(0).getTime)
+      (ts.min, ts.max, ts.toSet)
+    }
+    perFile.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3.intersect(b._3).isEmpty, "a transaction spans two files")
+        assert(a._2 <= b._1, "file ranges out of commit order")
+      case _ => ()
+    }
+    val allTxns = perFile.flatMap(_._3).toSet
+    assert(perFile.map(_._3.size).sum == allTxns.size,
+      "a transaction appears in more than one file")
+    assert(allTxns.size == 40)
+
+    // end-to-end: one file per micro-batch — every transaction must be
+    // applied whole inside exactly one batch, and batches must arrive
+    // in commit order so the unconditional LWW merge stays correct
+    val batchTxns = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = ChangeFeed.stream(spark, feed, maxFilesPerTrigger = 1)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchTxns += b.select("commitTs").collect()
+          .map(_.getTimestamp(0).getTime).toSet
+        CdcPipeline.applyBatch(b, store, Map("t" -> schema), Map("t" -> "id"))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batchTxns.length == files.length)
+    batchTxns.toList.sliding(2).foreach {
+      case List(a, b) =>
+        assert(a.intersect(b).isEmpty && a.max <= b.min,
+          s"batch boundary split or reordered a transaction: $a vs $b")
+      case _ => ()
+    }
+    // converged state = the LAST update per key over the whole feed
+    val expected = events.groupBy(_.key)
+      .map { case (k, es) => k -> s"v${es.map(_.lsn).max}" }
+    val got = store.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected)
+  }
 }
