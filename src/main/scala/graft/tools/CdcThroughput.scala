@@ -463,6 +463,29 @@ object CdcThroughput {
       spark.stop()
       return
     }
+    // Scale mode: the base/x10/x20 controlled grain WITHOUT the x40
+    // rotation phase — the round-close gate for per-batch hot-path
+    // additions (the adjudication policy reads this grain, and the
+    // rotation experiment iterates separately)
+    if (sys.env.get("SPARK_GRAFT_CDC_ONLY").contains("scale")) {
+      val base = measure(spark, rows = 20000L, batchSize = 1000)
+      System.err.println(s"[cdc] base done: ${block(base)}")
+      val x10 = measure(spark, rows = 200000L, batchSize = 1000)
+      System.err.println(s"[cdc] x10 done: ${block(x10)}")
+      val x20 = measure(spark, rows = 400000L, batchSize = 1000)
+      System.err.println(s"[cdc] x20 done: ${block(x20)}")
+      val path = java.nio.file.Paths.get("CDC_BENCH.json")
+      val prev = new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val line = Seq("base" -> block(base), "x10" -> block(x10),
+        "x20" -> block(x20))
+        .foldLeft(prev) { case (acc, (k, b)) => splice(acc, k, b) }
+      java.nio.file.Files.write(path,
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(line)
+      spark.stop()
+      return
+    }
     // Toast mode: marked-vs-plain apply cost, spliced as its own block
     if (sys.env.get("SPARK_GRAFT_CDC_ONLY").contains("toast")) {
       val tm = measureToast(spark, rows = 50000L, batchSize = 1000)
