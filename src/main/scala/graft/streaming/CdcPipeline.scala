@@ -478,7 +478,17 @@ object CdcPipeline {
           if (dels == 0L || !store.exists(spark, table))
             img.drop("_has_image")
           else {
-            val cur = store.read(spark, table).select(
+            // bucket-pruned fallback read: only buckets the DELETE
+            // rows' keys (incl. key-change beforeKeys) hash to
+            val kType = schema(keyCol).dataType
+            val delRows = pinned.filter(col("table") === table && isDel)
+            val probe = (if (pinned.columns.contains("beforeKey"))
+              delRows.select(col("key").as("k"))
+                .unionByName(delRows.select(
+                  coalesce(col("beforeKey"), col("key")).as("k")))
+            else delRows.select(col("key").as("k")))
+              .select(col("k").cast(kType).as("k"))
+            val cur = store.readForKeys(spark, table, probe, "k").select(
               col(keyCol).as("_cur_key") +:
                 dataCols.map(c => col(c).as(s"_cur_$c")): _*)
             img.join(cur, img(keyCol) === cur("_cur_key"), "left")
@@ -548,8 +558,21 @@ object CdcPipeline {
         val changes =
           if (toasts > 0L) {
             val img = lastImageToastWithResolveKey(slice, schemas(table), keyCols(table))
+            // bucket-pruned store read: only buckets the MARKED rows'
+            // lookup keys (own key + beforeKey) hash to are opened —
+            // at scale the fallback join reads O(marked buckets), not
+            // the table
+            val kType = schemas(table)(keyCols(table)).dataType
+            val marked = slice.filter(col("after").contains(UnchangedToast))
+            val probe = (if (slice.columns.contains("beforeKey"))
+              marked.select(col("key").as("k"))
+                .unionByName(marked.select(
+                  coalesce(col("beforeKey"), col("key")).as("k")))
+            else marked.select(col("key").as("k")))
+              .select(col("k").cast(kType).as("k"))
             val current =
-              if (store.exists(spark, table)) store.read(spark, table)
+              if (store.exists(spark, table))
+                store.readForKeys(spark, table, probe, "k")
               else spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                 schemas(table))

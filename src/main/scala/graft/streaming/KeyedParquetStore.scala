@@ -125,6 +125,28 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     }
   }
 
+  /** [[read]] restricted to the buckets that could hold any of
+    * `keys` — a bucket=… PARTITION filter, so Spark prunes the other
+    * buckets' files before any read. For a lookup join against a
+    * small key set (a micro-batch's markers, a delete slice) this
+    * turns a full-table scan into O(buckets the keys hash to); the
+    * driver collect is bounded by nBuckets, exactly like [[merge]]'s
+    * touched-bucket pass. Falls back to the full [[read]] when the
+    * keys cover every bucket. */
+  def readForKeys(spark: SparkSession, table: String, keys: DataFrame,
+      keyCol: String): DataFrame = {
+    val schema = schemaOf(spark, table)
+    if (bucketsOnDisk(spark, table).isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val touched = keys.select(bucketOf(col(keyCol)).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.size >= nBuckets) read(spark, table)
+    else spark.read.schema(schema).parquet(path(table))
+      .filter(col("bucket").isin(touched: _*))
+      .drop("bucket")
+  }
+
   /** Initial snapshot load (CDC snapshot-then-stream handoff,
     * flow-snapshot-worker docker-compose.yml:133–141): bulk-write the
     * source image partitioned by key bucket. */

@@ -156,6 +156,24 @@ class CdcToastSpec extends AnyFunSuite {
     assert(cut == Seq((1L, "a2", "snap-bio"), (2L, "b", "new-bio")))
   }
 
+  test("fallback store read is bucket-pruned: only the marked keys' buckets scan") {
+    import spark.implicits._
+    val store = freshStore()
+    CdcPipeline.snapshot(spark, store,
+      Map("t" -> (0L until 64L).map(i => (i, s"n$i", s"bio$i"))
+        .toDF("id", "name", "bio")),
+      Map("t" -> "id"))
+    val one = Seq(5L).toDF("k")
+    val pruned = store.readForKeys(spark, "t", one, "k")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected a bucket partition filter in:\n$plan")
+    // the pruned read still finds the key, and reads fewer buckets
+    // than the table holds (4 here, 1 key → 1 bucket)
+    assert(pruned.filter(col("id") === 5L).count() == 1L)
+    assert(pruned.count() < store.read(spark, "t").count())
+  }
+
   test("JDBC mirror: markers resolve against the live target table") {
     import spark.implicits._
     val url = "jdbc:derby:memory:grafttoast;create=true"
