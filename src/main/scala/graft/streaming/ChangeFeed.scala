@@ -88,6 +88,11 @@ object ChangeFeed {
       if (events.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
+    // a null commitTs would vanish in the equi-join below (null never
+    // equals null) — refuse loudly instead of silently dropping events
+    require(aligned.filter(col("commitTs").isNull).isEmpty,
+      "publishTransactional: events with null commitTs cannot be " +
+        "assigned to a transaction file - stamp commitTs or use publish()")
     val fileOf = aligned.select("commitTs").distinct()
       .withColumn("_file", ntile(nFiles).over(
         org.apache.spark.sql.expressions.Window.orderBy("commitTs")))

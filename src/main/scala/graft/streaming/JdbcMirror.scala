@@ -124,7 +124,12 @@ object JdbcMirror {
     * text columns through partial UPDATEs, the behavior the reference
     * relies on (volumes/postgresql.conf:3). The read-back is gated on
     * a per-table marker count, so marker-free batches — the steady
-    * state — never touch the target for reads. */
+    * state — never touch the target for reads. The read-back itself is
+    * a full-table JDBC scan (the generic JDBC source cannot push a
+    * join's key set): right for database-mirror-sized targets; a
+    * lakehouse-scale target should mirror through
+    * [[KeyedParquetStore]], whose fallback read is bucket-pruned
+    * ([[KeyedParquetStore.readForKeys]]). */
   def applyEnvelopeBatch(
       batch: DataFrame,
       url: String,
