@@ -159,4 +159,47 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(out(1).getLong(2) == 9L)
     assert(store.schemaOf(spark, "t").fieldNames.toSeq == Seq("id", "v", "w"))
   }
+
+  test("additive evolution under SOFT-DELETE mode: a new source column joins " +
+    "BEFORE the meta columns and old tombstones null-fill") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import org.apache.spark.sql.types._
+    import graft.streaming.{CdcPipeline, ChangeEvent}
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    val store = new KeyedParquetStore(
+      Files.createTempDirectory("evo_soft").toString, nBuckets = 2)
+    val v1 = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    CdcPipeline.snapshotSoft(spark, store,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      Map("t" -> "id"))
+    // soft-delete key 2 under the v1 schema
+    CdcPipeline.applyBatchSoft(
+      Seq(ChangeEvent(10, ts(10), "D", "t", 2, null)).toDF(),
+      store, Map("t" -> v1), Map("t" -> "id"))
+
+    // the source adds a column: later batches parse with the WIDER
+    // schema; the stored meta columns and the old tombstone must both
+    // survive the union-by-name merge
+    val v2 = StructType(v1.fields :+ StructField("w", LongType))
+    CdcPipeline.applyBatchSoft(
+      Seq(ChangeEvent(11, ts(11), "U", "t", 1,
+        """{"id":1,"v":"a2","w":7}""")).toDF(),
+      store, Map("t" -> v2), Map("t" -> "id"))
+
+    val out = store.read(spark, "t").orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val cols = store.read(spark, "t").columns.toSeq
+    assert(cols == Seq("id", "v",
+      CdcPipeline.SoftDeleteCol, CdcPipeline.SyncedLsnCol, "w"),
+      s"got $cols")
+    // key 1: live, updated, carries the new column
+    assert(out(0).getString(1) == "a2" &&
+      !out(0).getBoolean(2) && out(0).getLong(3) == 11L &&
+      out(0).getLong(4) == 7L)
+    // key 2: the pre-evolution tombstone keeps flag+image, w null-fills
+    assert(out(1).getString(1) == "b" &&
+      out(1).getBoolean(2) && out(1).getLong(3) == 10L && out(1).isNullAt(4))
+  }
 }
