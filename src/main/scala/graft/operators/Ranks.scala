@@ -96,7 +96,8 @@ object Ranks {
     * one bucket dominating (not needed at current corpus shapes). */
   private[graft] def groupQuantilesDisc(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
-      weightCol: Option[String], ps: Seq[(Int, Int)]): DataFrame = {
+      weightCol: Option[String], ps: Seq[(Int, Int)],
+      contBrackets: Boolean = false): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (n0, d0) => n0 >= 0 && d0 > 0 })
     // internal uniform group key: real groups, or a constant for the
     // global case (keeps every step below group-generic)
@@ -138,12 +139,19 @@ object Ranks {
       .withColumn("_cum", col("_ooff") + col("_rs"))
       .withColumn("_cum0", col("_cum") - col("_bw"))
 
-    // one row per requested percentile; ranks in pure integer math
-    val pFrame = ps.zipWithIndex
-      .map { case ((n0, d0), i) => (i, n0.toLong, d0.toLong) }
-      .foldLeft(Option.empty[DataFrame]) { case (acc, (i, n0, d0)) =>
+    // one row per requested percentile (two under `contBrackets`: the
+    // LOWER and UPPER order statistics bracketing the continuous
+    // index h = p·(W−1), which the caller interpolates in exact
+    // integers); ranks in pure integer math
+    val his = if (contBrackets) Seq(0L, 1L) else Seq(0L)
+    val pFrame = (for {
+      ((n0, d0), i) <- ps.zipWithIndex
+      hi <- his
+    } yield (i, n0.toLong, d0.toLong, hi))
+      .foldLeft(Option.empty[DataFrame]) { case (acc, (i, n0, d0, hi)) =>
         val row = df.sparkSession.range(1)
-          .select(lit(i).as("_p_idx"), lit(n0).as("_pn"), lit(d0).as("_pd"))
+          .select(lit(i).as("_p_idx"), lit(n0).as("_pn"), lit(d0).as("_pd"),
+            lit(hi).as("_hi"))
         Some(acc.fold(row)(_ unionByName row))
       }.get
     // NOT pinned (r13 ask #5, adjudicated r14): the degenerate/live
@@ -153,31 +161,67 @@ object Ranks {
     // the same ShuffleQueryStage); an eager localCheckpoint here
     // measured within noise (±5% raw) while hiding the upstream
     // windows from the plan gates.
+    val rankExpr =
+      if (contBrackets)
+        // bracket ranks of h = pn·(W−1)/pd: lower = ⌊h⌋+1, upper one
+        // past it, both clamped into [1, W] (a one-row group or an
+        // integral h makes them coincide — interpolation then reads
+        // the same value twice and the fraction term vanishes)
+        expr("LEAST(_w_total, GREATEST(CAST(1 AS BIGINT), " +
+          "CAST((_pn * (_w_total - 1)) div _pd + 1 + _hi AS BIGINT)))")
+      else // percentile_disc: value at rank ⌈pn·W/pd⌉ (p=0 → minimum)
+        expr("GREATEST(CAST(1 AS BIGINT), CAST((_pn * _w_total + _pd - 1) div _pd AS BIGINT))")
     val targets = hist.crossJoin(broadcast(pFrame))
-      .withColumn("_rank", // clamp: p=0 still selects the minimum
-        expr("GREATEST(CAST(1 AS BIGINT), CAST((_pn * _w_total + _pd - 1) div _pd AS BIGINT))"))
+      .withColumn("_rank", rankExpr)
       .filter(col("_cum") >= col("_rank") && col("_cum0") < col("_rank"))
       .withColumn("_lrank", col("_rank") - col("_cum0"))
 
     val degenerate = targets.filter(col("_bmin") === col("_bmax"))
-      .select(g :+ col("_p_idx") :+ col("_bmin").as(valueCol) :+
+      .select(g :+ col("_p_idx") :+ col("_hi") :+ col("_bmin").as(valueCol) :+
         col("_w_total"): _*)
     val live = targets.filter(col("_bmin") =!= col("_bmax"))
-      .select(g :+ col("_bkt") :+ col("_p_idx") :+ col("_lrank") :+
-        col("_w_total"): _*)
+      .select(g :+ col("_bkt") :+ col("_p_idx") :+ col("_hi") :+
+        col("_lrank") :+ col("_w_total"): _*)
     val inBucket = ebkt.select(g :+ col("_bkt") :+ v.as("_v") :+
         w.as("_w"): _*)
       .join(broadcast(live), gcols :+ "_bkt")
       .withColumn("_cw", sum("_w").over(
-        Window.partitionBy(gcols.map(col) :+ col("_p_idx") :+ col("_bkt"): _*)
+        Window.partitionBy(gcols.map(col) :+ col("_p_idx") :+ col("_hi") :+
+          col("_bkt"): _*)
           .orderBy("_v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("_cw") >= col("_lrank") && col("_cw") - col("_w") < col("_lrank"))
-      .select(g :+ col("_p_idx") :+ col("_v").as(valueCol) :+
+      .select(g :+ col("_p_idx") :+ col("_hi") :+ col("_v").as(valueCol) :+
         col("_w_total"): _*)
 
-    val out = degenerate.unionByName(inBucket)
+    val out0 = degenerate.unionByName(inBucket)
+    val out = if (contBrackets) out0 else out0.drop("_hi")
     if (groupCols.nonEmpty) out else out.drop("_g")
+  }
+
+  /** Grouped CONTINUOUS quartiles (`percentile_cont(0.25/0.5/0.75)`)
+    * in EXACT integer arithmetic: the two bracketing order statistics
+    * come from the same two-pass histogram machinery as
+    * [[groupQuantilesDisc]] (`contBrackets`), and the interpolated
+    * value is returned ×4 — `v_lo·4 + r·(v_hi − v_lo)` where
+    * `r = (pn·(W−1)) mod 4` is the fraction's numerator — so no
+    * IEEE division or rounding exists anywhere on either engine's
+    * path. Output: group cols + `_p_idx` (0/1/2 ↔ q1/q2/q3) +
+    * `<valueCol>_x4` + `_w_total`. */
+  private[graft] def groupQuartilesCont(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val br = groupQuantilesDisc(df, groupCols, valueCol, None,
+      Seq((1, 4), (2, 4), (3, 4)), contBrackets = true)
+    val keys = groupCols :+ "_p_idx"
+    val lo = br.filter(col("_hi") === 0)
+      .select(keys.map(col) :+ col(valueCol).as("_vlo") :+ col("_w_total"): _*)
+    val hi = br.filter(col("_hi") === 1)
+      .select(keys.map(col) :+ col(valueCol).as("_vhi"): _*)
+    lo.join(hi, keys)
+      .withColumn("_r", expr("((_p_idx + 1) * (_w_total - 1)) % 4"))
+      .select(groupCols.map(col) :+ col("_p_idx") :+
+        (col("_vlo") * 4 + col("_r") * (col("_vhi") - col("_vlo")))
+          .as(s"${valueCol}_x4") :+ col("_w_total"): _*)
   }
 
   /** Global running SUM of `weightCol` in `orderCol`-ascending order —

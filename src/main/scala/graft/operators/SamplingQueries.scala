@@ -89,6 +89,32 @@ object SamplingQueries {
         .orderBy("flag")
     },
 
+    // ── q3: CONTINUOUS quartiles at scale — q1's percentile_cont
+    // semantics WITHOUT the ordered-set aggregate's per-group value
+    // buffer (q1's own scaladoc concedes that swap-to-approx at
+    // extreme cardinality; this is the exact alternative). The two
+    // bracketing order statistics per quartile come from the same
+    // two-pass log-bucket histogram machinery as a15/a16/a19
+    // (Ranks.groupQuartilesCont), and the interpolation is EXACT
+    // integer arithmetic: the value is returned ×4 = v_lo·4 +
+    // r·(v_hi−v_lo) with r the fraction's numerator mod 4 — no IEEE
+    // division or rounding on either engine's path, so the oracle
+    // hash pins percentile_cont itself, not a float coincidence.
+    // Every window is bucket-bounded; no group ever sorts in one task.
+    "q3_quartiles_cont" -> { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      Ranks.groupQuartilesCont(li, Seq("flag"), "cents")
+        .groupBy("flag")
+        .agg(
+          max(when(col("_p_idx") === 0, col("cents_x4"))).as("q1_x4"),
+          max(when(col("_p_idx") === 1, col("cents_x4"))).as("q2_x4"),
+          max(when(col("_p_idx") === 2, col("cents_x4"))).as("q3_x4"),
+          max("_w_total").as("n"))
+        .orderBy("flag")
+    },
+
     // ── sp3: deterministic train/valid/test split (80/10/10 by the
     // same key-derived draw) with per-(lang, split) counts — the
     // assignment every training pipeline needs, reproducible under
@@ -436,6 +462,21 @@ object SamplingQueries {
            ROUND(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity), 4) AS p50,
            ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity), 4) AS p75,
            ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_quantity), 4) AS p95
-         FROM lineitem GROUP BY 1 ORDER BY flag"""
+         FROM lineitem GROUP BY 1 ORDER BY flag""",
+    // ×4 keeps quarter-fractions integral: quantile_cont's double path
+    // is exact here (dyadic fraction × integer cents, inside the
+    // mantissa), so round(·×4) is the same integer the engine computes
+    // without ever leaving int64
+    "q3_quartiles_cont" ->
+      """WITH c AS (
+           SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem)
+         SELECT flag,
+           CAST(round(quantile_cont(cents, 0.25) * 4) AS BIGINT) AS q1_x4,
+           CAST(round(quantile_cont(cents, 0.50) * 4) AS BIGINT) AS q2_x4,
+           CAST(round(quantile_cont(cents, 0.75) * 4) AS BIGINT) AS q3_x4,
+           COUNT(*) AS n
+         FROM c GROUP BY 1 ORDER BY flag"""
   )
 }

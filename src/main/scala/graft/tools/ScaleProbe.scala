@@ -245,7 +245,10 @@ object ScaleProbe {
       // r15: bounded 3-core peel on the disjoint-copy 10x graph (per
       // round: one degree aggregate + two semi-joins; per-copy
       // structure preserved, so peel work grows with edges)
-      "g5_kcore")
+      "g5_kcore",
+      // r15: continuous quartiles through the two-pass histogram — the
+      // no-per-group-buffer scale path must track rows like a15/a16
+      "q3_quartiles_cont")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

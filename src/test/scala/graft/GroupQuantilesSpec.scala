@@ -121,4 +121,39 @@ class GroupQuantilesSpec extends AnyFunSuite {
       assert(wl.contains("_bkt") || wl.contains("_bw"),
         s"whole-group window:\n$wl"))
   }
+
+  test("continuous quartiles (x4 integers) match percentile() exactly: " +
+    "uniform, duplicates, tiny, n=1") {
+    import spark.implicits._
+    def contOracle(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+      df.groupBy(col("g"))
+        .agg(expr("percentile(v, array(0.25, 0.5, 0.75))").as("qs"))
+        .select(col("g") +: (0 to 2).map(i =>
+          expr(s"CAST(round(qs[$i] * 4) AS BIGINT)").as(s"q$i")): _*)
+        .collect()
+        .flatMap(r => (0 to 2).map(i => (r.getInt(0), i) -> r.getLong(i + 1)))
+        .toMap
+    def oursCont(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+      Ranks.groupQuartilesCont(df, Seq("g"), "v").collect()
+        .map(r => (r.getAs[Int]("g"), r.getAs[Int]("_p_idx")) ->
+          r.getAs[Long]("v_x4"))
+        .toMap
+
+    val uniform = spark.range(10007)
+      .select((col("id") % 3).cast("int").as("g"),
+        ((col("id") * 2654435761L) % 100000L).as("v"))
+    assert(oursCont(uniform) == contOracle(uniform))
+
+    val dupes = spark.range(5000)
+      .select(lit(1).as("g"),
+        when(col("id") % 10 =!= 0, 7777L).otherwise(col("id")).as("v"))
+    assert(oursCont(dupes) == contOracle(dupes))
+
+    // even n (interpolation halves) and tiny/odd groups incl. n = 1:
+    // the bracketing statistics coincide where h is integral and the
+    // fraction term must vanish
+    val tiny = Seq((1, 5L), (1, 3L), (1, 9L), (1, 20L),
+      (2, 42L), (3, 4L), (3, 8L)).toDF("g", "v")
+    assert(oursCont(tiny) == contOracle(tiny))
+  }
 }
