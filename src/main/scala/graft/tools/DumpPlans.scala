@@ -104,7 +104,8 @@ object DumpPlans {
     "c10_pack_sequences" -> "sequence packing: two-pass bucket prefix sum (per-bucket windows in parallel + <=64-row offset fold, no single-partition window), bin_id hash agg",
     "cdc_toast" -> "unchanged-TOAST apply: ONE key-shuffle aggregate (max-LSN winner + last-unmarked carry, partial_max BEFORE the exchange) replaces the window dedup on the marked path",
     "cdc_soft_delete" -> "soft-delete convergence: same single key-shuffle aggregate — winner op becomes the _deleted flag, carried non-delete image the data; no delete ever leaves the plan",
-    "g5_kcore" -> "k-core peel: 6 rounds of degree hash-agg + two semi-joins over the pinned edge set, all shuffles on the node key, frontier monotonically shrinking")
+    "g5_kcore" -> "k-core peel: 6 rounds of degree hash-agg + two semi-joins over the pinned edge set, all shuffles on the node key, frontier monotonically shrinking",
+    "q3_quartiles_cont" -> "continuous quartiles: bracket statistics off the shared histogram passes, integer x4 interpolation — no ordered-set aggregate, no per-group value buffer")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
