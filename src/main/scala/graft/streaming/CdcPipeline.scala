@@ -228,7 +228,19 @@ object CdcPipeline {
     * first the key's own earlier events in the same batch, then the
     * target's stored row ([[applyBatch]]). Scope: StringType columns —
     * TOAST applies to varlena types, which this engine's feed models
-    * as JSON strings. */
+    * as JSON strings.
+    *
+    * IN-BAND SENTINEL CONTRACT (same tradeoff Debezium makes): the
+    * marker is distinguished by VALUE, and the apply path's cheap gate
+    * is a raw substring test on the JSON after-image. Producers must
+    * never emit this string as ORGANIC data — an organic exact match
+    * would silently inherit an older image, and an organic substring
+    * occurrence merely re-routes the slice through the heavier (still
+    * correct) marker-resolution path. The feed publishers
+    * ([[ChangeFeed.publish]]/[[ChangeFeed.publishTransactional]]) are
+    * deliberately NOT gated: the marker is legitimate feed content (a
+    * real decoder writes it), and a publish-side organic/marker
+    * distinction doesn't exist at that layer. */
   val UnchangedToast = "__graft_unchanged_toast__"
 
   private def toastableCols(schema: StructType, keyCol: String): Seq[String] =
@@ -285,7 +297,16 @@ object CdcPipeline {
       col("_row").as("r"), col("_resolveKey").as("rk"))).as("_w")
     val carried = tcols.map { c =>
       val v = col("_row").getField(c)
-      max(when(col("op") =!= "D" && v.isNotNull && v =!= UnchangedToast,
+      // carry the last NON-MARKER image INCLUDING explicit NULLs
+      // (v.isNull || v =!= marker — a bare =!= is null-valued on null
+      // input and `when` would skip it): the store-fallback path
+      // ([[resolveToastAgainstCurrent]]) treats a stored NULL as a
+      // legitimate previous image, so in-batch inheritance must agree —
+      // otherwise U(col=NULL) then U(marker) converges differently
+      // depending on whether the two events share a micro-batch.
+      // Presence is the STRUCT's own nullability (non-null iff any
+      // qualifying event existed), read downstream via isNotNull.
+      max(when(col("op") =!= "D" && (v.isNull || v =!= UnchangedToast),
         struct(col("lsn").as("l"), v.as("v")))).as(s"_c_$c")
     }
     parsed.groupBy(col("key")).agg(winner, carried: _*)
@@ -294,8 +315,13 @@ object CdcPipeline {
           val w = col("_w.r").getField(f)
           if (f == keyCol) col("key").cast(schema(f).dataType).as(f)
           else if (tcols.contains(f))
+            // presence-flagged inheritance: a carried struct exists →
+            // take its value EVEN IF NULL (agrees with the store
+            // fallback's stored-NULL semantics); no struct → keep the
+            // marker for the store-backed resolution
             when(w === UnchangedToast,
-              coalesce(col(s"_c_$f").getField("v"), lit(UnchangedToast)))
+              when(col(s"_c_$f").isNotNull, col(s"_c_$f").getField("v"))
+                .otherwise(lit(UnchangedToast)))
               .otherwise(w).as(f)
           else w.as(f)
         }: _*)
@@ -469,6 +495,21 @@ object CdcPipeline {
             "the soft-delete path; resolve markers upstream " +
             "(lastImageResolvingToast) or mirror this table with " +
             "applyBatch")
+        // soft mode's contract is positional: the store must have been
+        // seeded via [[snapshotSoft]] (or a prior soft apply). Against a
+        // plain-snapshot store the merge would additively WIDEN the
+        // schema and every pre-existing row would read `_deleted = NULL`
+        // — which the documented live view `NOT _deleted` silently
+        // drops (NULL is not false). Fail loudly instead.
+        if (store.exists(spark, table)) {
+          val stored = store.schemaOf(spark, table).fieldNames
+          require(stored.contains(SoftDeleteCol) && stored.contains(SyncedLsnCol),
+            s"table '$table': store is not soft-delete seeded (missing " +
+              s"$SoftDeleteCol/$SyncedLsnCol) - merging softly would leave " +
+              "pre-existing rows with a NULL deleted flag, silently absent " +
+              "from the live view; seed with snapshotSoft (or resync) " +
+              "before applyBatchSoft")
+        }
         val schema = schemas(table)
         val keyCol = keyCols(table)
         val dataCols = schema.fieldNames.toSeq.filterNot(_ == keyCol)
@@ -1216,10 +1257,24 @@ object CdcPipeline {
       val src = sources(t).select(lit(t).as("table_name"),
         lit(1L).as("src"), lit(0L).as("tgt"))
       val tgt =
-        if (store.exists(spark, t))
-          store.read(spark, t).select(lit(t).as("table_name"),
+        if (store.exists(spark, t)) {
+          val cur = store.read(spark, t)
+          // a soft-delete store RETAINS deleted rows as `_deleted`
+          // tombstones ([[applyBatchSoft]]); counting them as target
+          // rows reads a converged soft mirror as tgt > src — negative
+          // lag, "LAG" status, >100% efficiency. The comparable row set
+          // is the LIVE view (NOT _deleted). A null flag (a row that
+          // predates soft seeding — rejected loudly by applyBatchSoft,
+          // but an operator can hand-merge) counts as live: the
+          // conservative read for a monitor is "present until a delete
+          // was recorded".
+          val live =
+            if (cur.columns.contains(SoftDeleteCol))
+              cur.filter(!coalesce(col(SoftDeleteCol), lit(false)))
+            else cur
+          live.select(lit(t).as("table_name"),
             lit(0L).as("src"), lit(1L).as("tgt"))
-        else seed.limit(0)
+        } else seed.limit(0)
       src.unionByName(tgt)
     }.foldLeft(seed)(_ unionByName _)
     tagged

@@ -79,9 +79,29 @@ object ChangeFeed {
     * The sequential write is inherent to the contract, not a
     * limitation — a real decoder is a single WAL cursor emitting
     * files in commit order by construction; this helper reproduces
-    * that shape for batch-landed feeds. Transactions are assigned to
-    * files by commit-order ntile (one |transactions|-row window — the
-    * event rows themselves never pass through a single partition). */
+    * that shape for batch-landed feeds.
+    *
+    * Scale shape (r15 de-funnel): transactions are assigned to files
+    * by [[graft.operators.Ranks.globalRank]] over the distinct-commitTs
+    * frame — per-bucket parallel windows plus a ≤buckets² offset fold,
+    * NO unpartitioned window anywhere, so a million-transaction
+    * backfill republish never funnels its transaction frame through
+    * one task. The rank→events join is a plain equi-join with no
+    * forced broadcast hint: AQE broadcasts it while the frame is under
+    * the session broadcast budget and falls back to a shuffle join
+    * past it (the frame grows with |transactions|, not |events|).
+    *
+    * Consumption-order durability: the file source consumes
+    * oldest-modification-time first, and two sequential writes CAN tie
+    * on filesystems with coarse mtime granularity (same-ms local FS;
+    * 1 s Last-Modified on object stores) — between tied files the
+    * consumption order would be undefined and the unconditional LWW
+    * merge could regress keys. Each slice therefore lands under a
+    * SEQUENCE-NUMBERED name (`txn-<seq>-…`, zero-padded so name order
+    * = commit order for any tool that sorts lexically) and its mtime
+    * is stamped strictly greater than every earlier feed file's
+    * (`FileSystem.setTimes`), so the source's mtime order is total and
+    * equals commit order by construction. */
   def publishTransactional(events: DataFrame, feedDir: String,
       nFiles: Int): Unit = {
     val aligned = events.select(schema.fields.toSeq.map { f =>
@@ -93,22 +113,69 @@ object ChangeFeed {
     require(aligned.filter(col("commitTs").isNull).isEmpty,
       "publishTransactional: events with null commitTs cannot be " +
         "assigned to a transaction file - stamp commitTs or use publish()")
-    val fileOf = aligned.select("commitTs").distinct()
-      .withColumn("_file", ntile(nFiles).over(
-        org.apache.spark.sql.expressions.Window.orderBy("commitTs")))
-    val tagged = aligned.join(broadcast(fileOf), Seq("commitTs"))
+    val tagged = aligned.join(transactionFileAssignment(aligned, nFiles),
+        Seq("commitTs"))
       .localCheckpoint(true) // nFiles sequential writes read this once
+    val dir = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = dir.getFileSystem(
+      events.sparkSession.sparkContext.hadoopConfiguration)
+    // appends to a non-empty feed must order AFTER everything already
+    // there — seed the monotone mtime cursor from the existing files
+    var prevMtime =
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).filter(_.isFile)
+        .map(_.getModificationTime).foldLeft(0L)(math.max)
+    var seq = 0L
     try
       (1 to nFiles).foreach { k =>
         val slice = tagged.filter(col("_file") === k).drop("_file")
           .repartition(1).sortWithinPartitions("commitTs", "lsn")
-        // guard against an empty trailing ntile writing nothing —
-        // harmless, but skipping keeps modtimes strictly useful
-        if (!slice.isEmpty)
-          slice.write.mode("append").json(feedDir)
+        // an empty slice (fewer transactions than nFiles) writes
+        // nothing — skipping keeps the sequence numbers dense
+        if (!slice.isEmpty) {
+          // land in a hidden tmp dir (readers filter `.`-prefixed
+          // paths), then move the part file to its sequenced name and
+          // stamp a strictly increasing mtime
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            s".txn_tmp_${java.util.UUID.randomUUID()}")
+          slice.write.mode("overwrite").json(tmp.toString)
+          fs.listStatus(tmp)
+            .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+            .sortBy(_.getPath.getName)
+            .foreach { p =>
+              val dest = new org.apache.hadoop.fs.Path(dir,
+                f"txn-$seq%06d-${p.getPath.getName}")
+              require(fs.rename(p.getPath, dest),
+                s"publishTransactional: rename to $dest failed")
+              prevMtime = math.max(prevMtime + 1,
+                fs.getFileStatus(dest).getModificationTime)
+              fs.setTimes(dest, prevMtime, -1)
+              seq += 1
+            }
+          fs.delete(tmp, true)
+        }
       }
     finally org.apache.spark.sql.graftbridge.Bridge.persistedRdd(tagged)
       .foreach(_.unpersist(blocking = false))
+  }
+
+  /** Commit-order file id per distinct `commitTs`, in [1, nFiles] —
+    * [[publishTransactional]]'s assignment frame, factored out so the
+    * spec can gate its physical plan. Monotone in commit order, so
+    * each file covers one contiguous commit range. The rank comes from
+    * [[graft.operators.Ranks.globalRank]] (per-bucket parallel windows
+    * + a ≤buckets² offset fold) — NO unpartitioned window, so the
+    * frame never funnels through one task however many transactions a
+    * backfill republish carries. `unix_micros` is a monotone injection
+    * of the distinct timestamps into the numeric order column
+    * globalRank wants. */
+  private[graft] def transactionFileAssignment(
+      aligned: DataFrame, nFiles: Int): DataFrame = {
+    val txns = aligned.select("commitTs").distinct()
+      .withColumn("_ts_us", unix_micros(col("commitTs")))
+    graft.operators.Ranks.globalRank(txns, "_ts_us", "_rk")
+      .select(col("commitTs"),
+        (expr(s"((_rk - 1) * $nFiles) div _total") + 1).cast("int").as("_file"))
   }
 
   /** Driver-side listing of the feed's DATA files, canonical leaf →

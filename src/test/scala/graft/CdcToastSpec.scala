@@ -142,6 +142,44 @@ class CdcToastSpec extends AnyFunSuite {
     assert(row.getLong(0) == 7L && row.getString(1) == "g2" && row.isNullAt(2))
   }
 
+  test("in-batch NULL image + marker converges like the split-batch store fallback") {
+    import spark.implicits._
+    // U(bio=NULL)@5 then U(marker)@7: an explicit NULL is a legitimate
+    // previous image (the store-fallback path already says so) — the
+    // in-batch inheritance must agree, whether the two events share a
+    // micro-batch or not. (Unreachable from a real decoder — a NULL
+    // column is never TOASTed — but convergence must not depend on
+    // batch boundaries.)
+    val nullImg = """{"id":1,"name":"a5","bio":null}"""
+    val e1 = ChangeEvent(5, ts(5), "U", "t", 1, nullImg)
+    val e2 = ChangeEvent(7, ts(7), "U", "t", 1, img(1, "a7", M))
+
+    def seeded(): KeyedParquetStore = {
+      val s = freshStore()
+      CdcPipeline.snapshot(spark, s,
+        Map("t" -> Seq((1L, "a", "orig-bio")).toDF("id", "name", "bio")),
+        Map("t" -> "id"))
+      s
+    }
+    val oneBatch = seeded()
+    CdcPipeline.applyBatch(Seq(e1, e2).toDF(), oneBatch,
+      Map("t" -> schema), Map("t" -> "id"))
+    val twoBatch = seeded()
+    CdcPipeline.applyBatch(Seq(e1).toDF(), twoBatch,
+      Map("t" -> schema), Map("t" -> "id"))
+    CdcPipeline.applyBatch(Seq(e2).toDF(), twoBatch,
+      Map("t" -> schema), Map("t" -> "id"))
+
+    def rowOf(s: KeyedParquetStore) = {
+      val r = s.read(spark, "t").collect().head
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getString(2)))
+    }
+    // both paths: the marker inherits the explicit NULL, not "orig-bio"
+    assert(rowOf(oneBatch) == ((1L, "a7", None)), "in-batch path")
+    assert(rowOf(twoBatch) == ((1L, "a7", None)), "store-fallback path")
+    assert(rowOf(oneBatch) == rowOf(twoBatch))
+  }
+
   test("asOf(resolveToast = true) resolves markers against the snapshot image") {
     import spark.implicits._
     val snapshot = Seq((1L, "a", "snap-bio")).toDF("id", "name", "bio")

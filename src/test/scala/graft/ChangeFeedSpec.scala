@@ -176,5 +176,47 @@ class ChangeFeedSpec extends AnyFunSuite {
     val got = store.read(spark, "t").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == expected)
+
+    // DURABLE ordering gates (r15 de-funnel + tie hardening):
+    //  - file names are sequence-numbered, so lexical name order =
+    //    commit order for any tool that sorts by name;
+    //  - modification times are STRICTLY increasing — no tie for the
+    //    file source's oldest-first order to be undefined on (the
+    //    pre-r16 sequential writes could tie at ms/1s mtime grain)
+    assert(files.forall(_.getName.startsWith("txn-")),
+      files.map(_.getName).mkString(", "))
+    assert(files.sortBy(_.getName).map(_.getPath).toSeq ==
+      files.map(_.getPath).toSeq, "name order must equal mtime order")
+    files.map(_.lastModified).sliding(2).foreach {
+      case Array(a, b) => assert(a < b, "tied/regressing mtimes")
+      case _ => ()
+    }
+  }
+
+  test("transactional file assignment has no unpartitioned window (scales past broadcast)") {
+    import spark.implicits._
+    val events = (0 until 500).map { i =>
+      ChangeEvent(i.toLong + 1, ts(i.toLong / 5), "U", "t", (i % 30).toLong,
+        s"""{"id":${i % 30},"v":"v$i"}""")
+    }.toDF()
+    val fa = ChangeFeed.transactionFileAssignment(events, 8)
+    // correctness of the assignment itself: every file id in [1, 8],
+    // monotone over commit order, all 100 transactions covered
+    val rows = fa.collect().map(r => (r.getTimestamp(0).getTime, r.getInt(1)))
+    assert(rows.length == 100)
+    assert(rows.forall { case (_, f) => f >= 1 && f <= 8 })
+    val byTs = rows.sortBy(_._1).map(_._2)
+    assert(byTs.sliding(2).forall { case Array(a, b) => a <= b; case _ => true },
+      "file id must be monotone in commit order")
+    assert(byTs.distinct.length == 8, "assignment should use all requested files")
+    // plan gate: every Window runs partitioned by the rank bucket —
+    // the pre-r16 ntile-over-unpartitioned-window funneled the whole
+    // |transactions| frame (and its broadcast) through one task
+    val plan = fa.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toList
+    assert(windows.nonEmpty, plan)
+    windows.foreach(w =>
+      assert(w.contains("_bkt"), s"unpartitioned window in assignment:\n$plan"))
+    assert(!plan.contains("ntile("), plan)
   }
 }

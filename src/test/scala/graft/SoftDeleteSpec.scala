@@ -129,6 +129,62 @@ class SoftDeleteSpec extends AnyFunSuite {
       2L -> ((Some("b"), Some(200L), false, 3L))))
   }
 
+  test("lagReport counts only LIVE rows on a soft store: converged mirror reads SYNCED/100%") {
+    import spark.implicits._
+    val store = freshStore()
+    val seedRows = (1L to 10L).map(i => (i, s"n$i", i * 10L))
+    CdcPipeline.snapshotSoft(spark, store,
+      Map("t" -> seedRows.toDF("id", "name", "amount")), Map("t" -> "id"))
+    // source deletes ids 1..6 (>5 — the count that used to flip the
+    // status to "LAG" via negative lag) and updates id 7
+    val batch = ((1L to 6L).map(i =>
+      ChangeEvent(100 + i, ts(100 + i), "D", "t", i, null)) :+
+      ChangeEvent(110, ts(110), "U", "t", 7, img(7, "n7b", 77))).toDF()
+    CdcPipeline.applyBatchSoft(batch, store,
+      Map("t" -> schema), Map("t" -> "id"))
+    // the converged SOURCE state: ids 7..10, id 7 updated
+    val source = (Seq((7L, "n7b", 77L)) ++
+      (8L to 10L).map(i => (i, s"n$i", i * 10L))).toDF("id", "name", "amount")
+    val rep = CdcPipeline.lagReport(spark, store, Map("t" -> source))
+      .collect().head
+    assert(rep.getAs[Long]("src_rows") == 4L)
+    // the 6 retained tombstones must NOT count as target rows
+    assert(rep.getAs[Long]("tgt_rows") == 4L,
+      s"soft tombstones counted as live target rows: $rep")
+    assert(rep.getAs[Long]("lag") == 0L)
+    assert(rep.getAs[String]("sync_status") == "SYNCED")
+    assert(rep.getAs[Double]("efficiency_pct") == 100.0)
+    // the Monitor wrapper inherits the fix (and its rollup stays sane)
+    val summary = graft.analytics.Monitor.syncSummary(
+      graft.analytics.Monitor.lagReport(spark, store, Map("t" -> source)))
+      .collect().head
+    assert(summary.getAs[Long]("n_synced") == 1L)
+    assert(summary.getAs[Double]("overall_efficiency_pct") == 100.0)
+  }
+
+  test("applyBatchSoft rejects a store that was not seeded via snapshotSoft") {
+    import spark.implicits._
+    val store = freshStore()
+    // a PLAIN snapshot: no _deleted/_synced_lsn columns — merging
+    // softly would leave pre-existing rows with NULL flags, silently
+    // absent from the live view (NOT _deleted)
+    store.snapshot(spark, "t",
+      Seq((1L, "a", 100L)).toDF("id", "name", "amount"), "id")
+    val batch = Seq(
+      ChangeEvent(10, ts(10), "U", "t", 1, img(1, "a2", 110))).toDF()
+    val e = intercept[IllegalArgumentException] {
+      CdcPipeline.applyBatchSoft(batch, store,
+        Map("t" -> schema), Map("t" -> "id"))
+    }
+    assert(e.getMessage.contains("snapshotSoft"), e.getMessage)
+    // nothing merged: schema NOT widened, row intact
+    assert(!store.schemaOf(spark, "t").fieldNames
+      .contains(CdcPipeline.SoftDeleteCol))
+    assert(store.read(spark, "t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 100L)))
+  }
+
   test("unchanged-TOAST markers reject loudly on the soft path (no silent upsert)") {
     import spark.implicits._
     val store = freshStore()
