@@ -38,12 +38,14 @@ object Monitor {
 
   /** §"REPLICATION LAG ANALYSIS" (monitoring.ps1:576–637): the
     * signature source-vs-target report with the exact reference
-    * thresholds. */
+    * thresholds. `feedDir` appends the `seconds_behind` time-lag
+    * column ([[graft.streaming.CdcPipeline.timeLagSeconds]]). */
   def lagReport(
       spark: SparkSession,
       store: KeyedParquetStore,
-      sources: Map[String, DataFrame]): DataFrame =
-    graft.streaming.CdcPipeline.lagReport(spark, store, sources)
+      sources: Map[String, DataFrame],
+      feedDir: Option[String] = None): DataFrame =
+    graft.streaming.CdcPipeline.lagReport(spark, store, sources, feedDir)
       .withColumn("efficiency_band",
         graft.model.Thresholds.efficiencyBand(col("efficiency_pct")))
 
@@ -134,14 +136,23 @@ object Monitor {
     *    — WARNING when any consumer's position is unreadable
     *    (degraded: it holds the WHOLE feed) or holds more than
     *    `maxConsumerHeldBytes`; the remedy is
-    *    [[graft.streaming.CdcPipeline.invalidateConsumersOverBudget]].
+    *    [[graft.streaming.CdcPipeline.invalidateConsumersOverBudget]];
+    *  - `time_lag` (when `feedDir` is given) ↔ seconds-behind-source
+    *    — the lag-over-time number the reference's monitoring
+    *    narrative centers on (monitoring.ps1:576–614):
+    *    [[graft.streaming.CdcPipeline.timeLagSeconds]], WARNING past
+    *    `maxSecondsBehind` or when unknown while the feed has data
+    *    (nothing applied / pre-r16 store).
     *
     * Driver-side metadata only (tiny file reads + conf reads) —
-    * never a table scan. */
+    * never a TABLE scan. The one exception is the `time_lag` row's
+    * single-column agg-only pass over the FEED (column-pruned max),
+    * paid only when `feedDir` is given. */
   def replicationInfra(spark: SparkSession,
       store: KeyedParquetStore,
       feedDir: Option[String] = None,
-      maxConsumerHeldBytes: Long = 1L << 30): DataFrame = {
+      maxConsumerHeldBytes: Long = 1L << 30,
+      maxSecondsBehind: Long = 300L): DataFrame = {
     import spark.implicits._
     val applied = store.appliedLsn(spark)
     // the knobs that DISTINGUISH a configured session: log.deletion
@@ -203,7 +214,29 @@ object Monitor {
               s"${c.heldBytes} B" +
               c.degraded.map(_ => " (position UNREADABLE)").getOrElse(""))
               .mkString("; "),
-            if (laggards.isEmpty) "Healthy" else "Feed Bloat Risk"))
+            if (laggards.isEmpty) "Healthy" else "Feed Bloat Risk")) ++ {
+          val secs = graft.streaming.CdcPipeline.timeLagSeconds(spark, store, f)
+          val feedHasData = graft.streaming.ChangeFeed
+            .dataFiles(spark, f).nonEmpty
+          Seq(("time_lag",
+            secs match {
+              case Some(s) if s <= maxSecondsBehind => "OK"
+              case Some(_) => "WARNING"
+              // unknown while the feed holds data = the mirror never
+              // stamped a commit-time watermark — an operator should look
+              case None if feedHasData => "WARNING"
+              case None => "OK"
+            },
+            secs.map(s => s"${s}s behind source")
+              .getOrElse(if (feedHasData) "unknown - no applied commit-time watermark"
+              else "empty feed"),
+            secs match {
+              case Some(s) if s <= maxSecondsBehind => "Healthy"
+              case Some(_) => "Falling Behind"
+              case None if feedHasData => "Check Setup"
+              case None => "Idle"
+            }))
+        }
       }
     rows.toDF("component", "status", "details", "health")
   }

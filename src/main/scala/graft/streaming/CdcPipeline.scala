@@ -483,9 +483,11 @@ object CdcPipeline {
         .agg(max("lsn").as("mx"),
           sum(when(isDel, 1L).otherwise(0L)).as("dels"),
           sum(when(col("after").contains(UnchangedToast), 1L).otherwise(0L))
-            .as("toasts"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      present.foreach { case (table, _, dels, toasts) =>
+            .as("toasts"),
+          max("commitTs").as("mts"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), Option(r.getTimestamp(4))))
+      present.foreach { case (table, _, dels, toasts, _) =>
         // soft mode carries the winner's whole image; per-column TOAST
         // inheritance is not wired here — upserting a marker would be
         // silent corruption, so reject the batch loudly instead
@@ -543,8 +545,69 @@ object CdcPipeline {
         store.merge(spark, table, filled.withColumn("op", lit("U")), keyCol)
       }
       if (present.nonEmpty)
-        store.recordAppliedLsn(spark, present.map(_._2).max)
+        // commit order = lsn order in a WAL, so the global max commitTs
+        // IS the watermark event's source commit time
+        store.recordAppliedLsn(spark, present.map(_._2).max,
+          present.flatMap(_._5).sortBy(_.getTime).lastOption)
     }
+
+  /** RETENTION SWEEP for soft-delete mode — the VACUUM the soft target
+    * needs: under churn, `_deleted` tombstones accumulate FOREVER (a
+    * soft mirror grows monotonically, and the reference's
+    * converged-store monitoring assumption quietly breaks on an
+    * ever-growing target). Hard-purges tombstones whose `_synced_lsn`
+    * is at or below `upToLsn` — an LSN watermark doubles as an age
+    * policy (pick the LSN at "now − retention" from the feed's
+    * commitTs↔lsn correspondence); younger tombstones and ALL live
+    * rows survive untouched.
+    *
+    * Scale shape: the discovery scan's predicate
+    * (`_deleted AND _synced_lsn <= w`) pushes to the parquet reader —
+    * after a [[KeyedParquetStore.compact]] clustered by
+    * [[SyncedLsnCol]], row-group zone maps skip everything younger
+    * than the watermark, so steady-state sweeps read O(expired), not
+    * O(table). The REWRITE is the store's own bucket-pruned merge:
+    * only buckets holding expired keys are opened and rewritten.
+    *
+    * Interplay, by design:
+    *  - live view (`NOT _deleted`) is unchanged — only flagged rows go;
+    *  - a replay of a pre-watermark batch may RESURRECT a swept
+    *    tombstone (the apply path is deliberately idempotent-by-replay);
+    *    the live view still converges identically, and the next sweep
+    *    removes it again — run sweeps behind the same applied-LSN
+    *    watermark that gates feed pruning and replay never crosses it;
+    *  - [[graft.operators.Erasure]] purges NAMED keys on demand
+    *    (right-to-be-forgotten, certificate-backed); this sweep is the
+    *    complementary AGE policy — erasure of an already-swept key is
+    *    a no-op, sweep of an erased key finds nothing.
+    *
+    * Returns the number of tombstones purged. */
+  def sweepSoftDeleted(
+      spark: SparkSession,
+      store: KeyedParquetStore,
+      table: String,
+      keyCol: String,
+      upToLsn: Long): Long = {
+    require(store.exists(spark, table), s"table '$table' does not exist")
+    val stored = store.schemaOf(spark, table).fieldNames
+    require(stored.contains(SoftDeleteCol) && stored.contains(SyncedLsnCol),
+      s"table '$table' is not a soft-delete store (missing " +
+        s"$SoftDeleteCol/$SyncedLsnCol) - sweepSoftDeleted only applies " +
+        "to snapshotSoft/applyBatchSoft targets")
+    val expired = store.read(spark, table)
+      .filter(col(SoftDeleteCol) && col(SyncedLsnCol) <= upToLsn)
+      .select(col(keyCol))
+      // one materialization feeds the count AND the merge's key frame
+      .localCheckpoint(true)
+    try {
+      val n = expired.count()
+      if (n > 0L)
+        store.merge(spark, table,
+          expired.withColumn("op", lit("D")), keyCol)
+      n
+    } finally org.apache.spark.sql.graftbridge.Bridge.persistedRdd(expired)
+      .foreach(_.unpersist(blocking = false))
+  }
 
   /** Apply one micro-batch: multi-table fan-out (C6), last-per-key
     * dedup (C1/C3), idempotent merge. Also usable directly for batch
@@ -592,9 +655,11 @@ object CdcPipeline {
       // appear in organic data (it is this engine's own marker)
       val tc = sum(when(col("after").contains(UnchangedToast), 1L).otherwise(0L))
       val present = pinned.groupBy("table")
-        .agg(max("lsn").as("mx"), kc.as("moves"), tc.as("toasts"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      present.foreach { case (table, _, moves, toasts) =>
+        .agg(max("lsn").as("mx"), kc.as("moves"), tc.as("toasts"),
+          max("commitTs").as("mts"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), Option(r.getTimestamp(4))))
+      present.foreach { case (table, _, moves, toasts, _) =>
         val slice = pinned.filter(col("table") === table)
         val changes =
           if (toasts > 0L) {
@@ -625,9 +690,13 @@ object CdcPipeline {
       }
       // every table's merge landed: the batch is fully applied — record
       // the watermark LAST so a crash mid-batch leaves it conservative
-      // (a low watermark only means extra idempotent replay, never loss)
+      // (a low watermark only means extra idempotent replay, never loss).
+      // commit order = lsn order in a WAL, so the global max commitTs IS
+      // the watermark event's source commit time (absent on feeds whose
+      // events carry no commitTs — the time-lag metric then reads unknown)
       if (present.nonEmpty)
-        store.recordAppliedLsn(spark, present.map(_._2).max)
+        store.recordAppliedLsn(spark, present.map(_._2).max,
+          present.flatMap(_._5).sortBy(_.getTime).lastOption)
     }
 
   /** Consistent read AS OF an LSN — reconstruct a table's state at one
@@ -1238,9 +1307,55 @@ object CdcPipeline {
     for (s <- store; t <- dropTargets) s.drop(spark, t)
   }
 
+  /** TIME-BASED replication lag: seconds behind source = max source
+    * commitTs on the feed − the source commit timestamp at the
+    * mirror's applied watermark ([[KeyedParquetStore.appliedCommitTs]],
+    * stamped by every apply). The first number an operator asks for —
+    * the reference's monitoring narrative is lag-over-time
+    * (monitoring.ps1:576–614); row-count lag ([[lagReport]]) can read
+    * 0 while the mirror is minutes behind a low-churn source.
+    *
+    * Cost: ONE agg-only feed scan (max over a single column — column-
+    * pruned at the reader) + a tiny sidecar read. None when either
+    * side is unknown: nothing applied yet / pre-r16 store / feed
+    * events without commitTs. Clamped at 0 — the watermark's commit
+    * time can exceed every retained feed event's after pruning. */
+  def timeLagSeconds(
+      spark: SparkSession,
+      store: KeyedParquetStore,
+      feedDir: String): Option[Long] =
+    for {
+      applied <- store.appliedCommitTs(spark)
+      // dataFiles also guards the missing/empty-dir case (a pruned-to-
+      // empty feed has no max to compare against)
+      if ChangeFeed.dataFiles(spark, feedDir).nonEmpty
+      maxSrc <- Option(ChangeFeed.readAll(spark, feedDir)
+        .agg(max("commitTs")).collect().head.getTimestamp(0))
+    } yield math.max(0L, (maxSrc.getTime - applied.getTime) / 1000L)
+
   /** The reference's signature monitoring query over a live mirror:
     * per-table replication lag source vs target (monitoring.ps1:576–
-    * 614) with the exact classification thresholds. */
+    * 614) with the exact classification thresholds.
+    *
+    * `feedDir` (optional) appends a `seconds_behind` column — the
+    * [[timeLagSeconds]] metric, constant across rows (the watermark is
+    * store-wide), null when unknown. Off by default so the signature
+    * report stays metadata-free. */
+  def lagReport(
+      spark: SparkSession,
+      store: KeyedParquetStore,
+      sources: Map[String, DataFrame],
+      feedDir: Option[String]): DataFrame = {
+    val base = lagReport(spark, store, sources)
+    feedDir match {
+      case None => base
+      case Some(f) =>
+        val secs = timeLagSeconds(spark, store, f)
+        base.withColumn("seconds_behind",
+          secs.map(lit(_)).getOrElse(lit(null)).cast("long"))
+    }
+  }
+
   def lagReport(
       spark: SparkSession,
       store: KeyedParquetStore,

@@ -112,6 +112,24 @@ object JdbcMirror {
     }
   }
 
+  /** Chunked `key IN (…)` partition predicates for the TOAST
+    * read-back: each chunk is one JDBC partition's WHERE clause, so
+    * the database serves the read-back with `chunk`-sized index
+    * probes — batch-sized work however large the target table is.
+    * Keys are numeric envelope keys rendered as literals (no string
+    * quoting surface); the key column is identifier-checked by the
+    * caller. Sorted so chunk membership is deterministic. An empty
+    * key set yields one always-false predicate (`1 = 0`) — a degenerate
+    * call still returns an empty frame with the right schema rather
+    * than scanning. */
+  private[graft] def keyInPredicates(keyCol: String, keys: Seq[Long],
+      chunk: Int = 1000): Array[String] = {
+    require(chunk > 0, s"chunk must be positive: $chunk")
+    if (keys.isEmpty) Array("1 = 0")
+    else keys.distinct.sorted.grouped(chunk)
+      .map(ks => s"$keyCol IN (${ks.mkString(", ")})").toArray
+  }
+
   /** Apply one raw envelope micro-batch (multi-table fan-out + LWW
     * dedup + parse) into JDBC targets — the foreachBatch body of a
     * database-to-database mirror. Table name passes through unchanged;
@@ -124,12 +142,16 @@ object JdbcMirror {
     * text columns through partial UPDATEs, the behavior the reference
     * relies on (volumes/postgresql.conf:3). The read-back is gated on
     * a per-table marker count, so marker-free batches — the steady
-    * state — never touch the target for reads. The read-back itself is
-    * a full-table JDBC scan (the generic JDBC source cannot push a
-    * join's key set): right for database-mirror-sized targets; a
-    * lakehouse-scale target should mirror through
-    * [[KeyedParquetStore]], whose fallback read is bucket-pruned
-    * ([[KeyedParquetStore.readForKeys]]). */
+    * state — never touch the target for reads.
+    *
+    * The read-back is BATCH-SIZED, not target-sized: the marked rows'
+    * lookup keys (own key + beforeKey) collect to the driver — bounded
+    * by the micro-batch's marker count, the same class as the
+    * per-batch fan-out collect — and ship back as chunked
+    * `WHERE <key> IN (…)` partition predicates
+    * ([[keyInPredicates]]), one database-side index probe per chunk
+    * instead of a full table scan. The parquet analogue is
+    * [[KeyedParquetStore.readForKeys]]'s bucket prune. */
   def applyEnvelopeBatch(
       batch: DataFrame,
       url: String,
@@ -150,7 +172,20 @@ object JdbcMirror {
             CdcPipeline.lastImagePerKey(slice, schemas(table), keyCols(table))
           else {
             checkIdent(tableNameOf(table), "table name")
-            val current = spark.read.jdbc(url, tableNameOf(table), props)
+            checkIdent(keyCols(table), "key column")
+            // lookup keys for the marked rows only: own key + the
+            // beforeKey a PK-changing UPDATE resolves through. Driver
+            // collect bounded by the batch's marker count.
+            val marked = slice.filter(
+              col("after").contains(CdcPipeline.UnchangedToast))
+            val keys = (if (slice.columns.contains("beforeKey"))
+              marked.select(col("key"))
+                .unionByName(marked.select(
+                  coalesce(col("beforeKey"), col("key")).as("key")))
+            else marked.select(col("key")))
+              .distinct().collect().map(_.getLong(0)).toSeq
+            val current = spark.read.jdbc(url, tableNameOf(table),
+              keyInPredicates(keyCols(table), keys), props)
             CdcPipeline.resolveToastAgainstCurrent(
               CdcPipeline.lastImageToastWithResolveKey(
                 slice, schemas(table), keyCols(table)),

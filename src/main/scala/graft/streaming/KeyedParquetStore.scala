@@ -62,6 +62,7 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     fs(spark).exists(schemaPath(table))
 
   private def watermarkPath = new Path(s"$root/_graft_applied_lsn")
+  private def commitTsPath = new Path(s"$root/_graft_applied_commit_ts")
 
   /** Record the highest fully-applied LSN (monotonic — a replayed
     * batch's lower max never regresses it). The watermark is what
@@ -69,8 +70,16 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     * prunes at `appliedLsn - safety` without the operator tracking
     * positions out of band. Tiny atomic file (create-overwrite of a
     * one-line value) per micro-batch — the same cost class as the
-    * checkpoint's own commit marker. */
-  def recordAppliedLsn(spark: SparkSession, lsn: Long): Unit =
+    * checkpoint's own commit marker.
+    *
+    * `commitTs` (the watermark event's source commit timestamp, when
+    * the apply path has it) lands in a sibling sidecar under the same
+    * monotonic gate — it is the "applied as of <source time>" half of
+    * the seconds-behind-source lag metric
+    * ([[CdcPipeline.timeLagSeconds]]). Pre-r16 stores simply lack the
+    * file and the metric reads as unknown. */
+  def recordAppliedLsn(spark: SparkSession, lsn: Long,
+      commitTs: Option[java.sql.Timestamp] = None): Unit =
     if (appliedLsn(spark).forall(_ < lsn)) {
       // OVERWRITING atomic rename from a per-call-unique tmp
       // ([[AtomicFiles]]), not delete-then-rename: a concurrent reader
@@ -81,7 +90,23 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
       // lower-LSN writers are the benign pre-existing race (a lower
       // watermark only means extra idempotent replay, never loss)
       AtomicFiles.writeAtomically(spark, watermarkPath, lsn.toString)
+      commitTs.foreach(t =>
+        AtomicFiles.writeAtomically(spark, commitTsPath, t.getTime.toString))
     }
+
+  /** Source commit timestamp at the applied watermark, if recorded
+    * (epoch millis in the sidecar; absent on pre-r16 stores and on
+    * feeds whose events carry no commitTs). */
+  def appliedCommitTs(spark: SparkSession): Option[java.sql.Timestamp] = {
+    val f = fs(spark)
+    if (!f.exists(commitTsPath)) None
+    else {
+      val in = f.open(commitTsPath)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(new java.sql.Timestamp(s.toLong))
+    }
+  }
 
   /** The highest applied LSN, if any batch has been applied. */
   def appliedLsn(spark: SparkSession): Option[Long] = {

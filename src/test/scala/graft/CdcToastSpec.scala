@@ -212,6 +212,40 @@ class CdcToastSpec extends AnyFunSuite {
     assert(pruned.count() < store.read(spark, "t").count())
   }
 
+  test("JDBC TOAST read-back is keyed and chunked: batch-sized, not target-sized") {
+    import spark.implicits._
+    // predicate builder: dedup + sort + chunk; empty set short-circuits
+    assert(JdbcMirror.keyInPredicates("id", Seq(5L, 1L, 3L, 1L), chunk = 2)
+      .toSeq == Seq("id IN (1, 3)", "id IN (5)"))
+    assert(JdbcMirror.keyInPredicates("id", Nil).toSeq == Seq("1 = 0"))
+
+    // Derby integration: each chunk is one pushed partition predicate —
+    // the read returns exactly the requested keys' rows, one JDBC
+    // partition per chunk, however many rows the target holds
+    val url = "jdbc:derby:memory:graftkeyed;create=true"
+    val props = new Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE t") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, " +
+        "name VARCHAR(64), bio VARCHAR(256))")
+      val ins = conn.prepareStatement("INSERT INTO t VALUES (?, ?, ?)")
+      (1L to 50L).foreach { i =>
+        ins.setLong(1, i); ins.setString(2, s"n$i"); ins.setString(3, s"b$i")
+        ins.addBatch()
+      }
+      ins.executeBatch(); ins.close(); st.close()
+    } finally conn.close()
+    val preds = JdbcMirror.keyInPredicates("id", Seq(7L, 9L, 31L), chunk = 2)
+    val back = spark.read.jdbc(url, "t", preds, props)
+    assert(back.rdd.getNumPartitions == preds.length,
+      "one JDBC partition per key chunk")
+    assert(back.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(7L, 9L, 31L))
+  }
+
   test("JDBC mirror: markers resolve against the live target table") {
     import spark.implicits._
     val url = "jdbc:derby:memory:grafttoast;create=true"

@@ -105,6 +105,54 @@ class MonitorSpec extends AnyFunSuite {
     assert(Monitor.replicationInfra(spark, store).count() == 3)
   }
 
+  test("time_lag: a lagging mirror shows positive, shrinking seconds-behind-source") {
+    import spark.implicits._
+    import graft.streaming.{ChangeEvent, ChangeFeed}
+    val work = Files.createTempDirectory("mon_tlag").toString
+    val feed = s"$work/feed"
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 2)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    store.snapshot(spark, "t", Seq((1L, "a")).toDF("id", "v"), "id")
+    val e1 = ChangeEvent(1, ts(0), "U", "t", 1, """{"id":1,"v":"a2"}""")
+    val e2 = ChangeEvent(2, ts(600), "I", "t", 2, """{"id":2,"v":"b"}""")
+    ChangeFeed.publish(Seq(e1, e2).toDF(), feed)
+
+    // nothing applied yet: unknown lag while the feed has data → warn
+    val unknown = Monitor.replicationInfra(spark, store, Some(feed))
+      .filter(col("component") === "time_lag").collect().head
+    assert(unknown.getString(1) == "WARNING" &&
+      unknown.getString(3) == "Check Setup", unknown.toString)
+
+    // half-applied: watermark commitTs = ts(0), feed max = ts(600) →
+    // 600 s behind (past the 300 s default budget)
+    CdcPipeline.applyBatch(Seq(e1).toDF(), store,
+      Map("t" -> schema), Map("t" -> "id"))
+    assert(CdcPipeline.timeLagSeconds(spark, store, feed) == Some(600L))
+    val behind = Monitor.replicationInfra(spark, store, Some(feed))
+      .filter(col("component") === "time_lag").collect().head
+    assert(behind.getString(1) == "WARNING" &&
+      behind.getString(3) == "Falling Behind", behind.toString)
+    // ... and the lag report carries the same number as a column
+    val rep = Monitor.lagReport(spark, store,
+      Map("t" -> Seq((1L, "a2"), (2L, "b")).toDF("id", "v")), Some(feed))
+      .collect().head
+    assert(rep.getAs[Long]("seconds_behind") == 600L)
+
+    // fully applied: lag shrinks to 0 → healthy
+    CdcPipeline.applyBatch(Seq(e2).toDF(), store,
+      Map("t" -> schema), Map("t" -> "id"))
+    assert(CdcPipeline.timeLagSeconds(spark, store, feed) == Some(0L))
+    val healthy = Monitor.replicationInfra(spark, store, Some(feed))
+      .filter(col("component") === "time_lag").collect().head
+    assert(healthy.getString(1) == "OK" &&
+      healthy.getString(3) == "Healthy", healthy.toString)
+  }
+
   test("storage report handles a missing table as zeros") {
     val store = new KeyedParquetStore(
       Files.createTempDirectory("mon_store_empty").toString, nBuckets = 2)

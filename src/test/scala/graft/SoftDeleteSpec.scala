@@ -185,6 +185,57 @@ class SoftDeleteSpec extends AnyFunSuite {
       Seq((1L, "a", 100L)))
   }
 
+  test("sweepSoftDeleted: VACUUM of soft mode — old tombstones purge, young and live survive") {
+    import spark.implicits._
+    val store = freshStore()
+    CdcPipeline.snapshotSoft(spark, store,
+      Map("t" -> (1L to 6L).map(i => (i, s"n$i", i * 10L))
+        .toDF("id", "name", "amount")),
+      Map("t" -> "id"))
+    val batch = Seq(
+      ChangeEvent(10, ts(10), "D", "t", 1, null),
+      ChangeEvent(11, ts(11), "D", "t", 2, null),
+      ChangeEvent(12, ts(12), "U", "t", 3, img(3, "n3b", 33)),
+      ChangeEvent(20, ts(20), "D", "t", 4, null)).toDF()
+    CdcPipeline.applyBatchSoft(batch, store,
+      Map("t" -> schema), Map("t" -> "id"))
+    def live() = store.read(spark, "t")
+      .filter(!col(CdcPipeline.SoftDeleteCol))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val liveBefore = live()
+    assert(liveBefore == Set(3L, 5L, 6L))
+
+    // watermark 15: tombstones 1/2 (lsn 10/11) expire; tombstone 4
+    // (lsn 20) is too young; live row 3 (lsn 12 ≤ 15) is NOT a
+    // tombstone and must survive
+    val purged = CdcPipeline.sweepSoftDeleted(spark, store, "t", "id", 15L)
+    assert(purged == 2L)
+    assert(store.read(spark, "t").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(3L, 4L, 5L, 6L))
+    assert(live() == liveBefore, "sweep must not change the live view")
+    // idempotent: nothing left at this watermark
+    assert(CdcPipeline.sweepSoftDeleted(spark, store, "t", "id", 15L) == 0L)
+
+    // at-least-once REPLAY of the pre-watermark batch resurrects the
+    // swept tombstones (imageless — honest "deleted before first
+    // sync" records), the live view STILL converges identically, and
+    // the next sweep removes them again
+    CdcPipeline.applyBatchSoft(batch, store,
+      Map("t" -> schema), Map("t" -> "id"))
+    assert(live() == liveBefore)
+    assert(CdcPipeline.sweepSoftDeleted(spark, store, "t", "id", 15L) == 2L)
+    assert(store.read(spark, "t").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(3L, 4L, 5L, 6L))
+
+    // misuse guard: a plain (hard-delete) store has no tombstones
+    val plain = freshStore()
+    plain.snapshot(spark, "t", Seq((1L, "a", 1L)).toDF("id", "name", "amount"), "id")
+    val e = intercept[IllegalArgumentException] {
+      CdcPipeline.sweepSoftDeleted(spark, plain, "t", "id", 100L)
+    }
+    assert(e.getMessage.contains("not a soft-delete store"), e.getMessage)
+  }
+
   test("unchanged-TOAST markers reject loudly on the soft path (no silent upsert)") {
     import spark.implicits._
     val store = freshStore()
