@@ -741,6 +741,57 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ── t29: HTML/boilerplate extraction — the corpus stage BEFORE
+    // t1–t28 even apply on a web crawl: strip markup to clean text and
+    // gate on link density (jusText/trafilatura's core signal: nav/
+    // footer/listing blocks are link-dense, article text is not).
+    // Script/style/comment blocks drop whole (their PAYLOAD is never
+    // text), remaining tags become spaces, the five ubiquitous
+    // entities decode (&amp; LAST so "&amp;lt;" single-decodes to the
+    // literal "&lt;", never to "<"), whitespace collapses. Link chars
+    // count the tag-stripped INNER text of <a> elements against the
+    // clean length. All-integer outputs (basis points, DIV) so the
+    // DuckDB oracle hashes exactly; thresholds are engine constants.
+    // Known regex-HTML tradeoff (same both engines): a literal '<'
+    // in prose eats to the next '>'. Shape: ONE projection over one
+    // FileScan — per-row compiled regex expressions, no UDF, no
+    // shuffle before the output sort.
+    "t29_html_extract" -> { (s, d) =>
+      val raw = col("text")
+      // block-payload removal FIRST; anchors extract from THIS form so
+      // a fake "<a>" inside a script string never counts as a link
+      val noBlocks = regexp_replace(regexp_replace(regexp_replace(raw,
+        "(?is)<script\\b[^>]*>.*?</script>", " "),
+        "(?is)<style\\b[^>]*>.*?</style>", " "),
+        "(?s)<!--.*?-->", " ")
+      val strippedTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+      val decoded = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(strippedTags,
+          "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+        "&#39;", "'"), "&nbsp;", " "), "&amp;", "&")
+      val clean = trim(regexp_replace(decoded, "\\s+", " "))
+      val anchors = regexp_extract_all(noBlocks,
+        lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))
+      val linkChars = coalesce(
+        aggregate(anchors, lit(0L), (acc, x) =>
+          acc + length(regexp_replace(x, "<[^>]*>", "")).cast("long")),
+        lit(0L))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          length(raw).cast("long").as("n_raw"),
+          length(clean).cast("long").as("n_clean"),
+          linkChars.as("link_chars"))
+        .withColumn("link_density_bp",
+          expr("(10000 * link_chars) DIV nullif(n_clean, 0)"))
+        .withColumn("tag_overhead_bp",
+          expr("(10000 * (n_raw - n_clean)) DIV nullif(n_raw, 0)"))
+        .withColumn("label",
+          expr("CASE WHEN n_clean < 40 THEN 'boilerplate' " +
+            "WHEN (10000 * link_chars) DIV nullif(n_clean, 0) >= 3000 " +
+            "THEN 'boilerplate' ELSE 'content' END"))
+        .orderBy("doc_id")
+    },
+
     // ── t25: inverted-index phrase search — the serving-side read of
     // a corpus index: positional postings (doc_id, pos, token) from
     // ONE posexplode, a phrase match as equi-joins on
@@ -1240,6 +1291,46 @@ object TextQueries {
             (10000 * CAST(COALESCE(n.n_novel, 0) AS BIGINT)) // t.n_shingles
               AS novelty_bp
           FROM tot t LEFT JOIN nov n USING (doc_id) ORDER BY t.doc_id""",
+
+    // t29 — identical regex chain (RE2 and Java agree on every pattern
+    // used: inline (?is) flags, lazy .*?, \b, [^>]); DuckDB needs the
+    // explicit 'g' flag Spark's regexp_replace implies, and chr(39)
+    // dodges quote-escaping for the apostrophe entity
+    "t29_html_extract" ->
+      """WITH s1 AS (
+           SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS t0
+           FROM documents),
+         s2 AS (
+           SELECT doc_id, text, t0,
+             trim(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(
+                 regexp_replace(t0, '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', chr(34), 'g'),
+                 '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+               '\s+', ' ', 'g')) AS clean
+           FROM s1),
+         m AS (
+           SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_raw,
+             CAST(length(clean) AS BIGINT) AS n_clean,
+             CAST(COALESCE(list_sum(list_transform(
+               regexp_extract_all(t0, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+               x -> length(regexp_replace(x, '<[^>]*>', '', 'g')))), 0)
+               AS BIGINT) AS link_chars
+           FROM s2)
+         SELECT doc_id, n_raw, n_clean, link_chars,
+           (10000 * link_chars) // NULLIF(n_clean, 0) AS link_density_bp,
+           (10000 * (n_raw - n_clean)) // NULLIF(n_raw, 0) AS tag_overhead_bp,
+           CASE WHEN n_clean < 40 THEN 'boilerplate'
+                WHEN (10000 * link_chars) // NULLIF(n_clean, 0) >= 3000
+                THEN 'boilerplate' ELSE 'content' END AS label
+         FROM m ORDER BY doc_id""",
 
     // t23 — the same shipped weight table as a VALUES relation;
     // COUNT/SUM cast back to BIGINT (DuckDB sums to HUGEINT); label
