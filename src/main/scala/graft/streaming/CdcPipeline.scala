@@ -479,12 +479,14 @@ object CdcPipeline {
           col("op") === "D" || (col("op") === "U" &&
             col("beforeKey").isNotNull && col("beforeKey") =!= col("key"))
         else col("op") === "D"
+      val mts = if (pinned.columns.contains("commitTs")) max(col("commitTs"))
+        else max(lit(null).cast("timestamp"))
       val present = pinned.groupBy("table")
         .agg(max("lsn").as("mx"),
           sum(when(isDel, 1L).otherwise(0L)).as("dels"),
           sum(when(col("after").contains(UnchangedToast), 1L).otherwise(0L))
             .as("toasts"),
-          max("commitTs").as("mts"))
+          mts.as("mts"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3), Option(r.getTimestamp(4))))
       present.foreach { case (table, _, dels, toasts, _) =>
@@ -654,9 +656,13 @@ object CdcPipeline {
       // raw-JSON substring test: no parse, and the sentinel cannot
       // appear in organic data (it is this engine's own marker)
       val tc = sum(when(col("after").contains(UnchangedToast), 1L).otherwise(0L))
+      // commitTs guard mirrors beforeKey's: a hand-built envelope frame
+      // may omit the column — the time-lag metric then reads unknown
+      val mts = if (pinned.columns.contains("commitTs")) max(col("commitTs"))
+        else max(lit(null).cast("timestamp"))
       val present = pinned.groupBy("table")
         .agg(max("lsn").as("mx"), kc.as("moves"), tc.as("toasts"),
-          max("commitTs").as("mts"))
+          mts.as("mts"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3), Option(r.getTimestamp(4))))
       present.foreach { case (table, _, moves, toasts, _) =>

@@ -89,7 +89,8 @@ class StreamingPacker(
       .localCheckpoint(true) // feeds the scalar agg AND the prefix sum
     try {
       val scalars = toks.agg(
-        count(lit(1)), sum("n_tokens"), min("doc_id"), max("doc_id"))
+        count(lit(1)), sum("n_tokens"), min("doc_id"), max("doc_id"),
+        countDistinct("doc_id"))
         .collect().head
       if (scalars.getLong(0) == 0L) {
         // empty batch still advances the replay gate
@@ -98,6 +99,11 @@ class StreamingPacker(
       }
       val (batchTokens, minDoc, maxDoc) =
         (scalars.getLong(1), scalars.getLong(2), scalars.getLong(3))
+      // a duplicate doc_id would silently mis-rank the prefix sum
+      // (globalCumSum needs a unique order column) — fail loudly
+      require(scalars.getLong(4) == scalars.getLong(0),
+        s"batch $batchId carries duplicate doc_ids - corpus order " +
+          "requires unique document ids")
       require(minDoc > st.lastDocId,
         s"batch $batchId starts at doc_id $minDoc but doc_id " +
           s"${st.lastDocId} was already packed - streaming packing " +

@@ -105,7 +105,8 @@ object DumpPlans {
     "cdc_toast" -> "unchanged-TOAST apply: ONE key-shuffle aggregate (max-LSN winner + last-unmarked carry, partial_max BEFORE the exchange) replaces the window dedup on the marked path",
     "cdc_soft_delete" -> "soft-delete convergence: same single key-shuffle aggregate — winner op becomes the _deleted flag, carried non-delete image the data; no delete ever leaves the plan",
     "g5_kcore" -> "k-core peel: 6 rounds of degree hash-agg + two semi-joins over the pinned edge set, all shuffles on the node key, frontier monotonically shrinking",
-    "q3_quartiles_cont" -> "continuous quartiles: bracket statistics off the shared histogram passes, integer x4 interpolation — no ordered-set aggregate, no per-group value buffer")
+    "q3_quartiles_cont" -> "continuous quartiles: bracket statistics off the shared histogram passes, integer x4 interpolation — no ordered-set aggregate, no per-group value buffer",
+    "t29_html_extract" -> "HTML/boilerplate extraction: compiled regex chain in ONE scan projection (strip/decode/link-density all in codegen), no shuffle before the output sort")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

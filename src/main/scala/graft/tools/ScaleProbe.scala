@@ -248,7 +248,11 @@ object ScaleProbe {
       "g5_kcore",
       // r15: continuous quartiles through the two-pass histogram — the
       // no-per-group-buffer scale path must track rows like a15/a16
-      "q3_quartiles_cont")
+      "q3_quartiles_cont",
+      // r16: HTML/boilerplate extraction — one compiled-regex
+      // projection per row, no shuffle before the output sort; must
+      // track the corpus exactly linearly
+      "t29_html_extract")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
