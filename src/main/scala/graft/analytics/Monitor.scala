@@ -251,13 +251,16 @@ object Monitor {
       .toDF("mirror_name", "query_id", "active", "last_batch_id")
   }
 
-  /** Full report bundle (the monitoring.ps1 main, 1180–1239). */
+  /** Full report bundle (the monitoring.ps1 main, 1180–1239).
+    * `feedDir` opts the bundle into the consumer-registry rows AND the
+    * time-lag surfaces (the `seconds_behind` lag column + the
+    * `time_lag` infra row). */
   def report(
       spark: SparkSession,
       store: KeyedParquetStore,
       sources: Map[String, DataFrame],
       feedDir: Option[String] = None): Map[String, DataFrame] = {
-    val lag = lagReport(spark, store, sources)
+    val lag = lagReport(spark, store, sources, feedDir)
     // storage walked ONCE; the database-size rollup aggregates it
     val storage = storageReport(spark, store, sources.keys.toSeq)
     Map(

@@ -151,6 +151,18 @@ class MonitorSpec extends AnyFunSuite {
       .filter(col("component") === "time_lag").collect().head
     assert(healthy.getString(1) == "OK" &&
       healthy.getString(3) == "Healthy", healthy.toString)
+
+    // pruned-to-empty feed (retention removed every applied file): no
+    // max to compare against — unknown-but-idle, not a warning
+    new java.io.File(feed).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .foreach(_.delete())
+    assert(CdcPipeline.timeLagSeconds(spark, store, feed).isEmpty)
+    val idle = Monitor.replicationInfra(spark, store, Some(feed))
+      .filter(col("component") === "time_lag").collect().head
+    assert(idle.getString(1) == "OK" && idle.getString(3) == "Idle",
+      idle.toString)
   }
 
   test("storage report handles a missing table as zeros") {

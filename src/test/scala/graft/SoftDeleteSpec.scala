@@ -227,6 +227,15 @@ class SoftDeleteSpec extends AnyFunSuite {
     assert(store.read(spark, "t").select("id").collect()
       .map(_.getLong(0)).toSet == Set(3L, 4L, 5L, 6L))
 
+    // monitor interplay: lagReport on the swept store still compares
+    // the live view — sweeping tombstones must not move the needle
+    val src = Seq((3L, "n3b", 33L), (5L, "n5", 50L), (6L, "n6", 60L))
+      .toDF("id", "name", "amount")
+    val rep = CdcPipeline.lagReport(spark, store, Map("t" -> src))
+      .collect().head
+    assert(rep.getAs[Long]("lag") == 0L &&
+      rep.getAs[String]("sync_status") == "SYNCED", rep.toString)
+
     // misuse guard: a plain (hard-delete) store has no tombstones
     val plain = freshStore()
     plain.snapshot(spark, "t", Seq((1L, "a", 1L)).toDF("id", "name", "amount"), "id")

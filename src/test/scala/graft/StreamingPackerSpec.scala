@@ -51,6 +51,43 @@ class StreamingPackerSpec extends AnyFunSuite {
       s"state must be O(1), got ${stateFile.length} bytes")
   }
 
+  test("as a real foreachBatch sink: file-source ingest + checkpoint restarts == batch c10") {
+    import org.apache.spark.sql.types._
+    val work = Files.createTempDirectory("packer_stream").toString
+    val ckpt = s"$work/ckpt"
+    val ingest = s"$work/ingest"
+    val packer = new StreamingPacker(budget = 4096L,
+      manifestDir = s"$work/manifest", stateDir = s"$work/state")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+    def land(pred: org.apache.spark.sql.Column): Unit =
+      docs.filter(pred).repartition(1).write.mode("append").json(ingest)
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).json(ingest)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          packer.applyBatch(b, id)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // three ingest arrivals with a query RESTART between each — the
+    // packer's batchId replay gate must agree with Spark's committed
+    // offsets (restart consumes only unseen files, batch ids continue)
+    land(col("doc_id") < 150); run()
+    land(col("doc_id") >= 150 && col("doc_id") < 320); run()
+    land(col("doc_id") >= 320); run()
+
+    val streamed = manifestTuples(packer.manifest(spark))
+    val batch = manifestTuples(
+      CorpusPipeline.queries("c10_pack_sequences")(spark, sf))
+    assert(streamed == batch,
+      s"stream-sink manifest diverges from batch c10:\n$streamed\nvs\n$batch")
+  }
+
   test("out-of-order batches fail loudly (a re-sorted corpus is a different packing)") {
     import spark.implicits._
     val work = Files.createTempDirectory("packer_ooo").toString
