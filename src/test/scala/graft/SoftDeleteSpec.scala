@@ -227,6 +227,15 @@ class SoftDeleteSpec extends AnyFunSuite {
     assert(store.read(spark, "t").select("id").collect()
       .map(_.getLong(0)).toSet == Set(3L, 4L, 5L, 6L))
 
+    // erasure-certificate interplay: the swept keys leave ZERO residue
+    // on the store surface — an age sweep stands up to the same
+    // auditable artifact a named-key erasure files
+    val cert = graft.operators.Erasure.certificate(spark,
+      Seq(1L, 2L).toDF("id"),
+      store = Seq((store, "t", "id"))).collect().head
+    assert(cert.getAs[Long]("residue") == 0L && cert.getAs[Boolean]("clean"),
+      cert.toString)
+
     // monitor interplay: lagReport on the swept store still compares
     // the live view — sweeping tombstones must not move the needle
     val src = Seq((3L, "n3b", 33L), (5L, "n5", 50L), (6L, "n6", 60L))
