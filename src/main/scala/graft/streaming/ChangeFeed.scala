@@ -81,15 +81,24 @@ object ChangeFeed {
     * files in commit order by construction; this helper reproduces
     * that shape for batch-landed feeds.
     *
-    * Scale shape (r15 de-funnel): transactions are assigned to files
-    * by [[graft.operators.Ranks.globalRank]] over the distinct-commitTs
+    * Scale shape (r15 de-funnel + r17 single-pass write):
+    * transactions are assigned to files by
+    * [[graft.operators.Ranks.globalRank]] over the distinct-commitTs
     * frame — per-bucket parallel windows plus a ≤buckets² offset fold,
     * NO unpartitioned window anywhere, so a million-transaction
     * backfill republish never funnels its transaction frame through
     * one task. The rank→events join is a plain equi-join with no
     * forced broadcast hint: AQE broadcasts it while the frame is under
     * the session broadcast budget and falls back to a shuffle join
-    * past it (the frame grows with |transactions|, not |events|).
+    * past it (the frame grows with |transactions|, not |events|). The
+    * WRITE is one `partitionBy("_file")` job over the whole events
+    * frame (each file id's rows are shuffled to one task by
+    * `repartition(_file)`, so each `_file=k` dir holds exactly one
+    * part file, sorted by (commitTs, lsn)); the pre-r17 shape re-ran
+    * one filter-scan job per file over a cached frame — O(nFiles ×
+    * |events|) on the API's own backfill use case. The commit-ordered
+    * rename + mtime walk over the per-file dirs is driver-side FS
+    * metadata only.
     *
     * Consumption-order durability: the file source consumes
     * oldest-modification-time first, and two sequential writes CAN tie
@@ -98,10 +107,18 @@ object ChangeFeed {
     * consumption order would be undefined and the unconditional LWW
     * merge could regress keys. Each slice therefore lands under a
     * SEQUENCE-NUMBERED name (`txn-<seq>-…`, zero-padded so name order
-    * = commit order for any tool that sorts lexically) and its mtime
-    * is stamped strictly greater than every earlier feed file's
-    * (`FileSystem.setTimes`), so the source's mtime order is total and
-    * equals commit order by construction. */
+    * = commit order for any tool that sorts lexically; the sequence
+    * cursor seeds from the max existing `txn-<seq>` in the feed, so
+    * the lexical contract survives repeated publishes into the same
+    * feed) and its mtime is stamped strictly greater than every
+    * earlier feed file's (`FileSystem.setTimes`). On local FS/HDFS the
+    * stamp makes the source's mtime order total and equal to commit
+    * order by construction; on filesystems where `setTimes` is a
+    * silent no-op (e.g. S3A) the stamp is verified by read-back and a
+    * warning is logged once — there the name order still equals commit
+    * order, but mtime ties at the store's Last-Modified grain are
+    * possible and the 1-file-per-trigger ordering guarantee degrades
+    * to the store's timestamp granularity. */
   def publishTransactional(events: DataFrame, feedDir: String,
       nFiles: Int): Unit = {
     val aligned = events.select(schema.fields.toSeq.map { f =>
@@ -114,32 +131,40 @@ object ChangeFeed {
       "publishTransactional: events with null commitTs cannot be " +
         "assigned to a transaction file - stamp commitTs or use publish()")
     val tagged = aligned.join(transactionFileAssignment(aligned, nFiles),
-        Seq("commitTs"))
-      .localCheckpoint(true) // nFiles sequential writes read this once
+      Seq("commitTs"))
     val dir = new org.apache.hadoop.fs.Path(feedDir)
     val fs = dir.getFileSystem(
       events.sparkSession.sparkContext.hadoopConfiguration)
+    // ONE job over the events frame: land every file id's slice at
+    // once under a hidden tmp dir (readers filter `.`-prefixed paths),
+    // one part file per `_file=k` dir, rows sorted by (commitTs, lsn)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".txn_tmp_${java.util.UUID.randomUUID()}")
     // appends to a non-empty feed must order AFTER everything already
-    // there — seed the monotone mtime cursor from the existing files
-    var prevMtime =
-      if (!fs.exists(dir)) 0L
+    // there — seed the monotone mtime cursor AND the sequence-number
+    // cursor from the existing feed files
+    val existing =
+      if (!fs.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(dir).filter(_.isFile)
-        .map(_.getModificationTime).foldLeft(0L)(math.max)
-    var seq = 0L
-    try
+    var prevMtime = existing.map(_.getModificationTime).foldLeft(0L)(math.max)
+    val seqRe = """^txn-(\d+)-""".r
+    var seq = existing
+      .flatMap(s => seqRe.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toLong))
+      .foldLeft(-1L)(math.max) + 1
+    var mtimeStampVerified = true
+    try {
+      tagged.repartition(col("_file"))
+        .sortWithinPartitions("_file", "commitTs", "lsn")
+        .write.mode("overwrite").partitionBy("_file").json(tmp.toString)
+      // commit-ordered rename walk: move each file id's part file to
+      // its sequenced name and stamp a strictly increasing mtime.
+      // A missing `_file=k` dir (fewer transactions than nFiles)
+      // writes nothing — skipping keeps the sequence numbers dense.
       (1 to nFiles).foreach { k =>
-        val slice = tagged.filter(col("_file") === k).drop("_file")
-          .repartition(1).sortWithinPartitions("commitTs", "lsn")
-        // an empty slice (fewer transactions than nFiles) writes
-        // nothing — skipping keeps the sequence numbers dense
-        if (!slice.isEmpty) {
-          // land in a hidden tmp dir (readers filter `.`-prefixed
-          // paths), then move the part file to its sequenced name and
-          // stamp a strictly increasing mtime
-          val tmp = new org.apache.hadoop.fs.Path(dir,
-            s".txn_tmp_${java.util.UUID.randomUUID()}")
-          slice.write.mode("overwrite").json(tmp.toString)
-          fs.listStatus(tmp)
+        val sub = new org.apache.hadoop.fs.Path(tmp, s"_file=$k")
+        if (fs.exists(sub))
+          fs.listStatus(sub)
             .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
             .sortBy(_.getPath.getName)
             .foreach { p =>
@@ -150,13 +175,22 @@ object ChangeFeed {
               prevMtime = math.max(prevMtime + 1,
                 fs.getFileStatus(dest).getModificationTime)
               fs.setTimes(dest, prevMtime, -1)
+              // setTimes is a SILENT no-op on some filesystems (S3A) —
+              // verify by read-back and warn once rather than let the
+              // doc'd total-mtime-order claim degrade silently
+              if (mtimeStampVerified &&
+                  fs.getFileStatus(dest).getModificationTime != prevMtime) {
+                mtimeStampVerified = false
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"publishTransactional: FileSystem.setTimes had no " +
+                    s"effect on ${fs.getUri} - feed mtime order falls " +
+                    "back to the store's timestamp granularity; lexical " +
+                    "txn-<seq> name order still equals commit order")
+              }
               seq += 1
             }
-          fs.delete(tmp, true)
-        }
       }
-    finally org.apache.spark.sql.graftbridge.Bridge.persistedRdd(tagged)
-      .foreach(_.unpersist(blocking = false))
+    } finally fs.delete(tmp, true)
   }
 
   /** Commit-order file id per distinct `commitTs`, in [1, nFiles] —

@@ -193,6 +193,82 @@ class ChangeFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("transactional publish write is single-pass: job count independent of nFiles") {
+    import spark.implicits._
+    // the pre-r17 shape ran one filter-scan + isEmpty job PER FILE over
+    // a cached frame — O(nFiles) jobs; the partitionBy write is one job
+    // over the events frame, so the total job count must not grow with
+    // nFiles (rename/mtime stamping is driver-side FS metadata)
+    val events = (0 until 600).map { i =>
+      ChangeEvent(i.toLong + 1, ts((i / 15).toLong), "U", "t", (i % 30).toLong,
+        s"""{"id":${i % 30},"v":"v${i + 1}"}""")
+    }.toDF()
+    def countJobs(nFiles: Int): Int = {
+      val gid = s"pub_jobcount_$nFiles"
+      spark.sparkContext.setJobGroup(gid, "publishTransactional job count",
+        interruptOnCancel = false)
+      try {
+        val feed = Files.createTempDirectory(s"feed_jobs_$nFiles").toString
+        ChangeFeed.publishTransactional(events, feed, nFiles)
+      } finally spark.sparkContext.clearJobGroup()
+      // the status store ingests listener events asynchronously — poll
+      // until the group's job count is stable
+      def read() = spark.sparkContext.statusTracker.getJobIdsForGroup(gid).length
+      var prev = -1; var cur = read(); var spins = 0
+      while (cur != prev && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = read(); spins += 1
+      }
+      cur
+    }
+    val j4 = countJobs(4)
+    val j16 = countJobs(16)
+    assert(j16 <= j4 + 2,
+      s"job count grew with nFiles ($j4 jobs at nFiles=4, $j16 at 16) - " +
+        "the write is per-file again, not single-pass")
+    assert(j16 < 16, s"publish ran $j16 jobs for 16 files - O(nFiles) scans")
+  }
+
+  test("repeated publishes into one feed keep lexical name order = commit order") {
+    import spark.implicits._
+    val feed = Files.createTempDirectory("feed_seq").toString
+    def batch(txnBase: Int, lsnBase: Long) = (0 until 60).map { i =>
+      ChangeEvent(lsnBase + i, ts((txnBase + i / 15).toLong), "U", "t",
+        (i % 10).toLong, s"""{"id":${i % 10},"v":"v${lsnBase + i}"}""")
+    }.toDF()
+    ChangeFeed.publishTransactional(batch(0, 1), feed, nFiles = 3)
+    val afterFirst = new java.io.File(feed).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("txn-")).map(_.getName)
+    // second publish (later commit range) must seed seq PAST the first
+    // publish's names — a restart at seq 0 would reuse txn-000000-...
+    ChangeFeed.publishTransactional(batch(100, 1001), feed, nFiles = 3)
+    val all = new java.io.File(feed).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("txn-"))
+    assert(all.map(_.getName).distinct.length == all.length)
+    assert(all.length > afterFirst.length)
+    val seqOf = (n: String) => """^txn-(\d+)-""".r
+      .findFirstMatchIn(n).get.group(1).toLong
+    val firstMax = afterFirst.map(seqOf).max
+    val secondSeqs = all.map(_.getName).filterNot(afterFirst.contains)
+      .map(seqOf)
+    assert(secondSeqs.forall(_ > firstMax),
+      s"second publish reused sequence numbers <= $firstMax: ${secondSeqs.toSeq}")
+    // and the global lexical order still equals commit order + mtimes
+    // stay strictly increasing across the publish boundary
+    val byName = all.sortBy(_.getName)
+    val maxTsPerFile = byName.map { f =>
+      spark.read.schema(ChangeFeed.schema).json(f.getPath)
+        .select("commitTs").collect().map(_.getTimestamp(0).getTime)
+    }
+    maxTsPerFile.sliding(2).foreach {
+      case Array(a, b) => assert(a.max <= b.min, "name order != commit order")
+      case _ => ()
+    }
+    byName.map(_.lastModified).sliding(2).foreach {
+      case Array(a, b) => assert(a < b, "tied/regressing mtimes across publishes")
+      case _ => ()
+    }
+  }
+
   test("transactional file assignment has no unpartitioned window (scales past broadcast)") {
     import spark.implicits._
     val events = (0 until 500).map { i =>
