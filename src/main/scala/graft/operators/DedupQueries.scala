@@ -42,6 +42,12 @@ object DedupQueries {
     * planted hot key cannot explode the join (see `DedupGuardSpec`). */
   val StopShingleMaxDf: Long = 1000L
 
+  /** Pinned domain blocklist for the d15 gate — the engine-artifact
+    * shape of a crawl pipeline's spam/SEO-farm list (a real deployment
+    * broadcasts a maintained list; the gate logic is identical). */
+  val DomainBlocklist: Seq[String] = Seq(
+    "src3.example.com", "src11.example.com", "src17.example.com")
+
   /** (doc_id, shash): distinct 3-token shingle hashes per document.
     * Hashing + composition happen in-row (compiled expressions); the
     * only shuffle is the distinct on (doc_id, shash). */
@@ -336,6 +342,45 @@ object DedupQueries {
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
         .select("keeper", "n_copies")
         .orderBy("keeper")
+    },
+
+    // ── d14: URL-exact dedup — crawl stage 0 (CCNet/RefinedWeb):
+    // dedup by CANONICAL URL before any content op, so the content
+    // dedup families (d1-d13) never pay for redirect-pair /
+    // tracking-param / www-variant copies of the same page. One
+    // hash-groupBy on the canonical form — map-side partial agg, the
+    // normalize itself rides the scan projection (t30); at 100 TB
+    // this is a single shuffle on the url hash, nothing pairwise.
+    "d14_url_dedup" -> { (s, d) =>
+      val raw = TextQueries.crawlUrlExpr
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), TextQueries.urlCanonical(raw).as("url_canon"))
+        .groupBy("url_canon")
+        .agg(min("doc_id").as("keeper_doc"), count(lit(1)).as("n_dups"))
+        .orderBy("url_canon")
+    },
+
+    // ── d15: per-domain rollup + blocklist gate — the companion
+    // domain-level stage: docs/pages/dup-ratio per canonical domain,
+    // gated by a pinned blocklist (spam/SEO-farm domains drop whole)
+    // and a duplication-farm threshold. |domains|-sized output from
+    // one two-level hash agg; the corpus is never joined to itself.
+    "d15_domain_gate" -> { (s, d) =>
+      val raw = TextQueries.crawlUrlExpr
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          TextQueries.urlDomain(raw).as("domain"),
+          TextQueries.urlCanonical(raw).as("url_canon"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url_canon")).as("n_pages"))
+        .withColumn("dup_ratio_bp",
+          expr("(10000 * (n_docs - n_pages)) DIV n_docs"))
+        .withColumn("gate",
+          when(col("domain").isin(DomainBlocklist: _*), "drop_blocklist")
+            .when(col("dup_ratio_bp") >= 7000, "review_dup_farm")
+            .otherwise("keep"))
+        .orderBy("domain")
     },
 
     // n-gram Jaccard near-dup: direct threshold on 3-token shingle
@@ -737,6 +782,31 @@ object DedupQueries {
             SELECT da, db, i * 1.0 / (ca.n + cb.n - i) AS j
             FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)
           WHERE j >= 0.8 ORDER BY da, db""",
+    // d14/d15 — the shared url CTE chain from TextQueries (raw
+    // construction + canonicalization), then plain GROUP BYs; the
+    // blocklist is a literal IN list, the dup threshold integer bp
+    "d14_url_dedup" ->
+      s"""WITH ${TextQueries.urlCanonSql}
+          SELECT url_canon,
+            CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+            CAST(COUNT(*) AS BIGINT) AS n_dups
+          FROM canon GROUP BY 1 ORDER BY url_canon""",
+    "d15_domain_gate" ->
+      s"""WITH ${TextQueries.urlCanonSql},
+          agg AS (
+            SELECT host AS domain,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_pages
+            FROM canon GROUP BY 1)
+          SELECT domain, n_docs, n_pages,
+            (10000 * (n_docs - n_pages)) // n_docs AS dup_ratio_bp,
+            CASE WHEN domain IN (${DomainBlocklist
+              .map(dm => s"'$dm'").mkString(", ")}) THEN 'drop_blocklist'
+                 WHEN (10000 * (n_docs - n_pages)) // n_docs >= 7000
+                 THEN 'review_dup_farm'
+                 ELSE 'keep' END AS gate
+          FROM agg ORDER BY domain""",
+
     // same global (df, shash) order, same ⌈4n/5⌉ prefix bound, same
     // verify chain — the oracle replays the prefix filter end to end
     "d11_prefix_filter" ->

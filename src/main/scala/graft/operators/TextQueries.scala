@@ -88,6 +88,120 @@ object TextQueries {
     s"regexp_replace(regexp_replace(regexp_replace($e, " +
       s"'$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'), '$DigitsRe', '<NUM>', 'g')"
 
+  /** Tracking query parameters dropped by [[urlCanonical]] — the
+    * CCNet/RefinedWeb-style stage-0 normalization set: analytics
+    * campaign tags (utm_*), ad-click ids (fbclid/gclid), referrer tags
+    * and Mailchimp ids. Anchored, so `referrer=` / `UTM_SOURCE=`
+    * survive (query keys are case-sensitive; only the canonical
+    * lowercase spellings are tracking noise). */
+  val TrackingParamRe: String =
+    "^(utm_[a-z]+|fbclid|gclid|ref|mc_cid|mc_eid)="
+
+  /** URL canonicalization — the crawl-corpus stage-0 normalize every
+    * web pipeline runs BEFORE any content op (CCNet/RefinedWeb dedup
+    * by canonical URL, then gate by domain): lowercase scheme+host,
+    * treat http/https as one (canonical scheme is https — the dedup
+    * identity must not split a page over its redirect pair), strip a
+    * leading `www.`, strip default ports (:80/:443), drop the
+    * fragment, drop [[TrackingParamRe]] query params, SORT surviving
+    * params (param order is presentation, not identity), strip
+    * trailing path slashes. Path case and non-default ports are
+    * IDENTITY and survive untouched. Pure column expressions — regexp
+    * extracts for the parts, a filter/sort HOF for the params — so the
+    * whole normalize runs inside the scan projection with no UDF and
+    * no shuffle; DuckDB replays it exactly ([[urlCanonSql]]). Inputs
+    * that don't parse as `scheme://…` canonicalize to `https://` +
+    * empty host (garbage in, one well-known sentinel out). */
+  def urlCanonical(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^www\\.", ""), ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val q = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
+    val qs = array_join(array_sort(filter(split(q, "&"),
+      x => x =!= lit("") && !x.rlike(TrackingParamRe))), "&")
+    concat(lit("https://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** Canonical registrable host of a URL column — the domain key for
+    * per-domain rollups and blocklist gates (same host normalize as
+    * [[urlCanonical]]). */
+  def urlDomain(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^www\\.", ""), ":(80|443)$", "")
+
+  /** Deterministic synthetic crawl URL per document — five messiness
+    * variants (rotating by `doc_id DIV 20 % 5`) of the same logical
+    * page `https://{source}.example.com/docs/p{doc_id DIV 100}?id=…`:
+    * www + default port + trailing slash + utm, uppercase host, a
+    * fragment, gclid + uppercase www, and an http://:80 spelling. Docs
+    * sharing (source, page) — doc_id ≡ k (mod 20) within one 100-block
+    * — form 5-way canonical-URL duplicate groups, one per variant, so
+    * d14/d15 have real collisions to resolve at every SF. Shared by
+    * t30/d14/d15 and their oracles ([[urlCanonSql]]). */
+  private[operators] def crawlUrlExpr: org.apache.spark.sql.Column = {
+    val page = expr("CAST(doc_id DIV 100 AS STRING)")
+    val v = expr("(doc_id DIV 20) % 5")
+    when(v === 0, concat(lit("https://www."), col("source"),
+        lit(".example.com:443/docs/p"), page, lit("/?utm_source=feed&id="), page))
+      .when(v === 1, concat(lit("HTTPS://"), col("source"),
+        lit(".Example.COM/docs/p"), page, lit("?id="), page, lit("&utm_medium=email")))
+      .when(v === 2, concat(lit("https://"), col("source"),
+        lit(".example.com/docs/p"), page, lit("?id="), page, lit("#sec2")))
+      .when(v === 3, concat(lit("https://WWW."), col("source"),
+        lit(".EXAMPLE.com/docs/p"), page, lit("?gclid=abc&id="), page))
+      .otherwise(concat(lit("http://"), col("source"),
+        lit(".example.com:80/docs/p"), page, lit("?id="), page))
+  }
+
+  /** DuckDB CTE chain `raw → canon(doc_id, source, raw_url, host,
+    * url_canon)` — the oracle half of [[crawlUrlExpr]] +
+    * [[urlCanonical]], shared by the t30/d14/d15 oracles. */
+  private[operators] val urlCanonSql: String =
+    s"""raw AS (
+         SELECT doc_id, source,
+           CASE (doc_id // 20) % 5
+             WHEN 0 THEN 'https://www.' || source || '.example.com:443/docs/p'
+               || CAST(doc_id // 100 AS VARCHAR) || '/?utm_source=feed&id='
+               || CAST(doc_id // 100 AS VARCHAR)
+             WHEN 1 THEN 'HTTPS://' || source || '.Example.COM/docs/p'
+               || CAST(doc_id // 100 AS VARCHAR) || '?id='
+               || CAST(doc_id // 100 AS VARCHAR) || '&utm_medium=email'
+             WHEN 2 THEN 'https://' || source || '.example.com/docs/p'
+               || CAST(doc_id // 100 AS VARCHAR) || '?id='
+               || CAST(doc_id // 100 AS VARCHAR) || '#sec2'
+             WHEN 3 THEN 'https://WWW.' || source || '.EXAMPLE.com/docs/p'
+               || CAST(doc_id // 100 AS VARCHAR) || '?gclid=abc&id='
+               || CAST(doc_id // 100 AS VARCHAR)
+             ELSE 'http://' || source || '.example.com:80/docs/p'
+               || CAST(doc_id // 100 AS VARCHAR) || '?id='
+               || CAST(doc_id // 100 AS VARCHAR)
+           END AS raw_url
+         FROM documents),
+       parts AS (
+         SELECT doc_id, source, raw_url,
+           regexp_replace(regexp_replace(
+             lower(regexp_extract(raw_url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+             '^www\\.', ''), ':(80|443)$$', '') AS host,
+           regexp_replace(regexp_extract(raw_url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+             '/+$$', '') AS path,
+           array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(raw_url, '^[^#?]*\\?([^#]*)', 1), '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '$TrackingParamRe'))),
+             '&') AS qs
+         FROM raw),
+       canon AS (
+         SELECT doc_id, source, raw_url, host,
+           'https://' || host || path ||
+             CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_canon
+         FROM parts)"""
+
   /** Shared t3/t20 front end: per-doc stopword scores + the guess
     * cascade, with the ground-truth label carried alongside. */
   private def langGuess(s: SparkSession, d: String): DataFrame = {
@@ -792,6 +906,21 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ── t30: URL canonicalization — crawl stage 0, BEFORE content
+    // ops: every web corpus dedups by canonical URL and gates by
+    // domain before t29/t1-t28 ever run. One projection over one
+    // FileScan (regex part extraction + a filter/sort HOF over the
+    // query params), no UDF, no shuffle before the output sort —
+    // at 100 TB this normalize rides the ingest scan for free.
+    "t30_url_canonical" -> { (s, d) =>
+      val raw = crawlUrlExpr
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), raw.as("raw_url"),
+          urlCanonical(raw).as("url_canon"),
+          urlDomain(raw).as("domain"))
+        .orderBy("doc_id")
+    },
+
     // ── t25: inverted-index phrase search — the serving-side read of
     // a corpus index: positional postings (doc_id, pos, token) from
     // ONE posexplode, a phrase match as equi-joins on
@@ -1331,6 +1460,12 @@ object TextQueries {
                 WHEN (10000 * link_chars) // NULLIF(n_clean, 0) >= 3000
                 THEN 'boilerplate' ELSE 'content' END AS label
          FROM m ORDER BY doc_id""",
+
+    // t30 — the shared url CTE chain; host doubles as the domain
+    "t30_url_canonical" ->
+      s"""WITH $urlCanonSql
+          SELECT doc_id, raw_url, url_canon, host AS domain
+          FROM canon ORDER BY doc_id""",
 
     // t23 — the same shipped weight table as a VALUES relation;
     // COUNT/SUM cast back to BIGINT (DuckDB sums to HUGEINT); label
