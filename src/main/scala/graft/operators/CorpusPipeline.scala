@@ -24,6 +24,32 @@ import graft.sources.Tables
   */
 object CorpusPipeline {
 
+  /** Crawl stage 0 — t29's markup gate as a corpus transform: drop
+    * boilerplate documents (too-short extraction or link-dense
+    * nav/footer/listing pages) and REPLACE `text` with the extracted
+    * clean text, so every downstream stage (dedup, quality, shingles)
+    * tokenizes prose instead of tags. One definition with the
+    * `t29_html_extract` labels ([[TextQueries.htmlLabel]]) — the gate
+    * can never disagree with the report. Stateless projection +
+    * filter: rides the ingest scan batch or streaming
+    * ([[graft.streaming.StreamGuards.htmlGated]]), no shuffle. On a
+    * markup-free corpus the transform is the identity minus docs whose
+    * text is shorter than the 40-char floor. */
+  def htmlGate(docs: DataFrame): DataFrame =
+    docs.filter(TextQueries.htmlLabel(col("text")) === "content")
+      .withColumn("text", TextQueries.htmlClean(col("text")))
+
+  /** [[clean]] over a RAW CRAWL corpus: the t29 gate first, then the
+    * exact-dedup → quality → near-dup stages over the EXTRACTED text —
+    * the real pipeline order on web data (CCNet/RefinedWeb stage
+    * layout: URL gate, markup extraction, then content ops). */
+  def cleanCrawl(
+      docs: DataFrame,
+      minTokens: Int,
+      minDiversity: Double,
+      jaccardThreshold: Double): DataFrame =
+    clean(htmlGate(docs), minTokens, minDiversity, jaccardThreshold)
+
   /** Cleaned corpus: (doc_id, n_tokens, scrubbed_fp), ordered. */
   def clean(
       docs: DataFrame,
@@ -129,30 +155,9 @@ object CorpusPipeline {
     // shows up here first. Four scalar aggregates unioned — each stage
     // count is one partial-agg reduction, nothing is collected.
     "c5_filter_funnel" -> { (s, d) =>
-      val docs = Tables.load(s, d, "documents")
-      val keepers = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
-      val qualified = keepers
-        .withColumn("tokens", tokenize(col("text")))
-        .withColumn("n_tokens", size(col("tokens")))
-        .filter(col("n_tokens") >= 10 &&
-          size(array_distinct(col("tokens"))) / col("n_tokens").cast("double") >= 0.3)
-        .localCheckpoint(true) // feeds the shingle pass + two counts
-      val sh = qualified
-        .select(col("doc_id"),
-          explode(shingle_hashes(char_fold_array(col("tokens")), 3)).as("shash"))
-        .distinct()
-        .localCheckpoint(true)
-      val dropped = DedupQueries
-        .jaccardPairs(sh, 0.8, DedupQueries.StopShingleMaxDf)
-        .select(col("db").as("doc_id")).distinct()
-      def stage(df: DataFrame, name: String): DataFrame =
-        df.agg(count(lit(1)).as("n_kept")).select(lit(name).as("stage"), col("n_kept"))
-      stage(docs, "0_total")
-        .union(stage(keepers, "1_exact_dedup"))
-        .union(stage(qualified, "2_quality"))
-        .union(stage(qualified.join(broadcast(dropped), Seq("doc_id"), "left_anti"),
-          "3_near_dup"))
-        .orderBy("stage")
+      filterFunnel(Tables.load(s, d, "documents"),
+        minTokens = 10, minDiversity = 0.3, jaccardThreshold = 0.8,
+        withHtmlGate = false)
     },
 
     // ── c6: per-source corpus health — the dashboard row a data-ops
@@ -313,6 +318,52 @@ object CorpusPipeline {
     * add-1 smoothing over `buckets` hashed token buckets; `isTarget`
     * marks the target-domain rows (evaluated against the frame's own
     * columns). Output: (doc_id, source, n_toks, dsir_logw). */
+  /** c5's funnel generalized — how many documents survive each stage
+    * of the cleaning pipeline. With `withHtmlGate` the funnel is
+    * crawl-shaped: stage 1 is the t29 markup gate
+    * ([[htmlGate]] — drop boilerplate, extract clean text) and every
+    * later stage runs over the EXTRACTED text, so survivor counts
+    * reflect the real web-pipeline order. Stage names stay the c5
+    * oracle's exact strings when the gate is off. Each stage count is
+    * one partial-agg reduction, nothing collected; counts are monotone
+    * non-increasing by construction (every stage filters the previous
+    * one). */
+  def filterFunnel(
+      docs: DataFrame,
+      minTokens: Int,
+      minDiversity: Double,
+      jaccardThreshold: Double,
+      withHtmlGate: Boolean): DataFrame = {
+    val gated = if (withHtmlGate) htmlGate(docs).localCheckpoint(true) else docs
+    val keepers = gated.groupBy("text").agg(min("doc_id").as("doc_id"))
+    val qualified = keepers
+      .withColumn("tokens", tokenize(col("text")))
+      .withColumn("n_tokens", size(col("tokens")))
+      .filter(col("n_tokens") >= minTokens &&
+        size(array_distinct(col("tokens"))) / col("n_tokens").cast("double") >= minDiversity)
+      .localCheckpoint(true) // feeds the shingle pass + two counts
+    val sh = qualified
+      .select(col("doc_id"),
+        explode(shingle_hashes(char_fold_array(col("tokens")), 3)).as("shash"))
+      .distinct()
+      .localCheckpoint(true)
+    val dropped = DedupQueries
+      .jaccardPairs(sh, jaccardThreshold, DedupQueries.StopShingleMaxDf)
+      .select(col("db").as("doc_id")).distinct()
+    val survivors = qualified.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_kept")).select(lit(name).as("stage"), col("n_kept"))
+    val stages =
+      if (withHtmlGate) Seq(
+        stage(docs, "0_total"), stage(gated, "1_html_gate"),
+        stage(keepers, "2_exact_dedup"), stage(qualified, "3_quality"),
+        stage(survivors, "4_near_dup"))
+      else Seq(
+        stage(docs, "0_total"), stage(keepers, "1_exact_dedup"),
+        stage(qualified, "2_quality"), stage(survivors, "3_near_dup"))
+    stages.reduce(_.union(_)).orderBy("stage")
+  }
+
   def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
     val b = lit(buckets.toLong)
     val toks = docs

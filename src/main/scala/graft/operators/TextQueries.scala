@@ -134,6 +134,54 @@ object TextQueries {
       lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
       "^www\\.", ""), ":(80|443)$", "")
 
+  // ── t29's extraction chain, factored as reusable column
+  // expressions so the corpus funnel (CorpusPipeline.htmlGate) and the
+  // streaming ingest guard (StreamGuards.htmlGated) run EXACTLY the
+  // query's semantics — one definition, three consumers. All stateless
+  // compiled-regex projections; see the t29 entry for rule rationale.
+
+  /** Script/style/comment blocks removed whole (their payload is never
+    * text) — anchors must extract from THIS form so a fake `<a>`
+    * inside a script string never counts as a link. */
+  private def htmlNoBlocks(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(raw,
+      "(?is)<script\\b[^>]*>.*?</script>", " "),
+      "(?is)<style\\b[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+
+  /** Clean extracted text of an HTML column: block removal → tag
+    * strip → single-pass entity decode (&amp; LAST) → whitespace
+    * collapse. Identity on markup-free text. */
+  def htmlClean(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val strippedTags = regexp_replace(htmlNoBlocks(raw), "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(strippedTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+      "&#39;", "'"), "&nbsp;", " "), "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Characters inside `<a>` elements (tag-stripped inner text) — the
+    * link-density numerator. */
+  def htmlLinkChars(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(
+      aggregate(
+        regexp_extract_all(htmlNoBlocks(raw),
+          lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+        lit(0L), (acc, x) =>
+          acc + length(regexp_replace(x, "<[^>]*>", "")).cast("long")),
+      lit(0L))
+
+  /** t29's gate label ('content' / 'boilerplate'): too-short extracted
+    * text or link density ≥ 3000 bp is boilerplate. Thresholds are the
+    * engine constants the t29 oracle pins. */
+  def htmlLabel(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nClean = length(htmlClean(raw)).cast("long")
+    when(nClean < 40, "boilerplate")
+      .when(htmlLinkChars(raw) * 10000 >= nClean * 3000, "boilerplate")
+      .otherwise("content")
+  }
+
   /** Deterministic synthetic crawl URL per document — five messiness
     * variants (rotating by `doc_id DIV 20 % 5`) of the same logical
     * page `https://{source}.example.com/docs/p{doc_id DIV 100}?id=…`:
@@ -872,29 +920,13 @@ object TextQueries {
     // shuffle before the output sort.
     "t29_html_extract" -> { (s, d) =>
       val raw = col("text")
-      // block-payload removal FIRST; anchors extract from THIS form so
-      // a fake "<a>" inside a script string never counts as a link
-      val noBlocks = regexp_replace(regexp_replace(regexp_replace(raw,
-        "(?is)<script\\b[^>]*>.*?</script>", " "),
-        "(?is)<style\\b[^>]*>.*?</style>", " "),
-        "(?s)<!--.*?-->", " ")
-      val strippedTags = regexp_replace(noBlocks, "<[^>]*>", " ")
-      val decoded = regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(regexp_replace(regexp_replace(strippedTags,
-          "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
-        "&#39;", "'"), "&nbsp;", " "), "&amp;", "&")
-      val clean = trim(regexp_replace(decoded, "\\s+", " "))
-      val anchors = regexp_extract_all(noBlocks,
-        lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))
-      val linkChars = coalesce(
-        aggregate(anchors, lit(0L), (acc, x) =>
-          acc + length(regexp_replace(x, "<[^>]*>", "")).cast("long")),
-        lit(0L))
+      // the extraction chain lives in [[htmlClean]]/[[htmlLinkChars]]
+      // (shared with the corpus funnel gate and the streaming guard)
       Tables.load(s, d, "documents")
         .select(col("doc_id"),
           length(raw).cast("long").as("n_raw"),
-          length(clean).cast("long").as("n_clean"),
-          linkChars.as("link_chars"))
+          length(htmlClean(raw)).cast("long").as("n_clean"),
+          htmlLinkChars(raw).as("link_chars"))
         .withColumn("link_density_bp",
           expr("(10000 * link_chars) DIV nullif(n_clean, 0)"))
         .withColumn("tag_overhead_bp",

@@ -53,4 +53,17 @@ object StreamGuards {
       minHits: Int = 3,
       n: Int = 3): DataFrame =
     docs.filter(benchHits(col("text"), benchShingles, n) < minHits)
+
+  /** Streaming HTML gate — the ingest face of t29/`CorpusPipeline.
+    * htmlGate`: drop boilerplate documents and replace `text` with the
+    * extracted clean form BEFORE any stateful stage (packing, dedup,
+    * windowed aggregation), so markup never enters downstream state.
+    * The whole gate is a stateless compiled-regex projection + filter
+    * (the same one definition the batch funnel runs —
+    * [[graft.operators.TextQueries.htmlLabel]]/[[graft.operators.TextQueries.htmlClean]]),
+    * so stream and batch labels agree row for row and throughput is
+    * scan speed: no shuffle, no state, nothing to re-plan per
+    * micro-batch. */
+  def htmlGated(docs: DataFrame): DataFrame =
+    graft.operators.CorpusPipeline.htmlGate(docs)
 }

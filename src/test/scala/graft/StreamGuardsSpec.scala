@@ -28,6 +28,36 @@ class StreamGuardsSpec extends AnyFunSuite {
     assert(survivors == all -- c2hits)
   }
 
+  test("streaming HTML gate: stream survivors+clean text == batch t29 labels") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> ("<p>A proper article with plenty of prose around one " +
+        "<a href=\"/r\">link</a> and enough text to clear every gate.</p>"),
+      2L -> ("<ul><li><a href=\"/a\">Home page link</a></li>" +
+        "<li><a href=\"/b\">Products and services</a></li>" +
+        "<li><a href=\"/c\">About the whole company</a></li></ul>"), // link-dense
+      3L -> "<p>tiny</p>",                                           // short
+      4L -> "plain text with no markup, long enough to stay content here")
+    // batch truth: the t29 labels + extracted text over the same rows
+    val batch = graft.operators.CorpusPipeline
+      .htmlGate(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val in = MemoryStream[(Long, String)](spark)
+    val gated = StreamGuards.htmlGated(in.toDF.toDF("doc_id", "text"))
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("html_gated_docs").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("html_gated_docs")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch)
+      assert(streamed.keySet == Set(1L, 4L), streamed.toString)
+      assert(!streamed(1L).contains("<"), streamed(1L))
+    } finally q.stop()
+  }
+
   test("the guard runs stateless inside a structured stream") {
     import spark.implicits._
     val benchText = "alpha beta gamma delta epsilon zeta eta theta"
