@@ -146,13 +146,19 @@ object Monitor {
     *
     * Driver-side metadata only (tiny file reads + conf reads) —
     * never a TABLE scan. The one exception is the `time_lag` row's
-    * single-column agg-only pass over the FEED (column-pruned max),
-    * paid only when `feedDir` is given. */
+    * agg-only max-commitTs pass over the FEED, paid only when
+    * `feedDir` is given AND `includeTimeLag` is left on: a JSON feed
+    * gets no real column pruning, so this pass reads the retained feed
+    * bytes — a different cost class. Frequent pollers set
+    * `includeTimeLag = false` to keep the report strictly
+    * metadata-only (the feed LISTING is shared either way — one FS
+    * walk for the has-data guard and the lag computation). */
   def replicationInfra(spark: SparkSession,
       store: KeyedParquetStore,
       feedDir: Option[String] = None,
       maxConsumerHeldBytes: Long = 1L << 30,
-      maxSecondsBehind: Long = 300L): DataFrame = {
+      maxSecondsBehind: Long = 300L,
+      includeTimeLag: Boolean = true): DataFrame = {
     import spark.implicits._
     val applied = store.appliedLsn(spark)
     // the knobs that DISTINGUISH a configured session: log.deletion
@@ -215,27 +221,46 @@ object Monitor {
               c.degraded.map(_ => " (position UNREADABLE)").getOrElse(""))
               .mkString("; "),
             if (laggards.isEmpty) "Healthy" else "Feed Bloat Risk")) ++ {
-          val secs = graft.streaming.CdcPipeline.timeLagSeconds(spark, store, f)
+          // ONE feed listing shared by the has-data guard and the lag
+          // computation (timeLagSeconds would otherwise re-list); the
+          // JSON max-commitTs scan is the row's doc'd cost and is
+          // skipped entirely when includeTimeLag = false
           val feedHasData = graft.streaming.ChangeFeed
             .dataFiles(spark, f).nonEmpty
-          Seq(("time_lag",
-            secs match {
-              case Some(s) if s <= maxSecondsBehind => "OK"
-              case Some(_) => "WARNING"
-              // unknown while the feed holds data = the mirror never
-              // stamped a commit-time watermark — an operator should look
-              case None if feedHasData => "WARNING"
-              case None => "OK"
-            },
-            secs.map(s => s"${s}s behind source")
-              .getOrElse(if (feedHasData) "unknown - no applied commit-time watermark"
-              else "empty feed"),
-            secs match {
-              case Some(s) if s <= maxSecondsBehind => "Healthy"
-              case Some(_) => "Falling Behind"
-              case None if feedHasData => "Check Setup"
-              case None => "Idle"
-            }))
+          if (!includeTimeLag) Seq.empty
+          else {
+            val secs = graft.streaming.CdcPipeline
+              .timeLagSeconds(spark, store, f, feedHasData)
+            // distinguish "never stamped" from "stamp gone stale"
+            // (LSN advanced past the last commitTs-bearing event) —
+            // different operator actions (check the capture side vs
+            // check why events stopped carrying commitTs)
+            val unknownDetail =
+              if (!feedHasData) "empty feed"
+              else store.appliedCommitTsAt(spark) match {
+                case Some((l, _)) =>
+                  s"unknown - commit-time stamp stale at lsn=$l " +
+                    s"(applied lsn=${store.appliedLsn(spark).getOrElse(-1L)}); " +
+                    "recent events carry no commitTs"
+                case None => "unknown - no applied commit-time watermark"
+              }
+            Seq(("time_lag",
+              secs match {
+                case Some(s) if s <= maxSecondsBehind => "OK"
+                case Some(_) => "WARNING"
+                // unknown while the feed holds data = no trustworthy
+                // commit-time watermark — an operator should look
+                case None if feedHasData => "WARNING"
+                case None => "OK"
+              },
+              secs.map(s => s"${s}s behind source").getOrElse(unknownDetail),
+              secs match {
+                case Some(s) if s <= maxSecondsBehind => "Healthy"
+                case Some(_) => "Falling Behind"
+                case None if feedHasData => "Check Setup"
+                case None => "Idle"
+              }))
+          }
         }
       }
     rows.toDF("component", "status", "details", "health")

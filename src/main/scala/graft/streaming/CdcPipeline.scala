@@ -1316,25 +1316,42 @@ object CdcPipeline {
   /** TIME-BASED replication lag: seconds behind source = max source
     * commitTs on the feed − the source commit timestamp at the
     * mirror's applied watermark ([[KeyedParquetStore.appliedCommitTs]],
-    * stamped by every apply). The first number an operator asks for —
-    * the reference's monitoring narrative is lag-over-time
-    * (monitoring.ps1:576–614); row-count lag ([[lagReport]]) can read
-    * 0 while the mirror is minutes behind a low-churn source.
+    * stamped by every apply). The first number an operator asks for;
+    * row-count lag ([[lagReport]]) can read 0 while the mirror is
+    * minutes behind a low-churn source. This EXTENDS the reference's
+    * lag narrative — its monitoring report computes record-COUNT lag
+    * only (COUNT(*) source vs target, monitoring.ps1:576–614); the
+    * time-based metric is the engine's addition on top of that shape.
     *
     * Cost: ONE agg-only feed scan (max over a single column — column-
     * pruned at the reader) + a tiny sidecar read. None when either
     * side is unknown: nothing applied yet / pre-r16 store / feed
-    * events without commitTs. Clamped at 0 — the watermark's commit
-    * time can exceed every retained feed event's after pruning. */
+    * events without commitTs / a STALE stamp (the LSN advanced past
+    * the last commitTs-bearing event — see
+    * [[KeyedParquetStore.appliedCommitTs]]). Clamped at 0 — the
+    * watermark's commit time can exceed every retained feed event's
+    * after pruning. */
   def timeLagSeconds(
       spark: SparkSession,
       store: KeyedParquetStore,
       feedDir: String): Option[Long] =
+    // dataFiles also guards the missing/empty-dir case (a pruned-to-
+    // empty feed has no max to compare against)
+    timeLagSeconds(spark, store, feedDir,
+      ChangeFeed.dataFiles(spark, feedDir).nonEmpty)
+
+  /** [[timeLagSeconds]] with the feed listing hoisted — callers that
+    * already listed the feed (Monitor.replicationInfra shares ONE
+    * listing across its feed rows) pass the result instead of paying a
+    * second FS metadata walk. */
+  private[graft] def timeLagSeconds(
+      spark: SparkSession,
+      store: KeyedParquetStore,
+      feedDir: String,
+      feedHasData: Boolean): Option[Long] =
     for {
       applied <- store.appliedCommitTs(spark)
-      // dataFiles also guards the missing/empty-dir case (a pruned-to-
-      // empty feed has no max to compare against)
-      if ChangeFeed.dataFiles(spark, feedDir).nonEmpty
+      if feedHasData
       maxSrc <- Option(ChangeFeed.readAll(spark, feedDir)
         .agg(max("commitTs")).collect().head.getTimestamp(0))
     } yield math.max(0L, (maxSrc.getTime - applied.getTime) / 1000L)

@@ -74,10 +74,15 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     *
     * `commitTs` (the watermark event's source commit timestamp, when
     * the apply path has it) lands in a sibling sidecar under the same
-    * monotonic gate — it is the "applied as of <source time>" half of
+    * monotonic gate, RECORDED WITH THE LSN IT BELONGS TO (`"<lsn>
+    * <millis>"`) — it is the "applied as of <source time>" half of
     * the seconds-behind-source lag metric
-    * ([[CdcPipeline.timeLagSeconds]]). Pre-r16 stores simply lack the
-    * file and the metric reads as unknown. */
+    * ([[CdcPipeline.timeLagSeconds]]). A later batch that advances the
+    * LSN but carries no commitTs leaves the sidecar at the OLDER lsn,
+    * so the staleness is detectable ([[appliedCommitTs]] then reads
+    * unknown instead of overstating lag against a stale stamp).
+    * Pre-r16 stores simply lack the file and the metric reads as
+    * unknown. */
   def recordAppliedLsn(spark: SparkSession, lsn: Long,
       commitTs: Option[java.sql.Timestamp] = None): Unit =
     if (appliedLsn(spark).forall(_ < lsn)) {
@@ -91,22 +96,37 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
       // watermark only means extra idempotent replay, never loss)
       AtomicFiles.writeAtomically(spark, watermarkPath, lsn.toString)
       commitTs.foreach(t =>
-        AtomicFiles.writeAtomically(spark, commitTsPath, t.getTime.toString))
+        AtomicFiles.writeAtomically(spark, commitTsPath, s"$lsn ${t.getTime}"))
     }
 
-  /** Source commit timestamp at the applied watermark, if recorded
-    * (epoch millis in the sidecar; absent on pre-r16 stores and on
-    * feeds whose events carry no commitTs). */
-  def appliedCommitTs(spark: SparkSession): Option[java.sql.Timestamp] = {
+  /** The commit-time stamp with the LSN it was recorded at: (lsn,
+    * source commit timestamp). Pre-r17 sidecars carried only the
+    * millis — they parse with lsn = -1 (provenance unknown). */
+  def appliedCommitTsAt(spark: SparkSession): Option[(Long, java.sql.Timestamp)] = {
     val f = fs(spark)
     if (!f.exists(commitTsPath)) None
     else {
       val in = f.open(commitTsPath)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-      Some(new java.sql.Timestamp(s.toLong))
+      s.split("\\s+") match {
+        case Array(lsn, ms) => Some((lsn.toLong, new java.sql.Timestamp(ms.toLong)))
+        case Array(ms) => Some((-1L, new java.sql.Timestamp(ms.toLong)))
+        case _ => None
+      }
     }
   }
+
+  /** Source commit timestamp at the applied watermark, if recorded
+    * AND CURRENT: the stamp is honored only while its recorded LSN
+    * equals the applied watermark — after a commitTs-less LSN advance
+    * the metric honestly reads unknown rather than overstating lag
+    * against a stale stamp. Legacy single-value sidecars (lsn
+    * unknowable) stay honored for replay compatibility. */
+  def appliedCommitTs(spark: SparkSession): Option[java.sql.Timestamp] =
+    appliedCommitTsAt(spark).collect {
+      case (l, t) if l < 0 || appliedLsn(spark).contains(l) => t
+    }
 
   /** The highest applied LSN, if any batch has been applied. */
   def appliedLsn(spark: SparkSession): Option[Long] = {

@@ -153,6 +153,85 @@ class CdcPipelineSpec extends AnyFunSuite {
       s"old key 2 must be gone, 200 live, legacy rows intact: $got")
   }
 
+  test("snapshot under a LIVE feed: publisher races the copy, the stream " +
+    "absorbs the overlap, mirror converges exactly-once") {
+    // the flow-snapshot-worker race the reference's architecture
+    // implies (docker-compose.yml:133-141): the snapshot copies the
+    // source WHILE the WAL keeps accumulating; the stream then starts
+    // at the boundary and re-reads feed files that overlap what the
+    // snapshot already contains. The idempotent by-PK merge + in-order
+    // whole-file consumption must absorb the overlap — same values
+    // re-applied are a no-op, later events win.
+    import spark.implicits._
+    import graft.streaming.ChangeFeed
+    val work = Files.createTempDirectory("cdc_snapracE").toString
+    val feed = s"$work/feed"
+    val ckpt = s"$work/ckpt"
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 4)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+
+    // 200 events over 20 keys in 10 whole-file chunks; the last chunk
+    // deletes keys 0-4 so the delete path crosses the boundary too
+    val events = (0 until 200).map { i =>
+      val key = (i % 20).toLong
+      if (i >= 180 && key < 5)
+        ChangeEvent(i + 1L, ts(i.toLong), "D", "t", key, null)
+      else
+        ChangeEvent(i + 1L, ts(i.toLong), if (i < 20) "I" else "U", "t", key,
+          s"""{"id":$key,"v":"v${i + 1}"}""")
+    }
+    def lastPerKey(upToLsn: Long): Map[Long, Option[String]] =
+      events.filter(_.lsn <= upToLsn).groupBy(_.key).map { case (k, es) =>
+        val last = es.maxBy(_.lsn)
+        k -> (if (last.op == "D") None
+              else Some(s"v${last.lsn}"))
+      }
+
+    // chunks 1-3 land before the snapshot worker reads its source
+    // state (lsn <= 60); chunks 4-10 land CONCURRENTLY with the
+    // snapshot write — both started together, both joined before the
+    // mirror starts, so the overlap window exists by construction
+    val chunks = events.grouped(20).toSeq
+    chunks.take(3).foreach(c =>
+      ChangeFeed.publish(c.toDF().coalesce(1), feed))
+    val sourceNow = lastPerKey(60L).collect {
+      case (k, Some(v)) => (k, v)
+    }.toSeq.toDF("id", "v")
+    val publisher = new Thread(() =>
+      chunks.drop(3).foreach { chunk =>
+        ChangeFeed.publish(chunk.toDF().coalesce(1), feed)
+        Thread.sleep(20)
+      })
+    publisher.start()
+    try CdcPipeline.snapshot(spark, store,
+      Map("t" -> sourceNow), Map("t" -> "id"))
+    finally publisher.join()
+    assert(ChangeFeed.dataFiles(spark, feed).size == 10)
+
+    // mirror starts AT THE BOUNDARY: a fresh checkpoint re-reads the
+    // whole feed, including every pre-snapshot (overlapping) file
+    val q = CdcPipeline.start(
+      ChangeFeed.stream(spark, feed, maxFilesPerTrigger = 1),
+      store, Map("t" -> schema), Map("t" -> "id"), "snap_race_mirror", ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    val expected = lastPerKey(200L).collect { case (k, Some(v)) => k -> v }
+    val got = store.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected, s"diverged: $got vs $expected")
+    // exactly-once totals: one row per live key, deletes gone
+    assert(got.size == 15)
+    // replaying the whole feed once more changes nothing (idempotence
+    // across the snapshot boundary, not just within the stream)
+    CdcPipeline.applyBatch(ChangeFeed.readAll(spark, feed), store,
+      Map("t" -> schema), Map("t" -> "id"))
+    val again = store.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == expected)
+  }
+
   test("lagReport is one lazy union-all job and keeps empty tables in the report") {
     import spark.implicits._
     val root = Files.createTempDirectory("cdc_lag").toString

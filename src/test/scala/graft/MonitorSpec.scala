@@ -165,6 +165,54 @@ class MonitorSpec extends AnyFunSuite {
       idle.toString)
   }
 
+  test("time_lag: stale commit-time stamp reads unknown, not an overstated lag") {
+    import spark.implicits._
+    import graft.streaming.{ChangeEvent, ChangeFeed}
+    val work = Files.createTempDirectory("mon_stale").toString
+    val feed = s"$work/feed"
+    val store = new KeyedParquetStore(s"$work/store", nBuckets = 2)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    store.snapshot(spark, "t", Seq((1L, "a")).toDF("id", "v"), "id")
+    val e1 = ChangeEvent(1, ts(0), "U", "t", 1, """{"id":1,"v":"a2"}""")
+    ChangeFeed.publish(Seq(e1).toDF(), feed)
+    CdcPipeline.applyBatch(Seq(e1).toDF(), store,
+      Map("t" -> schema), Map("t" -> "id"))
+    assert(store.appliedCommitTsAt(spark) == Some((1L, ts(0))))
+    assert(CdcPipeline.timeLagSeconds(spark, store, feed) == Some(0L))
+
+    // a later batch advances the LSN WITHOUT a commitTs (pre-r15
+    // producer / hand-merged events): the old stamp must NOT be read
+    // as current — the metric goes honestly unknown, and the monitor
+    // names the staleness instead of the generic no-watermark detail
+    store.recordAppliedLsn(spark, 5L, None)
+    assert(store.appliedLsn(spark) == Some(5L))
+    assert(store.appliedCommitTs(spark).isEmpty)
+    assert(CdcPipeline.timeLagSeconds(spark, store, feed).isEmpty)
+    val stale = Monitor.replicationInfra(spark, store, Some(feed))
+      .filter(col("component") === "time_lag").collect().head
+    assert(stale.getString(1) == "WARNING" &&
+      stale.getString(2).contains("stale at lsn=1") &&
+      stale.getString(2).contains("applied lsn=5"), stale.toString)
+
+    // a fresh commitTs-bearing apply re-arms the metric
+    val e2 = ChangeEvent(9, ts(60), "I", "t", 2, """{"id":2,"v":"b"}""")
+    ChangeFeed.publish(Seq(e2).toDF(), feed)
+    CdcPipeline.applyBatch(Seq(e2).toDF(), store,
+      Map("t" -> schema), Map("t" -> "id"))
+    assert(CdcPipeline.timeLagSeconds(spark, store, feed) == Some(0L))
+
+    // frequent pollers can opt the feed-scanning row out entirely
+    val rows = Monitor.replicationInfra(spark, store, Some(feed),
+      includeTimeLag = false)
+    assert(rows.filter(col("component") === "time_lag").count() == 0)
+    assert(rows.filter(col("component") === "feed_consumers").count() == 1)
+  }
+
   test("storage report handles a missing table as zeros") {
     val store = new KeyedParquetStore(
       Files.createTempDirectory("mon_store_empty").toString, nBuckets = 2)
