@@ -611,6 +611,44 @@ object CdcPipeline {
       .foreach(_.unpersist(blocking = false))
   }
 
+  /** The retention CADENCE helper — the steady-state spelling of the
+    * sweep. [[sweepSoftDeleted]] alone is honest about its worst case:
+    * hash-scattered expired keys touch every bucket, so its merge is a
+    * table rewrite ON TOP of the discovery scan (SweepProbe's
+    * scattered rows). A store on a compaction cadence is ALREADY
+    * paying a periodic rewrite — so fold the purge into it: ONE
+    * compact pass that (a) drops expired tombstones during the
+    * rewrite ([[KeyedParquetStore.compact]] `dropWhere`, with
+    * fully-purged buckets cleared) and (b) re-clusters each bucket by
+    * [[SyncedLsnCol]], which is what makes the NEXT cycle's discovery
+    * scan read O(expired) via parquet row-group zone maps (young row
+    * groups' `_synced_lsn` min exceeds the watermark → skipped)
+    * instead of O(table). Cost per cycle = one discovery count (zone-
+    * map-skipped after the first cycle) + the one rewrite the cadence
+    * was paying anyway — strictly cheaper than sweep-then-compact as
+    * separate jobs, and immune to the scattered-key worst case.
+    *
+    * Same replay interplay as [[sweepSoftDeleted]]: run behind the
+    * applied-LSN watermark that gates feed pruning. Returns the number
+    * of tombstones purged. */
+  def sweepAndCompact(
+      spark: SparkSession,
+      store: KeyedParquetStore,
+      table: String,
+      upToLsn: Long): Long = {
+    require(store.exists(spark, table), s"table '$table' does not exist")
+    val stored = store.schemaOf(spark, table).fieldNames
+    require(stored.contains(SoftDeleteCol) && stored.contains(SyncedLsnCol),
+      s"table '$table' is not a soft-delete store (missing " +
+        s"$SoftDeleteCol/$SyncedLsnCol) - sweepAndCompact only applies " +
+        "to snapshotSoft/applyBatchSoft targets")
+    val expired = col(SoftDeleteCol) && col(SyncedLsnCol) <= upToLsn
+    val n = store.read(spark, table).filter(expired).count()
+    store.compact(spark, table,
+      clusterBy = Seq(SyncedLsnCol), dropWhere = Some(expired))
+    n
+  }
+
   /** Apply one micro-batch: multi-table fan-out (C6), last-per-key
     * dedup (C1/C3), idempotent merge. Also usable directly for batch
     * backfill. */

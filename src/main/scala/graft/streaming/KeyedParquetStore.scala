@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -390,15 +390,32 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     * (zone maps) then become disjoint ranges on those columns, so
     * range/point predicates skip whole row groups at scan time — the
     * parquet-native analogue of clustered-index maintenance. */
-  def compact(spark: SparkSession, table: String, clusterBy: Seq[String] = Nil): Unit = {
+  def compact(spark: SparkSession, table: String, clusterBy: Seq[String] = Nil,
+      dropWhere: Option[Column] = None): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val schema = schemaOf(spark, table)
-    if (bucketsOnDisk(spark, table).isEmpty) return
+    val before = bucketsOnDisk(spark, table)
+    if (before.isEmpty) return
     val current = spark.read.schema(schema).parquet(path(table))
       .localCheckpoint(true) // break lineage from the files being replaced
-    current
+    // `dropWhere` rows are PURGED during the rewrite — retention folded
+    // into the compaction pass the cadence already pays, one table
+    // rewrite instead of discovery + merge + compact as separate jobs
+    // (CdcPipeline.sweepAndCompact's contract)
+    val kept = dropWhere.fold(current)(c => current.filter(!c))
+    kept
       .repartition(col("bucket"))
       .sortWithinPartitions((col("bucket") +: clusterBy.map(col)): _*)
       .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path(table))
+    // dynamic overwrite leaves a bucket's OLD file in place when the
+    // rewrite emits no rows for it — a fully-purged bucket must be
+    // cleared explicitly or its dropped rows resurrect
+    dropWhere.foreach { _ =>
+      val after = kept.select(col("bucket").cast("int")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val f = fs(spark)
+      before.filterNot(after).foreach(b =>
+        f.delete(new Path(path(table), s"bucket=$b"), true))
+    }
   }
 }

@@ -106,7 +106,10 @@ object DumpPlans {
     "cdc_soft_delete" -> "soft-delete convergence: same single key-shuffle aggregate — winner op becomes the _deleted flag, carried non-delete image the data; no delete ever leaves the plan",
     "g5_kcore" -> "k-core peel: 6 rounds of degree hash-agg + two semi-joins over the pinned edge set, all shuffles on the node key, frontier monotonically shrinking",
     "q3_quartiles_cont" -> "continuous quartiles: bracket statistics off the shared histogram passes, integer x4 interpolation — no ordered-set aggregate, no per-group value buffer",
-    "t29_html_extract" -> "HTML/boilerplate extraction: compiled regex chain in ONE scan projection (strip/decode/link-density all in codegen), no shuffle before the output sort")
+    "t29_html_extract" -> "HTML/boilerplate extraction: compiled regex chain in ONE scan projection (strip/decode/link-density all in codegen), no shuffle before the output sort",
+    "t30_url_canonical" -> "URL canonicalization: regex part extraction + filter/sort HOF over query params, all in one scan projection — crawl stage 0 rides the ingest scan",
+    "d14_url_dedup" -> "URL-exact dedup: ONE hash-groupBy on the canonical form (map-side partial agg), nothing pairwise — the cheap dedup that runs before any content op",
+    "d15_domain_gate" -> "per-domain rollup + blocklist gate: two-level hash agg (countDistinct planned as two exchanges on |urls| then |domains|), gate logic in-row")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -252,7 +252,11 @@ object ScaleProbe {
       // r16: HTML/boilerplate extraction — one compiled-regex
       // projection per row, no shuffle before the output sort; must
       // track the corpus exactly linearly
-      "t29_html_extract")
+      "t29_html_extract",
+      // r17: crawl stage 0 — the normalize is a scan projection
+      // (linear), the dedup/rollup one-two hash aggs whose exchanges
+      // carry |urls| not |corpus bytes|
+      "t30_url_canonical", "d14_url_dedup", "d15_domain_gate")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

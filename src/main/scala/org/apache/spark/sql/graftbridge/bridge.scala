@@ -28,6 +28,27 @@ object Bridge {
       case _ => None
     }
 
+  /** Rows EMITTED by `df`'s file scans in its last execution — i.e.
+    * rows surviving parquet row-group/page skipping under the pushed
+    * predicates (record-level parquet filtering is off by default, so
+    * this measures exactly what the zone maps could not skip). Call
+    * AFTER an action on the SAME Dataset instance (`df.collect()` /
+    * `df.count()` route through `df.queryExecution`, whose plan
+    * retains its metric values); unwraps the AQE root to reach the
+    * final plan's leaves. Probe/diagnostic use — powers SweepProbe's
+    * measured discovery-reads-O(expired) claim. */
+  def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numOutputRows").value
+    }.sum
+  }
+
   /** Replace a checkpointed DataFrame's inherited statistics with
     * EXACT ones.
     *

@@ -254,6 +254,55 @@ class SoftDeleteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a soft-delete store"), e.getMessage)
   }
 
+  test("sweepAndCompact: purge folded into the cadence rewrite, same semantics as sweep") {
+    import spark.implicits._
+    val store = freshStore()
+    CdcPipeline.snapshotSoft(spark, store,
+      Map("t" -> (1L to 6L).map(i => (i, s"n$i", i * 10L))
+        .toDF("id", "name", "amount")),
+      Map("t" -> "id"))
+    val batch = Seq(
+      ChangeEvent(10, ts(10), "D", "t", 1, null),
+      ChangeEvent(11, ts(11), "D", "t", 2, null),
+      ChangeEvent(12, ts(12), "U", "t", 3, img(3, "n3b", 33)),
+      ChangeEvent(20, ts(20), "D", "t", 4, null)).toDF()
+    CdcPipeline.applyBatchSoft(batch, store,
+      Map("t" -> schema), Map("t" -> "id"))
+    def live() = store.read(spark, "t")
+      .filter(!col(CdcPipeline.SoftDeleteCol))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val liveBefore = live()
+
+    // identical purge semantics to sweepSoftDeleted at the watermark:
+    // old tombstones 1/2 go, young tombstone 4 and all live rows stay
+    assert(CdcPipeline.sweepAndCompact(spark, store, "t", 15L) == 2L)
+    assert(store.read(spark, "t").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(3L, 4L, 5L, 6L))
+    assert(live() == liveBefore, "cadence pass must not change the live view")
+    // idempotent on re-run; the second pass is purge-free compaction
+    assert(CdcPipeline.sweepAndCompact(spark, store, "t", 15L) == 0L)
+    assert(live() == liveBefore)
+
+    // a fully-purged bucket is CLEARED, not left stale (dynamic
+    // overwrite would otherwise keep the old file): delete everything,
+    // expire everything
+    val wipe = (1L to 6L).filter(Set(3L, 4L, 5L, 6L))
+      .zipWithIndex.map { case (k, i) =>
+        ChangeEvent(30L + i, ts(30L + i), "D", "t", k, null) }.toDF()
+    CdcPipeline.applyBatchSoft(wipe, store,
+      Map("t" -> schema), Map("t" -> "id"))
+    assert(CdcPipeline.sweepAndCompact(spark, store, "t", 100L) == 4L)
+    assert(store.read(spark, "t").count() == 0L)
+
+    // misuse guard mirrors the sweep's
+    val plain = freshStore()
+    plain.snapshot(spark, "t", Seq((1L, "a", 1L)).toDF("id", "name", "amount"), "id")
+    val e = intercept[IllegalArgumentException] {
+      CdcPipeline.sweepAndCompact(spark, plain, "t", 100L)
+    }
+    assert(e.getMessage.contains("not a soft-delete store"), e.getMessage)
+  }
+
   test("unchanged-TOAST markers reject loudly on the soft path (no silent upsert)") {
     import spark.implicits._
     val store = freshStore()

@@ -69,6 +69,14 @@ def main():
         f"(the round-over-round comparable figure; ± is the measured "
         f"within-run anchor spread)"
         if anchor else "")
+    # provenance (r16 verdict wrong #2): the r16 counts block cited a
+    # settled run while the round artifact carried a noisy one, with
+    # nothing distinguishing them — stamp WHICH file the figures came
+    # from and whether that run flagged itself noise-dominated
+    degraded_txt = (" **[DEGRADED: anchor spread past 0.35 — totals are "
+                    "noise-dominated, compare per-anchor only]**"
+                    if bench.get("degraded") else "")
+    prov_txt = f" [source: `{args.bench}`{spread_txt}{degraded_txt}]"
 
     block = (
         f"{START}\n"
@@ -76,7 +84,7 @@ def main():
         f"(DuckDB selfcheck at sf0.01) · **{tests_ok} tests green"
         f"{'' if tests_fail == 0 else f', {tests_fail} FAILED'}** (`sbt test`) · "
         f"local bench **{bench_s:.1f} s / {bench_n} queries** "
-        f"(sf0.1, local[32], median-of-3){anchor_txt}. "
+        f"(sf0.1, local[32], median-of-3){anchor_txt}{prov_txt}. "
         f"_This block is emitted by `tools/gen_counts.py` from the round's "
         f"artifacts — do not hand-edit._\n"
         f"{END}"
