@@ -85,28 +85,51 @@ object Bench {
     val settleRetries = math.max(0,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_RETRIES", "4").toInt)
     val calmSpread = 0.25 // intra-triple (max−min)/median acceptance
-    def measureAnchor(label: String): Unit = {
+    def measureTriple(label: String): Double = {
       var attempt = 0
-      var done = false
-      while (!done) {
+      while (true) {
         anchorOnce() // warm
         val ts = Seq.fill(3)(anchorOnce()).sorted
         val intra = if (ts(1) == 0.0) 0.0 else (ts(2) - ts(0)) / ts(1)
         System.err.println(f"[bench] __anchor_$label%s__ median=${ts(1)}%7.3f s  " +
           f"intra_spread=$intra%.3f  " +
           f"runs=[${ts.map(t => f"$t%.3f").mkString(", ")}]")
-        if (intra <= calmSpread || attempt >= settleRetries) {
-          anchorReadings += ts(1)
+        if (intra <= calmSpread || attempt >= settleRetries) return ts(1)
+        attempt += 1
+        System.err.println(s"[bench] __anchor_$label" + "__ unstable " +
+          s"(box churning) - settling and retrying ($attempt/$settleRetries)")
+        settle(settleMs * (attempt + 1))
+      }
+      0.0 // unreachable
+    }
+    def measureAnchor(label: String): Unit = anchorReadings += measureTriple(label)
+    // the START anchor is the run's baseline and the one reading with
+    // no queries around it to blame: an internally-calm triple can
+    // still be sitting on the warmup tail (calm-but-slow — the r17
+    // first live run read 0.561 at start vs 0.318 mid/end, a 0.79
+    // cross-reading spread on a quiet box). Require it REPRODUCIBLE:
+    // two consecutive triples separated by a settle must agree within
+    // 20%, else keep settling (bounded) — the later reading wins.
+    locally {
+      var prev = measureTriple("start")
+      var attempt = 0
+      var done = false
+      while (!done) {
+        settle(settleMs)
+        val cur = measureTriple("start_confirm")
+        if (math.abs(cur - prev) / math.min(cur, prev) <= 0.2 ||
+            attempt >= settleRetries) {
+          anchorReadings += cur
           done = true
         } else {
+          System.err.println(f"[bench] __anchor_start__ not reproducible " +
+            f"($prev%.3f vs $cur%.3f) - still warming/churning, retrying " +
+            s"(${attempt + 1}/$settleRetries)")
+          prev = cur
           attempt += 1
-          System.err.println(s"[bench] __anchor_$label" + "__ unstable " +
-            s"(box churning) - settling and retrying ($attempt/$settleRetries)")
-          settle(settleMs * (attempt + 1))
         }
       }
     }
-    measureAnchor("start")
     // Every inventory query is benched (the former d4 demo exclusion
     // is gone — d4 was retired for the bounded-seed d12 lookup in r9).
     // dev loop only: SPARK_GRAFT_BENCH_ONLY=q1,q2 re-times a subset

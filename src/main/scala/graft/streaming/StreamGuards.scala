@@ -66,4 +66,25 @@ object StreamGuards {
     * micro-batch. */
   def htmlGated(docs: DataFrame): DataFrame =
     graft.operators.CorpusPipeline.htmlGate(docs)
+
+  /** Streaming URL gate — crawl stage 0 on the INGEST path, before
+    * even the HTML gate: canonicalize the raw URL column
+    * ([[graft.operators.TextQueries.urlCanonical]] — the t30/d14
+    * normalize), attach `url_canon` + `domain`, and drop blocklisted
+    * domains so their bytes never enter downstream state. Stateless
+    * projection + filter, batch/stream identical. URL-EXACT dedup is
+    * stateful by nature: on a stream spell it
+    * `gated.withWatermark(...).dropDuplicates("url_canon")` (Spark's
+    * own keyed-state dedup, state bounded by the watermark); the
+    * batch/cadence spelling is d14's hash-groupBy. */
+  def urlGated(
+      docs: DataFrame,
+      blocklist: Seq[String],
+      urlCol: String = "url"): DataFrame =
+    docs
+      .withColumn("url_canon",
+        graft.operators.TextQueries.urlCanonical(col(urlCol)))
+      .withColumn("domain",
+        graft.operators.TextQueries.urlDomain(col(urlCol)))
+      .filter(!col("domain").isin(blocklist: _*))
 }

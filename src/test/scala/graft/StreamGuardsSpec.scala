@@ -58,6 +58,35 @@ class StreamGuardsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming URL gate: canonical columns attached, blocked domains dropped, stream==batch") {
+    import spark.implicits._
+    val blocklist = Seq("spam.example.com")
+    val docs = Seq(
+      (1L, "https://www.Good.EXAMPLE.com:443/a/?utm_source=x&id=1"),
+      (2L, "http://spam.example.com:80/landing"),   // blocked
+      (3L, "https://good.example.com/a?id=1"))      // 1's redirect twin
+    val batch = graft.streaming.StreamGuards
+      .urlGated(docs.toDF("doc_id", "url"), blocklist)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSet
+
+    val in = MemoryStream[(Long, String)](spark)
+    val gated = StreamGuards.urlGated(in.toDF.toDF("doc_id", "url"), blocklist)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("url_gated_docs").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("url_gated_docs")
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.map(_._1) == Set(1L, 3L), streamed.toString)
+      // redirect-pair twins converge to ONE canonical form — the key a
+      // downstream dropDuplicates("url_canon") dedups on
+      assert(streamed.map(_._2) == Set("https://good.example.com/a?id=1"))
+      assert(streamed.map(_._3) == Set("good.example.com"))
+    } finally q.stop()
+  }
+
   test("the guard runs stateless inside a structured stream") {
     import spark.implicits._
     val benchText = "alpha beta gamma delta epsilon zeta eta theta"
