@@ -183,16 +183,20 @@ object TextQueries {
   }
 
   /** Deterministic synthetic crawl URL per document — five messiness
-    * variants (rotating by `doc_id DIV 20 % 5`) of the same logical
-    * page `https://{source}.example.com/docs/p{doc_id DIV 100}?id=…`:
+    * variants (rotating by `doc_id DIV 20 % 5`) of a logical page
+    * `https://{source}.example.com/docs/p{page}?id={page}`:
     * www + default port + trailing slash + utm, uppercase host, a
-    * fragment, gclid + uppercase www, and an http://:80 spelling. Docs
-    * sharing (source, page) — doc_id ≡ k (mod 20) within one 100-block
-    * — form 5-way canonical-URL duplicate groups, one per variant, so
-    * d14/d15 have real collisions to resolve at every SF. Shared by
-    * t30/d14/d15 and their oracles ([[urlCanonSql]]). */
+    * fragment, gclid + uppercase www, and an http://:80 spelling.
+    * Sources split into two POPULATIONS so the d15 gate's every branch
+    * is live in the oracle data, not just in planted specs: sources
+    * src0–src9 (doc_id % 20 < 10) are DUP FARMS — page = doc_id DIV
+    * 100, so docs ≡ k (mod 20) within one 100-block form 5-way
+    * canonical-URL duplicate groups; sources src10–src19 publish one
+    * unique page per doc (page = doc_id, dup ratio 0 → 'keep').
+    * Shared by t30/d14/d15 and their oracles ([[urlCanonSql]]). */
   private[operators] def crawlUrlExpr: org.apache.spark.sql.Column = {
-    val page = expr("CAST(doc_id DIV 100 AS STRING)")
+    val page = expr(
+      "CAST(CASE WHEN doc_id % 20 < 10 THEN doc_id DIV 100 ELSE doc_id END AS STRING)")
     val v = expr("(doc_id DIV 20) % 5")
     when(v === 0, concat(lit("https://www."), col("source"),
         lit(".example.com:443/docs/p"), page, lit("/?utm_source=feed&id="), page))
@@ -210,26 +214,26 @@ object TextQueries {
     * url_canon)` — the oracle half of [[crawlUrlExpr]] +
     * [[urlCanonical]], shared by the t30/d14/d15 oracles. */
   private[operators] val urlCanonSql: String =
-    s"""raw AS (
+    s"""pg AS (
+         SELECT doc_id, source,
+           CAST(CASE WHEN doc_id % 20 < 10 THEN doc_id // 100
+                     ELSE doc_id END AS VARCHAR) AS p
+         FROM documents),
+       raw AS (
          SELECT doc_id, source,
            CASE (doc_id // 20) % 5
              WHEN 0 THEN 'https://www.' || source || '.example.com:443/docs/p'
-               || CAST(doc_id // 100 AS VARCHAR) || '/?utm_source=feed&id='
-               || CAST(doc_id // 100 AS VARCHAR)
+               || p || '/?utm_source=feed&id=' || p
              WHEN 1 THEN 'HTTPS://' || source || '.Example.COM/docs/p'
-               || CAST(doc_id // 100 AS VARCHAR) || '?id='
-               || CAST(doc_id // 100 AS VARCHAR) || '&utm_medium=email'
+               || p || '?id=' || p || '&utm_medium=email'
              WHEN 2 THEN 'https://' || source || '.example.com/docs/p'
-               || CAST(doc_id // 100 AS VARCHAR) || '?id='
-               || CAST(doc_id // 100 AS VARCHAR) || '#sec2'
+               || p || '?id=' || p || '#sec2'
              WHEN 3 THEN 'https://WWW.' || source || '.EXAMPLE.com/docs/p'
-               || CAST(doc_id // 100 AS VARCHAR) || '?gclid=abc&id='
-               || CAST(doc_id // 100 AS VARCHAR)
+               || p || '?gclid=abc&id=' || p
              ELSE 'http://' || source || '.example.com:80/docs/p'
-               || CAST(doc_id // 100 AS VARCHAR) || '?id='
-               || CAST(doc_id // 100 AS VARCHAR)
+               || p || '?id=' || p
            END AS raw_url
-         FROM documents),
+         FROM pg),
        parts AS (
          SELECT doc_id, source, raw_url,
            regexp_replace(regexp_replace(

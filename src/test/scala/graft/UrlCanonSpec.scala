@@ -76,7 +76,10 @@ class UrlCanonSpec extends AnyFunSuite {
       // pages by DIV 100 — plant ids that collide and ids that don't
       (0L, "srcA"), (20L, "srcA"), (40L, "srcA"), (100L, "srcA"),
       (1L, "srcB"), (21L, "srcB"), (41L, "srcB"), (61L, "srcB"), (81L, "srcB"),
-      (3L, "src3"), (103L, "src3"))
+      (3L, "src3"), (103L, "src3"),
+      // srcC sits in the unique-page population (doc_id % 20 >= 10):
+      // page = doc_id, no collisions, dup ratio 0 -> gate 'keep'
+      (10L, "srcC"), (30L, "srcC"))
       .toDF("doc_id", "source")
       .withColumn("text", org.apache.spark.sql.functions.lit("x"))
       .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
@@ -94,6 +97,11 @@ class UrlCanonSpec extends AnyFunSuite {
     val bGroups = dedup.filter(_._1.contains("srcb.example.com"))
     assert(bGroups.toSet == Set(
       ("https://srcb.example.com/docs/p0?id=0", 1L, 5L)))
+    // srcC: unique-page population — two singleton groups
+    val cGroups = dedup.filter(_._1.contains("srcc.example.com"))
+    assert(cGroups.toSet == Set(
+      ("https://srcc.example.com/docs/p10?id=10", 10L, 1L),
+      ("https://srcc.example.com/docs/p30?id=30", 30L, 1L)))
 
     val gates = DedupQueries.queries("d15_domain_gate")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
@@ -101,7 +109,8 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(gates == Set(
       ("srca.example.com", 4L, 2L, 5000L, "keep"),
       ("srcb.example.com", 5L, 1L, 8000L, "review_dup_farm"),
-      ("src3.example.com", 2L, 2L, 0L, "drop_blocklist")))
+      ("src3.example.com", 2L, 2L, 0L, "drop_blocklist"),
+      ("srcc.example.com", 2L, 2L, 0L, "keep")))
   }
 
   test("t30 normalize rides the scan: one FileScan, no shuffle before the sort") {
