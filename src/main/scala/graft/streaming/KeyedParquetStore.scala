@@ -398,24 +398,31 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     if (before.isEmpty) return
     val current = spark.read.schema(schema).parquet(path(table))
       .localCheckpoint(true) // break lineage from the files being replaced
-    // `dropWhere` rows are PURGED during the rewrite — retention folded
-    // into the compaction pass the cadence already pays, one table
-    // rewrite instead of discovery + merge + compact as separate jobs
-    // (CdcPipeline.sweepAndCompact's contract)
-    val kept = dropWhere.fold(current)(c => current.filter(!c))
-    kept
-      .repartition(col("bucket"))
-      .sortWithinPartitions((col("bucket") +: clusterBy.map(col)): _*)
-      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path(table))
-    // dynamic overwrite leaves a bucket's OLD file in place when the
-    // rewrite emits no rows for it — a fully-purged bucket must be
-    // cleared explicitly or its dropped rows resurrect
-    dropWhere.foreach { _ =>
-      val after = kept.select(col("bucket").cast("int")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      val f = fs(spark)
-      before.filterNot(after).foreach(b =>
-        f.delete(new Path(path(table), s"bucket=$b"), true))
-    }
+    try {
+      // `dropWhere` rows are PURGED during the rewrite — retention
+      // folded into the compaction pass the cadence already pays, one
+      // table rewrite instead of discovery + merge + compact as
+      // separate jobs (CdcPipeline.sweepAndCompact's contract)
+      val kept = dropWhere.fold(current)(c => current.filter(!c))
+      kept
+        .repartition(col("bucket"))
+        .sortWithinPartitions((col("bucket") +: clusterBy.map(col)): _*)
+        .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path(table))
+      // dynamic overwrite leaves a bucket's OLD file in place when the
+      // rewrite emits no rows for it — a fully-purged bucket must be
+      // cleared explicitly or its dropped rows resurrect (the distinct
+      // below reads the CHECKPOINTED blocks, not the replaced files)
+      dropWhere.foreach { _ =>
+        val after = kept.select(col("bucket").cast("int")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val f = fs(spark)
+        before.filterNot(after).foreach(b =>
+          f.delete(new Path(path(table), s"bucket=$b"), true))
+      }
+    } finally
+      // a compaction CADENCE (sweepAndCompact) must not accumulate one
+      // generation of checkpoint blocks per cycle
+      org.apache.spark.sql.graftbridge.Bridge.persistedRdd(current)
+        .foreach(_.unpersist(blocking = false))
   }
 }

@@ -36,7 +36,11 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     "s15_matryoshka_recall", // double-cosine window ranks with vid ties
     "s14_pca_power",         // 64-key integer sums (assoc-exact adds)
     "dq5_skew_advisor",      // TakeOrdered top-5 with cnt ties
-    "e9_join_size")          // CMS counter sums + inner product
+    "e9_join_size",          // CMS counter sums + inner product
+    // r17 URL family: canonical-form groupBys (min-keeper, two-level
+    // countDistinct) must not depend on which partition sees a
+    // variant first
+    "d14_url_dedup", "d15_domain_gate")
 
   // core-count invariance is NOT claimed here: newSession() shares the
   // JVM's SparkContext, so only the shuffle-partition conf actually

@@ -60,6 +60,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")), plan)
   }
 
+  test("URL-exact dedup aggregates partially map-side; no join anywhere") {
+    val plan = planOf("d14_url_dedup")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(!plan.contains("Join"), s"d14 must be a pure hash-agg dedup:\n$plan")
+  }
+
   test("d12 SimHash lookup probes the corpus with ONE broadcast EQUI-join") {
     val df = SparkEntry.queries("d12_simhash_lookup")(spark, sf)
     df.collect()
