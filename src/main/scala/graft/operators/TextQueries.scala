@@ -30,6 +30,12 @@ object TextQueries {
   val UrlRe = "https?://[^ \\t\\n\\x0B\\f\\r]+"
   val DigitsRe = "[0-9]{4,}"
 
+  /** Gopher repetition thresholds (Rae et al. §A1.1, basis points): a
+    * document whose single most frequent n-gram covers MORE than this
+    * character share is flagged — 20%/18%/16% for 2/3/4-grams. */
+  val GopherTopGramBp: Map[Int, Long] =
+    Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L)
+
   /** Word-boundary sentinel for the t22 tokenizer-apply pipeline —
     * NUL never occurs in the corpus and never appears in any merge
     * pair, so merges cannot cross word boundaries. */
@@ -603,6 +609,46 @@ object TextQueries {
           round((col("n_bigrams") - col("n_distinct")) / col("n_bigrams").cast("double"), 4))
         .withColumn("flagged", col("dup_ratio") > 0.2)
         .orderBy("doc_id")
+    },
+
+    // ── t31: Gopher top-n-gram repetition (Rae et al. §A1.1, reused
+    // verbatim by FineWeb): the fraction of a document's CHARACTERS
+    // covered by occurrences of its single most frequent n-gram, for
+    // n = 2/3/4 — the named repetition filter (t16's distinct-bigram
+    // ratio is a different, cheaper signal; this one catches a doc
+    // whose bigrams are individually distinct but one phrase
+    // dominates). One corpus scan: all three gram sizes explode from
+    // one projection (transform→struct→concat), then a per-(doc, n,
+    // gram) hash count and a per-(doc, n) argmax spelled as
+    // max(struct(cnt, gram)) — two-level partial-agg shuffle, no
+    // window, no sort before the output. Tie-break = largest gram
+    // string (deterministic both engines). Shares are integer basis
+    // points; occurrences may overlap so a degenerate doc can read
+    // > 10000 bp — kept uncapped, as the published filter does.
+    "t31_gopher_repetition" -> { (s, d) =>
+      val toks = tokenize(col("text"))
+      def tagged(n: Int) = transform(token_ngrams(toks, n),
+        g => struct(lit(n).as("n"), g.as("gram")))
+      val grams = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(concat(tagged(2), tagged(3), tagged(4))).as("e"))
+        .select(col("doc_id"), col("n_chars"),
+          col("e.n").as("n"), col("e.gram").as("gram"))
+      grams
+        .groupBy("doc_id", "n_chars", "n", "gram")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id", "n_chars", "n")
+        .agg(max(struct(col("cnt"), col("gram"))).as("m"))
+        .select(col("doc_id"), col("n"),
+          col("m.gram").as("top_gram"),
+          col("m.cnt").as("top_count"),
+          expr("(10000 * m.cnt * length(m.gram)) DIV n_chars")
+            .as("top_share_bp"))
+        .withColumn("flagged",
+          col("top_share_bp") > when(col("n") === 2, GopherTopGramBp(2))
+            .when(col("n") === 3, GopherTopGramBp(3))
+            .otherwise(GopherTopGramBp(4)))
+        .orderBy("doc_id", "n")
     },
 
     // ── t17: BM25 retrieval (Okapi k1=1.2, b=0.75) — top-20 documents
@@ -1261,6 +1307,37 @@ object TextQueries {
            CAST(SUM(chunk_len) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          FROM b GROUP BY 1, 2 ORDER BY shard, bin""",
+    // t31 — n-grams as 1-based list_slice windows, the same two-level
+    // count→argmax; DuckDB's ROW() max orders like Spark's struct max
+    // (cnt first, gram tie-break), spelled as a window for field
+    // access; generate_series(1, len−n+1) is empty for short docs,
+    // matching token_ngrams' empty array
+    "t31_gopher_repetition" ->
+      s"""WITH t AS (
+           SELECT doc_id, n_chars,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+           FROM documents),
+         g AS (
+           SELECT doc_id, n_chars, n, unnest(list_transform(
+             generate_series(1, len(ts) - n + 1),
+             i -> array_to_string(list_slice(ts, i, i + n - 1), ' '))) AS gram
+           FROM t, (SELECT unnest([2, 3, 4]) AS n)),
+         c AS (
+           SELECT doc_id, n_chars, n, gram, COUNT(*) AS cnt
+           FROM g GROUP BY 1, 2, 3, 4),
+         r AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n
+             ORDER BY cnt DESC, gram DESC) AS rn
+           FROM c)
+         SELECT doc_id, n, gram AS top_gram,
+           CAST(cnt AS BIGINT) AS top_count,
+           (10000 * cnt * length(gram)) // n_chars AS top_share_bp,
+           (10000 * cnt * length(gram)) // n_chars >
+             CASE n WHEN 2 THEN ${GopherTopGramBp(2)}
+                    WHEN 3 THEN ${GopherTopGramBp(3)}
+                    ELSE ${GopherTopGramBp(4)} END AS flagged
+         FROM r WHERE rn = 1 ORDER BY doc_id, n""",
+
     "t16_repetition" ->
       """WITH t AS (
            SELECT doc_id,

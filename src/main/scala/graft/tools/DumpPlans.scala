@@ -109,7 +109,8 @@ object DumpPlans {
     "t29_html_extract" -> "HTML/boilerplate extraction: compiled regex chain in ONE scan projection (strip/decode/link-density all in codegen), no shuffle before the output sort",
     "t30_url_canonical" -> "URL canonicalization: regex part extraction + filter/sort HOF over query params, all in one scan projection — crawl stage 0 rides the ingest scan",
     "d14_url_dedup" -> "URL-exact dedup: ONE hash-groupBy on the canonical form (map-side partial agg), nothing pairwise — the cheap dedup that runs before any content op",
-    "d15_domain_gate" -> "per-domain rollup + blocklist gate: two-level hash agg (countDistinct planned as two exchanges on |urls| then |domains|), gate logic in-row")
+    "d15_domain_gate" -> "per-domain rollup + blocklist gate: two-level hash agg (countDistinct planned as two exchanges on |urls| then |domains|), gate logic in-row",
+    "t31_gopher_repetition" -> "Gopher top-n-gram char share: one scan (3 gram sizes from one projection), per-(doc,n,gram) hash count then per-(doc,n) argmax as max(struct) - two partial-agg shuffles, NO window, no sort before output")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -256,7 +256,10 @@ object ScaleProbe {
       // r17: crawl stage 0 — the normalize is a scan projection
       // (linear), the dedup/rollup one-two hash aggs whose exchanges
       // carry |urls| not |corpus bytes|
-      "t30_url_canonical", "d14_url_dedup", "d15_domain_gate")
+      "t30_url_canonical", "d14_url_dedup", "d15_domain_gate",
+      // r17: Gopher repetition — exploded (doc, n, gram) count + argmax;
+      // the exchange carries |grams|, linear in corpus tokens
+      "t31_gopher_repetition")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
