@@ -232,12 +232,22 @@ object Monitor {
             val secs = graft.streaming.CdcPipeline
               .timeLagSeconds(spark, store, f, feedHasData)
             // distinguish "never stamped" from "stamp gone stale"
-            // (LSN advanced past the last commitTs-bearing event) —
-            // different operator actions (check the capture side vs
-            // check why events stopped carrying commitTs)
+            // (LSN advanced past the last commitTs-bearing event) from
+            // "stamp current but the RETAINED feed carries no commitTs"
+            // (e.g. pruning removed every commitTs-bearing file) —
+            // three different operator actions (check the capture side
+            // vs check why events stopped carrying commitTs vs check
+            // feed retention). The stale wording only fires when the
+            // sidecar LSN actually differs from the applied LSN;
+            // printing "stale at lsn=X (applied lsn=X)" sent the
+            // operator to the wrong place.
             val unknownDetail =
               if (!feedHasData) "empty feed"
               else store.appliedCommitTsAt(spark) match {
+                case Some((l, _))
+                    if store.appliedLsn(spark).contains(l) =>
+                  s"unknown - commit-time stamp current at lsn=$l but " +
+                    "the retained feed events carry no commitTs"
                 case Some((l, _)) =>
                   s"unknown - commit-time stamp stale at lsn=$l " +
                     s"(applied lsn=${store.appliedLsn(spark).getOrElse(-1L)}); " +

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the text-dedup and vector-similarity
@@ -298,6 +298,140 @@ object HashOps {
     bucket
   }
 
+  /** Top n-gram per gram size (n = 2/3/4) of a token array — the
+    * compiled per-document reducer behind t31 (Gopher top-n-gram
+    * repetition). The top-gram share is a PER-DOCUMENT statistic, so
+    * nothing about it needs a shuffle: one hash map over the doc's
+    * grams per gram size, with a running argmax whose tie-break is
+    * exactly `max(struct(cnt, gram))` — larger count wins, then the
+    * binary-larger gram string (UTF8String.compareTo == Spark's
+    * StringType ordering == DuckDB's default binary collation). The
+    * running argmax is exact: counts only grow, so when a gram reaches
+    * its final count it is compared against a best whose count is ≤
+    * the true max, and later ties re-compare on the gram string.
+    * Returns one (n, gram, cnt) struct per gram size that has at
+    * least one gram (docs shorter than n tokens skip that n, matching
+    * the empty `generate_series` in the oracle). Replaces the former
+    * explode→count→argmax spelling whose two global exchanges carried
+    * ~3× the corpus token volume. */
+  def topGrams(arr: ArrayData): ArrayData = {
+    val len = arr.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    val sep = UTF8String.fromString(" ")
+    var n = 2
+    while (n <= 4) {
+      val m = len - n + 1
+      if (m > 0) {
+        val counts = new java.util.HashMap[UTF8String, java.lang.Long]()
+        var best: UTF8String = null
+        var bestCnt = 0L
+        var i = 0
+        while (i < m) {
+          val parts = new Array[UTF8String](2 * n - 1)
+          var j = 0
+          while (j < n) {
+            parts(2 * j) = arr.getUTF8String(i + j)
+            if (j < n - 1) parts(2 * j + 1) = sep
+            j += 1
+          }
+          val gram = UTF8String.concat(parts: _*)
+          val prev = counts.get(gram)
+          val c = if (prev == null) 1L else prev + 1L
+          counts.put(gram, c)
+          if (c > bestCnt || (c == bestCnt && gram.compareTo(best) > 0)) {
+            best = gram
+            bestCnt = c
+          }
+          i += 1
+        }
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n, best, bestCnt))
+      }
+      n += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Duplicated n-gram character coverage for n = 5..10 — the Gopher
+    * "duplicate n-gram char fraction" numerators (Rae et al. §A1.1
+    * rows 4–9), one compiled per-document pass per gram size: for each
+    * n, Σ over grams occurring ≥ 2 times of cnt·len(gram) — ALL
+    * occurrences of any duplicated n-gram count, not just the top one
+    * (t31's signal) and not just the repeats. Returns the six sums as
+    * an array indexed n−5. Like [[topGrams]], a per-doc statistic that
+    * never needs a shuffle. */
+  def dupGramChars(arr: ArrayData): ArrayData = {
+    val len = arr.numElements()
+    val sep = UTF8String.fromString(" ")
+    val sums = new Array[Long](6)
+    var n = 5
+    while (n <= 10) {
+      val m = len - n + 1
+      if (m > 0) {
+        val counts = new java.util.HashMap[UTF8String, java.lang.Long]()
+        var i = 0
+        while (i < m) {
+          val parts = new Array[UTF8String](2 * n - 1)
+          var j = 0
+          while (j < n) {
+            parts(2 * j) = arr.getUTF8String(i + j)
+            if (j < n - 1) parts(2 * j + 1) = sep
+            j += 1
+          }
+          val gram = UTF8String.concat(parts: _*)
+          val prev = counts.get(gram)
+          counts.put(gram, if (prev == null) 1L else prev + 1L)
+          i += 1
+        }
+        var acc = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c: Long = e.getValue
+          if (c >= 2L) acc += c * e.getKey.numChars()
+        }
+        sums(n - 5) = acc
+      }
+      n += 1
+    }
+    new GenericArrayData(sums)
+  }
+
+  /** Duplicate-element stats of a string array (lines or paragraphs of
+    * one document), skipping empty elements: returns
+    * [total, dupCount, dupChars] where dupCount = Σ over elements
+    * occurring ≥ 2 times of (cnt − 1) — occurrences BEYOND the first,
+    * the published duplicate-line/paragraph fraction numerator — and
+    * dupChars = Σ (cnt − 1)·len(elem). One compiled per-document
+    * pass; chars are Unicode code-point counts (same as `length`). */
+  def dupElemStats(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long]()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val e = arr.getUTF8String(i)
+      if (e.numBytes() > 0) {
+        total += 1
+        val prev = counts.get(e)
+        counts.put(e, if (prev == null) 1L else prev + 1L)
+      }
+      i += 1
+    }
+    var dupCnt = 0L
+    var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c: Long = e.getValue
+      if (c >= 2L) {
+        dupCnt += c - 1
+        dupChars += (c - 1) * e.getKey.numChars()
+      }
+    }
+    new GenericArrayData(Array[Long](total, dupCnt, dupChars))
+  }
+
   /** 16-bit SimHash of a token-hash array: bit b is set iff
     * Σ_tokens (bit(h,b)·2 − 1) > 0. Summing ±1 per occurrence equals
     * the grouped Σ_distinct w·(bit·2−1) formulation exactly (the
@@ -585,6 +719,74 @@ case class LuhnValidCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `top_grams(t ARRAY<STRING>) -> ARRAY<STRUCT<n INT, gram STRING,
+  * cnt BIGINT>>` — per-document top n-gram for n = 2/3/4 (see
+  * [[HashOps.topGrams]]); t31's reducer. `inline` the result for the
+  * (doc, n) output grain — a 3-element Generate, never a gram
+  * explode. */
+case class TopGrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("gram", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "top_grams"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_grams takes ARRAY<STRING>, got ${dt.sql}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.topGrams(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.topGrams($c)")
+  override protected def withNewChildInternal(newChild: Expression): TopGrams =
+    copy(child = newChild)
+}
+
+/** `dup_gram_chars(t ARRAY<STRING>) -> ARRAY<BIGINT>` — duplicated
+  * n-gram char coverage for n = 5..10, indexed n−5 (see
+  * [[HashOps.dupGramChars]]); t32's gram reducer. */
+case class DupGramChars(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dup_gram_chars"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dup_gram_chars takes ARRAY<STRING>, got ${dt.sql}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.dupGramChars(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.dupGramChars($c)")
+  override protected def withNewChildInternal(newChild: Expression): DupGramChars =
+    copy(child = newChild)
+}
+
+/** `dup_elem_stats(a ARRAY<STRING>) -> ARRAY<BIGINT>` —
+  * [total, dupCount, dupChars] over non-empty elements (see
+  * [[HashOps.dupElemStats]]); t32's line/paragraph reducer. */
+case class DupElemStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dup_elem_stats"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dup_elem_stats takes ARRAY<STRING>, got ${dt.sql}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.dupElemStats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.dupElemStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): DupElemStats =
+    copy(child = newChild)
+}
+
 /** `log_bucket(v BIGINT) -> INT` — fixed monotone log bucketing (see
   * [[HashOps.logBucket]]); powers the two-pass exact quantile
   * selection in `Ranks.groupQuantilesDisc`. */
@@ -623,6 +825,11 @@ object HashExprs {
     Bridge.column(CharSyms(Bridge.expression(c), bound))
   def luhn_valid_count(c: Column): Column =
     Bridge.column(LuhnValidCount(Bridge.expression(c)))
+  def top_grams(c: Column): Column = Bridge.column(TopGrams(Bridge.expression(c)))
+  def dup_gram_chars(c: Column): Column =
+    Bridge.column(DupGramChars(Bridge.expression(c)))
+  def dup_elem_stats(c: Column): Column =
+    Bridge.column(DupElemStats(Bridge.expression(c)))
 
   def char_fold(c: Column): Column = Bridge.column(CharFold(Bridge.expression(c)))
   def tokenize(c: Column): Column = Bridge.column(Tokenize(Bridge.expression(c)))

@@ -355,6 +355,10 @@ object DedupQueries {
       val raw = TextQueries.crawlUrlExpr
       Tables.load(s, d, "documents")
         .select(col("doc_id"), TextQueries.urlCanonical(raw).as("url_canon"))
+        // unparseable URLs canonicalize to NULL — excluded here so they
+        // never dedup against EACH OTHER (the oracle's synthetic URLs
+        // all parse; the branch is pinned by UrlCanonSpec)
+        .filter(col("url_canon").isNotNull)
         .groupBy("url_canon")
         .agg(min("doc_id").as("keeper_doc"), count(lit(1)).as("n_dups"))
         .orderBy("url_canon")

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{bpe_merge_step, char_fold, char_fold_array, char_syms, count_in, luhn_valid_count, shingle_hashes, subword_count, token_ngrams, tokenize, winnow}
+import graft.functions.HashExprs.{bpe_merge_step, char_fold, char_fold_array, char_syms, count_in, dup_elem_stats, dup_gram_chars, luhn_valid_count, shingle_hashes, subword_count, token_ngrams, tokenize, top_grams, winnow}
 import graft.sources.Tables
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -35,6 +35,21 @@ object TextQueries {
     * character share is flagged — 20%/18%/16% for 2/3/4-grams. */
   val GopherTopGramBp: Map[Int, Long] =
     Map(2 -> 2000L, 3 -> 1800L, 4 -> 1600L)
+
+  /** Gopher duplicate-fraction thresholds (Rae et al. Table A1, basis
+    * points) — the rest of the repetition suite beyond the top-gram
+    * rows: a document is flagged when MORE than 30% of its lines /
+    * paragraphs are duplicates (occurrences beyond the first), when
+    * duplicated lines / paragraphs cover more than 20% of its
+    * characters, or when ALL occurrences of any duplicated n-gram
+    * cover more than 15%/14%/13%/12%/11%/10% of its characters for
+    * n = 5..10. */
+  val GopherDupLineBp: Long = 3000L
+  val GopherDupParaBp: Long = 3000L
+  val GopherDupLineCharBp: Long = 2000L
+  val GopherDupParaCharBp: Long = 2000L
+  val GopherDupGramBp: Map[Int, Long] = Map(
+    5 -> 1500L, 6 -> 1400L, 7 -> 1300L, 8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
 
   /** Word-boundary sentinel for the t22 tokenizer-apply pipeline —
     * NUL never occurs in the corpus and never appears in any merge
@@ -116,8 +131,14 @@ object TextQueries {
     * extracts for the parts, a filter/sort HOF for the params — so the
     * whole normalize runs inside the scan projection with no UDF and
     * no shuffle; DuckDB replays it exactly ([[urlCanonSql]]). Inputs
-    * that don't parse as `scheme://…` canonicalize to `https://` +
-    * empty host (garbage in, one well-known sentinel out). */
+    * that don't parse as `scheme://…` canonicalize to NULL: a single
+    * non-null sentinel would collapse EVERY malformed-URL document
+    * into one canonical group on real data and count them as
+    * duplicates of each other — null never equals null in a groupBy
+    * key only if excluded, so the d14 dedup filters null out and the
+    * streaming gate passes such rows through. (The oracle's synthetic
+    * URLs all parse by construction, so the null branch is pinned by
+    * UrlCanonSpec rather than the DuckDB compare.) */
   def urlCanonical(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val host = regexp_replace(regexp_replace(
       lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
@@ -128,17 +149,22 @@ object TextQueries {
     val q = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
     val qs = array_join(array_sort(filter(split(q, "&"),
       x => x =!= lit("") && !x.rlike(TrackingParamRe))), "&")
-    concat(lit("https://"), host, path,
-      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+    when(u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+      concat(lit("https://"), host, path,
+        when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+      .otherwise(lit(null).cast("string"))
   }
 
   /** Canonical registrable host of a URL column — the domain key for
     * per-domain rollups and blocklist gates (same host normalize as
-    * [[urlCanonical]]). */
+    * [[urlCanonical]], same NULL-on-unparseable contract so malformed
+    * URLs never pool under one '' pseudo-domain). */
   def urlDomain(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_replace(regexp_replace(
-      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
-      "^www\\.", ""), ":(80|443)$", "")
+    when(u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+      regexp_replace(regexp_replace(
+        lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        "^www\\.", ""), ":(80|443)$", ""))
+      .otherwise(lit(null).cast("string"))
 
   // ── t29's extraction chain, factored as reusable column
   // expressions so the corpus funnel (CorpusPipeline.htmlGate) and the
@@ -259,6 +285,54 @@ object TextQueries {
            'https://' || host || path ||
              CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_canon
          FROM parts)"""
+
+  /** Deterministic synthetic crawl PAGE per document — the multi-line
+    * companion of [[crawlUrlExpr]] (the stored `documents.text` is
+    * single-line, so the line/paragraph-grain operators t32/c11 would
+    * read trivially zero on it; like the URL family, the messiness is
+    * constructed deterministically IN the query so every branch is
+    * live in the oracle data, not just in planted specs). A page is
+    * paragraph blocks joined by a blank line (`\n\n`):
+    * a nav paragraph identical across ALL documents, the document's
+    * own text as the body, for `doc_id % 5 = 0` a promo paragraph of
+    * `1 + doc_id % 6` identical "subscribe…" lines (the intra-doc
+    * duplicate-LINE signal), duplicated WHOLE for `doc_id % 10 = 0`
+    * (the duplicate-PARAGRAPH signal), and a per-source footer (the
+    * cross-doc boilerplate c11 removes: shared by every doc of the
+    * source). Shared by t32/c11 and their oracles
+    * ([[crawlPageSql]]). */
+  private[operators] def crawlPageExpr: org.apache.spark.sql.Column = {
+    val nav = lit("Home | About | Contact")
+    val footer = concat(lit("(c) "), col("source"), lit(" syndication network"))
+    val promo = expr(
+      "array_join(array_repeat('subscribe now for daily updates', " +
+        "CAST(1 + doc_id % 6 AS INT)), '\n')")
+    val blocks = when(expr("doc_id % 10 = 0"),
+        array(nav, col("text"), promo, promo, footer))
+      .when(expr("doc_id % 5 = 0"),
+        array(nav, col("text"), promo, footer))
+      .otherwise(array(nav, col("text"), footer))
+    array_join(blocks, "\n\n")
+  }
+
+  /** DuckDB CTE `page(doc_id, source, page)` — the oracle half of
+    * [[crawlPageExpr]], shared by the t32/c11 oracles. */
+  private[operators] val crawlPageSql: String =
+    """page AS (
+         SELECT doc_id, source,
+           array_to_string(
+             CASE WHEN doc_id % 10 = 0
+                    THEN ['Home | About | Contact', text, promo, promo, footer]
+                  WHEN doc_id % 5 = 0
+                    THEN ['Home | About | Contact', text, promo, footer]
+                  ELSE ['Home | About | Contact', text, footer] END,
+             chr(10) || chr(10)) AS page
+         FROM (
+           SELECT *,
+             array_to_string(list_transform(range(1 + doc_id % 6),
+               x -> 'subscribe now for daily updates'), chr(10)) AS promo,
+             '(c) ' || source || ' syndication network' AS footer
+           FROM documents))"""
 
   /** Shared t3/t20 front end: per-doc stopword scores + the guess
     * cascade, with the ground-truth label carried alongside. */
@@ -617,38 +691,83 @@ object TextQueries {
     // n = 2/3/4 — the named repetition filter (t16's distinct-bigram
     // ratio is a different, cheaper signal; this one catches a doc
     // whose bigrams are individually distinct but one phrase
-    // dominates). One corpus scan: all three gram sizes explode from
-    // one projection (transform→struct→concat), then a per-(doc, n,
-    // gram) hash count and a per-(doc, n) argmax spelled as
-    // max(struct(cnt, gram)) — two-level partial-agg shuffle, no
-    // window, no sort before the output. Tie-break = largest gram
+    // dominates). The top-gram share is a PER-DOCUMENT statistic, so
+    // the whole computation is one compiled reducer riding the scan
+    // projection ([[graft.functions.HashOps.topGrams]] — t24's
+    // Luhn-reducer idiom): per-doc gram hash map + running argmax
+    // with the max(struct(cnt, gram)) tie-break, all three gram sizes
+    // in one call, then a 3-element `inline` for the (doc, n) output
+    // grain. No gram explode, no aggregate, ZERO exchanges before the
+    // output sort — the former explode→count→argmax spelling paid two
+    // global shuffles carrying ~3× the corpus token volume for a
+    // quantity each row computes alone. Tie-break = largest gram
     // string (deterministic both engines). Shares are integer basis
     // points; occurrences may overlap so a degenerate doc can read
     // > 10000 bp — kept uncapped, as the published filter does.
     "t31_gopher_repetition" -> { (s, d) =>
-      val toks = tokenize(col("text"))
-      def tagged(n: Int) = transform(token_ngrams(toks, n),
-        g => struct(lit(n).as("n"), g.as("gram")))
-      val grams = Tables.load(s, d, "documents")
+      Tables.load(s, d, "documents")
         .select(col("doc_id"), col("n_chars"),
-          explode(concat(tagged(2), tagged(3), tagged(4))).as("e"))
-        .select(col("doc_id"), col("n_chars"),
-          col("e.n").as("n"), col("e.gram").as("gram"))
-      grams
-        .groupBy("doc_id", "n_chars", "n", "gram")
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id", "n_chars", "n")
-        .agg(max(struct(col("cnt"), col("gram"))).as("m"))
+          inline(top_grams(tokenize(col("text")))))
         .select(col("doc_id"), col("n"),
-          col("m.gram").as("top_gram"),
-          col("m.cnt").as("top_count"),
-          expr("(10000 * m.cnt * length(m.gram)) DIV n_chars")
+          col("gram").as("top_gram"),
+          col("cnt").as("top_count"),
+          expr("(10000 * cnt * length(gram)) DIV n_chars")
             .as("top_share_bp"))
         .withColumn("flagged",
           col("top_share_bp") > when(col("n") === 2, GopherTopGramBp(2))
             .when(col("n") === 3, GopherTopGramBp(3))
             .otherwise(GopherTopGramBp(4)))
         .orderBy("doc_id", "n")
+    },
+
+    // ── t32: the REST of the Gopher repetition suite (Rae et al.
+    // Table A1 rows t31 doesn't cover, the rules CCNet/RefinedWeb/
+    // FineWeb apply before anything else): duplicate-line and
+    // duplicate-paragraph fractions (occurrences beyond the first,
+    // count- and character-weighted) plus the duplicate n-gram
+    // character fraction for n = 5..10 (ALL occurrences of any
+    // duplicated n-gram — not the top one, t31's different signal).
+    // Runs over the synthetic crawl PAGE (crawlPageExpr — the stored
+    // text is single-line) and is a pure scan projection end to end:
+    // three compiled per-doc reducers (dup_gram_chars, dup_elem_stats
+    // over lines, dup_elem_stats over paragraphs) — no explode, no
+    // aggregate, no window, zero exchanges before the output sort.
+    // All shares are integer basis points over the page's OWN length
+    // (Gopher normalizes by document characters). A doc can pass t31
+    // (no single dominant gram) while failing the dup-5-gram coverage
+    // here — the planted spec pins that contrast.
+    "t32_gopher_dup_fractions" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), crawlPageExpr.as("page"))
+        .select(col("doc_id"),
+          length(col("page")).cast("long").as("page_chars"),
+          dup_gram_chars(tokenize(col("page"))).as("dg"),
+          dup_elem_stats(split(col("page"), "\n")).as("ls"),
+          dup_elem_stats(split(col("page"), "\n\n")).as("ps"))
+        .select(col("doc_id"), col("page_chars"),
+          col("ls")(0).as("n_lines"),
+          expr("(10000 * ls[1]) DIV ls[0]").as("dup_line_bp"),
+          expr("(10000 * ls[2]) DIV page_chars").as("dup_line_char_bp"),
+          expr("(10000 * ps[1]) DIV ps[0]").as("dup_para_bp"),
+          expr("(10000 * ps[2]) DIV page_chars").as("dup_para_char_bp"),
+          expr("(10000 * dg[0]) DIV page_chars").as("dup5_bp"),
+          expr("(10000 * dg[1]) DIV page_chars").as("dup6_bp"),
+          expr("(10000 * dg[2]) DIV page_chars").as("dup7_bp"),
+          expr("(10000 * dg[3]) DIV page_chars").as("dup8_bp"),
+          expr("(10000 * dg[4]) DIV page_chars").as("dup9_bp"),
+          expr("(10000 * dg[5]) DIV page_chars").as("dup10_bp"))
+        .withColumn("flagged",
+          col("dup_line_bp") > GopherDupLineBp ||
+            col("dup_para_bp") > GopherDupParaBp ||
+            col("dup_line_char_bp") > GopherDupLineCharBp ||
+            col("dup_para_char_bp") > GopherDupParaCharBp ||
+            col("dup5_bp") > GopherDupGramBp(5) ||
+            col("dup6_bp") > GopherDupGramBp(6) ||
+            col("dup7_bp") > GopherDupGramBp(7) ||
+            col("dup8_bp") > GopherDupGramBp(8) ||
+            col("dup9_bp") > GopherDupGramBp(9) ||
+            col("dup10_bp") > GopherDupGramBp(10))
+        .orderBy("doc_id")
     },
 
     // ── t17: BM25 retrieval (Okapi k1=1.2, b=0.75) — top-20 documents
@@ -1337,6 +1456,85 @@ object TextQueries {
                     WHEN 3 THEN ${GopherTopGramBp(3)}
                     ELSE ${GopherTopGramBp(4)} END AS flagged
          FROM r WHERE rn = 1 ORDER BY doc_id, n""",
+
+    // t32 — the relational replay of the three compiled reducers over
+    // the shared synthetic page: n-grams as list_slice windows for
+    // n = 5..10 summed over cnt>=2 groups, line/paragraph splits
+    // grouped per element with (cnt-1)-weighted dup counts; the
+    // LEFT JOIN + COALESCE keeps docs whose grams have no duplicates
+    "t32_gopher_dup_fractions" ->
+      s"""WITH $crawlPageSql,
+         t AS (
+           SELECT doc_id, page,
+             list_filter(string_split_regex(page, '\\s+'), x -> x <> '') AS ts
+           FROM page),
+         g AS (
+           SELECT doc_id, n, unnest(list_transform(
+             generate_series(1, len(ts) - n + 1),
+             i -> array_to_string(list_slice(ts, i, i + n - 1), ' '))) AS gram
+           FROM t, (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n)),
+         gc AS (
+           SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+         dgn AS (
+           SELECT doc_id, n, CAST(SUM(cnt * length(gram)) AS BIGINT) AS dchars
+           FROM gc WHERE cnt >= 2 GROUP BY 1, 2),
+         dg AS (
+           SELECT t.doc_id,
+             COALESCE(MAX(CASE WHEN n = 5 THEN dchars END), 0) AS d5,
+             COALESCE(MAX(CASE WHEN n = 6 THEN dchars END), 0) AS d6,
+             COALESCE(MAX(CASE WHEN n = 7 THEN dchars END), 0) AS d7,
+             COALESCE(MAX(CASE WHEN n = 8 THEN dchars END), 0) AS d8,
+             COALESCE(MAX(CASE WHEN n = 9 THEN dchars END), 0) AS d9,
+             COALESCE(MAX(CASE WHEN n = 10 THEN dchars END), 0) AS d10
+           FROM t LEFT JOIN dgn ON t.doc_id = dgn.doc_id GROUP BY 1),
+         ln AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split(page, chr(10)), x -> x <> '')) AS e
+           FROM page),
+         lc AS (SELECT doc_id, e, COUNT(*) AS cnt FROM ln GROUP BY 1, 2),
+         ls AS (
+           SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN cnt >= 2 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS dcnt,
+             CAST(SUM(CASE WHEN cnt >= 2 THEN (cnt - 1) * length(e) ELSE 0 END)
+               AS BIGINT) AS dchars
+           FROM lc GROUP BY 1),
+         pn AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split(page, chr(10) || chr(10)),
+               x -> x <> '')) AS e
+           FROM page),
+         pc AS (SELECT doc_id, e, COUNT(*) AS cnt FROM pn GROUP BY 1, 2),
+         ps AS (
+           SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN cnt >= 2 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS dcnt,
+             CAST(SUM(CASE WHEN cnt >= 2 THEN (cnt - 1) * length(e) ELSE 0 END)
+               AS BIGINT) AS dchars
+           FROM pc GROUP BY 1)
+         SELECT p.doc_id, CAST(length(p.page) AS BIGINT) AS page_chars,
+           ls.total AS n_lines,
+           (10000 * ls.dcnt) // ls.total AS dup_line_bp,
+           (10000 * ls.dchars) // length(p.page) AS dup_line_char_bp,
+           (10000 * ps.dcnt) // ps.total AS dup_para_bp,
+           (10000 * ps.dchars) // length(p.page) AS dup_para_char_bp,
+           (10000 * dg.d5) // length(p.page) AS dup5_bp,
+           (10000 * dg.d6) // length(p.page) AS dup6_bp,
+           (10000 * dg.d7) // length(p.page) AS dup7_bp,
+           (10000 * dg.d8) // length(p.page) AS dup8_bp,
+           (10000 * dg.d9) // length(p.page) AS dup9_bp,
+           (10000 * dg.d10) // length(p.page) AS dup10_bp,
+           ((10000 * ls.dcnt) // ls.total > $GopherDupLineBp OR
+            (10000 * ps.dcnt) // ps.total > $GopherDupParaBp OR
+            (10000 * ls.dchars) // length(p.page) > $GopherDupLineCharBp OR
+            (10000 * ps.dchars) // length(p.page) > $GopherDupParaCharBp OR
+            (10000 * dg.d5) // length(p.page) > ${GopherDupGramBp(5)} OR
+            (10000 * dg.d6) // length(p.page) > ${GopherDupGramBp(6)} OR
+            (10000 * dg.d7) // length(p.page) > ${GopherDupGramBp(7)} OR
+            (10000 * dg.d8) // length(p.page) > ${GopherDupGramBp(8)} OR
+            (10000 * dg.d9) // length(p.page) > ${GopherDupGramBp(9)} OR
+            (10000 * dg.d10) // length(p.page) > ${GopherDupGramBp(10)}) AS flagged
+         FROM page p
+         JOIN ls USING (doc_id) JOIN ps USING (doc_id) JOIN dg USING (doc_id)
+         ORDER BY doc_id""",
 
     "t16_repetition" ->
       """WITH t AS (

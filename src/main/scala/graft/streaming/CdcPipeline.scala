@@ -643,10 +643,11 @@ object CdcPipeline {
         s"$SoftDeleteCol/$SyncedLsnCol) - sweepAndCompact only applies " +
         "to snapshotSoft/applyBatchSoft targets")
     val expired = col(SoftDeleteCol) && col(SyncedLsnCol) <= upToLsn
-    val n = store.read(spark, table).filter(expired).count()
+    // the purge count comes from compact's OWN checkpointed read — a
+    // separate pre-count here would race a concurrent applyBatchSoft
+    // landing between the two reads (purged-but-uncounted rows)
     store.compact(spark, table,
       clusterBy = Seq(SyncedLsnCol), dropWhere = Some(expired))
-    n
   }
 
   /** Apply one micro-batch: multi-table fan-out (C6), last-per-key

@@ -389,21 +389,38 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
     * bucket during the rewrite. Parquet row-group min/max statistics
     * (zone maps) then become disjoint ranges on those columns, so
     * range/point predicates skip whole row groups at scan time — the
-    * parquet-native analogue of clustered-index maintenance. */
+    * parquet-native analogue of clustered-index maintenance.
+    *
+    * Returns the number of rows PURGED by `dropWhere` (0 when none is
+    * given), counted against the same checkpointed read the rewrite
+    * consumes — so the count and the purge can never disagree, even
+    * when a concurrent `applyBatchSoft` lands mid-compact (rows it
+    * expires are simply part of the NEXT cycle).
+    *
+    * Crash window: the fully-purged-bucket cleanup below runs as a
+    * separate FS pass AFTER the dynamic-overwrite commit. A crash
+    * between the two leaves such a bucket's old file in place and its
+    * dropped rows visible again until the next cadence run — the purge
+    * predicate is stable (`expired` only grows), so a re-run heals it
+    * idempotently; durability of a purge is therefore "by the end of
+    * the next completed cadence cycle", not "at job exit". */
   def compact(spark: SparkSession, table: String, clusterBy: Seq[String] = Nil,
-      dropWhere: Option[Column] = None): Unit = {
+      dropWhere: Option[Column] = None): Long = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val schema = schemaOf(spark, table)
     val before = bucketsOnDisk(spark, table)
-    if (before.isEmpty) return
+    if (before.isEmpty) return 0L
     val current = spark.read.schema(schema).parquet(path(table))
       .localCheckpoint(true) // break lineage from the files being replaced
     try {
       // `dropWhere` rows are PURGED during the rewrite — retention
       // folded into the compaction pass the cadence already pays, one
       // table rewrite instead of discovery + merge + compact as
-      // separate jobs (CdcPipeline.sweepAndCompact's contract)
-      val kept = dropWhere.fold(current)(c => current.filter(!c))
+      // separate jobs (CdcPipeline.sweepAndCompact's contract). A row
+      // where the predicate evaluates to NULL (e.g. null _deleted) is
+      // KEPT — retention must fail toward retaining.
+      val kept = dropWhere.fold(current)(c =>
+        current.filter(!coalesce(c, lit(false))))
       kept
         .repartition(col("bucket"))
         .sortWithinPartitions((col("bucket") +: clusterBy.map(col)): _*)
@@ -412,12 +429,14 @@ class KeyedParquetStore(val root: String, val nBuckets: Int = 16) {
       // rewrite emits no rows for it — a fully-purged bucket must be
       // cleared explicitly or its dropped rows resurrect (the distinct
       // below reads the CHECKPOINTED blocks, not the replaced files)
-      dropWhere.foreach { _ =>
+      dropWhere.fold(0L) { c =>
         val after = kept.select(col("bucket").cast("int")).distinct()
           .collect().map(_.getInt(0)).toSet
         val f = fs(spark)
         before.filterNot(after).foreach(b =>
           f.delete(new Path(path(table), s"bucket=$b"), true))
+        // same checkpointed blocks the rewrite read — count == purge
+        current.filter(coalesce(c, lit(false))).count()
       }
     } finally
       // a compaction CADENCE (sweepAndCompact) must not accumulate one

@@ -86,5 +86,9 @@ object StreamGuards {
         graft.operators.TextQueries.urlCanonical(col(urlCol)))
       .withColumn("domain",
         graft.operators.TextQueries.urlDomain(col(urlCol)))
-      .filter(!col("domain").isin(blocklist: _*))
+      // unparseable URLs carry NULL canon/domain: they PASS the gate
+      // (they can't match a blocklist and must not pool together) and
+      // a downstream dropDuplicates("url_canon") must exclude null —
+      // null-keyed state would dedup all malformed docs as one
+      .filter(col("domain").isNull || !col("domain").isin(blocklist: _*))
 }

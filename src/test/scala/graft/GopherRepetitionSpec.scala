@@ -62,6 +62,78 @@ class GopherRepetitionSpec extends AnyFunSuite {
     assert(out((4L, 2))._1 == "b b", out((4L, 2)).toString)
   }
 
+  private def runT32(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("t32").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'web' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    (dir, TextQueries.queries("t32_gopher_dup_fractions")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getBoolean(13))))
+      .toMap) // doc -> (n_lines, line_bp, line_char_bp, para_bp, para_char_bp, dup5_bp, flagged)
+  }
+
+  test("t32 duplicate-fraction suite: every rule on a planted page, " +
+    "including the doc t31 passes but dup-5-gram coverage fails") {
+    // doc 1 (no promo branch): 40 distinct 3-char tokens repeated
+    // twice — NO dominant single gram (t31 clean at every n) but every
+    // in-copy 5-gram occurs twice: the published dup-n-gram rule
+    // catches what the top-gram rule structurally cannot
+    val periodic = ((1 to 40) ++ (1 to 40)).map(i => f"q$i%02d").mkString(" ")
+    // doc 2: the body itself carries duplicate PARAGRAPHS (planted
+    // \n\n) — para fraction 2/5 = 4000 bp > 3000 fires
+    val dupParas = "red blue green\n\nred blue green\n\nred blue green"
+    // doc 3: diverse single-line prose — everything 0, clean
+    val clean = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra"
+    // doc 15 (promo branch, r = 1+15%6 = 4): four identical promo
+    // lines — dup-line fraction 3/7 fires
+    // doc 20 (dup-para branch, r = 1+20%6 = 3, promo para twice):
+    // para fraction is EXACTLY 2000 bp (1 dup of 5 paras... see
+    // below) — the para-COUNT rule stays quiet under strict >, the
+    // para-CHAR rule fires
+    val (dir, out) = runT32(Seq(
+      1L -> periodic, 2L -> dupParas, 3L -> clean,
+      15L -> "alpha beta gamma", 20L -> "alpha beta gamma"))
+
+    // doc 1: t31 clean at n = 2/3/4 on the same planted dir
+    val t31 = TextQueries.queries("t31_gopher_repetition")(spark, dir)
+      .filter("doc_id = 1").collect()
+    assert(t31.length == 3 && t31.forall(!_.getBoolean(5)),
+      t31.mkString("; "))
+    // ...but 36 distinct 5-grams × 2 occurrences × 19 chars over the
+    // 372-char page = 36774 bp — flagged
+    val d1 = out(1L)
+    assert(d1._6 == 36774L && d1._7, d1.toString)
+    assert(d1._2 == 0L && d1._4 == 0L, d1.toString) // no line/para dups
+
+    // doc 2: paras nav|p|p|p|footer -> 2 dups of 5 = 4000 bp; the
+    // same three lines dup at line grain too
+    val d2 = out(2L)
+    assert(d2._4 == 4000L && d2._2 == 4000L && d2._1 == 5L && d2._7,
+      d2.toString)
+
+    // doc 3: every statistic zero, clean
+    assert(out(3L) == ((3L, 0L, 0L, 0L, 0L, 0L, false)), out(3L).toString)
+
+    // doc 15: lines nav|body|promo×4|footer -> 3 dups of 7 = 4285 bp;
+    // dup line chars 3×31 over the 198-char page = 4696 bp
+    val d15 = out(15L)
+    assert(d15._1 == 7L && d15._2 == 4285L && d15._3 == 4696L && d15._7,
+      d15.toString)
+    assert(d15._4 == 0L, d15.toString) // one promo para — no para dup
+
+    // doc 20: dup_para_bp exactly AT 2000 (1 dup of 5 paras) — under
+    // the 3000 threshold; the 95 duplicated para chars over the
+    // 263-char page = 3612 bp > 2000 fire the char rule instead
+    val d20 = out(20L)
+    assert(d20._4 == 2000L && d20._5 == 3612L && d20._7, d20.toString)
+  }
+
   test("distinct signal from t16: a dominant phrase among distinct bigrams") {
     import spark.implicits._
     // every bigram DISTINCT except the dominant phrase: t16's

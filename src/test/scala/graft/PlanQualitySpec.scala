@@ -410,4 +410,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
       .forall(_.contains("Cross")), plan)
   }
+
+  test("t31 top-gram repetition is a compiled per-doc reducer: no gram " +
+    "explode, no aggregate, zero exchanges before the output sort") {
+    val df = SparkEntry.queries("t31_gopher_repetition")(spark, sf)
+    df.collect()
+    // AQE prints Final + Initial sections — gate the FINAL plan only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the per-(doc,n,gram) count and per-(doc,n) argmax live inside the
+    // compiled top_grams reducer — any aggregate/window here means the
+    // token-volume shuffle came back
+    assert(!plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate") &&
+      !plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1,
+      s"t31 should only exchange for the output sort:\n$plan")
+    assert(exchanges == 0 || plan.contains("rangepartitioning"), plan)
+    // the only Generate is the 3-element per-doc inline of the reducer
+    // output — never a gram explode (token-level cardinality)
+    val gens = plan.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gens.size == 1 && gens.head.contains("inline"), plan)
+    assert(plan.contains("top_grams"), plan)
+  }
+
+  test("t32 full Gopher repetition suite is a pure scan projection: " +
+    "no Generate, no aggregate, zero exchanges before the output sort") {
+    val df = SparkEntry.queries("t32_gopher_dup_fractions")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("HashAggregate") && !plan.contains("Window"), plan)
+    assert(!plan.contains("Generate"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1,
+      s"t32 should only exchange for the output sort:\n$plan")
+  }
 }

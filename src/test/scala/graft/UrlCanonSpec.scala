@@ -113,6 +113,25 @@ class UrlCanonSpec extends AnyFunSuite {
       ("srcc.example.com", 2L, 2L, 0L, "keep")))
   }
 
+  test("unparseable inputs canonicalize to NULL, never to a shared sentinel " +
+    "(malformed URLs must not dedup against each other)") {
+    import spark.implicits._
+    val out = Seq("not a url", "example.com/no-scheme", "://bad", "", "x?id=1")
+      .toDF("u")
+      .select(TextQueries.urlCanonical(col("u")).as("c"),
+        TextQueries.urlDomain(col("u")).as("d"))
+      .collect()
+    assert(out.forall(r => r.isNullAt(0) && r.isNullAt(1)),
+      out.mkString("; "))
+    // and the streaming gate PASSES such rows (null domain can't match
+    // a blocklist; dropping them would silently eat malformed docs)
+    val gated = graft.streaming.StreamGuards.urlGated(
+      Seq(("ok", "https://spam.example.com/a"), ("bad", "not a url"))
+        .toDF("id", "url"),
+      blocklist = Seq("spam.example.com"))
+    assert(gated.select("id").collect().map(_.getString(0)).toSeq == Seq("bad"))
+  }
+
   test("t30 normalize rides the scan: one FileScan, no shuffle before the sort") {
     val df = TextQueries.queries("t30_url_canonical")(
       spark, "/root/testdata/sf0.001")
