@@ -249,6 +249,31 @@ object HashOps {
     acc
   }
 
+  /** Weighted membership sum over a token array: Σ weight(token) for
+    * tokens present in the fixed term list (0 for the rest) — the
+    * per-document linear-classifier score (t23's fastText-style
+    * surface) as one compiled reducer, so a per-domain quality rollup
+    * stays a pure two-level aggregation with the score riding the scan
+    * projection. Linear probe over the (small, fixed) weight table per
+    * token — the relational broadcast-join spelling stays the right
+    * shape for million-term models. */
+  def scoreIn(arr: ArrayData, words: Array[UTF8String], wts: Array[Long]): Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var j = 0
+      var done = false
+      while (!done && j < words.length) {
+        if (words(j).equals(t)) { acc += wts(j); done = true }
+        j += 1
+      }
+      i += 1
+    }
+    acc
+  }
+
   /** Winnowing (MOSS-style) fingerprint selection: the minimum of each
     * sliding window of `w` consecutive shingle hashes. Output length is
     * `max(0, n - w + 1)`; duplicate selections are kept (callers
@@ -577,6 +602,35 @@ case class CountIn(child: Expression, words: Seq[String]) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** `score_in(t ARRAY<STRING>, weights) -> BIGINT` — weighted term-
+  * membership sum (see [[HashOps.scoreIn]]); the per-doc linear
+  * quality score, compiled. */
+case class ScoreIn(child: Expression, weights: Seq[(String, Long)])
+  extends UnaryExpression {
+  private val wordArr: Array[UTF8String] =
+    weights.map(w => UTF8String.fromString(w._1)).toArray
+  private val wtArr: Array[Long] = weights.map(_._2).toArray
+  override def dataType: DataType = LongType
+  override def prettyName: String = "score_in"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"score_in takes ARRAY<STRING>, got ${dt.sql}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.scoreIn(input.asInstanceOf[ArrayData], wordArr, wtArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("scoreWords", wordArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val tRef = ctx.addReferenceObj("scoreWts", wtArr, "long[]")
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.scoreIn($c, $wRef, $tRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ScoreIn =
+    copy(child = newChild)
+}
+
 /** `winnow(h ARRAY<BIGINT>, w) -> ARRAY<BIGINT>` — sliding-window mins. */
 case class Winnow(child: Expression, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -844,6 +898,8 @@ object HashExprs {
   def subword_count(c: Column): Column = Bridge.column(SubwordCount(Bridge.expression(c)))
   def count_in(c: Column, words: Seq[String]): Column =
     Bridge.column(CountIn(Bridge.expression(c), words))
+  def score_in(c: Column, weights: Seq[(String, Long)]): Column =
+    Bridge.column(ScoreIn(Bridge.expression(c), weights))
   def hyperplane_bucket(c: Column, nPlanes: Int): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(c), nPlanes))
   def dot_long(a: Column, b: Column): Column =

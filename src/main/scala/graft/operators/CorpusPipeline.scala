@@ -39,6 +39,53 @@ object CorpusPipeline {
     docs.filter(TextQueries.htmlLabel(col("text")) === "content")
       .withColumn("text", TextQueries.htmlClean(col("text")))
 
+  /** Lines duplicated across ≥ this many DISTINCT documents are
+    * boilerplate (nav bars, footers, subscribe prompts) and are
+    * removed whole by [[lineDedupRebuild]] — RefinedWeb's line-dedup
+    * threshold shape. */
+  val CrossDocLineK: Int = 10
+
+  /** The cross-document common-line set as a ONE-ROW frame holding the
+    * sorted hash array — d14's hash-groupBy shape at LINE grain. The
+    * expensive pass is a single aggregation whose exchange carries
+    * per-partition-DISTINCT line hashes (8 bytes each, after the
+    * in-row `array_distinct` and map-side partial agg) — never corpus
+    * bytes, never line strings. The qualifying set is bounded by
+    * total_lines / k by pigeonhole, and rides back into the corpus
+    * scan via a 1-row broadcast cross join (a plan literal in effect —
+    * no driver collect). Hash identity: char_fold, the same corpus
+    * fingerprint every dedup family keys on (the DuckDB oracle folds
+    * identically, so a collision — one in ~1e9 lines — can never make
+    * the engines disagree). */
+  def commonLineHashes(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(array_distinct(char_fold_array(
+        filter(split(col(textCol), "\n"), l => l =!= lit(""))))).as("lh"))
+      .groupBy("lh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= k)
+      .agg(sort_array(collect_set(col("lh"))).as("__common"))
+
+  /** Cross-document line-level dedup as a corpus TRANSFORM — the
+    * RefinedWeb line-dedup pass, the highest-volume cleaning transform
+    * on a real crawl after URL dedup: drop every non-empty line that
+    * appears in ≥ k distinct documents (boilerplate by definition) and
+    * rebuild the document text in-row, preserving line order. Schema
+    * is preserved; `textCol` is replaced (paragraph boundaries
+    * collapse to single newlines — downstream stages tokenize, so the
+    * blank-line structure is not identity). Docs reduced to nothing
+    * keep an empty string: DROPPING them is the caller's policy
+    * ([[filterFunnel]]'s line-dedup stage does). Membership is an
+    * O(|common set|) compiled probe per line against the broadcast
+    * sorted array; at a set size where that linear probe matters, the
+    * same shape swaps the exact array for `bloom_build`/`bloom_probe`
+    * (zero false negatives = no boilerplate survives; false positives
+    * drop a few clean lines — the safe direction). */
+  def lineDedupRebuild(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.crossJoin(broadcast(commonLineHashes(docs, textCol, k)))
+      .withColumn(textCol, array_join(
+        filter(filter(split(col(textCol), "\n"), l => l =!= lit("")),
+          l => !array_contains(col("__common"), char_fold(l))), "\n"))
+      .drop("__common")
+
   /** [[clean]] over a RAW CRAWL corpus: the t29 gate first, then the
     * exact-dedup → quality → near-dup stages over the EXTRACTED text —
     * the real pipeline order on web data (CCNet/RefinedWeb stage
@@ -310,6 +357,29 @@ object CorpusPipeline {
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .withColumn("fill_bp", expr(s"(10000 * bin_tokens) DIV $budget"))
         .orderBy("bin_id")
+    },
+
+    // ── c11: cross-document line-level dedup ([[lineDedupRebuild]])
+    // over the synthetic crawl pages (TextQueries.crawlPageExpr — the
+    // stored text is single-line): the nav line (every doc), each
+    // source's footer (every doc of the source), and the promo line
+    // (every fifth doc) cross the k=10 support threshold and are
+    // stripped; each document's own body survives untouched. Output =
+    // per-doc line counts before/after + the rebuilt text. Cost shape:
+    // ONE hash agg whose exchange carries distinct line hashes, one
+    // 1-row broadcast back, rebuild in the scan projection.
+    "c11_line_dedup" -> { (s, d) =>
+      val pages = Tables.load(s, d, "documents")
+        .select(col("doc_id"), TextQueries.crawlPageExpr.as("page"))
+      pages.crossJoin(broadcast(commonLineHashes(pages, "page", CrossDocLineK)))
+        .withColumn("lines", filter(split(col("page"), "\n"), l => l =!= lit("")))
+        .withColumn("kept", filter(col("lines"),
+          l => !array_contains(col("__common"), char_fold(l))))
+        .select(col("doc_id"),
+          size(col("lines")).cast("long").as("n_lines"),
+          size(col("kept")).cast("long").as("n_kept"),
+          array_join(col("kept"), "\n").as("clean_text"))
+        .orderBy("doc_id")
     }
   )
 
@@ -333,9 +403,17 @@ object CorpusPipeline {
       minTokens: Int,
       minDiversity: Double,
       jaccardThreshold: Double,
-      withHtmlGate: Boolean): DataFrame = {
+      withHtmlGate: Boolean,
+      lineDedupK: Option[Int] = None): DataFrame = {
     val gated = if (withHtmlGate) htmlGate(docs).localCheckpoint(true) else docs
-    val keepers = gated.groupBy("text").agg(min("doc_id").as("doc_id"))
+    // optional RefinedWeb line-dedup stage between the markup gate and
+    // exact dedup: strip cross-doc boilerplate lines, drop docs whose
+    // text was ALL boilerplate (non-increasing by construction — the
+    // rebuild only removes lines)
+    val lined = lineDedupK.fold(gated)(k =>
+      lineDedupRebuild(gated, "text", k)
+        .filter(col("text") =!= "").localCheckpoint(true))
+    val keepers = lined.groupBy("text").agg(min("doc_id").as("doc_id"))
     val qualified = keepers
       .withColumn("tokens", tokenize(col("text")))
       .withColumn("n_tokens", size(col("tokens")))
@@ -353,15 +431,19 @@ object CorpusPipeline {
     val survivors = qualified.join(broadcast(dropped), Seq("doc_id"), "left_anti")
     def stage(df: DataFrame, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_kept")).select(lit(name).as("stage"), col("n_kept"))
-    val stages =
-      if (withHtmlGate) Seq(
-        stage(docs, "0_total"), stage(gated, "1_html_gate"),
-        stage(keepers, "2_exact_dedup"), stage(qualified, "3_quality"),
-        stage(survivors, "4_near_dup"))
-      else Seq(
-        stage(docs, "0_total"), stage(keepers, "1_exact_dedup"),
-        stage(qualified, "2_quality"), stage(survivors, "3_near_dup"))
-    stages.reduce(_.union(_)).orderBy("stage")
+    // stage names stay the oracle's exact strings when the optional
+    // stages are off; with them on, indices shift so the output still
+    // sorts in pipeline order
+    val named = Seq.newBuilder[(String, DataFrame)]
+    named += (("0_total", docs))
+    var i = 1
+    if (withHtmlGate) { named += ((s"${i}_html_gate", gated)); i += 1 }
+    lineDedupK.foreach { _ => named += ((s"${i}_line_dedup", lined)); i += 1 }
+    named += ((s"${i}_exact_dedup", keepers)); i += 1
+    named += ((s"${i}_quality", qualified)); i += 1
+    named += ((s"${i}_near_dup", survivors))
+    named.result().map { case (n, df) => stage(df, n) }
+      .reduce(_.union(_)).orderBy("stage")
   }
 
   def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
@@ -725,6 +807,38 @@ object CorpusPipeline {
            CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
            (10000 * CAST(SUM(n_tokens) AS BIGINT)) // 4096 AS fill_bp
-         FROM c GROUP BY 1 ORDER BY bin_id"""
+         FROM c GROUP BY 1 ORDER BY bin_id""",
+
+    // c11 — the relational replay: per-doc distinct line hashes →
+    // support count → common set; rebuild = ordinality-ordered
+    // string_agg over the non-common lines (same char_fold both sides)
+    "c11_line_dedup" ->
+      s"""WITH ${TextQueries.crawlPageSql},
+         ls AS (
+           SELECT doc_id,
+             list_filter(string_split(page, chr(10)), x -> x <> '') AS lines
+           FROM page),
+         dl AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(lines,
+             x -> ${DedupQueries.charFoldSqlOf("x")}))) AS lh
+           FROM ls),
+         common AS (
+           SELECT lh FROM dl GROUP BY lh
+           HAVING COUNT(*) >= ${CrossDocLineK}),
+         ex AS (
+           SELECT doc_id, generate_subscripts(lines, 1) AS ord,
+             unnest(lines) AS line
+           FROM ls),
+         exh AS (
+           SELECT doc_id, ord, line,
+             ${DedupQueries.charFoldSqlOf("line")} AS lh
+           FROM ex)
+         SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE c.lh IS NULL) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(e.line, chr(10) ORDER BY e.ord)
+             FILTER (WHERE c.lh IS NULL), '') AS clean_text
+         FROM exh e LEFT JOIN common c USING (lh)
+         GROUP BY 1 ORDER BY doc_id"""
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{char_fold, char_fold_array, shingle_hashes, simhash16, simhash64, tokenize, winnow}
+import graft.functions.HashExprs.{char_fold, char_fold_array, score_in, shingle_hashes, simhash16, simhash64, tokenize, winnow}
 import graft.sources.Tables
 
 /** Deduplication operators for a training-data pipeline: exact,
@@ -367,19 +367,31 @@ object DedupQueries {
     // ── d15: per-domain rollup + blocklist gate — the companion
     // domain-level stage: docs/pages/dup-ratio per canonical domain,
     // gated by a pinned blocklist (spam/SEO-farm domains drop whole)
-    // and a duplication-farm threshold. |domains|-sized output from
-    // one two-level hash agg; the corpus is never joined to itself.
+    // and a duplication-farm threshold, plus the per-domain MEAN
+    // content-quality score (t23's classifier, compiled in-row by
+    // score_in) so the review_dup_farm branch carries content
+    // evidence, not just URL-shape evidence. |domains|-sized output
+    // from one two-level hash agg; the corpus is never joined to
+    // itself. The mean is the floor of sum/count spelled with pmod so
+    // Spark's truncating DIV and DuckDB's flooring // agree on
+    // NEGATIVE domain sums (low-quality domains go below zero).
     "d15_domain_gate" -> { (s, d) =>
       val raw = TextQueries.crawlUrlExpr
       Tables.load(s, d, "documents")
         .select(col("doc_id"),
           TextQueries.urlDomain(raw).as("domain"),
-          TextQueries.urlCanonical(raw).as("url_canon"))
+          TextQueries.urlCanonical(raw).as("url_canon"),
+          (score_in(tokenize(col("text")), TextQueries.ClassifierWeights)
+            + lit(100L)).as("score_milli"))
         .groupBy("domain")
         .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("url_canon")).as("n_pages"))
+          countDistinct(col("url_canon")).as("n_pages"),
+          sum(col("score_milli")).as("sum_q"))
         .withColumn("dup_ratio_bp",
           expr("(10000 * (n_docs - n_pages)) DIV n_docs"))
+        .withColumn("mean_quality_milli",
+          expr("(sum_q - pmod(sum_q, n_docs)) DIV n_docs"))
+        .drop("sum_q")
         .withColumn("gate",
           when(col("domain").isin(DomainBlocklist: _*), "drop_blocklist")
             .when(col("dup_ratio_bp") >= 7000, "review_dup_farm")
@@ -795,15 +807,22 @@ object DedupQueries {
             CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
             CAST(COUNT(*) AS BIGINT) AS n_dups
           FROM canon GROUP BY 1 ORDER BY url_canon""",
+    // the quality evidence replays t23's broadcast-join spelling per
+    // doc (LEFT JOIN + the +100 bias; docs with no scored tokens keep
+    // the bare bias), then floors the per-domain mean — DuckDB's //
+    // floors, matching the engine's pmod spelling on negative sums
     "d15_domain_gate" ->
       s"""WITH ${TextQueries.urlCanonSql},
+          ${TextQueries.qualityScoreCtes},
           agg AS (
             SELECT host AS domain,
               CAST(COUNT(*) AS BIGINT) AS n_docs,
-              CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_pages
-            FROM canon GROUP BY 1)
+              CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_pages,
+              CAST(SUM(COALESCE(score_milli, 100)) AS BIGINT) AS sum_q
+            FROM canon LEFT JOIN sc USING (doc_id) GROUP BY 1)
           SELECT domain, n_docs, n_pages,
             (10000 * (n_docs - n_pages)) // n_docs AS dup_ratio_bp,
+            sum_q // n_docs AS mean_quality_milli,
             CASE WHEN domain IN (${DomainBlocklist
               .map(dm => s"'$dm'").mkString(", ")}) THEN 'drop_blocklist'
                  WHEN (10000 * (n_docs - n_pages)) // n_docs >= 7000

@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{char_fold_array, shingle_hashes, tokenize}
+import graft.functions.HashExprs.{char_fold_array, shingle_hashes, token_ngrams, tokenize, top_grams}
+import graft.operators.TextQueries
 
 /** Stateless per-document guards for a streaming ingest pipeline —
   * the map-side filters that must run BEFORE any stateful stage
@@ -91,4 +92,48 @@ object StreamGuards {
       // a downstream dropDuplicates("url_canon") must exclude null —
       // null-keyed state would dedup all malformed docs as one
       .filter(col("domain").isNull || !col("domain").isin(blocklist: _*))
+
+  /** Streaming quality gate — the t2/t16/t31 quality-and-repetition
+    * class as ONE stateless projection + filter, the last guard of the
+    * composed ingest order (urlGated → htmlGated → decontaminated →
+    * qualityGated → stateful stages). A document is kept when ALL of:
+    *
+    *  - t2's floor rules: ≥ `minTokens` whitespace tokens and lexical
+    *    diversity (distinct/total) ≥ `minDiversityBp` basis points;
+    *  - t16's repetition rule: duplicate-bigram occurrence ratio at or
+    *    under the 20% flag line (spelled multiplication-only — exact
+    *    integers, no double rounding);
+    *  - t31's Gopher rule: no top n-gram (n = 2/3/4) whose character
+    *    coverage exceeds [[TextQueries.GopherTopGramBp]] — the
+    *    compiled `top_grams` reducer makes this an in-row probe
+    *    (`10000·cnt·len ≥ chars·(bp+1)` ⇔ the query's floor-div
+    *    `> bp`, so gate and t31 report can never disagree); before
+    *    the reducer respell this signal cost two global shuffles and
+    *    could not ride an ingest stream at all.
+    *
+    * Pure row functions over each document: no shuffle, no state,
+    * nothing to re-plan per micro-batch — batch and stream agree row
+    * for row, and throughput is scan speed. */
+  def qualityGated(
+      docs: DataFrame,
+      minTokens: Int = 10,
+      minDiversityBp: Long = 3000L): DataFrame = {
+    val toks = tokenize(col("text"))
+    val nToks = size(toks).cast("long")
+    val nDist = size(array_distinct(toks)).cast("long")
+    val bgs = token_ngrams(toks, 2)
+    val nBg = size(bgs).cast("long")
+    val nBgDist = size(array_distinct(bgs)).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val topGramFlag = exists(top_grams(toks), g =>
+      lit(10000L) * g("cnt") * length(g("gram")).cast("long") >=
+        nChars * (when(g("n") === 2, lit(TextQueries.GopherTopGramBp(2) + 1))
+          .when(g("n") === 3, lit(TextQueries.GopherTopGramBp(3) + 1))
+          .otherwise(lit(TextQueries.GopherTopGramBp(4) + 1))))
+    docs.filter(
+      nToks >= minTokens &&
+        nDist * lit(10000L) >= nToks * lit(minDiversityBp) &&
+        !((nBg - nBgDist) * lit(10000L) > nBg * lit(2000L)) &&
+        !topGramFlag)
+  }
 }

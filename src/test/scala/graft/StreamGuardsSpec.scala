@@ -87,6 +87,84 @@ class StreamGuardsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality gate: each rule drops its planted doc; flags agree with " +
+    "the t2/t16/t31 queries over the whole corpus") {
+    import spark.implicits._
+    // per-rule planted docs (GopherRepetitionSpec's constructions)
+    val phrase = (1 to 12).map(i => s"w$i x$i y$i z$i click here").mkString(" ")
+    val periodic = ((1 to 40) ++ (1 to 40)).map(i => f"q$i%02d").mkString(" ")
+    // long enough that no cnt=1 4-gram covers 16% of the characters —
+    // the Gopher top-gram rule legitimately flags very short docs
+    // (its published pipeline applies a 50-word floor upstream)
+    val clean = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu"
+    val planted = Seq(
+      1L -> phrase,      // t31 drop (dominant phrase, t16/t2 clean)
+      2L -> periodic,    // t16 drop (dup bigrams, NO dominant gram)
+      3L -> "too short", // t2 drop (token floor)
+      4L -> ("spam spam spam spam spam spam spam spam spam spam " +
+        "spam spam"),    // t2 diversity (and every repetition rule)
+      5L -> clean)       // kept
+    val kept = StreamGuards.qualityGated(planted.toDF("doc_id", "text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L), kept.toString)
+
+    // corpus cross-check at sf0.001: the gate's survivors must be the
+    // corpus minus the union of the three NAMED queries' flag sets
+    // (the gate is the streaming face of those reports — one
+    // definition, two consumers)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val t16f = SparkEntry.queries("t16_repetition")(spark, sf)
+      .filter("flagged").select("doc_id").collect().map(_.getLong(0)).toSet
+    val t31f = SparkEntry.queries("t31_gopher_repetition")(spark, sf)
+      .filter("flagged").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val t2f = docs.select(col("doc_id"),
+        graft.functions.HashExprs.tokenize(col("text")).as("t"))
+      .filter(size(col("t")) < 10 ||
+        size(array_distinct(col("t"))) * 10000L < size(col("t")).cast("long") * 3000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gateKept = StreamGuards.qualityGated(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gateKept == all -- t16f -- t31f -- t2f,
+      s"gate=${gateKept.size} expected=${(all -- t16f -- t31f -- t2f).size}")
+  }
+
+  test("composed ingest order (html gate -> quality gate): stream == batch") {
+    import spark.implicits._
+    val spam = (1 to 20).map(_ => "buy now").mkString(" ")
+    val docs = Seq(
+      1L -> ("<p>A proper article with plenty of prose spread around one " +
+        "<a href=\"/r\">link</a> and containing enough distinct varied text " +
+        "that neither the markup gate nor any repetition or quality rule " +
+        "fires on the extracted body of the page.</p>"),
+      2L -> s"<p>$spam and some extra words to pass the length floor</p>",
+      3L -> ("plain diverse text with many distinct words kept all the way " +
+        "through every stage because nothing here repeats and the body is " +
+        "long enough that no single gram dominates its character count"))
+    def compose(df: org.apache.spark.sql.DataFrame) =
+      StreamGuards.qualityGated(StreamGuards.htmlGated(df))
+    val batch = compose(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val in = MemoryStream[(Long, String)](spark)
+    val q = compose(in.toDF.toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quality_gated_docs").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("quality_gated_docs")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch)
+      // doc 2 passes the html gate (prose-shaped) but its "buy now"
+      // repetition fails the quality gate
+      assert(streamed.keySet == Set(1L, 3L), streamed.toString)
+    } finally q.stop()
+  }
+
   test("the guard runs stateless inside a structured stream") {
     import spark.implicits._
     val benchText = "alpha beta gamma delta epsilon zeta eta theta"

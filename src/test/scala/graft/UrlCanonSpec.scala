@@ -103,14 +103,16 @@ class UrlCanonSpec extends AnyFunSuite {
       ("https://srcc.example.com/docs/p10?id=10", 10L, 1L),
       ("https://srcc.example.com/docs/p30?id=30", 30L, 1L)))
 
+    // every planted text is "x" (no classifier term): each doc scores
+    // the bare +100 bias, so every domain's mean quality is 100
     val gates = DedupQueries.queries("d15_domain_gate")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getString(4))).toSet
+        r.getLong(3), r.getLong(4), r.getString(5))).toSet
     assert(gates == Set(
-      ("srca.example.com", 4L, 2L, 5000L, "keep"),
-      ("srcb.example.com", 5L, 1L, 8000L, "review_dup_farm"),
-      ("src3.example.com", 2L, 2L, 0L, "drop_blocklist"),
-      ("srcc.example.com", 2L, 2L, 0L, "keep")))
+      ("srca.example.com", 4L, 2L, 5000L, 100L, "keep"),
+      ("srcb.example.com", 5L, 1L, 8000L, 100L, "review_dup_farm"),
+      ("src3.example.com", 2L, 2L, 0L, 100L, "drop_blocklist"),
+      ("srcc.example.com", 2L, 2L, 0L, 100L, "keep")))
   }
 
   test("unparseable inputs canonicalize to NULL, never to a shared sentinel " +

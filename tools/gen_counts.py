@@ -21,6 +21,7 @@ Usage (round close):
       --selfcheck-file /tmp/selfcheck.txt --bench BENCH_LOCAL.json
 """
 import argparse
+import hashlib
 import json
 import re
 import sys
@@ -29,13 +30,52 @@ START = "<!-- counts:generated:start -->"
 END = "<!-- counts:generated:end -->"
 
 
+def bench_run_id(bench):
+    """Short content identity of one bench run: total + anchor +
+    query count. Stamped into the generated block so the block is
+    BOUND to the run it cites — if the (gitignored) bench file is
+    later overwritten by a different run, the stamp and the file
+    disagree detectably instead of the block silently citing a
+    vanished run (the r17 verdict's provenance gap)."""
+    key = f"{bench['value']}|{bench.get('anchor_sec')}|{len(bench['queries'])}"
+    return hashlib.sha1(key.encode()).hexdigest()[:8]
+
+
+def check(survey_path, bench_path):
+    """--check mode: fail loudly when the SURVEY block's run stamp no
+    longer matches the bench file on disk."""
+    survey = open(survey_path).read()
+    m = re.search(r"run:([0-9a-f]{8})", survey)
+    if not m:
+        sys.exit(f"no run:<id> stamp inside the generated block of {survey_path}")
+    bench = json.load(open(bench_path))
+    want = bench_run_id(bench)
+    if m.group(1) != want:
+        sys.exit(
+            f"PROVENANCE MISMATCH: {survey_path} cites bench run "
+            f"run:{m.group(1)} but {bench_path} on disk is run:{want} "
+            f"(total={bench['value']}s anchor={bench.get('anchor_sec')}) — "
+            f"the cited run was overwritten; regenerate the block from the "
+            f"current artifacts or restore the cited bench file")
+    print(f"counts block stamp run:{want} matches {bench_path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--survey", default="SURVEY.md")
-    ap.add_argument("--test-log", required=True)
-    ap.add_argument("--selfcheck-file", required=True)
+    ap.add_argument("--test-log")
+    ap.add_argument("--selfcheck-file")
     ap.add_argument("--bench", default="BENCH_LOCAL.json")
+    ap.add_argument("--check", action="store_true",
+                    help="verify the existing block's bench stamp against "
+                         "the bench file on disk instead of regenerating")
     args = ap.parse_args()
+
+    if args.check:
+        check(args.survey, args.bench)
+        return
+    if not args.test_log or not args.selfcheck_file:
+        sys.exit("--test-log and --selfcheck-file are required to regenerate")
 
     test_log = open(args.test_log, errors="replace").read()
     m = re.findall(r"Tests: succeeded (\d+), failed (\d+)", test_log)
@@ -76,7 +116,11 @@ def main():
     degraded_txt = (" **[DEGRADED: anchor spread past 0.35 — totals are "
                     "noise-dominated, compare per-anchor only]**"
                     if bench.get("degraded") else "")
-    prov_txt = f" [source: `{args.bench}`{spread_txt}{degraded_txt}]"
+    # run:<id> binds this block to the EXACT run cited (value + anchor
+    # + query count hashed); `gen_counts.py --check` fails loudly when
+    # the stamp and the bench file on disk disagree
+    prov_txt = (f" [source: `{args.bench}` run:{bench_run_id(bench)}"
+                f"{spread_txt}{degraded_txt}]")
 
     block = (
         f"{START}\n"
