@@ -110,7 +110,9 @@ object DumpPlans {
     "t30_url_canonical" -> "URL canonicalization: regex part extraction + filter/sort HOF over query params, all in one scan projection — crawl stage 0 rides the ingest scan",
     "d14_url_dedup" -> "URL-exact dedup: ONE hash-groupBy on the canonical form (map-side partial agg), nothing pairwise — the cheap dedup that runs before any content op",
     "d15_domain_gate" -> "per-domain rollup + blocklist gate: two-level hash agg (countDistinct planned as two exchanges on |urls| then |domains|), gate logic in-row",
-    "t31_gopher_repetition" -> "Gopher top-n-gram char share: one scan (3 gram sizes from one projection), per-(doc,n,gram) hash count then per-(doc,n) argmax as max(struct) - two partial-agg shuffles, NO window, no sort before output")
+    "t31_gopher_repetition" -> "Gopher top-n-gram char share: ONE compiled per-doc reducer (top_grams) riding the scan projection, 3-element inline for the (doc,n) grain - no gram explode, no aggregate, zero exchanges before the output sort",
+    "t32_gopher_dup_fractions" -> "Gopher duplicate-fraction suite: three compiled per-doc reducers (dup_gram_chars n=5..10, dup_elem_stats over lines and paragraphs) in one scan projection over the synthetic page - no Generate, no aggregate, zero exchanges before the sort",
+    "c11_line_dedup" -> "cross-doc line dedup: one hash agg whose exchange carries DISTINCT line hashes (in-row array_distinct + partial agg), 1-row broadcast of the common set back into the scan, rebuild in the projection")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

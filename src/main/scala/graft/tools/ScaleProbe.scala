@@ -257,9 +257,14 @@ object ScaleProbe {
       // (linear), the dedup/rollup one-two hash aggs whose exchanges
       // carry |urls| not |corpus bytes|
       "t30_url_canonical", "d14_url_dedup", "d15_domain_gate",
-      // r17: Gopher repetition — exploded (doc, n, gram) count + argmax;
-      // the exchange carries |grams|, linear in corpus tokens
-      "t31_gopher_repetition")
+      // r17: Gopher repetition — respelled r18 as a compiled per-doc
+      // reducer: must now track the scan-bound ~linear band, not the
+      // old 6.6x gram-shuffle growth
+      "t31_gopher_repetition",
+      // r18: the duplicate-fraction suite is a pure scan projection
+      // (three compiled reducers, zero pre-sort exchanges) — linear;
+      // line dedup's one exchange carries distinct line hashes only
+      "t32_gopher_dup_fractions", "c11_line_dedup")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

@@ -435,6 +435,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("top_grams"), plan)
   }
 
+  test("c11 line dedup: the common-set rollup combines map-side on line " +
+    "HASHES; the set returns via a 1-row broadcast — the corpus is never " +
+    "joined to itself and line STRINGS never cross an exchange") {
+    val df = SparkEntry.queries("c11_line_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // partial + final aggregation on the 8-byte lh key
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    // the only nested-loop join is the deliberate 1-row common-set
+    // cross; no shuffle join anywhere
+    assert(plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("Cross")), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    // no exchange carries strings: every exchange keys on lh or the
+    // final doc_id range partition
+    val badExchange = plan.linesIterator.filter(_.contains("Exchange "))
+      .exists(l => l.contains("line") || l.contains("page"))
+    assert(!badExchange, plan)
+  }
+
   test("t32 full Gopher repetition suite is a pure scan projection: " +
     "no Generate, no aggregate, zero exchanges before the output sort") {
     val df = SparkEntry.queries("t32_gopher_dup_fractions")(spark, sf)
