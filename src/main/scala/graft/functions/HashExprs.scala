@@ -249,6 +249,53 @@ object HashOps {
     acc
   }
 
+  /** Count of tokens containing at least one ASCII letter — the
+    * Gopher "words with an alphabetic character" numerator (t33), one
+    * compiled per-document pass. */
+  def alphaTokenCount(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var j = 0
+      var hit = false
+      val len = s.length
+      while (!hit && j < len) {
+        val c = s.charAt(j)
+        hit = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+        j += 1
+      }
+      if (hit) acc += 1
+      i += 1
+    }
+    acc
+  }
+
+  /** Line-shape stats of a string array (one document's lines),
+    * skipping empty elements: [total, nBulletStart, nEllipsisEnd]
+    * where a bullet line starts with `- ` or `* ` (the ASCII bullet
+    * spellings — an engine constant) and an ellipsis line ends with
+    * `...`. The Gopher bullet-line / ellipsis-line fraction
+    * numerators (t33), one compiled per-document pass. */
+  def lineShapeStats(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var total = 0L
+    var bullet = 0L
+    var ell = 0L
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      if (s.nonEmpty) {
+        total += 1
+        if (s.startsWith("- ") || s.startsWith("* ")) bullet += 1
+        if (s.endsWith("...")) ell += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(Array[Long](total, bullet, ell))
+  }
+
   /** Weighted membership sum over a token array: Σ weight(token) for
     * tokens present in the fixed term list (0 for the rest) — the
     * per-document linear-classifier score (t23's fastText-style
@@ -602,6 +649,48 @@ case class CountIn(child: Expression, words: Seq[String]) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** `alpha_token_count(t ARRAY<STRING>) -> BIGINT` — tokens containing
+  * an ASCII letter (see [[HashOps.alphaTokenCount]]); t33's
+  * alpha-word numerator. */
+case class AlphaTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "alpha_token_count"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"alpha_token_count takes ARRAY<STRING>, got ${dt.sql}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.alphaTokenCount(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.alphaTokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): AlphaTokenCount =
+    copy(child = newChild)
+}
+
+/** `line_shape_stats(a ARRAY<STRING>) -> ARRAY<BIGINT>` —
+  * [total, bulletStart, ellipsisEnd] over non-empty lines (see
+  * [[HashOps.lineShapeStats]]); t33's line-shape reducer. */
+case class LineShapeStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "line_shape_stats"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"line_shape_stats takes ARRAY<STRING>, got ${dt.sql}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.lineShapeStats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.lineShapeStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): LineShapeStats =
+    copy(child = newChild)
+}
+
 /** `score_in(t ARRAY<STRING>, weights) -> BIGINT` — weighted term-
   * membership sum (see [[HashOps.scoreIn]]); the per-doc linear
   * quality score, compiled. */
@@ -900,6 +989,10 @@ object HashExprs {
     Bridge.column(CountIn(Bridge.expression(c), words))
   def score_in(c: Column, weights: Seq[(String, Long)]): Column =
     Bridge.column(ScoreIn(Bridge.expression(c), weights))
+  def alpha_token_count(c: Column): Column =
+    Bridge.column(AlphaTokenCount(Bridge.expression(c)))
+  def line_shape_stats(c: Column): Column =
+    Bridge.column(LineShapeStats(Bridge.expression(c)))
   def hyperplane_bucket(c: Column, nPlanes: Int): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(c), nPlanes))
   def dot_long(a: Column, b: Column): Column =

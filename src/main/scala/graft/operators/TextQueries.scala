@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{bpe_merge_step, char_fold, char_fold_array, char_syms, count_in, dup_elem_stats, dup_gram_chars, luhn_valid_count, shingle_hashes, subword_count, token_ngrams, tokenize, top_grams, winnow}
+import graft.functions.HashExprs.{alpha_token_count, bpe_merge_step, char_fold, char_fold_array, char_syms, count_in, dup_elem_stats, dup_gram_chars, line_shape_stats, luhn_valid_count, shingle_hashes, subword_count, token_ngrams, tokenize, top_grams, winnow}
 import graft.sources.Tables
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -50,6 +50,33 @@ object TextQueries {
   val GopherDupParaCharBp: Long = 2000L
   val GopherDupGramBp: Map[Int, Long] = Map(
     5 -> 1500L, 6 -> 1400L, 7 -> 1300L, 8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
+
+  /** Gopher quality-rule thresholds (Rae et al. Table A1's QUALITY
+    * half — t31/t32 carry the repetition half): keep a document only
+    * when its word count sits in [50, 100000], its mean word length in
+    * [3, 10] (×100 integer), its hash-or-ellipsis symbol-to-word ratio
+    * at most 10%, bullet-started lines at most 90%, ellipsis-ended
+    * lines at most 30%, at least 80% of words contain an alphabetic
+    * character, and at least 2 distinct stop words appear. Bullet
+    * spellings are the ASCII `- ` / `* ` prefixes and the ellipsis the
+    * ASCII `...` — engine constants. The stop list keeps Rae et al.'s
+    * rule SHAPE (≥2 distinct function words present) but is
+    * corpus-matched: the published set (the/be/to/of/and/that/have/
+    * with) intersects the synthetic vocabulary only at 'the', which
+    * would flag every document identically — a constant column proves
+    * nothing. With 'a'/'in' included both branches are live in the
+    * oracle data. */
+  val GopherMinWords: Long = 50L
+  val GopherMaxWords: Long = 100000L
+  val GopherMinMeanWlenC100: Long = 300L
+  val GopherMaxMeanWlenC100: Long = 1000L
+  val GopherSymbolBp: Long = 1000L
+  val GopherBulletLineBp: Long = 9000L
+  val GopherEllipsisLineBp: Long = 3000L
+  val GopherAlphaWordBp: Long = 8000L
+  val GopherStopWords: Seq[String] =
+    Seq("the", "a", "in", "be", "to", "of", "and", "with")
+  val GopherMinStopHits: Long = 2L
 
   /** Word-boundary sentinel for the t22 tokenizer-apply pipeline —
     * NUL never occurs in the corpus and never appears in any merge
@@ -288,50 +315,72 @@ object TextQueries {
 
   /** Deterministic synthetic crawl PAGE per document — the multi-line
     * companion of [[crawlUrlExpr]] (the stored `documents.text` is
-    * single-line, so the line/paragraph-grain operators t32/c11 would
-    * read trivially zero on it; like the URL family, the messiness is
-    * constructed deterministically IN the query so every branch is
-    * live in the oracle data, not just in planted specs). A page is
-    * paragraph blocks joined by a blank line (`\n\n`):
+    * single-line, so the line/paragraph-grain operators t32/t33/c11
+    * would read trivially zero on it; like the URL family, the
+    * messiness is constructed deterministically IN the query so every
+    * branch is live in the oracle data, not just in planted specs). A
+    * page is paragraph blocks joined by a blank line (`\n\n`):
     * a nav paragraph identical across ALL documents, the document's
     * own text as the body, for `doc_id % 5 = 0` a promo paragraph of
-    * `1 + doc_id % 6` identical "subscribe…" lines (the intra-doc
+    * `1 + doc_id % 6` identical "subscribe..." lines (the intra-doc
     * duplicate-LINE signal), duplicated WHOLE for `doc_id % 10 = 0`
-    * (the duplicate-PARAGRAPH signal), and a per-source footer (the
+    * (the duplicate-PARAGRAPH signal), for `doc_id % 7 = 0` a
+    * bullet-list paragraph of `1 + doc_id % 4` per-doc-unique
+    * `- item k #p<id>` lines (t33's bullet-line and #-symbol
+    * signals), for `doc_id % 9 = 0` a two-line teaser ending in `...`
+    * (t33's ellipsis signals; its second line `continued...` is
+    * cross-doc common, feeding c11), and a per-source footer (the
     * cross-doc boilerplate c11 removes: shared by every doc of the
-    * source). Shared by t32/c11 and their oracles
+    * source). Shared by t32/t33/c11 and their oracles
     * ([[crawlPageSql]]). */
-  private[operators] def crawlPageExpr: org.apache.spark.sql.Column = {
+  private[graft] def crawlPageExpr: org.apache.spark.sql.Column = {
     val nav = lit("Home | About | Contact")
     val footer = concat(lit("(c) "), col("source"), lit(" syndication network"))
     val promo = expr(
       "array_join(array_repeat('subscribe now for daily updates', " +
         "CAST(1 + doc_id % 6 AS INT)), '\n')")
-    val blocks = when(expr("doc_id % 10 = 0"),
-        array(nav, col("text"), promo, promo, footer))
-      .when(expr("doc_id % 5 = 0"),
-        array(nav, col("text"), promo, footer))
-      .otherwise(array(nav, col("text"), footer))
-    array_join(blocks, "\n\n")
+    val emptyS = expr("CAST(array() AS ARRAY<STRING>)")
+    val promoBlocks = when(expr("doc_id % 10 = 0"), array(promo, promo))
+      .when(expr("doc_id % 5 = 0"), array(promo))
+      .otherwise(emptyS)
+    val bullets = when(expr("doc_id % 7 = 0"), array(expr(
+        "array_join(transform(sequence(1, CAST(1 + doc_id % 4 AS INT)), " +
+          "k -> concat('- item ', CAST(k AS STRING), ' #p', " +
+          "CAST(doc_id AS STRING))), '\n')")))
+      .otherwise(emptyS)
+    val teaser = when(expr("doc_id % 9 = 0"), array(expr(
+        "concat('read more about p', CAST(doc_id AS STRING), " +
+          "'...\ncontinued...')")))
+      .otherwise(emptyS)
+    array_join(
+      concat(array(nav, col("text")), promoBlocks, bullets, teaser,
+        array(footer)),
+      "\n\n")
   }
 
   /** DuckDB CTE `page(doc_id, source, page)` — the oracle half of
-    * [[crawlPageExpr]], shared by the t32/c11 oracles. */
+    * [[crawlPageExpr]], shared by the t32/t33/c11 oracles. */
   private[operators] val crawlPageSql: String =
     """page AS (
          SELECT doc_id, source,
-           array_to_string(
-             CASE WHEN doc_id % 10 = 0
-                    THEN ['Home | About | Contact', text, promo, promo, footer]
-                  WHEN doc_id % 5 = 0
-                    THEN ['Home | About | Contact', text, promo, footer]
-                  ELSE ['Home | About | Contact', text, footer] END,
+           array_to_string(list_concat(list_concat(list_concat(list_concat(
+             ['Home | About | Contact', text],
+             CASE WHEN doc_id % 10 = 0 THEN [promo, promo]
+                  WHEN doc_id % 5 = 0 THEN [promo]
+                  ELSE [] END),
+             CASE WHEN doc_id % 7 = 0 THEN [array_to_string(
+                 list_transform(generate_series(1, 1 + doc_id % 4),
+                   k -> '- item ' || k || ' #p' || doc_id), chr(10))]
+               ELSE [] END),
+             CASE WHEN doc_id % 9 = 0 THEN ['read more about p' || doc_id
+                 || '...' || chr(10) || 'continued...']
+               ELSE [] END),
+             ['(c) ' || source || ' syndication network']),
              chr(10) || chr(10)) AS page
          FROM (
            SELECT *,
              array_to_string(list_transform(range(1 + doc_id % 6),
-               x -> 'subscribe now for daily updates'), chr(10)) AS promo,
-             '(c) ' || source || ' syndication network' AS footer
+               x -> 'subscribe now for daily updates'), chr(10)) AS promo
            FROM documents))"""
 
   /** Shared t3/t20 front end: per-doc stopword scores + the guess
@@ -767,6 +816,56 @@ object TextQueries {
             col("dup8_bp") > GopherDupGramBp(8) ||
             col("dup9_bp") > GopherDupGramBp(9) ||
             col("dup10_bp") > GopherDupGramBp(10))
+        .orderBy("doc_id")
+    },
+
+    // ── t33: the Gopher QUALITY rules (Rae et al. Table A1's other
+    // half — word count, mean word length, symbol ratio, bullet /
+    // ellipsis line fractions, alpha-word fraction, stop-word floor)
+    // over the same synthetic crawl page. Same shape as t32: a pure
+    // scan projection — two compiled reducers (alpha_token_count,
+    // line_shape_stats), an array_intersect for stop words, and
+    // length-difference symbol counts — no Generate, no aggregate,
+    // zero exchanges before the output sort. Token-chars sum rides an
+    // in-row aggregate HOF (once per doc, not per token — the
+    // interpreted-lambda cost t24 avoids does not bite at doc grain).
+    "t33_gopher_quality" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), crawlPageExpr.as("page"))
+        .select(col("doc_id"),
+          tokenize(col("page")).as("toks"),
+          line_shape_stats(split(col("page"), "\n")).as("lsh"),
+          (length(col("page")) -
+            length(expr("replace(page, '#', '')"))).cast("long").as("n_hash"),
+          expr("CAST((length(page) - length(replace(page, '...', ''))) " +
+            "DIV 3 AS BIGINT)").as("n_ellsym"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          col("lsh")(0).as("n_lines"),
+          expr("aggregate(toks, 0L, (a, x) -> a + length(x))").as("token_chars"),
+          col("n_hash"), col("n_ellsym"),
+          alpha_token_count(col("toks")).as("n_alpha"),
+          size(array_intersect(array_distinct(col("toks")),
+            typedLit(GopherStopWords))).cast("long").as("n_stop_hits"),
+          col("lsh")(1).as("n_bullet"),
+          col("lsh")(2).as("n_ell_lines"))
+        .select(col("doc_id"), col("n_words"), col("n_lines"),
+          expr("(100 * token_chars) DIV n_words").as("mean_wlen_c100"),
+          expr("(10000 * (n_hash + n_ellsym)) DIV n_words").as("symbol_ratio_bp"),
+          expr("(10000 * n_bullet) DIV n_lines").as("bullet_line_bp"),
+          expr("(10000 * n_ell_lines) DIV n_lines").as("ellipsis_line_bp"),
+          expr("(10000 * n_alpha) DIV n_words").as("alpha_word_bp"),
+          col("n_stop_hits"))
+        .withColumn("flagged",
+          col("n_words") < GopherMinWords ||
+            col("n_words") > GopherMaxWords ||
+            col("mean_wlen_c100") < GopherMinMeanWlenC100 ||
+            col("mean_wlen_c100") > GopherMaxMeanWlenC100 ||
+            col("symbol_ratio_bp") > GopherSymbolBp ||
+            col("bullet_line_bp") > GopherBulletLineBp ||
+            col("ellipsis_line_bp") > GopherEllipsisLineBp ||
+            col("alpha_word_bp") < GopherAlphaWordBp ||
+            col("n_stop_hits") < GopherMinStopHits)
         .orderBy("doc_id")
     },
 
@@ -1535,6 +1634,51 @@ object TextQueries {
          FROM page p
          JOIN ls USING (doc_id) JOIN ps USING (doc_id) JOIN dg USING (doc_id)
          ORDER BY doc_id""",
+
+    // t33 — every statistic is a per-row list expression (no unnest at
+    // all): token-chars via list_aggregate sum, line shapes via
+    // list_filter LIKE, symbol counts via length-difference after
+    // replace (both engines replace non-overlapping left-to-right)
+    "t33_gopher_quality" ->
+      s"""WITH $crawlPageSql,
+         t AS (
+           SELECT doc_id, page,
+             list_filter(string_split_regex(page, '\\s+'), x -> x <> '') AS ts,
+             list_filter(string_split(page, chr(10)), x -> x <> '') AS lines
+           FROM page),
+         m AS (
+           SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_words,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             (100 * CAST(COALESCE(list_aggregate(
+                 list_transform(ts, x -> length(x)), 'sum'), 0) AS BIGINT))
+               // len(ts) AS mean_wlen_c100,
+             (10000 * (CAST(length(page) - length(replace(page, '#', ''))
+                 AS BIGINT)
+               + CAST((length(page) - length(replace(page, '...', ''))) // 3
+                 AS BIGINT))) // len(ts) AS symbol_ratio_bp,
+             (10000 * CAST(len(list_filter(lines,
+                 x -> x LIKE '- %' OR x LIKE '* %')) AS BIGINT))
+               // len(lines) AS bullet_line_bp,
+             (10000 * CAST(len(list_filter(lines, x -> x LIKE '%...'))
+                 AS BIGINT)) // len(lines) AS ellipsis_line_bp,
+             (10000 * CAST(len(list_filter(ts,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT))
+               // len(ts) AS alpha_word_bp,
+             CAST(len(list_intersect(list_distinct(ts),
+               [${GopherStopWords.map(w => s"'$w'").mkString(", ")}]))
+               AS BIGINT) AS n_stop_hits
+           FROM t)
+         SELECT *,
+           (n_words < $GopherMinWords OR n_words > $GopherMaxWords OR
+            mean_wlen_c100 < $GopherMinMeanWlenC100 OR
+            mean_wlen_c100 > $GopherMaxMeanWlenC100 OR
+            symbol_ratio_bp > $GopherSymbolBp OR
+            bullet_line_bp > $GopherBulletLineBp OR
+            ellipsis_line_bp > $GopherEllipsisLineBp OR
+            alpha_word_bp < $GopherAlphaWordBp OR
+            n_stop_hits < $GopherMinStopHits) AS flagged
+         FROM m ORDER BY doc_id""",
 
     "t16_repetition" ->
       """WITH t AS (

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{char_fold_array, shingle_hashes, token_ngrams, tokenize, top_grams}
+import graft.functions.HashExprs.{alpha_token_count, char_fold_array, dup_elem_stats, dup_gram_chars, line_shape_stats, shingle_hashes, token_ngrams, tokenize, top_grams}
 import graft.operators.TextQueries
 
 /** Stateless per-document guards for a streaming ingest pipeline —
@@ -135,5 +135,56 @@ object StreamGuards {
         nDist * lit(10000L) >= nToks * lit(minDiversityBp) &&
         !((nBg - nBgDist) * lit(10000L) > nBg * lit(2000L)) &&
         !topGramFlag)
+  }
+
+  /** Full-Gopher streaming gate — the t32 duplicate-fraction rules and
+    * t33 quality rules over each document's OWN text, as one stateless
+    * projection + filter (compose after [[qualityGated]] for the
+    * complete Rae et al. Table A1). Every comparison is the
+    * multiplication-only spelling of the queries' floor-div basis
+    * points (`x DIV c > t ⇔ x ≥ c·(t+1)`), so the gate can never
+    * disagree with the t32/t33 reports on the same text. All per-doc
+    * compiled reducers — no shuffle, no state, batch == stream. Docs
+    * with no usable denominator (no tokens / no non-empty lines) are
+    * DROPPED: an empty document is not trainable text. */
+  def gopherGated(docs: DataFrame): DataFrame = {
+    val toks = tokenize(col("text"))
+    val nChars = length(col("text")).cast("long")
+    val dg = dup_gram_chars(toks)
+    val ls = dup_elem_stats(split(col("text"), "\n"))
+    val ps = dup_elem_stats(split(col("text"), "\n\n"))
+    val lsh = line_shape_stats(split(col("text"), "\n"))
+    val nWords = size(toks).cast("long")
+    val nLines = ls(0)
+    val tokChars = aggregate(toks, lit(0L), (a, x) => a + length(x).cast("long"))
+    val nHash = (length(col("text")) -
+      length(expr("replace(text, '#', '')"))).cast("long")
+    val nEllSym = expr(
+      "CAST((length(text) - length(replace(text, '...', ''))) DIV 3 AS BIGINT)")
+    def over(x: Column, c: Column, bp: Long): Column =
+      x * lit(10000L) >= c * lit(bp + 1L)
+    val t32Flag =
+      over(ls(1), ls(0), TextQueries.GopherDupLineBp) ||
+        over(ps(1), ps(0), TextQueries.GopherDupParaBp) ||
+        over(ls(2), nChars, TextQueries.GopherDupLineCharBp) ||
+        over(ps(2), nChars, TextQueries.GopherDupParaCharBp) ||
+        (5 to 10).map(n =>
+          over(dg(n - 5), nChars, TextQueries.GopherDupGramBp(n)))
+          .reduce(_ || _)
+    val t33Flag =
+      nWords < TextQueries.GopherMinWords ||
+        nWords > TextQueries.GopherMaxWords ||
+        tokChars * lit(100L) < nWords * lit(TextQueries.GopherMinMeanWlenC100) ||
+        tokChars * lit(100L) >=
+          nWords * lit(TextQueries.GopherMaxMeanWlenC100 + 1L) ||
+        over(nHash + nEllSym, nWords, TextQueries.GopherSymbolBp) ||
+        over(lsh(1), nLines, TextQueries.GopherBulletLineBp) ||
+        over(lsh(2), nLines, TextQueries.GopherEllipsisLineBp) ||
+        alpha_token_count(toks) * lit(10000L) <
+          nWords * lit(TextQueries.GopherAlphaWordBp) ||
+        size(array_intersect(array_distinct(toks),
+          typedLit(TextQueries.GopherStopWords))).cast("long") <
+          lit(TextQueries.GopherMinStopHits)
+    docs.filter(nWords > 0L && nLines > 0L && !t32Flag && !t33Flag)
   }
 }

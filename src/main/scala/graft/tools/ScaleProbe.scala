@@ -264,7 +264,9 @@ object ScaleProbe {
       // r18: the duplicate-fraction suite is a pure scan projection
       // (three compiled reducers, zero pre-sort exchanges) — linear;
       // line dedup's one exchange carries distinct line hashes only
-      "t32_gopher_dup_fractions", "c11_line_dedup")
+      "t32_gopher_dup_fractions", "c11_line_dedup",
+      // r18: quality rules share t32's pure-scan-projection shape
+      "t33_gopher_quality")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

@@ -134,6 +134,65 @@ class GopherRepetitionSpec extends AnyFunSuite {
     assert(d20._4 == 2000L && d20._5 == 3612L && d20._7, d20.toString)
   }
 
+  private def runT33(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("t33").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'web' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    TextQueries.queries("t33_gopher_quality")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getBoolean(9))))
+      .toMap // doc -> (words, mean_c100, symbol, bullet, ellipsis, alpha, stops, flagged)
+  }
+
+  test("t33 quality rules: each rule fires alone on its planted page") {
+    // ids avoid every promo/bullet/teaser page branch (%5/%7/%9/%10)
+    val tooShort = "the a tiny doc"
+    val longWords = "the a " + Seq.fill(45)("extraordinarily").mkString(" ")
+    val hashy = "the a " + (1 to 46).map(i => s"w$i").mkString(" ") +
+      " #x #x #x #x #x #x #x"
+    val bullets = (1 to 40).map(i => s"- bullet item number$i the a").mkString("\n")
+    val ellipsis = ("a dozen ordinary words sit inside this very first line " +
+      "here now\nthe second line also carries twelve ordinary words of " +
+      "plain prose text\nwait for it then some...\nmore to come quite " +
+      "soon...\nstill loading more text...")
+    val numeric = "the a " + (1 to 30).map(i => s"${i}00${i}").mkString(" ") +
+      " " + (1 to 22).map(i => s"w$i").mkString(" ")
+    val noStops = (1 to 50).map(i => f"word$i%02d").mkString(" ")
+    val clean = "the a " + (1 to 45).map(i => s"prose$i").mkString(" ")
+
+    val out = runT33(Seq(1L -> tooShort, 2L -> longWords, 3L -> hashy,
+      13L -> bullets, 17L -> ellipsis, 19L -> numeric, 23L -> noStops,
+      29L -> clean))
+
+    val d1 = out(1L) // 13 words < 50
+    assert(d1._1 < TextQueries.GopherMinWords && d1._8, d1.toString)
+    val d2 = out(2L) // mean word length past 10
+    assert(d2._2 > TextQueries.GopherMaxMeanWlenC100 && d2._8, d2.toString)
+    assert(d2._1 >= TextQueries.GopherMinWords, d2.toString)
+    val d3 = out(3L) // 7 hashes over 64 words = 1093 bp > 1000
+    assert(d3._3 > TextQueries.GopherSymbolBp && d3._8, d3.toString)
+    assert(d3._2 <= TextQueries.GopherMaxMeanWlenC100, d3.toString)
+    val d13 = out(13L) // 40 of 42 lines (nav + bullets + footer) = 9523 bp
+    assert(d13._4 == 9523L && d13._8, d13.toString)
+    assert(d13._6 >= TextQueries.GopherAlphaWordBp, d13.toString)
+    val d17 = out(17L) // 3 of 7 lines ellipsis-ended = 4285 bp
+    assert(d17._5 == 4285L && d17._8, d17.toString)
+    assert(d17._3 <= TextQueries.GopherSymbolBp, d17.toString) // 3 syms pass
+    val d19 = out(19L) // 32 non-alpha of 61 words
+    assert(d19._6 < TextQueries.GopherAlphaWordBp && d19._8, d19.toString)
+    val d23 = out(23L) // zero stop words
+    assert(d23._7 == 0L && d23._8, d23.toString)
+    // the clean page passes every rule
+    val d29 = out(29L)
+    assert(!d29._8, d29.toString)
+    assert(d29._7 == 2L && d29._1 >= 50L, d29.toString)
+  }
+
   test("distinct signal from t16: a dominant phrase among distinct bigrams") {
     import spark.implicits._
     // every bigram DISTINCT except the dominant phrase: t16's

@@ -469,4 +469,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 1,
       s"t32 should only exchange for the output sort:\n$plan")
   }
+
+  test("t33 Gopher quality rules are a pure scan projection: " +
+    "no Generate, no aggregate, zero exchanges before the output sort") {
+    val df = SparkEntry.queries("t33_gopher_quality")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("HashAggregate") && !plan.contains("Window"), plan)
+    assert(!plan.contains("Generate"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1,
+      s"t33 should only exchange for the output sort:\n$plan")
+  }
 }

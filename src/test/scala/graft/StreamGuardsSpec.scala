@@ -165,6 +165,45 @@ class StreamGuardsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-Gopher gate: survivors == corpus minus the t32/t33 queries' " +
+    "flag sets on the same pages; stream == batch") {
+    import spark.implicits._
+    // run the gate over the SAME synthetic pages the t32/t33 queries
+    // score, so the floor-div/multiplication equivalence is pinned
+    // corpus-wide, not just on planted docs
+    val pages = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextQueries.crawlPageExpr.as("text"))
+    val all = pages.select("doc_id").collect().map(_.getLong(0)).toSet
+    val t32f = SparkEntry.queries("t32_gopher_dup_fractions")(spark, sf)
+      .filter("flagged").select("doc_id").collect().map(_.getLong(0)).toSet
+    val t33f = SparkEntry.queries("t33_gopher_quality")(spark, sf)
+      .filter("flagged").select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = StreamGuards.gopherGated(pages)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- t32f -- t33f,
+      s"gate=${kept.size} expected=${(all -- t32f -- t33f).size}")
+    assert(kept.nonEmpty && (t32f ++ t33f).nonEmpty, "both branches live")
+
+    // and the same filter runs unchanged inside a structured stream
+    val sample = pages.limit(32).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batchKept = StreamGuards.gopherGated(
+      sample.toDF("doc_id", "text")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamGuards.gopherGated(in.toDF.toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_gated_docs").start()
+    try {
+      in.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gopher_gated_docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batchKept, s"stream=$streamed batch=$batchKept")
+    } finally q.stop()
+  }
+
   test("the guard runs stateless inside a structured stream") {
     import spark.implicits._
     val benchText = "alpha beta gamma delta epsilon zeta eta theta"
