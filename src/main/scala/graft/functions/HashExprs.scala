@@ -296,6 +296,42 @@ object HashOps {
     new GenericArrayData(Array[Long](total, bullet, ell))
   }
 
+  /** C4 line-retention filter (Raffel et al. 2020 §2.2) over one
+    * document's lines, one compiled pass (t34): keep a line only when
+    * it is non-blank, does not mention `javascript`
+    * (case-insensitive — C4 drops any line with the word), has at
+    * least `minWords` whitespace-separated words, and its last
+    * non-whitespace character is a terminal punctuation mark — `.`,
+    * `!`, `?`, or a closing `"` (C4's published set). Kept lines are
+    * returned verbatim, in order, so the caller rebuilds the document
+    * with one `array_join`. */
+  def c4KeepLines(arr: ArrayData, minWords: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var e = s.length - 1
+      while (e >= 0 && isJavaSpace(s.charAt(e))) e -= 1
+      val last = if (e >= 0) s.charAt(e) else ' '
+      if (last == '.' || last == '!' || last == '?' || last == '"') {
+        var w = 0
+        var j = 0
+        while (j < s.length && w < minWords) {
+          while (j < s.length && isJavaSpace(s.charAt(j))) j += 1
+          if (j < s.length) {
+            w += 1
+            while (j < s.length && !isJavaSpace(s.charAt(j))) j += 1
+          }
+        }
+        if (w >= minWords && !s.toLowerCase.contains("javascript"))
+          out += UTF8String.fromString(s)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Weighted membership sum over a token array: Σ weight(token) for
     * tokens present in the fixed term list (0 for the rest) — the
     * per-document linear-classifier score (t23's fastText-style
@@ -691,6 +727,28 @@ case class LineShapeStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `c4_keep_lines(a ARRAY<STRING>, minWords) -> ARRAY<STRING>` — the
+  * C4 line-retention filter (see [[HashOps.c4KeepLines]]); t34's
+  * rebuild reducer. */
+case class C4KeepLines(child: Expression, minWords: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "c4_keep_lines"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"c4_keep_lines takes ARRAY<STRING>, got ${dt.sql}")
+    }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.c4KeepLines(input.asInstanceOf[ArrayData], minWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${HashExprs.H}.c4KeepLines($c, $minWords)")
+  override protected def withNewChildInternal(newChild: Expression): C4KeepLines =
+    copy(child = newChild)
+}
+
 /** `score_in(t ARRAY<STRING>, weights) -> BIGINT` — weighted term-
   * membership sum (see [[HashOps.scoreIn]]); the per-doc linear
   * quality score, compiled. */
@@ -993,6 +1051,8 @@ object HashExprs {
     Bridge.column(AlphaTokenCount(Bridge.expression(c)))
   def line_shape_stats(c: Column): Column =
     Bridge.column(LineShapeStats(Bridge.expression(c)))
+  def c4_keep_lines(c: Column, minWords: Int): Column =
+    Bridge.column(C4KeepLines(Bridge.expression(c), minWords))
   def hyperplane_bucket(c: Column, nPlanes: Int): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(c), nPlanes))
   def dot_long(a: Column, b: Column): Column =

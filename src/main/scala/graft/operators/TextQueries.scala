@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{alpha_token_count, bpe_merge_step, char_fold, char_fold_array, char_syms, count_in, dup_elem_stats, dup_gram_chars, line_shape_stats, luhn_valid_count, shingle_hashes, subword_count, token_ngrams, tokenize, top_grams, winnow}
+import graft.functions.HashExprs.{alpha_token_count, bpe_merge_step, c4_keep_lines, char_fold, char_fold_array, char_syms, count_in, dup_elem_stats, dup_gram_chars, line_shape_stats, luhn_valid_count, shingle_hashes, subword_count, token_ngrams, tokenize, top_grams, winnow}
 import graft.sources.Tables
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -77,6 +77,21 @@ object TextQueries {
   val GopherStopWords: Seq[String] =
     Seq("the", "a", "in", "be", "to", "of", "and", "with")
   val GopherMinStopHits: Long = 2L
+
+  /** C4 filter constants (Raffel et al. 2020 §2.2 — the other
+    * canonical published cleaning recipe beside Gopher's): a LINE is
+    * retained only when it ends in terminal punctuation, carries at
+    * least 5 words, and does not mention javascript; a PAGE is dropped
+    * when it contains `lorem ipsum`, a curly brace (code), any
+    * blocklisted word, or fewer than 3 sentences AFTER line filtering.
+    * The terminal-punctuation set (`.` `!` `?` `"`) lives in the
+    * compiled reducer ([[graft.functions.HashOps.c4KeepLines]]); the
+    * bad-word LIST keeps C4's rule shape but is corpus-matched (the
+    * published list is thousands of entries; two suffice to make the
+    * branch live in the oracle data). */
+  val C4MinLineWords: Int = 5
+  val C4MinSentences: Long = 3L
+  val C4BadWords: Seq[String] = Seq("casino", "jackpot")
 
   /** Word-boundary sentinel for the t22 tokenizer-apply pipeline —
     * NUL never occurs in the corpus and never appears in any merge
@@ -382,6 +397,80 @@ object TextQueries {
              array_to_string(list_transform(range(1 + doc_id % 6),
                x -> 'subscribe now for daily updates'), chr(10)) AS promo
            FROM documents))"""
+
+  /** The C4 test page: [[crawlPageExpr]] EXTENDED with the paragraph
+    * shapes the C4 rules key on, appended so t32/t33/c11's shared page
+    * stays byte-identical. The corpus text carries no punctuation at
+    * all, so without these every line would fail the
+    * terminal-punctuation rule and the suite would read one constant
+    * column. Additions (each an engine-constant mod so every branch is
+    * live in oracle data): a prose paragraph of `1 + doc_id % 5`
+    * proper sentences (absent for `doc_id % 23 = 0` — the
+    * too-few-sentences branch), a per-SOURCE 3-sentence editorial
+    * paragraph for `doc_id % 4 = 1` (the cross-document duplicate
+    * three-sentence SPAN c12 deduplicates — C4's dedup grain), a
+    * `too short.` line for `% 21 = 0` (punctuated but under the word
+    * floor), a code paragraph for `% 13 = 0` (curly-brace page flag +
+    * a javascript line the line rule alone must drop), a blocklisted
+    * sentence for `% 17 = 0`, and a `lorem ipsum` sentence for
+    * `% 19 = 0`. Shared by t34/c12 and their oracles ([[c4PageSql]]). */
+  private[graft] def c4PageExpr: org.apache.spark.sql.Column = {
+    val emptyS = expr("CAST(array() AS ARRAY<STRING>)")
+    val prose = when(expr("doc_id % 23 = 0"), emptyS).otherwise(array(expr(
+      "array_join(transform(sequence(1, CAST(1 + doc_id % 5 AS INT)), " +
+        "k -> concat('the nightly pipeline publishes dataset number ', " +
+        "CAST(doc_id * 7 + k AS STRING), ' after careful review.')), '\n')")))
+    val editorial = when(expr("doc_id % 4 = 1"), array(concat(
+        lit("we publish fresh data stories every day.\n" +
+          "our editors review every article carefully.\nfollow "),
+        col("source"), lit(" for the best daily insights."))))
+      .otherwise(emptyS)
+    val tooShort = when(expr("doc_id % 21 = 0"), array(lit("too short.")))
+      .otherwise(emptyS)
+    val code = when(expr("doc_id % 13 = 0"), array(lit(
+        "function render() { return data; }\n" +
+          "please enable javascript to view this page.")))
+      .otherwise(emptyS)
+    val bad = when(expr("doc_id % 17 = 0"),
+      array(lit("win big money at the casino tonight."))).otherwise(emptyS)
+    val lorem = when(expr("doc_id % 19 = 0"),
+      array(lit("lorem ipsum dolor sit amet consectetur."))).otherwise(emptyS)
+    array_join(
+      concat(array(crawlPageExpr), prose, editorial, tooShort, code, bad,
+        lorem),
+      "\n\n")
+  }
+
+  /** DuckDB CTE `c4page(doc_id, source, page)` — the oracle half of
+    * [[c4PageExpr]]; prepend [[crawlPageSql]]. */
+  private[operators] val c4PageSql: String =
+    """c4page AS (
+         SELECT doc_id, source,
+           array_to_string(flatten([
+             [page],
+             CASE WHEN doc_id % 23 = 0 THEN []
+               ELSE [array_to_string(list_transform(
+                 generate_series(1, 1 + doc_id % 5),
+                 k -> 'the nightly pipeline publishes dataset number '
+                   || (doc_id * 7 + k) || ' after careful review.'),
+                 chr(10))] END,
+             CASE WHEN doc_id % 4 = 1 THEN
+                 ['we publish fresh data stories every day.' || chr(10)
+                   || 'our editors review every article carefully.'
+                   || chr(10) || 'follow ' || source
+                   || ' for the best daily insights.']
+               ELSE [] END,
+             CASE WHEN doc_id % 21 = 0 THEN ['too short.'] ELSE [] END,
+             CASE WHEN doc_id % 13 = 0 THEN
+                 ['function render() { return data; }' || chr(10)
+                   || 'please enable javascript to view this page.']
+               ELSE [] END,
+             CASE WHEN doc_id % 17 = 0
+               THEN ['win big money at the casino tonight.'] ELSE [] END,
+             CASE WHEN doc_id % 19 = 0
+               THEN ['lorem ipsum dolor sit amet consectetur.'] ELSE [] END]),
+             chr(10) || chr(10)) AS page
+         FROM page)"""
 
   /** Shared t3/t20 front end: per-doc stopword scores + the guess
     * cascade, with the ground-truth label carried alongside. */
@@ -866,6 +955,38 @@ object TextQueries {
             col("ellipsis_line_bp") > GopherEllipsisLineBp ||
             col("alpha_word_bp") < GopherAlphaWordBp ||
             col("n_stop_hits") < GopherMinStopHits)
+        .orderBy("doc_id")
+    },
+
+    // ── t34: the C4 filter suite (Raffel et al. §2.2) — line-level
+    // retention (terminal punctuation + ≥5 words + no javascript) with
+    // the document REBUILT from the kept lines, plus the page-level
+    // drops (lorem ipsum, curly brace, bad-word list, <3 sentences
+    // after filtering). Same shape as t32/t33: a pure scan projection —
+    // one compiled reducer (c4_keep_lines) does the line pass and the
+    // rebuild is an array_join of its output; page flags are
+    // contains/count_in probes on the raw page. No Generate, no
+    // aggregate, zero exchanges before the output sort.
+    "t34_c4_filters" -> { (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), c4PageExpr.as("page"))
+        .select(col("doc_id"),
+          line_shape_stats(split(col("page"), "\n")).getItem(0).as("n_lines"),
+          c4_keep_lines(split(col("page"), "\n"), C4MinLineWords).as("kept"),
+          col("page").contains("lorem ipsum").as("has_lorem"),
+          col("page").contains("{").as("has_brace"),
+          (count_in(tokenize(col("page")), C4BadWords) > 0).as("has_badword"))
+        .select(col("doc_id"), col("n_lines"),
+          size(col("kept")).cast("long").as("n_kept"),
+          array_join(col("kept"), "\n").as("kept_text"),
+          col("has_lorem"), col("has_brace"), col("has_badword"))
+        .withColumn("n_sentences",
+          regexp_count(col("kept_text"), lit("[.!?]")).cast("long"))
+        .withColumn("flagged",
+          col("has_lorem") || col("has_brace") || col("has_badword") ||
+            col("n_sentences") < C4MinSentences)
+        .select("doc_id", "n_lines", "n_kept", "n_sentences", "has_lorem",
+          "has_brace", "has_badword", "flagged", "kept_text")
         .orderBy("doc_id")
     },
 
@@ -1679,6 +1800,47 @@ object TextQueries {
             alpha_word_bp < $GopherAlphaWordBp OR
             n_stop_hits < $GopherMinStopHits) AS flagged
          FROM m ORDER BY doc_id""",
+
+    // t34 — the line pass is a list_filter with the reducer's exact
+    // predicate (last non-whitespace char terminal, ≥5 non-empty
+    // whitespace-split words, no 'javascript' case-folded); page flags
+    // are contains/word-membership probes; sentence count is the same
+    // regex count both engines
+    "t34_c4_filters" ->
+      s"""WITH $crawlPageSql, $c4PageSql,
+         k AS (
+           SELECT doc_id, page,
+             list_filter(string_split(page, chr(10)), x ->
+               regexp_matches(x, '[.!?"]\\s*$$')
+               AND len(list_filter(string_split_regex(x, '\\s+'),
+                 w -> w <> '')) >= $C4MinLineWords
+               AND NOT contains(lower(x), 'javascript')) AS kept,
+             len(list_filter(string_split(page, chr(10)), x -> x <> ''))
+               AS n_lines
+           FROM c4page),
+         m AS (
+           SELECT doc_id,
+             CAST(n_lines AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             COALESCE(array_to_string(kept, chr(10)), '') AS kept_text,
+             contains(page, 'lorem ipsum') AS has_lorem,
+             contains(page, '{') AS has_brace,
+             len(list_filter(list_filter(string_split_regex(page, '\\s+'),
+               w -> w <> ''), w -> w IN (${C4BadWords.map(w => s"'$w'")
+                 .mkString(", ")}))) > 0 AS has_badword
+           FROM k),
+         f AS (
+           SELECT doc_id, n_lines, n_kept,
+             CAST(len(regexp_extract_all(kept_text, '[.!?]')) AS BIGINT)
+               AS n_sentences,
+             has_lorem, has_brace, has_badword, kept_text
+           FROM m)
+         SELECT doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+           has_badword,
+           (has_lorem OR has_brace OR has_badword OR
+             n_sentences < $C4MinSentences) AS flagged,
+           kept_text
+         FROM f ORDER BY doc_id""",
 
     "t16_repetition" ->
       """WITH t AS (

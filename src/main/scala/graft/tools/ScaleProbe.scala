@@ -266,7 +266,9 @@ object ScaleProbe {
       // line dedup's one exchange carries distinct line hashes only
       "t32_gopher_dup_fractions", "c11_line_dedup",
       // r18: quality rules share t32's pure-scan-projection shape
-      "t33_gopher_quality")
+      "t33_gopher_quality",
+      // r18: the C4 suite is the same shape with one reducer
+      "t34_c4_filters")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

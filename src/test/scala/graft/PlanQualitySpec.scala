@@ -482,4 +482,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 1,
       s"t33 should only exchange for the output sort:\n$plan")
   }
+
+  test("t34 C4 filters are a pure scan projection: " +
+    "no Generate, no aggregate, zero exchanges before the output sort") {
+    val df = SparkEntry.queries("t34_c4_filters")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("HashAggregate") && !plan.contains("Window"), plan)
+    assert(!plan.contains("Generate"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1,
+      s"t34 should only exchange for the output sort:\n$plan")
+  }
 }

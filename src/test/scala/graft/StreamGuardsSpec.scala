@@ -204,6 +204,42 @@ class StreamGuardsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C4 gate: survivors+rebuilt text == the t34 query's verdicts on " +
+    "the same pages; stream == batch") {
+    import spark.implicits._
+    val pages = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextQueries.c4PageExpr.as("text"))
+    val report = SparkEntry.queries("t34_c4_filters")(spark, sf)
+      .select("doc_id", "flagged", "kept_text").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    val gated = StreamGuards.c4Gated(pages).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gated.keySet == report.filter(!_._2._1).keySet,
+      s"gate=${gated.size} expected=${report.count(!_._2._1)}")
+    assert(gated.nonEmpty && report.exists(_._2._1), "both branches live")
+    gated.foreach { case (id, text) =>
+      assert(text == report(id)._2, s"doc $id rebuilt text diverges")
+    }
+
+    val sample = pages.limit(32).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batchKept = StreamGuards.c4Gated(
+      sample.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamGuards.c4Gated(in.toDF.toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("c4_gated_docs").start()
+    try {
+      in.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("c4_gated_docs")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batchKept, s"stream=${streamed.size} batch=${batchKept.size}")
+    } finally q.stop()
+  }
+
   test("the guard runs stateless inside a structured stream") {
     import spark.implicits._
     val benchText = "alpha beta gamma delta epsilon zeta eta theta"
