@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuinaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -330,6 +330,73 @@ object HashOps {
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** One-pass C4 span-dedup keep (c12): fold each line, hash every
+    * 3-line span exactly as `shingle_hashes(char_fold_array(lines), 3)`
+    * does, probe the broadcast duplicated-span set (sorted hashes +
+    * aligned keeper doc/position arrays) by binary search, and return
+    * the lines NOT covered by a losing occurrence. One compiled pass
+    * per document — no HOF lambdas, no per-line sequence allocation.
+    * Keeper positions are 0-based span starts, matching
+    * `posexplode`. */
+  def spanDedupKeep(
+      lines: ArrayData,
+      dupS: ArrayData,
+      dupKd: ArrayData,
+      dupKi: ArrayData,
+      docId: Long): ArrayData = {
+    val n = lines.numElements()
+    val folds = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      folds(i) = charFold(lines.getUTF8String(i))
+      i += 1
+    }
+    val m = math.max(0, n - 2)
+    val loser = new Array[Boolean](m)
+    i = 0
+    while (i < m) {
+      var acc = folds(i)
+      acc = (acc * P + folds(i + 1)) % M
+      acc = (acc * P + folds(i + 2)) % M
+      val pos = sortedPosition(dupS, acc)
+      if (pos > 0) {
+        val p = (pos - 1).toInt
+        loser(i) = !(dupKd.getLong(p) == docId && dupKi.getLong(p) == i)
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var j = 0
+    while (j < n) {
+      var covered = false
+      var k = math.max(0, j - 2)
+      val kMax = math.min(j, m - 1)
+      while (!covered && k <= kMax) {
+        covered = loser(k)
+        k += 1
+      }
+      if (!covered) out += UTF8String.fromString(lines.getUTF8String(j).toString)
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** 1-based position of `key` in an ascending-sorted long array via
+    * binary search, 0 when absent — the c12 broadcast dup-set probe
+    * ([[graft.operators.CorpusPipeline.spanDedupRebuild]]). */
+  def sortedPosition(arr: ArrayData, key: Long): Long = {
+    var lo = 0
+    var hi = arr.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = arr.getLong(mid)
+      if (v == key) return mid + 1L
+      else if (v < key) lo = mid + 1
+      else hi = mid - 1
+    }
+    0L
   }
 
   /** Weighted membership sum over a token array: Σ weight(token) for
@@ -827,6 +894,65 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 /** `dot_long(a ARRAY<BIGINT>, b ARRAY<BIGINT>) -> BIGINT`. */
+/** `span_dedup_keep(lines, dupS, dupKd, dupKi, doc_id) ->
+  * ARRAY<STRING>` — the c12 removal + rebuild as ONE compiled per-doc
+  * pass (see [[HashOps.spanDedupKeep]]): re-derives the span hashes
+  * from the lines (identical chain to
+  * `shingle_hashes(char_fold_array(...), 3)`), probes the broadcast
+  * dup arrays by binary search, and returns the surviving lines. */
+case class SpanDedupKeep(
+    lines: Expression,
+    dupS: Expression,
+    dupKd: Expression,
+    dupKi: Expression,
+    docId: Expression) extends QuinaryExpression {
+  override def children: Seq[Expression] = Seq(lines, dupS, dupKd, dupKi, docId)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "span_dedup_keep"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (lines.dataType, dupS.dataType, dupKd.dataType, dupKi.dataType,
+      docId.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _),
+        ArrayType(LongType, _), ArrayType(LongType, _), LongType) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "span_dedup_keep takes (ARRAY<STRING>, ARRAY<BIGINT>, ARRAY<BIGINT>, " +
+        s"ARRAY<BIGINT>, BIGINT), got (${children.map(_.dataType.sql).mkString(", ")})")
+  }
+  override protected def nullSafeEval(
+      a: Any, b: Any, c: Any, d: Any, e: Any): Any =
+    HashOps.spanDedupKeep(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData],
+      e.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d, e) =>
+      s"${HashExprs.H}.spanDedupKeep($a, $b, $c, $d, $e)")
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SpanDedupKeep =
+    copy(lines = newChildren(0), dupS = newChildren(1), dupKd = newChildren(2),
+      dupKi = newChildren(3), docId = newChildren(4))
+}
+
+/** `sorted_position(a ARRAY<BIGINT> sorted ascending, key) -> BIGINT`
+  * — 1-based position of `key` via binary search, 0 when absent (see
+  * [[HashOps.sortedPosition]]); the broadcast dup-set probe (c12).
+  * `array_position` is a linear scan — over a duplicated-span set
+  * that grows with corpus boilerplate, the probe must be O(log n). */
+case class SortedPosition(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_position"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.sortedPosition(a.asInstanceOf[ArrayData], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${HashExprs.H}.sortedPosition($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedPosition =
+    copy(left = newLeft, right = newRight)
+}
+
 case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_long"
@@ -1053,6 +1179,13 @@ object HashExprs {
     Bridge.column(LineShapeStats(Bridge.expression(c)))
   def c4_keep_lines(c: Column, minWords: Int): Column =
     Bridge.column(C4KeepLines(Bridge.expression(c), minWords))
+  def sorted_position(a: Column, key: Column): Column =
+    Bridge.column(SortedPosition(Bridge.expression(a), Bridge.expression(key)))
+  def span_dedup_keep(lines: Column, dupS: Column, dupKd: Column,
+      dupKi: Column, docId: Column): Column =
+    Bridge.column(SpanDedupKeep(Bridge.expression(lines),
+      Bridge.expression(dupS), Bridge.expression(dupKd),
+      Bridge.expression(dupKi), Bridge.expression(docId)))
   def hyperplane_bucket(c: Column, nPlanes: Int): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(c), nPlanes))
   def dot_long(a: Column, b: Column): Column =

@@ -86,6 +86,64 @@ object CorpusPipeline {
           l => !array_contains(col("__common"), char_fold(l))), "\n"))
       .drop("__common")
 
+  /** C4's THREE-SENTENCE-SPAN dedup as a corpus transform (Raffel et
+    * al. §2.2's "discarded all but one of any three-sentence span
+    * occurring more than once") — the cross-document companion of the
+    * t34 line rules, at OCCURRENCE grain: every occurrence of a
+    * duplicated span except the globally first (min `(doc_id,
+    * position)` — so within-document repetition dedups too) has its
+    * three sentences removed, and the document is rebuilt in-row,
+    * preserving order. The sentence unit is the non-empty LINE (after
+    * the C4 line filter each line ends in terminal punctuation — the
+    * engine's sentence-boundary constant; no lookbehind regex, which
+    * the oracle engine's RE2 lacks).
+    *
+    * Scale shape (the c11 idiom at span grain): spans are hashed
+    * IN-ROW (`shingle_hashes` over the per-line char folds — one
+    * compiled pass), so the one aggregation's exchange carries
+    * (8-byte span hash, doc, position) triples — sentence grain, never
+    * text. The duplicated-span set returns as a single-row broadcast
+    * of three aligned sorted arrays (hash, keeper doc, keeper
+    * position); removal + rebuild run as ONE compiled per-document
+    * pass (`span_dedup_keep`: re-derive span hashes, binary-search the
+    * sorted dup array, emit surviving lines — `array_position` is a
+    * linear scan and HOF lambdas evaluate interpreted, both of which
+    * the ×100 probe showed dominating at scale). The broadcast is
+    * bounded
+    * by the corpus's DUPLICATED-span volume (boilerplate fraction —
+    * the thing this transform exists to remove); past broadcast size
+    * the same shape swaps the in-row probe for an explode + equi-join
+    * on span hash and a per-doc re-aggregation of removed positions —
+    * the exchange still carries hashes, never sentences. */
+  def spanDedupRebuild(docs: DataFrame, textCol: String): DataFrame = {
+    val staged = docs
+      .withColumn("__lines",
+        filter(split(col(textCol), "\n"), l => l =!= lit("")))
+      .withColumn("__spans",
+        shingle_hashes(char_fold_array(col("__lines")), 3))
+    val dup = staged
+      .select(col("doc_id"), posexplode(col("__spans")).as(Seq("pos", "shash")))
+      .groupBy("shash")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("k"))
+      .filter(col("cnt") >= 2)
+      .agg(sort_array(collect_list(struct(col("shash"),
+        col("k.doc_id").as("kd"), col("k.pos").as("ki")))).as("__ds"))
+      // materialize the three aligned arrays ONCE in the 1-row frame —
+      // computed per broadcast, not per corpus row
+      .select(transform(col("__ds"), s => s("shash")).as("__dupS"),
+        transform(col("__ds"), s => s("kd")).as("__dupKd"),
+        // posexplode positions are INT — widen once here so the
+        // compiled reducer reads a uniform ARRAY<BIGINT>
+        transform(col("__ds"), s => s("ki").cast("long")).as("__dupKi"))
+    staged.crossJoin(broadcast(dup))
+      .withColumn(textCol, array_join(
+        graft.functions.HashExprs.span_dedup_keep(col("__lines"),
+          col("__dupS"), col("__dupKd"), col("__dupKi"), col("doc_id")),
+        "\n"))
+      .drop("__dupS", "__dupKd", "__dupKi", "__lines", "__spans")
+  }
+
   /** [[clean]] over a RAW CRAWL corpus: the t29 gate first, then the
     * exact-dedup → quality → near-dup stages over the EXTRACTED text —
     * the real pipeline order on web data (CCNet/RefinedWeb stage
@@ -379,6 +437,33 @@ object CorpusPipeline {
           size(col("lines")).cast("long").as("n_lines"),
           size(col("kept")).cast("long").as("n_kept"),
           array_join(col("kept"), "\n").as("clean_text"))
+        .orderBy("doc_id")
+    },
+
+    // ── c12: C4 three-sentence-span dedup over the C4 test pages —
+    // occurrence-grain keep-first (promo paragraphs duplicate spans
+    // both within a page and across pages; the per-source editorial
+    // paragraph duplicates across each source's docs). Stats are
+    // recomputed from the rebuilt text so the report pins the
+    // transform end to end. The rebuilt frame is checkpointed before
+    // the output sort: the range partitioner's sampling pass would
+    // otherwise re-execute the whole child — including the dup-set
+    // rollup — a second time (measured 4-10x the transform cost at
+    // the ×100 probe scale).
+    "c12_span_dedup" -> { (s, d) =>
+      val pages = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextQueries.c4PageExpr.as("page"))
+        .withColumn("n_sentences",
+          size(filter(split(col("page"), "\n"), l => l =!= lit("")))
+            .cast("long"))
+      spanDedupRebuild(pages, "page")
+        .select(col("doc_id"), col("n_sentences"),
+          (col("n_sentences") -
+            size(filter(split(col("page"), "\n"), l => l =!= lit("")))
+              .cast("long")).as("n_removed"),
+          col("page").as("dedup_text"))
+        .localCheckpoint(true)
         .orderBy("doc_id")
     }
   )
@@ -839,6 +924,57 @@ object CorpusPipeline {
            COALESCE(string_agg(e.line, chr(10) ORDER BY e.ord)
              FILTER (WHERE c.lh IS NULL), '') AS clean_text
          FROM exh e LEFT JOIN common c USING (lh)
-         GROUP BY 1 ORDER BY doc_id"""
+         GROUP BY 1 ORDER BY doc_id""",
+
+    // c12 — relational replay at occurrence grain: per-position span
+    // hashes (the same fold-then-chain both sides) → duplicated spans
+    // with their first (doc, pos) occurrence → every losing
+    // occurrence marks its three positions removed → ordinality-
+    // ordered rebuild of the rest
+    "c12_span_dedup" ->
+      s"""WITH ${TextQueries.crawlPageSql}, ${TextQueries.c4PageSql},
+         ls AS (
+           SELECT doc_id,
+             list_filter(string_split(page, chr(10)), x -> x <> '') AS lines
+           FROM c4page),
+         ex AS (
+           SELECT doc_id, generate_subscripts(lines, 1) AS ord,
+             unnest(lines) AS line
+           FROM ls),
+         exh AS (
+           SELECT doc_id, ord, line,
+             ${DedupQueries.charFoldSqlOf("line")} AS lh
+           FROM ex),
+         sp AS (
+           SELECT doc_id, ord,
+             ((lh * 1000003 + lh2) % 1000000007 * 1000003 + lh3)
+               % 1000000007 AS shash
+           FROM (SELECT doc_id, ord, lh,
+                   LEAD(lh, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lh2,
+                   LEAD(lh, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lh3
+                 FROM exh)
+           WHERE lh3 IS NOT NULL),
+         dupk AS (
+           SELECT shash, doc_id AS kd, ord AS ki FROM (
+             SELECT shash, doc_id, ord,
+               COUNT(*) OVER (PARTITION BY shash) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY shash
+                 ORDER BY doc_id, ord) AS rn
+             FROM sp) WHERE cnt >= 2 AND rn = 1),
+         removedpos AS (
+           SELECT DISTINCT s.doc_id, s.ord + k.k AS ord
+           FROM sp s JOIN dupk d USING (shash),
+             (SELECT unnest([0, 1, 2]) AS k) k
+           WHERE NOT (s.doc_id = d.kd AND s.ord = d.ki)),
+         kept AS (
+           SELECT e.doc_id, e.ord, e.line
+           FROM ex e ANTI JOIN removedpos r USING (doc_id, ord))
+         SELECT l.doc_id,
+           CAST(len(l.lines) AS BIGINT) AS n_sentences,
+           CAST(len(l.lines) - COUNT(k.ord) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(k.line, chr(10) ORDER BY k.ord), '')
+             AS dedup_text
+         FROM ls l LEFT JOIN kept k USING (doc_id)
+         GROUP BY l.doc_id, len(l.lines) ORDER BY doc_id"""
   )
 }

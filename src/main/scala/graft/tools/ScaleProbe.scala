@@ -267,8 +267,9 @@ object ScaleProbe {
       "t32_gopher_dup_fractions", "c11_line_dedup",
       // r18: quality rules share t32's pure-scan-projection shape
       "t33_gopher_quality",
-      // r18: the C4 suite is the same shape with one reducer
-      "t34_c4_filters")
+      // r18: the C4 suite is the same shape with one reducer; span
+      // dedup's exchange carries span hashes only (c11's shape)
+      "t34_c4_filters", "c12_span_dedup")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

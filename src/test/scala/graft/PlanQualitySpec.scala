@@ -483,6 +483,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"t33 should only exchange for the output sort:\n$plan")
   }
 
+  test("c12 span dedup: the duplicated-span rollup exchanges 8-byte span " +
+    "hashes; the set returns via a 1-row broadcast — the corpus is never " +
+    "joined to itself and sentence STRINGS never cross an exchange") {
+    // gate the TRANSFORM's plan — the query checkpoints before its
+    // output sort (so the sort's sampling pass cannot re-execute the
+    // dup rollup), which truncates queryExecution at the RDD
+    import org.apache.spark.sql.functions.col
+    val pages = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextQueries.c4PageExpr.as("page"))
+    val df = graft.operators.CorpusPipeline.spanDedupRebuild(pages, "page")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // partial + final aggregation on the 8-byte shash key
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    // the only nested-loop join is the deliberate 1-row dup-set cross
+    assert(plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("Cross")), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    val badExchange = plan.linesIterator.filter(_.contains("Exchange "))
+      .exists(l => l.contains("__lines") || l.contains("page"))
+    assert(!badExchange, plan)
+  }
+
   test("t34 C4 filters are a pure scan projection: " +
     "no Generate, no aggregate, zero exchanges before the output sort") {
     val df = SparkEntry.queries("t34_c4_filters")(spark, sf)
