@@ -144,6 +144,84 @@ object CorpusPipeline {
       .drop("__dupS", "__dupKd", "__dupKi", "__lines", "__spans")
   }
 
+  /** Temperature-mix sampling budget as a percent of total corpus
+    * tokens (c13) — spelled as a fraction so the capped-rate branch
+    * stays live at every scale factor. */
+  val MixBudgetPct: Long = 80L
+
+  /** Salt for the c13 ppm selection hash. The bare fold of a SHORT
+    * doc-id string never exceeds the 1e9+7 modulus (a 3-digit id folds
+    * to ≤ ~260k), so `fold % 1e6` would be monotone in the id and a
+    * sub-260k threshold would keep everything — the salt pads every
+    * key past the wrap point. The fold is then SQUARED mod the prime
+    * before the ppm residue: a polynomial rolling hash is not an
+    * avalanche hash — consecutive ids fold to tight arithmetic bands
+    * (measured: 490/500 of the corpus under a 56% threshold), while
+    * `(f² mod p) mod 1e6` jumps by ~2·f·Δ per id and reads uniform
+    * (273/500 under the same threshold, expected 282). */
+  val MixSalt: String = "tempmix:"
+
+  /** Exact integer square root: floor(sqrt(c)) with a ±1 correction
+    * around the double rounding, so Spark and the oracle agree bit-for
+    * bit even at perfect squares. `c` must be a BIGINT column name. */
+  private[operators] def isqrtCorrectionSqlOf(t0: String, c: String): String =
+    s"CASE WHEN ($t0 + 1) * ($t0 + 1) <= $c THEN $t0 + 1 " +
+      s"WHEN $t0 * $t0 > $c THEN $t0 - 1 ELSE $t0 END"
+
+  /** Temperature-based multinomial source mixing (the multilingual
+    * sampling rule of XLM-R §3.1 / mT5: draw strata with probability ∝
+    * n_i^α, α < 1, to up-weight low-resource strata) as a DETERMINISTIC
+    * corpus transform: per-stratum token masses n_i reduce to sampling
+    * rates r_i = min(1, B·n_i^α / (Σ_j n_j^α · n_i)) for a token budget
+    * B = total·[[MixBudgetPct]]%, and a document survives iff
+    * `(f² mod 1e9+7) mod 1e6 < r_i·1e6` for
+    * `f = char_fold('[[MixSalt]]' || doc_id)` — the fold-hash family
+    * c3's leakage-safe split keys on, salted and squared into a
+    * uniform residue (see [[MixSalt]]), so the sample is reproducible
+    * across runs, engines, and partitionings. α is pinned
+    * at 1/2 (the published knob is α ∈ [0.2, 0.7]; one-half is the
+    * value with an EXACT integer spelling — isqrt with ±1 correction —
+    * so the rate table is bit-identical in the oracle; any other α
+    * trades that exactness for a double `pow`).
+    *
+    * Scale shape: one per-stratum aggregation (the exchange carries
+    * |strata| partial rows), a 1-row total, rates broadcast back via a
+    * broadcast equi-join on the stratum key, the keep decision in-row
+    * — the corpus shuffles zero bytes. At a budget where
+    * `1e6·B·w_i` nears Long range (≳ 9·10¹⁸: B ~ 10¹² tokens — a
+    * 100 TB corpus) the rate arithmetic moves to DECIMAL(38,0), same
+    * spelling. */
+  /** Per-stratum rate table for [[temperatureSample]]: `(strata,
+    * n_docs, stratum_tokens, weight, rate_ppm)`. */
+  private[graft] def mixRates(
+      docs: DataFrame, strataCol: String): DataFrame = {
+    val per = docs
+      .withColumn("__n_toks", size(tokenize(col("text"))).cast("long"))
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__n_toks").as("stratum_tokens"))
+      .withColumn("__t0",
+        expr("CAST(FLOOR(SQRT(CAST(stratum_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("weight",
+        expr(isqrtCorrectionSqlOf("__t0", "stratum_tokens")))
+    val tot = per.agg(sum("weight").as("__sum_w"),
+      sum("stratum_tokens").as("__tot"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("__budget", expr(s"(__tot * $MixBudgetPct) DIV 100"))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        expr("(1000000 * __budget * weight) DIV (__sum_w * stratum_tokens)")))
+      .select(col(strataCol), col("n_docs"), col("stratum_tokens"),
+        col("weight"), col("rate_ppm"))
+  }
+
+  def temperatureSample(docs: DataFrame, strataCol: String): DataFrame =
+    docs.join(broadcast(mixRates(docs, strataCol)
+        .select(col(strataCol), col("rate_ppm"))), Seq(strataCol))
+      .withColumn("__f",
+        char_fold(concat(lit(MixSalt), col("doc_id").cast("string"))))
+      .filter(col("__f") * col("__f") % 1000000007L % 1000000L <
+        col("rate_ppm"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+
   /** [[clean]] over a RAW CRAWL corpus: the t29 gate first, then the
     * exact-dedup → quality → near-dup stages over the EXTRACTED text —
     * the real pipeline order on web data (CCNet/RefinedWeb stage
@@ -465,6 +543,28 @@ object CorpusPipeline {
           col("page").as("dedup_text"))
         .localCheckpoint(true)
         .orderBy("doc_id")
+    },
+
+    // ── c13: temperature-mix report over the language strata (the
+    // corpus's real skew axis: en carries ~3× the tokens of de) —
+    // the rate table plus what the deterministic sample actually
+    // drew, so the report pins the transform end to end. The de/zh/
+    // es/fr strata sit at the rate cap (1e6 ppm) at the 80% budget
+    // while en is down-sampled — both branches live.
+    "c13_temperature_mix" -> { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val rates = mixRates(docs, "lang")
+      val sampled = temperatureSample(docs, "lang")
+        .withColumn("__n_toks", size(tokenize(col("text"))).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("sampled_docs"),
+          sum("__n_toks").as("sampled_tokens"))
+      rates.join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("stratum_tokens"),
+          col("weight"), col("rate_ppm"),
+          coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+          coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+        .orderBy("lang")
     }
   )
 
@@ -975,6 +1075,54 @@ object CorpusPipeline {
            COALESCE(string_agg(k.line, chr(10) ORDER BY k.ord), '')
              AS dedup_text
          FROM ls l LEFT JOIN kept k USING (doc_id)
-         GROUP BY l.doc_id, len(l.lines) ORDER BY doc_id"""
+         GROUP BY l.doc_id, len(l.lines) ORDER BY doc_id""",
+
+    // c13 — exact integer replay: isqrt with the ±1 correction, the
+    // budget/rate floor-divisions, and the char-fold ppm selection
+    "c13_temperature_mix" ->
+      s"""WITH docs AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+               x -> x <> '')) AS BIGINT) AS n_toks
+           FROM documents),
+         per AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS stratum_tokens
+           FROM docs GROUP BY 1),
+         w0 AS (
+           SELECT *, CAST(FLOOR(SQRT(CAST(stratum_tokens AS DOUBLE)))
+             AS BIGINT) AS t0
+           FROM per),
+         wi AS (
+           SELECT lang, n_docs, stratum_tokens,
+             ${isqrtCorrectionSqlOf("t0", "stratum_tokens")} AS weight
+           FROM w0),
+         tot AS (
+           SELECT CAST(SUM(weight) AS BIGINT) AS sum_w,
+             CAST(SUM(stratum_tokens) AS BIGINT) AS tot_tokens
+           FROM wi),
+         rates AS (
+           SELECT lang, n_docs, stratum_tokens, weight,
+             LEAST(1000000, (1000000 * ((tot_tokens * $MixBudgetPct) // 100)
+               * weight) // (sum_w * stratum_tokens)) AS rate_ppm
+           FROM wi, tot),
+         folds AS (
+           SELECT lang, n_toks,
+             ${DedupQueries.charFoldSqlOf(
+               s"'$MixSalt' || CAST(doc_id AS VARCHAR)")} AS f
+           FROM docs),
+         keep AS (
+           SELECT f.lang, f.n_toks
+           FROM folds f JOIN rates r USING (lang)
+           WHERE f.f * f.f % 1000000007 % 1000000 < r.rate_ppm),
+         samp AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS sampled_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS sampled_tokens
+           FROM keep GROUP BY 1)
+         SELECT r.lang, r.n_docs, r.stratum_tokens, r.weight,
+           CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+           COALESCE(s.sampled_docs, 0) AS sampled_docs,
+           COALESCE(s.sampled_tokens, 0) AS sampled_tokens
+         FROM rates r LEFT JOIN samp s USING (lang) ORDER BY lang"""
   )
 }

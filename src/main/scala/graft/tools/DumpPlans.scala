@@ -115,7 +115,8 @@ object DumpPlans {
     "c11_line_dedup" -> "cross-doc line dedup: one hash agg whose exchange carries DISTINCT line hashes (in-row array_distinct + partial agg), 1-row broadcast of the common set back into the scan, rebuild in the projection",
     "t33_gopher_quality" -> "Gopher quality rules: two compiled per-doc reducers (alpha_token_count, line_shape_stats) + array_intersect stop-word floor + length-difference symbol counts in one scan projection - no Generate, no aggregate, zero exchanges before the sort",
     "t34_c4_filters" -> "C4 filter suite: one compiled line-retention reducer (c4_keep_lines) + rebuild via array_join + contains/count_in page flags in one scan projection - no Generate, no aggregate, zero exchanges before the sort",
-    "c12_span_dedup" -> "C4 three-sentence-span dedup: in-row span hashes (shingle over line folds), one hash agg whose exchange carries (shash, doc, pos), dup set + keepers return via a 1-row broadcast of sorted arrays, occurrence-grain removal and rebuild in the projection")
+    "c12_span_dedup" -> "C4 three-sentence-span dedup: in-row span hashes (shingle over line folds), one hash agg whose exchange carries (shash, doc, pos), dup set + keepers return via a 1-row broadcast of sorted arrays, occurrence-grain removal and rebuild in the projection",
+    "c13_temperature_mix" -> "temperature mixing: per-stratum mass agg (|strata| partial rows), isqrt weights + integer ppm rates in a 1-row-joined frame, rates broadcast back by stratum equi-join, keep decision in-row - the corpus shuffles zero content bytes")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

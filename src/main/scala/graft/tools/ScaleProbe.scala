@@ -269,7 +269,9 @@ object ScaleProbe {
       "t33_gopher_quality",
       // r18: the C4 suite is the same shape with one reducer; span
       // dedup's exchange carries span hashes only (c11's shape)
-      "t34_c4_filters", "c12_span_dedup")
+      "t34_c4_filters", "c12_span_dedup",
+      // r18: mixing is two tiny stratum aggs + a broadcast rate join
+      "c13_temperature_mix")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

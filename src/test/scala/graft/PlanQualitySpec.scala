@@ -509,6 +509,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!badExchange, plan)
   }
 
+  test("c13 temperature mix: rates broadcast back to the corpus — no " +
+    "shuffle join, no exchange carries text, aggs combine map-side") {
+    val df = SparkEntry.queries("c13_temperature_mix")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan)
+    // per-stratum rollups run partial before their exchanges
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, plan)
+    val badExchange = plan.linesIterator.filter(_.contains("Exchange "))
+      .exists(_.contains("text"))
+    assert(!badExchange, plan)
+  }
+
   test("t34 C4 filters are a pure scan projection: " +
     "no Generate, no aggregate, zero exchanges before the output sort") {
     val df = SparkEntry.queries("t34_c4_filters")(spark, sf)
