@@ -93,6 +93,20 @@ object TextQueries {
   val C4MinSentences: Long = 3L
   val C4BadWords: Seq[String] = Seq("casino", "jackpot")
 
+  /** CCNet LM-bucketing constants (t35 — Wenzek et al. 2020 §4.3:
+    * score each document with a language-matched LM trained on a clean
+    * reference, then split the corpus into head/middle/tail quality
+    * buckets at FIXED per-run thresholds, computed once and pinned —
+    * never a per-query percentile pass over the corpus). The reference
+    * here is the `doc_id < 50` slice (every language present), the LM
+    * the t21 add-1-smoothed bigram model at per-language grain, and
+    * the thresholds mean-probability ppm values placing the synthetic
+    * corpus roughly 30/40/30 (CCNet's own cuts are corpus-fraction
+    * picks too). */
+  val CcnetRefDocs: Long = 50L
+  val CcnetHeadPpm: Double = 34000.0
+  val CcnetMiddlePpm: Double = 31700.0
+
   /** Word-boundary sentinel for the t22 tokenizer-apply pipeline —
     * NUL never occurs in the corpus and never appears in any merge
     * pair, so merges cannot cross word boundaries. */
@@ -990,6 +1004,48 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ── t35: CCNet head/middle/tail LM bucketing — score every
+    // non-reference document with a LANGUAGE-MATCHED add-1-smoothed
+    // bigram LM trained on the clean reference slice, bucket at the
+    // pinned ppm thresholds. Unlike t21 (novelty against the corpus's
+    // OWN statistics), the reference model is fixed and tiny, so both
+    // count tables broadcast: the corpus bigram stream map-side-joins
+    // the model and aggregates once per doc — the corpus is never
+    // self-joined and never shuffled on content. Per-doc probability
+    // sums fold over a SORTED list (t21's double-parity idiom).
+    "t35_ccnet_buckets" -> { (s, d) =>
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), tokenize(col("text")).as("ts"))
+      val bi = toks.select(col("doc_id"), col("lang"),
+          explode(token_ngrams(col("ts"), 2)).as("bigram"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      val cdf = bi.filter(col("doc_id") < CcnetRefDocs)
+        .groupBy("lang", "bigram").agg(count(lit(1)).as("c"))
+      val uni = toks.filter(col("doc_id") < CcnetRefDocs)
+        .select(col("lang"), explode(col("ts")).as("w1"))
+        .groupBy("lang", "w1").agg(count(lit(1)).as("u"))
+      val vocab = uni.groupBy("lang").agg(count(lit(1)).as("v"))
+      bi.filter(col("doc_id") >= CcnetRefDocs)
+        .join(broadcast(cdf), Seq("lang", "bigram"), "left")
+        .join(broadcast(uni), Seq("lang", "w1"), "left")
+        .join(broadcast(vocab), Seq("lang"))
+        .withColumn("p",
+          (coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
+            (coalesce(col("u"), lit(0L)) + col("v")).cast("double"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sort_array(collect_list(col("p"))).as("ps"))
+        .withColumn("lm_ppm", round(lit(1000000.0) *
+          aggregate(col("ps"), lit(0.0), (a, x) => a + x) /
+          col("n_bigrams").cast("double"), 4))
+        .withColumn("bucket",
+          when(col("lm_ppm") >= CcnetHeadPpm, "head")
+            .when(col("lm_ppm") >= CcnetMiddlePpm, "middle")
+            .otherwise("tail"))
+        .select("doc_id", "lang", "n_bigrams", "lm_ppm", "bucket")
+        .orderBy("doc_id")
+    },
+
     // ── t17: BM25 retrieval (Okapi k1=1.2, b=0.75) — top-20 documents
     // for a fixed term query, the relevance ranking a training-data
     // pipeline uses for targeted corpus slicing. Follows t9's
@@ -1841,6 +1897,54 @@ object TextQueries {
              n_sentences < $C4MinSentences) AS flagged,
            kept_text
          FROM f ORDER BY doc_id""",
+
+    // t35 — the relational replay: per-language reference counts, LEFT
+    // joins with add-1 smoothing (absent bigram -> c=0, absent w1 ->
+    // u=0), sorted-list sequential fold for the identical IEEE sum
+    "t35_ccnet_buckets" ->
+      s"""WITH t AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+           FROM documents),
+         tok AS (
+           SELECT doc_id, lang, generate_subscripts(ts, 1) AS idx,
+             unnest(ts) AS token
+           FROM t),
+         bi AS (
+           SELECT doc_id, lang, token AS w1, token || ' ' || next AS bigram
+           FROM (
+             SELECT doc_id, lang, idx, token,
+               LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS next
+             FROM tok)
+           WHERE next IS NOT NULL),
+         cdf AS (
+           SELECT lang, bigram, COUNT(*) AS c FROM bi
+           WHERE doc_id < $CcnetRefDocs GROUP BY 1, 2),
+         uni AS (
+           SELECT lang, token AS w1, COUNT(*) AS u FROM tok
+           WHERE doc_id < $CcnetRefDocs GROUP BY 1, 2),
+         vv AS (SELECT lang, COUNT(*) AS v FROM uni GROUP BY 1),
+         p AS (
+           SELECT bi.doc_id, bi.lang,
+             (COALESCE(c, 0) + 1) * 1.0 / (COALESCE(u, 0) + v) AS p
+           FROM bi
+           LEFT JOIN cdf ON cdf.lang = bi.lang AND cdf.bigram = bi.bigram
+           LEFT JOIN uni ON uni.lang = bi.lang AND uni.w1 = bi.w1
+           JOIN vv ON vv.lang = bi.lang
+           WHERE bi.doc_id >= $CcnetRefDocs),
+         g AS (
+           SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+             list_sort(list(p)) AS ps
+           FROM p GROUP BY 1, 2)
+         SELECT doc_id, lang, n_bigrams,
+           ROUND(1000000.0 * list_reduce(ps, (a, b) -> a + b) / n_bigrams, 4)
+             AS lm_ppm,
+           CASE WHEN ROUND(1000000.0 * list_reduce(ps, (a, b) -> a + b)
+               / n_bigrams, 4) >= $CcnetHeadPpm THEN 'head'
+             WHEN ROUND(1000000.0 * list_reduce(ps, (a, b) -> a + b)
+               / n_bigrams, 4) >= $CcnetMiddlePpm THEN 'middle'
+             ELSE 'tail' END AS bucket
+         FROM g ORDER BY doc_id""",
 
     "t16_repetition" ->
       """WITH t AS (

@@ -116,7 +116,8 @@ object DumpPlans {
     "t33_gopher_quality" -> "Gopher quality rules: two compiled per-doc reducers (alpha_token_count, line_shape_stats) + array_intersect stop-word floor + length-difference symbol counts in one scan projection - no Generate, no aggregate, zero exchanges before the sort",
     "t34_c4_filters" -> "C4 filter suite: one compiled line-retention reducer (c4_keep_lines) + rebuild via array_join + contains/count_in page flags in one scan projection - no Generate, no aggregate, zero exchanges before the sort",
     "c12_span_dedup" -> "C4 three-sentence-span dedup: in-row span hashes (shingle over line folds), one hash agg whose exchange carries (shash, doc, pos), dup set + keepers return via a 1-row broadcast of sorted arrays, occurrence-grain removal and rebuild in the projection",
-    "c13_temperature_mix" -> "temperature mixing: per-stratum mass agg (|strata| partial rows), isqrt weights + integer ppm rates in a 1-row-joined frame, rates broadcast back by stratum equi-join, keep decision in-row - the corpus shuffles zero content bytes")
+    "c13_temperature_mix" -> "temperature mixing: per-stratum mass agg (|strata| partial rows), isqrt weights + integer ppm rates in a 1-row-joined frame, rates broadcast back by stratum equi-join, keep decision in-row - the corpus shuffles zero content bytes",
+    "t35_ccnet_buckets" -> "CCNet LM bucketing: reference-slice bigram/unigram/vocab counts broadcast (the reference is tiny by definition), corpus bigram stream map-side-joins the model, one per-doc agg, buckets in-row at pinned thresholds - no corpus self-join, no percentile pass")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

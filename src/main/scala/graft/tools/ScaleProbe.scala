@@ -270,8 +270,10 @@ object ScaleProbe {
       // r18: the C4 suite is the same shape with one reducer; span
       // dedup's exchange carries span hashes only (c11's shape)
       "t34_c4_filters", "c12_span_dedup",
-      // r18: mixing is two tiny stratum aggs + a broadcast rate join
-      "c13_temperature_mix")
+      // r18: mixing is two tiny stratum aggs + a broadcast rate join;
+      // CCNet bucketing joins a broadcast reference LM to the bigram
+      // stream (one per-doc agg, thresholds in-row)
+      "c13_temperature_mix", "t35_ccnet_buckets")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

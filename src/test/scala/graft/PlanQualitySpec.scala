@@ -525,6 +525,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!badExchange, plan)
   }
 
+  test("t35 CCNet buckets: the reference LM broadcasts to the corpus " +
+    "bigram stream — no shuffle join, no corpus self-join") {
+    val df = SparkEntry.queries("t35_ccnet_buckets")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("t34 C4 filters are a pure scan projection: " +
     "no Generate, no aggregate, zero exchanges before the output sort") {
     val df = SparkEntry.queries("t34_c4_filters")(spark, sf)
