@@ -202,6 +202,27 @@ object StreamGuards {
     * slot is an ALTERNATIVE to the Gopher pair ([[qualityGated]] →
     * [[gopherGated]]) — C4 and Gopher are the two published cleaning
     * recipes, not stages of one. */
+  /** Streaming temperature-mix gate — applies a PRECOMPUTED rate
+    * table ([[graft.operators.CorpusPipeline.mixRates]], refreshed by
+    * a batch cadence the way the IVF/BM25 sidecars are) to an ingest
+    * stream: a stream-static broadcast equi-join on the stratum column
+    * attaches `rate_ppm`, and the keep decision is the same salted
+    * squared-fold residue as the batch sampler, so a document's fate
+    * is identical whether it arrives by batch or by stream. Stateless
+    * beyond the static side: no watermark, no state store. Rates
+    * derived from a PAST corpus snapshot applied to future arrivals is
+    * exactly CCNet/XLM-R practice — mixing ratios are a training-run
+    * constant, not a per-batch estimate. */
+  def mixSampled(docs: DataFrame, rates: DataFrame, strataCol: String): DataFrame = {
+    val f = graft.functions.HashExprs.char_fold(
+      concat(lit(graft.operators.CorpusPipeline.MixSalt),
+        col("doc_id").cast("string")))
+    docs.join(broadcast(rates.select(col(strataCol), col("rate_ppm"))),
+        Seq(strataCol))
+      .filter(f * f % 1000000007L % 1000000L < col("rate_ppm"))
+      .drop("rate_ppm")
+  }
+
   def c4Gated(docs: DataFrame): DataFrame = {
     val keptText = array_join(
       c4_keep_lines(split(col("text"), "\n"), TextQueries.C4MinLineWords),

@@ -240,6 +240,38 @@ class StreamGuardsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mix gate: a precomputed rate table gives stream arrivals the " +
+    "same fate as the batch sampler; stream == batch") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val rates = graft.operators.CorpusPipeline.mixRates(docs, "lang")
+      .localCheckpoint(true) // the static side, frozen once
+    val batchIds = graft.operators.CorpusPipeline
+      .temperatureSample(docs, "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gatedIds = StreamGuards.mixSampled(docs, rates, "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gatedIds == batchIds, s"gate=${gatedIds.size} batch=${batchIds.size}")
+    assert(gatedIds.nonEmpty && gatedIds.size <
+      docs.count(), "both branches live")
+
+    val sample = docs.select("doc_id", "lang").limit(64).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val in = MemoryStream[(Long, String)](spark)
+    val q = StreamGuards.mixSampled(
+        in.toDF.toDF("doc_id", "lang"), rates, "lang")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mix_gated_docs").start()
+    try {
+      in.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mix_gated_docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == sample.map(_._1).toSet.intersect(batchIds),
+        s"stream=${streamed.size}")
+    } finally q.stop()
+  }
+
   test("the guard runs stateless inside a structured stream") {
     import spark.implicits._
     val benchText = "alpha beta gamma delta epsilon zeta eta theta"
