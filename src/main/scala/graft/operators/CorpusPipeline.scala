@@ -95,7 +95,11 @@ object CorpusPipeline {
     * three sentences removed, and the document is rebuilt in-row,
     * preserving order. The sentence unit is the non-empty LINE (after
     * the C4 line filter each line ends in terminal punctuation — the
-    * engine's sentence-boundary constant; no lookbehind regex, which
+    * engine's sentence-boundary constant — relation to neighbors: d10
+    * REPORTS the top repeated token spans without removing, and
+    * [[lineDedupRebuild]] removes single lines crossing ≥ k documents;
+    * this is the published C4 rule the two bracket, whole-span removal
+    * at ≥ 2 occurrences with a keep-first winner; no lookbehind regex, which
     * the oracle engine's RE2 lacks).
     *
     * Scale shape (the c11 idiom at span grain): spans are hashed
@@ -183,6 +187,15 @@ object CorpusPipeline {
     * value with an EXACT integer spelling — isqrt with ±1 correction —
     * so the rate table is bit-identical in the oracle; any other α
     * trades that exactness for a double `pow`).
+    *
+    * Relation to the sp family: `sp8_temperature_mix` REPORTS the n^α
+    * share/boost/target table at source-and-doc-count grain (the
+    * planning view; its `floor(sqrt·1e6)` spelling is fine for shares
+    * but not for exact keep thresholds), and `sp7_mix_plan` derives
+    * rates toward an EXTERNAL target-share recipe. This transform
+    * EXECUTES the α rule: token-grain mass, exact isqrt weights, and
+    * a materialized deterministic sample plus a report of what was
+    * actually drawn (c13).
     *
     * Scale shape: one per-stratum aggregation (the exchange carries
     * |strata| partial rows), a 1-row total, rates broadcast back via a
