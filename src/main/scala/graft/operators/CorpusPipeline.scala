@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{char_fold, char_fold_array, shingle_hashes, tokenize}
+import graft.functions.HashExprs.{c4_keep_lines, char_fold, char_fold_array, count_in, shingle_hashes, tokenize}
 import graft.sources.Tables
 
 /** End-to-end training-data corpus cleaning as ONE composable
@@ -85,6 +85,52 @@ object CorpusPipeline {
         filter(filter(split(col(textCol), "\n"), l => l =!= lit("")),
           l => !array_contains(col("__common"), char_fold(l))), "\n"))
       .drop("__common")
+
+  /** The C4 page gate as a corpus transform (the t34 rules applied,
+    * one definition for batch and stream —
+    * [[graft.streaming.StreamGuards.c4Gated]] delegates here): lines
+    * run through the compiled retention filter and `text` is REBUILT
+    * from the kept lines; pages with `lorem ipsum`, a curly brace, a
+    * blocklisted word, or fewer than
+    * [[TextQueries.C4MinSentences]] surviving sentences are dropped.
+    * Stateless projection + filter — identical predicates to the t34
+    * report, so gate and report can never disagree. */
+  def c4Gate(docs: DataFrame): DataFrame = {
+    val keptText = array_join(
+      c4_keep_lines(split(col("text"), "\n"), TextQueries.C4MinLineWords),
+      "\n")
+    val hasBadword =
+      count_in(tokenize(col("text")), TextQueries.C4BadWords) > 0
+    docs
+      .withColumn("__c4_kept", keptText)
+      .filter(!col("text").contains("lorem ipsum") &&
+        !col("text").contains("{") && !hasBadword &&
+        regexp_count(col("__c4_kept"), lit("[.!?]")).cast("long") >=
+          lit(TextQueries.C4MinSentences))
+      .withColumn("text", col("__c4_kept"))
+      .drop("__c4_kept")
+  }
+
+  /** The complete C4 recipe as a funnel (the published pipeline t34 +
+    * c12 spell stage by stage): line rules + page flags, then
+    * cross-document three-sentence-span dedup, dropping documents
+    * emptied by either stage. One count+token reduction per stage,
+    * nothing collected; counts are monotone non-increasing by
+    * construction. The Gopher recipe has [[filterFunnel]]; this is
+    * the alternative published lineage over the same corpus. */
+  def c4Funnel(docs: DataFrame): DataFrame = {
+    val gated = c4Gate(docs).localCheckpoint(true)
+    val deduped = spanDedupRebuild(gated, "text")
+      .filter(col("text") =!= "").localCheckpoint(true)
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_kept"),
+        coalesce(sum(size(tokenize(col("text"))).cast("long")), lit(0L))
+          .as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_kept"), col("n_tokens"))
+    Seq(("0_total", docs), ("1_c4_gate", gated), ("2_span_dedup", deduped))
+      .map { case (n, df) => stage(df, n) }
+      .reduce(_.union(_)).orderBy("stage")
+  }
 
   /** C4's THREE-SENTENCE-SPAN dedup as a corpus transform (Raffel et
     * al. §2.2's "discarded all but one of any three-sentence span
@@ -578,6 +624,17 @@ object CorpusPipeline {
           coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
           coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
         .orderBy("lang")
+    },
+
+    // ── c14: the complete C4 recipe as a funnel over the C4 test
+    // pages — line rules + page flags (t34's gate), then
+    // three-sentence-span dedup (c12), with survivor and token counts
+    // per stage. The published pipeline, end to end, in its published
+    // order.
+    "c14_c4_funnel" -> { (s, d) =>
+      c4Funnel(Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextQueries.c4PageExpr.as("text")))
     }
   )
 
@@ -1136,6 +1193,89 @@ object CorpusPipeline {
            CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
            COALESCE(s.sampled_docs, 0) AS sampled_docs,
            COALESCE(s.sampled_tokens, 0) AS sampled_tokens
-         FROM rates r LEFT JOIN samp s USING (lang) ORDER BY lang"""
+         FROM rates r LEFT JOIN samp s USING (lang) ORDER BY lang""",
+
+    // c14 — stage replay: the t34 gate (kept lines + page flags), then
+    // the c12 span-dedup chain over the GATED text, one count+token
+    // row per stage
+    "c14_c4_funnel" ->
+      s"""WITH ${TextQueries.crawlPageSql}, ${TextQueries.c4PageSql},
+         d0 AS (SELECT doc_id, source, page AS text FROM c4page),
+         gk AS (
+           SELECT doc_id, source, page,
+             COALESCE(array_to_string(list_filter(
+               string_split(page, chr(10)), x ->
+                 regexp_matches(x, '[.!?"]\\s*$$')
+                 AND len(list_filter(string_split_regex(x, '\\s+'),
+                   w -> w <> '')) >= ${TextQueries.C4MinLineWords}
+                 AND NOT contains(lower(x), 'javascript')), chr(10)), '')
+               AS kept_text
+           FROM c4page),
+         g AS (
+           SELECT doc_id, source, kept_text AS text FROM gk
+           WHERE NOT contains(page, 'lorem ipsum')
+             AND NOT contains(page, '{')
+             AND len(list_filter(list_filter(string_split_regex(page,
+               '\\s+'), w -> w <> ''), w -> w IN (${TextQueries.C4BadWords
+                 .map(w => s"'$w'").mkString(", ")}))) = 0
+             AND len(regexp_extract_all(kept_text, '[.!?]'))
+               >= ${TextQueries.C4MinSentences}),
+         ls AS (
+           SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+           FROM g),
+         ex AS (
+           SELECT doc_id, generate_subscripts(lines, 1) AS ord,
+             unnest(lines) AS line
+           FROM ls),
+         exh AS (
+           SELECT doc_id, ord, line,
+             ${DedupQueries.charFoldSqlOf("line")} AS lh
+           FROM ex),
+         sp AS (
+           SELECT doc_id, ord,
+             ((lh * 1000003 + lh2) % 1000000007 * 1000003 + lh3)
+               % 1000000007 AS shash
+           FROM (SELECT doc_id, ord, lh,
+                   LEAD(lh, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS lh2,
+                   LEAD(lh, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS lh3
+                 FROM exh)
+           WHERE lh3 IS NOT NULL),
+         dupk AS (
+           SELECT shash, doc_id AS kd, ord AS ki FROM (
+             SELECT shash, doc_id, ord,
+               COUNT(*) OVER (PARTITION BY shash) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY shash
+                 ORDER BY doc_id, ord) AS rn
+             FROM sp) WHERE cnt >= 2 AND rn = 1),
+         removedpos AS (
+           SELECT DISTINCT s.doc_id, s.ord + k.k AS ord
+           FROM sp s JOIN dupk d USING (shash),
+             (SELECT unnest([0, 1, 2]) AS k) k
+           WHERE NOT (s.doc_id = d.kd AND s.ord = d.ki)),
+         kept AS (
+           SELECT e.doc_id, e.ord, e.line
+           FROM ex e ANTI JOIN removedpos r USING (doc_id, ord)),
+         d2 AS (
+           SELECT doc_id,
+             COALESCE(string_agg(line, chr(10) ORDER BY ord), '') AS text
+           FROM kept GROUP BY doc_id),
+         s0 AS (
+           SELECT '0_total' AS stage, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(COALESCE(SUM(len(list_filter(string_split_regex(text,
+               '\\s+'), x -> x <> ''))), 0) AS BIGINT) AS n_tokens
+           FROM d0),
+         s1 AS (
+           SELECT '1_c4_gate' AS stage, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(COALESCE(SUM(len(list_filter(string_split_regex(text,
+               '\\s+'), x -> x <> ''))), 0) AS BIGINT) AS n_tokens
+           FROM g),
+         s2 AS (
+           SELECT '2_span_dedup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(COALESCE(SUM(len(list_filter(string_split_regex(text,
+               '\\s+'), x -> x <> ''))), 0) AS BIGINT) AS n_tokens
+           FROM d2 WHERE text <> '')
+         SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL
+         SELECT * FROM s2 ORDER BY stage"""
   )
 }

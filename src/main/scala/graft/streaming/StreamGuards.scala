@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{alpha_token_count, c4_keep_lines, char_fold_array, count_in, dup_elem_stats, dup_gram_chars, line_shape_stats, shingle_hashes, token_ngrams, tokenize, top_grams}
+import graft.functions.HashExprs.{alpha_token_count, char_fold_array, dup_elem_stats, dup_gram_chars, line_shape_stats, shingle_hashes, token_ngrams, tokenize, top_grams}
 import graft.operators.TextQueries
 
 /** Stateless per-document guards for a streaming ingest pipeline —
@@ -188,20 +188,6 @@ object StreamGuards {
     docs.filter(nWords > 0L && nLines > 0L && !t32Flag && !t33Flag)
   }
 
-  /** C4 streaming gate (Raffel et al. §2.2 — t34's rules as a
-    * stateless ingest TRANSFORM): every document's lines run through
-    * the compiled retention filter (terminal punctuation + word floor
-    * + no javascript) and `text` is REBUILT from the kept lines; a
-    * page is dropped when its ORIGINAL text contains `lorem ipsum`, a
-    * curly brace, or a blocklisted word, or when fewer than
-    * [[graft.operators.TextQueries.C4MinSentences]] sentences survive
-    * the line pass. Identical predicates to the t34 report — the same
-    * compiled reducer, the same sentence-count regex — so gate and
-    * report can never disagree. Pure row functions: no shuffle, no
-    * state, batch == stream, throughput is scan speed. The natural
-    * slot is an ALTERNATIVE to the Gopher pair ([[qualityGated]] →
-    * [[gopherGated]]) — C4 and Gopher are the two published cleaning
-    * recipes, not stages of one. */
   /** Streaming temperature-mix gate — applies a PRECOMPUTED rate
     * table ([[graft.operators.CorpusPipeline.mixRates]], refreshed by
     * a batch cadence the way the IVF/BM25 sidecars are) to an ingest
@@ -223,19 +209,16 @@ object StreamGuards {
       .drop("rate_ppm")
   }
 
-  def c4Gated(docs: DataFrame): DataFrame = {
-    val keptText = array_join(
-      c4_keep_lines(split(col("text"), "\n"), TextQueries.C4MinLineWords),
-      "\n")
-    val hasBadword =
-      count_in(tokenize(col("text")), TextQueries.C4BadWords) > 0
-    docs
-      .withColumn("__c4_kept", keptText)
-      .filter(!col("text").contains("lorem ipsum") &&
-        !col("text").contains("{") && !hasBadword &&
-        regexp_count(col("__c4_kept"), lit("[.!?]")).cast("long") >=
-          lit(TextQueries.C4MinSentences))
-      .withColumn("text", col("__c4_kept"))
-      .drop("__c4_kept")
-  }
+  /** C4 streaming gate (Raffel et al. §2.2 — t34's rules as a
+    * stateless ingest TRANSFORM that rebuilds `text` from the kept
+    * lines and drops flagged pages). One definition for batch and
+    * stream ([[graft.operators.CorpusPipeline.c4Gate]] — the same
+    * compiled reducer and sentence-count regex as the t34 report, so
+    * gate and report can never disagree). Pure row functions: no
+    * shuffle, no state, batch == stream, throughput is scan speed.
+    * The natural slot is an ALTERNATIVE to the Gopher pair
+    * ([[qualityGated]] → [[gopherGated]]) — C4 and Gopher are the two
+    * published cleaning recipes, not stages of one. */
+  def c4Gated(docs: DataFrame): DataFrame =
+    graft.operators.CorpusPipeline.c4Gate(docs)
 }

@@ -273,7 +273,9 @@ object ScaleProbe {
       // r18: mixing is two tiny stratum aggs + a broadcast rate join;
       // CCNet bucketing joins a broadcast reference LM to the bigram
       // stream (one per-doc agg, thresholds in-row)
-      "c13_temperature_mix", "t35_ccnet_buckets")
+      "c13_temperature_mix", "t35_ccnet_buckets",
+      // r18: the composed C4 funnel = gate scan + c12's dedup shape
+      "c14_c4_funnel")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

@@ -96,4 +96,20 @@ class C4FilterSpec extends AnyFunSuite {
       d25._8.endsWith("follow web for the best daily insights."),
       d25.toString)
   }
+
+  test("c4 funnel: stage 1 agrees with the t34 verdicts; monotone") {
+    val sf = "/root/testdata/sf0.001"
+    val funnel = graft.operators.CorpusPipeline.queries("c14_c4_funnel")(
+        spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val unflagged = TextQueries.queries("t34_c4_filters")(spark, sf)
+      .filter("NOT flagged").count()
+    assert(funnel("1_c4_gate")._1 == unflagged, funnel.toString)
+    val (k0, k1, k2) = (funnel("0_total"), funnel("1_c4_gate"),
+      funnel("2_span_dedup"))
+    assert(k0._1 >= k1._1 && k1._1 >= k2._1, funnel.toString)
+    assert(k0._2 >= k1._2 && k1._2 >= k2._2, funnel.toString)
+    assert(k2._1 > 0 && k1._1 < k0._1 && k2._2 < k1._2,
+      s"every stage must bite: $funnel")
+  }
 }
