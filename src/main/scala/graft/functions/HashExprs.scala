@@ -332,34 +332,38 @@ object HashOps {
     new GenericArrayData(out.toArray)
   }
 
-  /** One-pass C4 span-dedup keep (c12): fold each line, hash every
-    * 3-line span exactly as `shingle_hashes(char_fold_array(lines), 3)`
-    * does, probe the broadcast duplicated-span set (sorted hashes +
-    * aligned keeper doc/position arrays) by binary search, and return
-    * the lines NOT covered by a losing occurrence. One compiled pass
-    * per document — no HOF lambdas, no per-line sequence allocation.
-    * Keeper positions are 0-based span starts, matching
-    * `posexplode`. */
+  /** One-pass window-dedup keep (c12 at span grain n=3, d16 at token
+    * grain n=K): fold each unit, hash every n-unit window exactly as
+    * `shingle_hashes(char_fold_array(units), n)` does, probe the
+    * broadcast duplicated-window set (sorted hashes + aligned keeper
+    * doc/position arrays) by binary search, and return the units NOT
+    * covered by a losing occurrence. One compiled pass per document —
+    * no HOF lambdas, no per-unit sequence allocation. Keeper positions
+    * are 0-based window starts, matching `posexplode`. */
   def spanDedupKeep(
       lines: ArrayData,
       dupS: ArrayData,
       dupKd: ArrayData,
       dupKi: ArrayData,
-      docId: Long): ArrayData = {
-    val n = lines.numElements()
-    val folds = new Array[Long](n)
+      docId: Long,
+      n: Int): ArrayData = {
+    val total = lines.numElements()
+    val folds = new Array[Long](total)
     var i = 0
-    while (i < n) {
+    while (i < total) {
       folds(i) = charFold(lines.getUTF8String(i))
       i += 1
     }
-    val m = math.max(0, n - 2)
+    val m = math.max(0, total - n + 1)
     val loser = new Array[Boolean](m)
     i = 0
     while (i < m) {
       var acc = folds(i)
-      acc = (acc * P + folds(i + 1)) % M
-      acc = (acc * P + folds(i + 2)) % M
+      var j = 1
+      while (j < n) {
+        acc = (acc * P + folds(i + j)) % M
+        j += 1
+      }
       val pos = sortedPosition(dupS, acc)
       if (pos > 0) {
         val p = (pos - 1).toInt
@@ -369,9 +373,9 @@ object HashOps {
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
     var j = 0
-    while (j < n) {
+    while (j < total) {
       var covered = false
-      var k = math.max(0, j - 2)
+      var k = math.max(0, j - n + 1)
       val kMax = math.min(j, m - 1)
       while (!covered && k <= kMax) {
         covered = loser(k)
@@ -894,18 +898,19 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 /** `dot_long(a ARRAY<BIGINT>, b ARRAY<BIGINT>) -> BIGINT`. */
-/** `span_dedup_keep(lines, dupS, dupKd, dupKi, doc_id) ->
-  * ARRAY<STRING>` — the c12 removal + rebuild as ONE compiled per-doc
-  * pass (see [[HashOps.spanDedupKeep]]): re-derives the span hashes
-  * from the lines (identical chain to
-  * `shingle_hashes(char_fold_array(...), 3)`), probes the broadcast
-  * dup arrays by binary search, and returns the surviving lines. */
+/** `span_dedup_keep(units, dupS, dupKd, dupKi, doc_id; n) ->
+  * ARRAY<STRING>` — the c12/d16 removal + rebuild as ONE compiled
+  * per-doc pass (see [[HashOps.spanDedupKeep]]): re-derives the
+  * n-unit window hashes from the units (identical chain to
+  * `shingle_hashes(char_fold_array(...), n)`), probes the broadcast
+  * dup arrays by binary search, and returns the surviving units. */
 case class SpanDedupKeep(
     lines: Expression,
     dupS: Expression,
     dupKd: Expression,
     dupKi: Expression,
-    docId: Expression) extends QuinaryExpression {
+    docId: Expression,
+    n: Int) extends QuinaryExpression {
   override def children: Seq[Expression] = Seq(lines, dupS, dupKd, dupKi, docId)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "span_dedup_keep"
@@ -925,10 +930,10 @@ case class SpanDedupKeep(
       a: Any, b: Any, c: Any, d: Any, e: Any): Any =
     HashOps.spanDedupKeep(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData],
-      e.asInstanceOf[Long])
+      e.asInstanceOf[Long], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b, c, d, e) =>
-      s"${HashExprs.H}.spanDedupKeep($a, $b, $c, $d, $e)")
+      s"${HashExprs.H}.spanDedupKeep($a, $b, $c, $d, $e, $n)")
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): SpanDedupKeep =
     copy(lines = newChildren(0), dupS = newChildren(1), dupKd = newChildren(2),
@@ -1182,10 +1187,10 @@ object HashExprs {
   def sorted_position(a: Column, key: Column): Column =
     Bridge.column(SortedPosition(Bridge.expression(a), Bridge.expression(key)))
   def span_dedup_keep(lines: Column, dupS: Column, dupKd: Column,
-      dupKi: Column, docId: Column): Column =
+      dupKi: Column, docId: Column, n: Int = 3): Column =
     Bridge.column(SpanDedupKeep(Bridge.expression(lines),
       Bridge.expression(dupS), Bridge.expression(dupKd),
-      Bridge.expression(dupKi), Bridge.expression(docId)))
+      Bridge.expression(dupKi), Bridge.expression(docId), n))
   def hyperplane_bucket(c: Column, nPlanes: Int): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(c), nPlanes))
   def dot_long(a: Column, b: Column): Column =

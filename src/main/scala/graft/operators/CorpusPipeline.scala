@@ -165,12 +165,30 @@ object CorpusPipeline {
     * the same shape swaps the in-row probe for an explode + equi-join
     * on span hash and a per-doc re-aggregation of removed positions —
     * the exchange still carries hashes, never sentences. */
-  def spanDedupRebuild(docs: DataFrame, textCol: String): DataFrame = {
+  def spanDedupRebuild(docs: DataFrame, textCol: String): DataFrame =
+    windowDedupRebuild(docs, textCol, 3,
+      c => filter(split(c, "\n"), l => l =!= lit("")), "\n")
+
+  /** [[spanDedupRebuild]] generalized over the dedup UNIT: every
+    * occurrence of a duplicated n-unit window except the globally
+    * first loses its units, and the text is rebuilt `sep`-joined. c12
+    * instantiates (unit = non-empty line, n = 3 — C4's rule); d16
+    * instantiates (unit = token, n = [[DedupQueries.SubstrWindowK]] —
+    * Lee et al.'s ExactSubstr rule, which a line/sentence grain
+    * cannot express: a duplicated run need not align with any line
+    * boundary). Same scale shape at every grain: the exchange carries
+    * (8-byte window hash, doc, position), removal + rebuild are one
+    * compiled per-document pass. */
+  def windowDedupRebuild(
+      docs: DataFrame,
+      textCol: String,
+      n: Int,
+      units: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      sep: String): DataFrame = {
     val staged = docs
-      .withColumn("__lines",
-        filter(split(col(textCol), "\n"), l => l =!= lit("")))
+      .withColumn("__lines", units(col(textCol)))
       .withColumn("__spans",
-        shingle_hashes(char_fold_array(col("__lines")), 3))
+        shingle_hashes(char_fold_array(col("__lines")), n))
     val dup = staged
       .select(col("doc_id"), posexplode(col("__spans")).as(Seq("pos", "shash")))
       .groupBy("shash")
@@ -189,8 +207,8 @@ object CorpusPipeline {
     staged.crossJoin(broadcast(dup))
       .withColumn(textCol, array_join(
         graft.functions.HashExprs.span_dedup_keep(col("__lines"),
-          col("__dupS"), col("__dupKd"), col("__dupKi"), col("doc_id")),
-        "\n"))
+          col("__dupS"), col("__dupKd"), col("__dupKi"), col("doc_id"), n),
+        sep))
       .drop("__dupS", "__dupKd", "__dupKi", "__lines", "__spans")
   }
 

@@ -42,6 +42,10 @@ object DedupQueries {
     * planted hot key cannot explode the join (see `DedupGuardSpec`). */
   val StopShingleMaxDf: Long = 1000L
 
+  /** d16 exact-substring window length in WORDS (Lee et al. use 50
+    * BPE tokens; the rule is the same at any unit). */
+  val SubstrWindowK: Int = 10
+
   /** Pinned domain blocklist for the d15 gate — the engine-artifact
     * shape of a crawl pipeline's spam/SEO-farm list (a real deployment
     * broadcasts a maintained list; the gate logic is identical). */
@@ -397,6 +401,35 @@ object DedupQueries {
             .when(col("dup_ratio_bp") >= 7000, "review_dup_farm")
             .otherwise("keep"))
         .orderBy("domain")
+    },
+
+    // ── d16: exact-substring dedup (Lee et al. 2022's ExactSubstr
+    // rule, the second algorithm of "Deduplicating Training Data
+    // Makes Language Models Better"): every occurrence of a duplicated
+    // K-TOKEN run except the globally first loses its tokens, at the
+    // token grain a line/sentence dedup cannot express — a duplicated
+    // run need not align with any boundary. Lee et al. build a suffix
+    // array; the Spark-shaped spelling is the c12 window machinery at
+    // token grain (windowDedupRebuild: in-row rolling window hashes,
+    // one hash-only exchange, 1-row broadcast dup set, compiled
+    // removal). K is an engine constant (the paper uses 50 BPE tokens;
+    // 10 words here so the synthetic editorial/promo runs make every
+    // branch live). Over the C4 pages — the corpus's only cross-doc
+    // duplicated token runs.
+    "d16_substr_dedup" -> { (s, d) =>
+      val pages = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextQueries.c4PageExpr.as("page"))
+        .withColumn("n_tokens",
+          size(tokenize(col("page"))).cast("long"))
+      CorpusPipeline.windowDedupRebuild(pages, "page", SubstrWindowK,
+          tokenize(_), " ")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - size(tokenize(col("page"))).cast("long"))
+            .as("n_removed"),
+          col("page").as("dedup_text"))
+        .localCheckpoint(true) // the sort's sampling pass must not
+        .orderBy("doc_id")     // re-execute the dup rollup
     },
 
     // n-gram Jaccard near-dup: direct threshold on 3-token shingle
@@ -829,6 +862,61 @@ object DedupQueries {
                  THEN 'review_dup_farm'
                  ELSE 'keep' END AS gate
           FROM agg ORDER BY domain""",
+
+    // d16 — token-grain replay of the window-dedup chain: per-token
+    // folds via the distinct-token table, K-length rolling windows as
+    // a windowed list + sequential fold (list_reduce matches the
+    // compiled left-fold chain), keep-first dup keepers, losing
+    // occurrences expand to K removed positions, ordinality-ordered
+    // rebuild
+    "d16_substr_dedup" ->
+      s"""WITH ${TextQueries.crawlPageSql}, ${TextQueries.c4PageSql},
+          tk AS (
+            SELECT doc_id,
+              list_filter(string_split_regex(page, '\\s+'), x -> x <> '') AS ts
+            FROM c4page),
+          tok AS (
+            SELECT doc_id, generate_subscripts(ts, 1) AS idx,
+              unnest(ts) AS token
+            FROM tk),
+          toks_h AS (
+            SELECT token, ${charFoldSqlOf("token")} AS h
+            FROM (SELECT DISTINCT token FROM tok)),
+          th AS (
+            SELECT doc_id, idx, h FROM tok JOIN toks_h USING (token)),
+          win AS (
+            SELECT doc_id, idx,
+              list(h) OVER (PARTITION BY doc_id ORDER BY idx
+                ROWS BETWEEN CURRENT ROW AND ${SubstrWindowK - 1} FOLLOWING)
+                AS w
+            FROM th),
+          sp AS (
+            SELECT doc_id, idx,
+              list_reduce(w, (a, b) -> (a * 1000003 + b) % 1000000007)
+                AS shash
+            FROM win WHERE len(w) = $SubstrWindowK),
+          dupk AS (
+            SELECT shash, doc_id AS kd, idx AS ki FROM (
+              SELECT shash, doc_id, idx,
+                COUNT(*) OVER (PARTITION BY shash) AS cnt,
+                ROW_NUMBER() OVER (PARTITION BY shash
+                  ORDER BY doc_id, idx) AS rn
+              FROM sp) WHERE cnt >= 2 AND rn = 1),
+          removedpos AS (
+            SELECT DISTINCT s.doc_id, s.idx + k.k AS idx
+            FROM sp s JOIN dupk d USING (shash),
+              (SELECT unnest(range($SubstrWindowK)) AS k) k
+            WHERE NOT (s.doc_id = d.kd AND s.idx = d.ki)),
+          kept AS (
+            SELECT t.doc_id, t.idx, t.token
+            FROM tok t ANTI JOIN removedpos r USING (doc_id, idx))
+          SELECT p.doc_id,
+            CAST(len(p.ts) AS BIGINT) AS n_tokens,
+            CAST(len(p.ts) - COUNT(k.idx) AS BIGINT) AS n_removed,
+            COALESCE(string_agg(k.token, ' ' ORDER BY k.idx), '')
+              AS dedup_text
+          FROM tk p LEFT JOIN kept k USING (doc_id)
+          GROUP BY p.doc_id, len(p.ts) ORDER BY doc_id""",
 
     // same global (df, shash) order, same ⌈4n/5⌉ prefix bound, same
     // verify chain — the oracle replays the prefix filter end to end

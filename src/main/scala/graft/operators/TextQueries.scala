@@ -521,6 +521,43 @@ object TextQueries {
                 ELSE 'de' END AS lang_guess
          FROM s)"""
 
+  /** The t35 reference LM in MAP form, one row per language —
+    * `(lang, bigram_p, w1_p, p_default)` — for the streaming gate
+    * ([[graft.streaming.StreamGuards.ccnetBucketed]]): a document's
+    * score becomes a pure in-row lookup chain
+    * `coalesce(bigram_p[b], w1_p[w1(b)], p_default)` over its own
+    * bigrams, exactly the add-1 smoothing cases of the t35 join
+    * spelling — seen bigram `(c+1)/(u+v)`, unseen bigram with seen
+    * first word `1/(u+v)`, unseen word `1/v` — so gate scores equal
+    * report scores bit for bit (same doubles, same sorted-fold sum).
+    * The model is reference-sized (tiny by definition): broadcast. */
+  def ccnetModel(docs: DataFrame): DataFrame = {
+    val toks = docs.filter(col("doc_id") < CcnetRefDocs)
+      .select(col("lang"), tokenize(col("text")).as("ts"))
+    val bi = toks
+      .select(col("lang"), explode(token_ngrams(col("ts"), 2)).as("bigram"))
+    val uni = toks.select(col("lang"), explode(col("ts")).as("w1"))
+      .groupBy("lang", "w1").agg(count(lit(1)).as("u"))
+    val vocab = uni.groupBy("lang").agg(count(lit(1)).as("v"))
+    val bigP = bi.groupBy("lang", "bigram").agg(count(lit(1)).as("c"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(uni, Seq("lang", "w1"))
+      .join(vocab, Seq("lang"))
+      .withColumn("p", (col("c") + lit(1)).cast("double") /
+        (col("u") + col("v")).cast("double"))
+      .groupBy("lang")
+      .agg(map_from_entries(collect_list(struct(col("bigram"), col("p"))))
+        .as("bigram_p"))
+    val w1P = uni.join(vocab, Seq("lang"))
+      .withColumn("p", lit(1.0) / (col("u") + col("v")).cast("double"))
+      .groupBy("lang")
+      .agg(map_from_entries(collect_list(struct(col("w1"), col("p"))))
+        .as("w1_p"))
+    bigP.join(w1P, Seq("lang"))
+      .join(vocab.select(col("lang"),
+        (lit(1.0) / col("v").cast("double")).as("p_default")), Seq("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // token counting: whitespace tokens + distinct + a BPE-ish
@@ -1005,6 +1042,9 @@ object TextQueries {
     },
 
     // ── t35: CCNet head/middle/tail LM bucketing — score every
+    // (the model's MAP form for the streaming gate is
+    // [[ccnetModel]]; the query below keeps the relational join
+    // spelling the plan gate pins)
     // non-reference document with a LANGUAGE-MATCHED add-1-smoothed
     // bigram LM trained on the clean reference slice, bucket at the
     // pinned ppm thresholds. Unlike t21 (novelty against the corpus's

@@ -209,6 +209,36 @@ object StreamGuards {
       .drop("rate_ppm")
   }
 
+  /** Streaming CCNet quality gate — scores each arriving document
+    * with the PRECOMPUTED reference LM
+    * ([[graft.operators.TextQueries.ccnetModel]], map form, broadcast
+    * via a stream-static equi-join on `lang`) and drops the `tail`
+    * bucket. The score is a pure in-row lookup chain over the
+    * document's own bigrams plus the same sorted-fold sum as the t35
+    * report, so gate scores equal report scores bit for bit and the
+    * stream needs NO per-doc aggregation state — the shuffle-free
+    * spelling the relational t35 plan can't use (its probabilities
+    * come from joins). Documents with no bigram (< 2 tokens) drop:
+    * unscorable is untrainable. Output gains `lm_ppm` + `bucket`. */
+  def ccnetBucketed(docs: DataFrame, model: DataFrame): DataFrame = {
+    val bgs = token_ngrams(tokenize(col("text")), 2)
+    docs.join(broadcast(model), Seq("lang"))
+      .withColumn("__ps", sort_array(transform(bgs, b =>
+        coalesce(element_at(col("bigram_p"), b),
+          element_at(col("w1_p"), substring_index(b, " ", 1)),
+          col("p_default")))))
+      .withColumn("__n", size(col("__ps")).cast("long"))
+      .withColumn("lm_ppm", round(lit(1000000.0) *
+        aggregate(col("__ps"), lit(0.0), (a, x) => a + x) /
+        col("__n").cast("double"), 4))
+      .withColumn("bucket",
+        when(col("lm_ppm") >= TextQueries.CcnetHeadPpm, "head")
+          .when(col("lm_ppm") >= TextQueries.CcnetMiddlePpm, "middle")
+          .otherwise("tail"))
+      .filter(col("__n") > 0 && col("bucket") =!= "tail")
+      .drop("bigram_p", "w1_p", "p_default", "__ps", "__n")
+  }
+
   /** C4 streaming gate (Raffel et al. §2.2 — t34's rules as a
     * stateless ingest TRANSFORM that rebuilds `text` from the kept
     * lines and drops flagged pages). One definition for batch and

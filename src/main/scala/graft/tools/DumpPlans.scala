@@ -118,7 +118,8 @@ object DumpPlans {
     "c12_span_dedup" -> "C4 three-sentence-span dedup: in-row span hashes (shingle over line folds), one hash agg whose exchange carries (shash, doc, pos), dup set + keepers return via a 1-row broadcast of sorted arrays, occurrence-grain removal and rebuild in the projection",
     "c13_temperature_mix" -> "temperature mixing: per-stratum mass agg (|strata| partial rows), isqrt weights + integer ppm rates in a 1-row-joined frame, rates broadcast back by stratum equi-join, keep decision in-row - the corpus shuffles zero content bytes",
     "t35_ccnet_buckets" -> "CCNet LM bucketing: reference-slice bigram/unigram/vocab counts broadcast (the reference is tiny by definition), corpus bigram stream map-side-joins the model, one per-doc agg, buckets in-row at pinned thresholds - no corpus self-join, no percentile pass",
-    "c14_c4_funnel" -> "C4 recipe end-to-end: compiled gate projection (checkpointed once), span-dedup stage (c12's hash-only exchange + 1-row broadcast), one partial-agg count+token reduction per stage, nothing collected")
+    "c14_c4_funnel" -> "C4 recipe end-to-end: compiled gate projection (checkpointed once), span-dedup stage (c12's hash-only exchange + 1-row broadcast), one partial-agg count+token reduction per stage, nothing collected",
+    "d16_substr_dedup" -> "ExactSubstr dedup: c12's window machinery at token grain - in-row rolling K-token hashes, one hash-only exchange, 1-row broadcast dup set, compiled occurrence-grain removal + rebuild in the projection")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -274,8 +274,9 @@ object ScaleProbe {
       // CCNet bucketing joins a broadcast reference LM to the bigram
       // stream (one per-doc agg, thresholds in-row)
       "c13_temperature_mix", "t35_ccnet_buckets",
-      // r18: the composed C4 funnel = gate scan + c12's dedup shape
-      "c14_c4_funnel")
+      // r18: the composed C4 funnel = gate scan + c12's dedup shape;
+      // ExactSubstr is the same window machinery at token grain
+      "c14_c4_funnel", "d16_substr_dedup")
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {

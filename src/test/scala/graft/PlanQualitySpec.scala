@@ -525,6 +525,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!badExchange, plan)
   }
 
+  test("d16 substring dedup: token-grain window rollup exchanges 8-byte " +
+    "hashes; dup set returns via a 1-row broadcast — token STRINGS " +
+    "never cross an exchange") {
+    import org.apache.spark.sql.functions.col
+    val pages = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextQueries.c4PageExpr.as("page"))
+    val df = graft.operators.CorpusPipeline.windowDedupRebuild(pages, "page",
+      graft.operators.DedupQueries.SubstrWindowK,
+      graft.functions.HashExprs.tokenize(_), " ")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .forall(_.contains("Cross")), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan)
+    val badExchange = plan.linesIterator.filter(_.contains("Exchange "))
+      .exists(l => l.contains("__lines") || l.contains("page"))
+    assert(!badExchange, plan)
+  }
+
   test("t35 CCNet buckets: the reference LM broadcasts to the corpus " +
     "bigram stream — no shuffle join, no corpus self-join") {
     val df = SparkEntry.queries("t35_ccnet_buckets")(spark, sf)

@@ -39,6 +39,26 @@ class SpanDedupSpec extends AnyFunSuite {
       "nothing repeats.", out(5L))
   }
 
+  test("d16 token grain: a duplicated run not aligned to any line " +
+    "boundary is removed whole from the losing doc") {
+    import spark.implicits._
+    import graft.functions.HashExprs.tokenize
+    val run = (1 to 12).map(i => s"dup$i").mkString(" ") // 12-token run
+    val a = "a1 a2 a3 a4 a5 " + run + " a6 a7 a8 a9 a10"
+    val b = "b1 b2 b3 " + run + " b4 b5 b6 b7 b8 b9 b10"
+    val c = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"
+    val out = CorpusPipeline.windowDedupRebuild(
+        Seq(1L -> a, 2L -> b, 3L -> c).toDF("doc_id", "text"),
+        "text", 10, tokenize(_), " ")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 holds the run's min (doc, pos) — untouched
+    assert(out(1L) == a, out(1L))
+    // doc 2's occurrence loses: exactly the 12 run tokens go —
+    // windows at positions 3/4/5 cover tokens 3..14
+    assert(out(2L) == "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10", out(2L))
+    assert(out(3L) == c, out(3L)) // unique 12 tokens: untouched
+  }
+
   test("schema is preserved and working columns dropped") {
     import spark.implicits._
     val df = Seq((1L, "x", "a\nb\nc"), (2L, "y", "a\nb\nc"))

@@ -272,6 +272,49 @@ class StreamGuardsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CCNet gate: map-form scores equal the t35 report bit for bit; " +
+    "tail drops; stream == batch") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val model = graft.operators.TextQueries.ccnetModel(docs)
+      .localCheckpoint(true)
+    val report = SparkEntry.queries("t35_ccnet_buckets")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getString(4)))).toMap
+    val gated = StreamGuards.ccnetBucketed(
+        docs.filter(col("doc_id") >= graft.operators.TextQueries.CcnetRefDocs),
+        model)
+      .select("doc_id", "lm_ppm", "bucket").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    val expected = report.filter(_._2._2 != "tail")
+    assert(gated.keySet == expected.keySet,
+      s"gate=${gated.size} expected=${expected.size}")
+    gated.foreach { case (id, (ppm, b)) =>
+      assert(ppm == report(id)._1 && b == report(id)._2,
+        s"doc $id: gate ($ppm, $b) vs report ${report(id)}")
+    }
+    assert(report.exists(_._2._2 == "tail"), "tail branch live")
+
+    val sample = docs
+      .filter(col("doc_id") >= graft.operators.TextQueries.CcnetRefDocs)
+      .select("doc_id", "lang", "text").limit(24).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val in = MemoryStream[(Long, String, String)](spark)
+    val q = StreamGuards.ccnetBucketed(
+        in.toDF.toDF("doc_id", "lang", "text"), model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ccnet_gated_docs").start()
+    try {
+      in.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ccnet_gated_docs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed ==
+        sample.map(_._1).toSet.intersect(expected.keySet),
+        s"stream=${streamed.size}")
+    } finally q.stop()
+  }
+
   test("the guard runs stateless inside a structured stream") {
     import spark.implicits._
     val benchText = "alpha beta gamma delta epsilon zeta eta theta"
