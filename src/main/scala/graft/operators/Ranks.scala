@@ -110,33 +110,31 @@ object Ranks {
 
     val ebkt = gdf.withColumn("_bkt",
       graft.functions.HashExprs.log_bucket(v))
-    // cumulative ranks over the HISTOGRAM in the globalCumSum idiom:
-    // per-(group, octave) ordered windows (octave = _bkt >> 7, a real
-    // per-row key — so no window is ever fed by a SinglePartition
-    // exchange, even in the global-group case where a constant
-    // partition key would fold away) + an octave-offset self-join over
-    // ≤ #octaves² rows and a broadcast group-total join — every frame
-    // bounded by the log-bucket range, never by data
+    // Cumulative ranks + group totals over the HISTOGRAM via ONE
+    // window exchange partitioned by the group key. The window input
+    // is the (group, bucket) histogram — ≤ 16384 rows per group, a
+    // bound set by the log-bucket encoding, NEVER by data — so even
+    // the global-group case (a constant key folding to a single
+    // partition) sorts a literal-bounded frame, the same class as
+    // the allowlisted bounded global windows elsewhere. The r13–r17
+    // spelling kept every window on a real per-row key (group,
+    // octave) at the cost of an octave-offset SELF-join + a separate
+    // group-total aggregate: three more references of the caller's
+    // whole upstream subtree, which multiplied the logical plan ~4×
+    // per call (q3's executed tree reached 2,600 lines / 168
+    // exchanges) and dominated planning + codegen, while the runtime
+    // exchanges those extra branches deduped into were already AQE
+    // stage reuses. One histogram window buys the same exact integers
+    // with one upstream reference.
     val hist0 = ebkt.groupBy(g :+ col("_bkt"): _*)
       .agg(sum(w).as("_bw"), min(v).as("_bmin"), max(v).as("_bmax"))
-      .withColumn("_oct", expr("shiftright(_bkt, 7)"))
-    val octTot = hist0.groupBy(g :+ col("_oct"): _*)
-      .agg(sum("_bw").as("_ow"))
-    val octOff = octTot.as("a")
-      .join(octTot.select((gcols.map(c => col(c).as(s"_b_$c")) :+
-          col("_oct").as("_pb") :+ col("_ow").as("_pw")): _*).as("b"),
-        gcols.map(c => col(s"a.$c") === col(s"_b_$c")).reduce(_ && _) &&
-          col("_pb") < col("a._oct"), "left")
-      .groupBy(gcols.map(c => col(s"a.$c").as(c)) :+ col("a._oct").as("_oct"): _*)
-      .agg(coalesce(sum("_pw"), lit(0L)).as("_ooff"))
-    val gTot = hist0.groupBy(g: _*).agg(sum("_bw").as("_w_total"))
+    val wOrd = Window.partitionBy(gcols.map(col): _*).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gcols.map(col): _*).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val hist = hist0
-      .withColumn("_rs", sum("_bw").over(
-        Window.partitionBy(gcols.map(col) :+ col("_oct"): _*).orderBy("_bkt")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(octOff), gcols :+ "_oct")
-      .join(broadcast(gTot), gcols)
-      .withColumn("_cum", col("_ooff") + col("_rs"))
+      .withColumn("_cum", sum("_bw").over(wOrd))
+      .withColumn("_w_total", sum("_bw").over(wAll))
       .withColumn("_cum0", col("_cum") - col("_bw"))
 
     // one row per requested percentile (two under `contBrackets`: the
@@ -144,16 +142,17 @@ object Ranks {
     // index h = p·(W−1), which the caller interpolates in exact
     // integers); ranks in pure integer math
     val his = if (contBrackets) Seq(0L, 1L) else Seq(0L)
-    val pFrame = (for {
+    // one LocalRelation leaf (the old per-spec range(1) unionByName
+    // fold added |ps|·|his| plan leaves, each duplicated wherever the
+    // percentile frame is referenced)
+    val specs = for {
       ((n0, d0), i) <- ps.zipWithIndex
       hi <- his
-    } yield (i, n0.toLong, d0.toLong, hi))
-      .foldLeft(Option.empty[DataFrame]) { case (acc, (i, n0, d0, hi)) =>
-        val row = df.sparkSession.range(1)
-          .select(lit(i).as("_p_idx"), lit(n0).as("_pn"), lit(d0).as("_pd"),
-            lit(hi).as("_hi"))
-        Some(acc.fold(row)(_ unionByName row))
-      }.get
+    } yield (i, n0.toLong, d0.toLong, hi)
+    val pFrame = df.sparkSession.range(1)
+      .select(explode(typedLit(specs)).as("_s"))
+      .select(col("_s._1").as("_p_idx"), col("_s._2").as("_pn"),
+        col("_s._3").as("_pd"), col("_s._4").as("_hi"))
     // NOT pinned (r13 ask #5, adjudicated r14): the degenerate/live
     // branches below both descend from this frame, but AQE's
     // stage-level reuse already shares the histogram shuffle between
@@ -212,12 +211,17 @@ object Ranks {
       df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val br = groupQuantilesDisc(df, groupCols, valueCol, None,
       Seq((1, 4), (2, 4), (3, 4)), contBrackets = true)
+    // pivot the lo/hi bracket rows in ONE aggregation — the old
+    // filter-lo ⋈ filter-hi self-join referenced the entire quantile
+    // subtree twice, doubling every scan, shuffle and window in the
+    // caller's plan (q3 measured ~2× a16's single-call cost on the
+    // same machinery); exactly one row exists per (group, _p_idx,
+    // _hi), so MAX-of-CASE is the row itself
     val keys = groupCols :+ "_p_idx"
-    val lo = br.filter(col("_hi") === 0)
-      .select(keys.map(col) :+ col(valueCol).as("_vlo") :+ col("_w_total"): _*)
-    val hi = br.filter(col("_hi") === 1)
-      .select(keys.map(col) :+ col(valueCol).as("_vhi"): _*)
-    lo.join(hi, keys)
+    br.groupBy(keys.map(col): _*)
+      .agg(max(when(col("_hi") === 0, col(valueCol))).as("_vlo"),
+        max(when(col("_hi") === 1, col(valueCol))).as("_vhi"),
+        max("_w_total").as("_w_total"))
       .withColumn("_r", expr("((_p_idx + 1) * (_w_total - 1)) % 4"))
       .select(groupCols.map(col) :+ col("_p_idx") :+
         (col("_vlo") * 4 + col("_r") * (col("_vhi") - col("_vlo")))

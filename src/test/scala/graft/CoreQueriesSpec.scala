@@ -41,7 +41,11 @@ class CoreQueriesSpec extends AnyFunSuite {
   private val boundedGlobalWindowOk = Set(
     "sp8_temperature_mix", // window over the per-source aggregate (≤|sources| rows)
     "x21_nulls_order", // literal event_id < 200 bound — constant at any SF
-    "e8_rolling_distinct" // window over the DAILY sketch aggregate (≤|days| rows)
+    "e8_rolling_distinct", // window over the DAILY sketch aggregate (≤|days| rows)
+    // global groupQuantilesDisc: cumulative window over the log-bucket
+    // HISTOGRAM (≤16384 rows — bounded by the bucket encoding, never
+    // by data); the grouped callers partition on their real group key
+    "a15_equidepth_hist"
   )
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name runs at sf0.001") {
