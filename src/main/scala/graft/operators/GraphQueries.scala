@@ -33,52 +33,70 @@ object GraphQueries {
 
   /** Part co-purchase edges (u < v, parts sharing ≥ `minSupport`
     * orders), with the hot-order guard (> 64 distinct parts per order
-    * dropped via broadcast anti-join — C(df,2) insurance, inert at
-    * TPC-H shape). g2 uses minSupport = 2 — the frequent-itemset cut
-    * that keeps the TRIANGLE graph sparse at every SF (one shared
-    * order is noise when counting closed triads). g3 deliberately
-    * uses minSupport = 1: its wedge work is already bounded by the
-    * focus set, and recommendation recall wants the full
-    * co-occurrence signal (RA weighting already discounts promiscuous
-    * neighbors by 1/deg). The frame is localCheckpoint'd — every
-    * caller fans it into several downstream joins.
+    * dropped — C(df,2) insurance, inert at TPC-H shape). g2 uses
+    * minSupport = 2 — the frequent-itemset cut that keeps the TRIANGLE
+    * graph sparse at every SF (one shared order is noise when counting
+    * closed triads). g3 deliberately uses minSupport = 1: its wedge
+    * work is already bounded by the focus set, and recommendation
+    * recall wants the full co-occurrence signal (RA weighting already
+    * discounts promiscuous neighbors by 1/deg). The frame is
+    * localCheckpoint'd — every caller fans it into several downstream
+    * joins.
     *
-    * `focusPred` (g3's path) cuts the dominant pair aggregation down
-    * to the focus 2-hop neighborhood BEFORE the self-join: orders
-    * touching a focus part define the 1-hop part set, and only orders
-    * touching a 1-hop part can contribute an edge g3 ever reads —
-    * every edge incident to a 1-hop part is preserved EXACTLY (all
-    * orders containing that part survive the semi-join), and g3 only
-    * consumes degrees/neighbors of 1-hop centers and focus-incident
-    * adjacency. So this is a physical optimization with bit-identical
-    * output (the oracle builds the full graph — deliberately, same as
-    * g2's orientation): work scales with |focus|·deg², not corpus
-    * size. The two inner builds (focus orders, 1-hop parts) are
-    * focus-bounded; the reachable-order set is left to AQE to
-    * broadcast-or-shuffle since its size is data-dependent. */
+    * `focusPred` (g3's path, a per-part predicate) cuts the dominant
+    * pair aggregation down to the focus 2-hop neighborhood BEFORE the
+    * pair fan-out: orders touching a focus part define the 1-hop part
+    * set, and only orders touching a 1-hop part can contribute an edge
+    * g3 ever reads — every edge incident to a 1-hop part is preserved
+    * EXACTLY (all orders containing that part survive the cut), and g3
+    * only consumes degrees/neighbors of 1-hop centers and
+    * focus-incident adjacency. So this is a physical optimization with
+    * bit-identical output (the oracle builds the full graph —
+    * deliberately, same as g2's orientation): work scales with
+    * |focus|·deg², not corpus size. The 1-hop part set is
+    * focus-bounded, so its one-row array broadcast is the same class
+    * as the old broadcast-join build side. */
   private def coPurchaseEdges(s: SparkSession, d: String, minSupport: Long,
-      focusPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val op = Tables.load(s, d, "lineitem")
+      focusPred: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]
+        = None): DataFrame = {
+    // ONE exchange keyed on the order replaces the r6–r17 chain
+    // (distinct → hot-order groupBy → broadcast anti-join → pinned
+    // self-join on ok): the per-order DISTINCT part set and the
+    // hot-order guard both read off the same aggregate (collect_set
+    // dedups in-row; size > 64 IS df > 64), and the u < v pair fan-out
+    // is an in-row combination over the sorted set — ≤ C(64,2) = 2016
+    // structs per order by the guard, exactly the pairs the old
+    // self-join emitted. Two exchanges total (ok, then (u,v)) and no
+    // intermediate checkpoint, where the old shape paid four plus a
+    // pin; the exchanged bytes are unchanged (the (ok, pk) set, then
+    // the pair occurrences).
+    val ops0 = Tables.load(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val hot = op.groupBy("ok").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 64)
-    val cold0 = Checkpointing.pin(
-      op.join(broadcast(hot.select("ok")), Seq("ok"), "left_anti"))
-    val cold = focusPred match {
-      case None => cold0
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .filter(size(col("pks")) <= 64)
+    val ops = focusPred match {
+      case None => ops0
       case Some(pred) =>
-        val focusOrders = cold0.filter(pred).select("ok").distinct()
-        val oneHopParts = cold0.join(broadcast(focusOrders), "ok")
-          .select("pk").distinct()
-        val reachOrders = cold0.join(broadcast(oneHopParts), "pk")
-          .select("ok").distinct()
-        cold0.join(reachOrders, Seq("ok"), "left_semi")
+        // g3's focus 2-hop cut, array-grain: focus orders contain a
+        // focus part; their union of parts is the 1-hop set (a
+        // focus-bounded ONE-ROW array — the old broadcast join's
+        // build side, collapsed); an order contributes iff it touches
+        // a 1-hop part. Same preserved-order set as the row-grain
+        // semi-join chain, bit-identical edges.
+        val oneHop = ops0.filter(exists(col("pks"), pred))
+          .select(explode(col("pks")).as("pk")).distinct()
+          .agg(sort_array(collect_set(col("pk"))).as("_fp"))
+        ops0.crossJoin(broadcast(oneHop))
+          .filter(arrays_overlap(col("pks"), col("_fp")))
+          .drop("_fp")
     }
+    val pairs = ops.select(explode(expr(
+      "flatten(transform(pks, (x, i) -> " +
+        "transform(slice(pks, i + 2, size(pks)), y -> struct(x AS u, y AS v))))"))
+      .as("uv"))
     Checkpointing.pin(
-      cold.as("x").join(cold.as("y"), "ok")
-        .where(col("x.pk") < col("y.pk"))
-        .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+      pairs.select(col("uv.u").as("u"), col("uv.v").as("v"))
+        .groupBy("u", "v")
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSupport)
         .select("u", "v"))
@@ -200,7 +218,7 @@ object GraphQueries {
       // (full co-occurrence signal) with the edge build semi-joined
       // down to the focus 2-hop reachable orders — see coPurchaseEdges
       val edges = coPurchaseEdges(s, d, minSupport = 1,
-        focusPred = Some(col("pk") < 50))
+        focusPred = Some(_ < 50))
       val und = edges.select(col("u").as("w"), col("v").as("n"))
         .union(edges.select(col("v").as("w"), col("u").as("n")))
       // deg is PART-DIMENSION-sized (one row per part), broadcastable
@@ -261,7 +279,16 @@ object GraphQueries {
       val seeds = und.select(col("src").as("id")).distinct()
         .filter(col("id") < 10)
       var visited = Checkpointing.pin(seeds.withColumn("hops", lit(0)))
-      for (h <- 1 to maxHops) {
+      // early exit on an exhausted frontier: a round whose next level
+      // is empty leaves `visited` unchanged, and every later round is
+      // a no-op join over an empty frontier — skip them (identical
+      // output; the count reads the just-pinned generation's row
+      // count, one cheap job over in-memory blocks). The bounded
+      // maxHops contract is unchanged — this only skips provably
+      // empty rounds.
+      var prevCount = visited.count()
+      var exhausted = false
+      for (h <- 1 to maxHops if !exhausted) {
         val frontier = visited.filter(col("hops") === h - 1)
           .select(col("id").as("src"))
         val next = und.join(frontier, "src")
@@ -269,6 +296,9 @@ object GraphQueries {
           .join(visited.select("id"), Seq("id"), "left_anti")
           .withColumn("hops", lit(h))
         visited = Checkpointing.pin(visited.unionByName(next))
+        val cnt = visited.count()
+        exhausted = cnt == prevCount
+        prevCount = cnt
       }
       visited.groupBy("hops")
         .agg(count(lit(1)).as("n_parts"),
@@ -301,12 +331,24 @@ object GraphQueries {
       var und = Checkpointing.pin(
         e0.select(col("u").as("src"), col("v").as("dst"))
           .union(e0.select(col("v").as("src"), col("u").as("dst"))))
-      for (_ <- 1 to rounds) {
+      // early exit at the fixpoint: peeling only ever REMOVES edges,
+      // so an unchanged edge count between rounds means the round was
+      // a no-op and every remaining round would be too — identical
+      // output to running all 6 (each count is one cheap job over the
+      // just-pinned generation's in-memory blocks; the graph here
+      // converges in 2–3 rounds, so this skips roughly half the
+      // degree-agg + double-semi-join rounds).
+      var prevEdges = und.count()
+      var converged = false
+      for (_ <- 1 to rounds if !converged) {
         val keep = und.groupBy("src").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select("src")
         und = Checkpointing.pin(
           und.join(keep, Seq("src"), "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi"))
+        val cnt = und.count()
+        converged = cnt == prevEdges
+        prevEdges = cnt
       }
       und.groupBy("src").agg(count(lit(1)).as("core_deg"))
         .select(col("src").as("part_id"), col("core_deg"))
