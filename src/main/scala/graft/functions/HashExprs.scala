@@ -156,6 +156,42 @@ object HashOps {
     * non-overlapping adjacent (a, b) with the concatenation ab,
     * scanning LEFT-GREEDY (the standard BPE apply order — "aaa" under
     * merge (a,a) becomes ["aa","a"], never ["a","aa"]). */
+  /** Final symbol count after applying a FULL pinned merge table
+    * left-greedy, round by round — the fused t22/t27 encode. One
+    * working array, in-place compaction per round, zero intermediate
+    * ArrayData materializations: the callers only consume the encoded
+    * LENGTH, so the encoded array itself never needs to exist (the
+    * per-round [[bpeMergeStep]] fold allocated |merges| intermediate
+    * arrays per document). Per-round semantics are bit-identical to
+    * [[bpeMergeStep]]; `abs(r)` is the precomputed `ls(r)+rs(r)`
+    * concat so no merge output is re-concatenated per occurrence. */
+  def bpeEncodeLen(arr: ArrayData, ls: Array[UTF8String], rs: Array[UTF8String],
+      abs: Array[UTF8String]): Long = {
+    var n = arr.numElements()
+    val buf = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { buf(i) = arr.getUTF8String(i); i += 1 }
+    var r = 0
+    while (r < ls.length && n >= 2) {
+      val a = ls(r); val b = rs(r); val ab = abs(r)
+      var rd = 0
+      var wr = 0
+      while (rd < n) {
+        if (rd + 1 < n && buf(rd).equals(a) && buf(rd + 1).equals(b)) {
+          buf(wr) = ab
+          rd += 2
+        } else {
+          buf(wr) = buf(rd)
+          rd += 1
+        }
+        wr += 1
+      }
+      n = wr
+      r += 1
+    }
+    n.toLong
+  }
+
   def bpeMergeStep(arr: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
     val n = arr.numElements()
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
@@ -1005,6 +1041,49 @@ case class BpeMergeStep(child: Expression, a: String, b: String)
     copy(child = newChild)
 }
 
+/** `bpe_encode_len(syms; merges) -> BIGINT` — the full pinned merge
+  * table applied left-greedy round by round, returning only the FINAL
+  * symbol count (see [[HashOps.bpeEncodeLen]]). The fused spelling of
+  * `size(foldLeft(bpe_merge_step))` for callers (t22/t27) that consume
+  * nothing but the encoded length: one working array per document
+  * instead of |merges| intermediate ArrayData allocations. */
+case class BpeEncodeLen(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_encode_len"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode_len takes ARRAY<STRING>, got ${dt.sql}")
+    }
+
+  @transient private lazy val ls: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._1)).toArray
+  @transient private lazy val rs: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._2)).toArray
+  @transient private lazy val abs: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._1 + m._2)).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.bpeEncodeLen(input.asInstanceOf[ArrayData], ls, rs, abs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = s"${classOf[UTF8String].getName}[]"
+    val lsRef = ctx.addReferenceObj("bpeLs", ls, cls)
+    val rsRef = ctx.addReferenceObj("bpeRs", rs, cls)
+    val absRef = ctx.addReferenceObj("bpeAbs", abs, cls)
+    defineCodeGen(ctx, ev,
+      c => s"${HashExprs.H}.bpeEncodeLen($c, $lsRef, $rsRef, $absRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeLen =
+    copy(child = newChild)
+}
+
 /** `char_syms(tokens, bound) -> ARRAY<STRING>` — document-level
   * BPE-initial symbol array (see [[HashOps.charSyms]]); the front end
   * of the tokenizer-apply pipeline (t22): one compiled pass instead of
@@ -1153,6 +1232,8 @@ object HashExprs {
   def log_bucket(c: Column): Column = Bridge.column(LogBucket(Bridge.expression(c)))
   def bpe_merge_step(c: Column, a: String, b: String): Column =
     Bridge.column(BpeMergeStep(Bridge.expression(c), a, b))
+  def bpe_encode_len(c: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncodeLen(Bridge.expression(c), merges))
   def char_syms(c: Column, bound: String): Column =
     Bridge.column(CharSyms(Bridge.expression(c), bound))
   def luhn_valid_count(c: Column): Column =

@@ -266,10 +266,6 @@ object DedupQueries {
     val cnts = edges0.agg(count(lit(1)), countDistinct(col("da"))).collect().head
     val (nEdges, nNodes) = (cnts.getLong(0), cnts.getLong(1))
     val edges = withExactStats(edges0, nEdges, 16L)
-    val nodes = edges.select(col("da").as("doc_id")).distinct()
-    var labels = withExactStats(
-      Checkpointing.pin(nodes.withColumn("cluster_id", col("doc_id"))),
-      nNodes, 16L)
     // Convergence check without a generation-vs-generation join: labels
     // only ever DECREASE (least of self and neighbors), so the label
     // sum is strictly monotone until fixpoint — equal consecutive sums
@@ -281,6 +277,24 @@ object DedupQueries {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("cluster_id").cast("decimal(38,0)")),
         lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    // FUSED generation 1: hooking over the IDENTITY labels is just
+    // least(self, min neighbor) — one aggregate over the symmetrized
+    // edge set (groupBy(da) IS the node-distinct), so the identity
+    // generation never materializes and round 1 skips its
+    // edges ⋈ labels join, the nodes-distinct exchange, and one
+    // checkpoint. Bit-identical to running the loop body once over
+    // identity labels; the loop below continues from generation 2.
+    val hooked0 = edges.groupBy(col("da").as("doc_id"))
+      .agg(min(col("db")).as("_m"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("_m")).as("cluster_id"))
+    val parents0 = hooked0
+      .select(col("doc_id").as("pid"), col("cluster_id").as("pl"))
+    var labels = withExactStats(
+      Checkpointing.pin(
+        hooked0.join(parents0, hooked0("cluster_id") === parents0("pid"))
+          .select(hooked0("doc_id"), col("pl").as("cluster_id"))),
+      nNodes, 16L)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashExprs.{alpha_token_count, bpe_merge_step, c4_keep_lines, char_fold, char_fold_array, char_syms, count_in, dup_elem_stats, dup_gram_chars, line_shape_stats, luhn_valid_count, shingle_hashes, subword_count, token_ngrams, tokenize, top_grams, winnow}
+import graft.functions.HashExprs.{alpha_token_count, bpe_encode_len, c4_keep_lines, char_fold, char_fold_array, char_syms, count_in, dup_elem_stats, dup_gram_chars, line_shape_stats, luhn_valid_count, shingle_hashes, subword_count, token_ngrams, tokenize, top_grams, winnow}
 import graft.sources.Tables
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -1226,25 +1226,26 @@ object TextQueries {
     },
 
     // tokenizer APPLY (encode): the shipped PinnedMerges BPE applied
-    // to every document as a fold of compiled bpe_merge_step passes
-    // over ONE doc-level symbol array. char_syms inserts an
-    // unmergeable word-boundary sentinel between words, so the whole
-    // document encodes in a single array — no per-word explode, no
-    // shuffle; the entire encode is map-side whole-stage codegen.
-    // This closes the tokenizer loop: t18/t19 induce, Bpe.train
-    // learns, t22 applies at corpus scale.
+    // to every document over ONE doc-level symbol array. char_syms
+    // inserts an unmergeable word-boundary sentinel between words, so
+    // the whole document encodes in a single array — no per-word
+    // explode, no shuffle; the entire encode is map-side whole-stage
+    // codegen. The query consumes only the encoded LENGTH, so the
+    // merge table applies through the fused `bpe_encode_len` reducer
+    // (one working array per document) instead of a |merges|-deep
+    // bpe_merge_step fold that materialized an intermediate symbol
+    // array per round. This closes the tokenizer loop: t18/t19
+    // induce, Bpe.train learns, t22 applies at corpus scale.
     "t22_bpe_encode" -> { (s, d) =>
       val B = TextQueries.BpeBoundary
-      val enc = TextQueries.PinnedMerges.foldLeft(col("s0")) {
-        case (c, (l, r)) => bpe_merge_step(c, l, r)
-      }
       Tables.load(s, d, "documents")
         .select(col("doc_id"), char_syms(tokenize(col("text")), B).as("s0"))
         .select(
           col("doc_id"),
           count_in(col("s0"), Seq(B)).as("n_words"),
           (size(col("s0")).cast("long") - count_in(col("s0"), Seq(B))).as("n_chars"),
-          (size(enc).cast("long") - count_in(col("s0"), Seq(B))).as("n_bpe"))
+          (bpe_encode_len(col("s0"), TextQueries.PinnedMerges) -
+            count_in(col("s0"), Seq(B))).as("n_bpe"))
         .withColumn("compression_bp",
           expr("(n_chars * 10000) DIV nullif(n_bpe, 0)"))
         .orderBy("doc_id")
@@ -1342,15 +1343,13 @@ object TextQueries {
     // |langs|-row output, exact integer basis points.
     "t27_fertility" -> { (s, d) =>
       val B = TextQueries.BpeBoundary
-      val enc = TextQueries.PinnedMerges.foldLeft(col("s0")) {
-        case (c, (l, r)) => bpe_merge_step(c, l, r)
-      }
       Tables.load(s, d, "documents")
         .select(col("lang"), char_syms(tokenize(col("text")), B).as("s0"))
         .select(col("lang"),
           count_in(col("s0"), Seq(B)).as("w"),
           (size(col("s0")).cast("long") - count_in(col("s0"), Seq(B))).as("ch"),
-          (size(enc).cast("long") - count_in(col("s0"), Seq(B))).as("bp"))
+          (bpe_encode_len(col("s0"), TextQueries.PinnedMerges) -
+            count_in(col("s0"), Seq(B))).as("bp"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
           sum("ch").as("n_chars"), sum("bp").as("n_bpe"))
