@@ -575,25 +575,55 @@ object HashOps {
     * (t31's signal) and not just the repeats. Returns the six sums as
     * an array indexed n−5. Like [[topGrams]], a per-doc statistic that
     * never needs a shuffle. */
+  /** Key = an n-token slice of a shared token array, compared by
+    * token-sequence equality — the gram identity [[dupGramChars]]
+    * needs WITHOUT concatenating a gram string per position (tokens
+    * contain no whitespace, so the former space-joined concat key was
+    * injective in the slice; this is the same identity minus the
+    * per-position byte copy). hashCode precomputed once. */
+  private final class GramSlice(
+      val toks: Array[UTF8String], val start: Int, val n: Int,
+      override val hashCode: Int) {
+    override def equals(o: Any): Boolean = {
+      val that = o.asInstanceOf[GramSlice]
+      if (that.n != n) return false
+      var j = 0
+      while (j < n) {
+        if (!toks(start + j).equals(that.toks(that.start + j))) return false
+        j += 1
+      }
+      true
+    }
+  }
+
   def dupGramChars(arr: ArrayData): ArrayData = {
     val len = arr.numElements()
-    val sep = UTF8String.fromString(" ")
     val sums = new Array[Long](6)
+    // one pass of shared per-doc state: token refs, per-token
+    // hashCodes, prefix char counts (gram chars = token chars +
+    // (n−1) separators of the former concat spelling)
+    val toks = new Array[UTF8String](len)
+    val th = new Array[Int](len)
+    val pre = new Array[Long](len + 1)
+    var t = 0
+    while (t < len) {
+      val s = arr.getUTF8String(t)
+      toks(t) = s
+      th(t) = s.hashCode
+      pre(t + 1) = pre(t) + s.numChars()
+      t += 1
+    }
     var n = 5
     while (n <= 10) {
       val m = len - n + 1
       if (m > 0) {
-        val counts = new java.util.HashMap[UTF8String, java.lang.Long]()
+        val counts = new java.util.HashMap[GramSlice, java.lang.Long]()
         var i = 0
         while (i < m) {
-          val parts = new Array[UTF8String](2 * n - 1)
+          var h = 1
           var j = 0
-          while (j < n) {
-            parts(2 * j) = arr.getUTF8String(i + j)
-            if (j < n - 1) parts(2 * j + 1) = sep
-            j += 1
-          }
-          val gram = UTF8String.concat(parts: _*)
+          while (j < n) { h = h * 31 + th(i + j); j += 1 }
+          val gram = new GramSlice(toks, i, n, h)
           val prev = counts.get(gram)
           counts.put(gram, if (prev == null) 1L else prev + 1L)
           i += 1
@@ -603,7 +633,10 @@ object HashOps {
         while (it.hasNext) {
           val e = it.next()
           val c: Long = e.getValue
-          if (c >= 2L) acc += c * e.getKey.numChars()
+          if (c >= 2L) {
+            val g = e.getKey
+            acc += c * (pre(g.start + g.n) - pre(g.start) + (g.n - 1))
+          }
         }
         sums(n - 5) = acc
       }
