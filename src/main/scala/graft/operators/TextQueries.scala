@@ -1194,24 +1194,31 @@ object TextQueries {
     // runs over a SORTED probability list via a sequential left fold
     // so both engines add identical doubles in an identical order.
     // Scale shape: two hash aggs (bigram df, unigram df — vocabulary-
-    // sized, not corpus-sized), two shuffled equi-joins back onto the
-    // bigram stream, a broadcast 1-row vocab scalar, one per-doc agg.
-    // No all-pairs, no windows, no driver collect.
+    // sized, not corpus-sized), the model composed at VOCAB grain
+    // (bigram table ⋈ its w1's unigram count ⋈ the 1-row vocab scalar
+    // — the per-bigram smoothed p exists before the stream is
+    // touched), then ONE shuffled equi-join back onto the bigram
+    // stream and one per-doc agg. The former spelling joined the
+    // corpus-sized stream twice (by bigram, then again by w1) — one
+    // full stream shuffle more for the same per-occurrence p. No
+    // all-pairs, no windows, no driver collect.
     "t21_lm_novelty" -> { (s, d) =>
       val toks = Tables.load(s, d, "documents")
         .select(col("doc_id"), tokenize(col("text")).as("ts"))
       val bi = toks
         .select(col("doc_id"), explode(token_ngrams(col("ts"), 2)).as("bigram"))
-        .withColumn("w1", substring_index(col("bigram"), " ", 1))
       val cdf = bi.groupBy("bigram").agg(count(lit(1)).as("c"))
       val uni = toks.select(explode(col("ts")).as("w1"))
         .groupBy("w1").agg(count(lit(1)).as("u"))
       val vocab = uni.agg(count(lit(1)).as("v"))
-      bi.join(cdf, "bigram")
+      val model = cdf
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
         .join(uni, "w1")
         .crossJoin(broadcast(vocab))
-        .withColumn("p",
-          (col("c") + lit(1)).cast("double") / (col("u") + col("v")).cast("double"))
+        .select(col("bigram"), col("c"),
+          ((col("c") + lit(1)).cast("double") /
+            (col("u") + col("v")).cast("double")).as("p"))
+      bi.join(model, "bigram")
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_bigrams"),
