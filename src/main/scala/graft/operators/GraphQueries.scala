@@ -77,18 +77,22 @@ object GraphQueries {
     val ops = focusPred match {
       case None => ops0
       case Some(pred) =>
-        // g3's focus 2-hop cut, array-grain: focus orders contain a
-        // focus part; their union of parts is the 1-hop set (a
-        // focus-bounded ONE-ROW array — the old broadcast join's
-        // build side, collapsed); an order contributes iff it touches
-        // a 1-hop part. Same preserved-order set as the row-grain
-        // semi-join chain, bit-identical edges.
+        // g3's focus 2-hop cut: focus orders contain a focus part;
+        // their union of parts is the 1-hop set (focus-bounded →
+        // broadcast); an order contributes iff it touches a 1-hop
+        // part — spelled as explode → broadcast semi-join → semi-join
+        // back on ok, so the membership probe is a hash lookup per
+        // exploded part. (NOT arrays_overlap against a one-row 1-hop
+        // ARRAY: that rebuilds a hash set of the few-thousand-part
+        // array PER ROW.) Same preserved-order set as the r17
+        // row-grain chain, bit-identical edges.
         val oneHop = ops0.filter(exists(col("pks"), pred))
           .select(explode(col("pks")).as("pk")).distinct()
-          .agg(sort_array(collect_set(col("pk"))).as("_fp"))
-        ops0.crossJoin(broadcast(oneHop))
-          .filter(arrays_overlap(col("pks"), col("_fp")))
-          .drop("_fp")
+        val reachOks = ops0
+          .select(col("ok"), explode(col("pks")).as("pk"))
+          .join(broadcast(oneHop), Seq("pk"), "left_semi")
+          .select("ok").distinct()
+        ops0.join(broadcast(reachOks), Seq("ok"), "left_semi")
     }
     val pairs = ops.select(explode(expr(
       "flatten(transform(pks, (x, i) -> " +
