@@ -284,6 +284,56 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(DedupQueries.connectedComponents(pairs).count() == 0)
   }
 
+  test("bpe_encode_len equals size() of the per-round bpe_merge_step fold") {
+    import spark.implicits._
+    // adversarial symbol streams: overlapping merge targets, runs of
+    // the left symbol, merges whose output feeds a later merge, and
+    // boundary sentinels that must never merge
+    val merges = Seq("a" -> "a", "b" -> "c", "a" -> "bc", "abc" -> "abc")
+    val syms = Seq(
+      Seq("a", "a", "a", "a", "a"),
+      Seq("a", "b", "c", "a", "b", "c"),
+      Seq("b", "c", "b", "c", "a", "b", "c"),
+      Seq(" ", "a", "a", " ", "b", "c"),
+      Seq.empty[String],
+      Seq("a")).toDF("s0")
+    val folded = merges.foldLeft(col("s0")) { case (c, (l, r)) =>
+      bpe_merge_step(c, l, r)
+    }
+    val rows = syms
+      .select(size(folded).cast("long").as("want"),
+        bpe_encode_len(col("s0"), merges).as("got"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("dup_gram_chars slice keys match a naive string-gram replica") {
+    import spark.implicits._
+    // duplicated 5-gram ("x1 .. x5" twice), a longer duplicated run,
+    // and near-miss grams differing only in one token
+    val toks = Seq(
+      (1L, "x1 x2 x3 x4 x5 q x1 x2 x3 x4 x5"),
+      (2L, "a b c d e f g a b c d e f g a b c d e f g"),
+      (3L, "p1 p2 p3 p4 p5 p1 p2 p3 p4 p6"))
+      .toDF("doc_id", "text")
+    def naive(text: String): Seq[Long] = {
+      val ts = text.split("\\s+").filter(_.nonEmpty)
+      (5 to 10).map { n =>
+        val grams = ts.sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSeq
+        grams.groupBy(identity).collect {
+          case (g, occ) if occ.size >= 2 => occ.size.toLong * g.length
+        }.sum
+      }
+    }
+    val got = toks
+      .select(col("doc_id"), col("text"),
+        dup_gram_chars(tokenize(col("text"))).as("dg"))
+      .collect()
+      .map(r => r.getString(1) -> r.getSeq[Long](2).toSeq)
+    got.foreach { case (text, dg) => assert(dg == naive(text), text) }
+  }
+
   test("guarded join prunes the hot key's fan-out in the plan input") {
     val sh = planted(100)
     // with the guard, the self-join input no longer contains shingle
